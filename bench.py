@@ -1,0 +1,56 @@
+"""Benchmark harness: run headline registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE
+JSON line with per-query wall seconds.
+
+Each query is forced with a count()-style action (no driver
+collect of the full result; sorts are capped with a write-less
+foreach-noop via ``df.write.format("noop")``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_main_spark.plans.registry import REGISTRY
+from hadoop_main_spark.session import get_spark
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    df = REGISTRY[name].build(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("hadoop-main-spark-bench")
+    names = [n for n, q in REGISTRY.items() if q.bench]
+    # warm the JVM + file listing once with the cheapest query
+    run_once(spark, names[0], sf_dir)
+    times: dict[str, float] = {}
+    for name in names:
+        times[name] = round(run_once(spark, name, sf_dir), 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Aggregation library.
+
+Re-expresses the reference's aggregate plugin package
+(MRC/mapreduce/lib/aggregate/*) and the word-statistics examples
+(EX/WordMean.java, EX/WordMedian.java, EX/WordStandardDeviation.java)
+as Catalyst aggregate expressions. Partial aggregation (the
+reference's Combiner, MRC/mapred/MapTask.java:1611) is automatic:
+every groupBy below compiles to partial+final HashAggregateExec.
+
+Design note on floats: sums that feed a correctness oracle are
+computed over DECIMAL casts (exact, associative — immune to
+float summation-order differences across engines/partitionings)
+and only converted to double at the very end. stddev/mean are
+derived from exact integer/decimal sums, mirroring the reference's
+SUM/SUM_SQ counter approach (EX/WordStandardDeviation.java:1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def dec(col: Column | str, typ: str = DEC) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def exact_sum(col: Column | str, typ: str = DEC) -> Column:
+    """Order-independent exact sum of a numeric column → double."""
+    return F.sum(dec(col, typ)).cast("double")
+
+
+# --- ValueAggregator descriptor compiler ------------------------------------
+# Reference: ValueAggregatorBaseDescriptor registers the aggregator
+# types at MRC/mapreduce/lib/aggregate/ValueAggregatorBaseDescriptor.java:39-:53;
+# jobs are driven by "<AggTypeName>:<id>\t<value>" strings
+# (ValueAggregatorJob.java:1). Here a descriptor name compiles
+# directly to a Catalyst aggregate expression.
+
+
+def _uniq_count(value: Column, cap: int | None) -> Column:
+    if cap is None:
+        return F.countDistinct(value).cast("bigint")
+    # UniqValueCount's maxNumItems caps the *tracked set* (an
+    # arbitrary subset in the reference, UniqValueCount.java:43-:75);
+    # we emulate with a deterministic (sorted) subset cap.
+    return F.least(F.countDistinct(value), F.lit(cap)).cast("bigint")
+
+
+def compile_aggregator(agg_type: str, value: Column | str, cap: int | None = None) -> Column:
+    """AggType name → aggregate Column (the descriptor 'compiler')."""
+    v = F.col(value) if isinstance(value, str) else value
+    table: dict[str, Column] = {
+        "LongValueSum": F.sum(v.cast("bigint")).cast("bigint"),
+        "DoubleValueSum": exact_sum(v),
+        "LongValueMax": F.max(v.cast("bigint")),
+        "LongValueMin": F.min(v.cast("bigint")),
+        "StringValueMax": F.max(v.cast("string")),
+        "StringValueMin": F.min(v.cast("string")),
+        "ValueCount": F.count(v).cast("bigint"),
+        "UniqValueCount": _uniq_count(v, cap),
+    }
+    if agg_type not in table:
+        raise ValueError(f"unknown aggregator type: {agg_type}")
+    return table[agg_type]
+
+
+def value_aggregator(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    specs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Run a ValueAggregatorJob-style descriptor set in one pass.
+
+    ``specs``: out_name → (AggTypeName, value_col). One grouped
+    aggregation, all descriptors evaluated together (the reference
+    needs one reduce per job; Catalyst fuses them).
+    """
+    aggs = [compile_aggregator(t, c).alias(name) for name, (t, c) in specs.items()]
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def value_histogram(
+    df: DataFrame, key_cols: Sequence[str], item_col: str
+) -> DataFrame:
+    """ValueHistogram report per key: unique item count, min / median /
+    max / mean / stddev of per-item counts.
+
+    Reference: MRC/mapreduce/lib/aggregate/ValueHistogram.java:83-:120.
+    Two-level aggregation; mean/stddev derived from exact integer
+    sums so results are engine-portable.
+    """
+    per_item = df.groupBy(*key_cols, item_col).agg(F.count("*").alias("item_count"))
+    n = F.count("*")
+    s = F.sum("item_count")
+    s2 = F.sum(F.col("item_count") * F.col("item_count"))
+    return per_item.groupBy(*key_cols).agg(
+        n.cast("bigint").alias("unique_items"),
+        F.min("item_count").alias("min_count"),
+        F.expr("percentile(item_count, 0.5)").alias("median_count"),
+        F.max("item_count").alias("max_count"),
+        (s.cast("double") / n).alias("mean_count"),
+        F.sqrt(
+            s2.cast("double") / n - (s.cast("double") / n) * (s.cast("double") / n)
+        ).alias("stddev_count"),
+    )
+
+
+# --- word statistics (EX/WordMean, WordMedian, WordStandardDeviation) -------
+
+
+def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mean / median / population-stddev of token lengths in one pass.
+
+    Reference: EX/WordMean.java:71 (COUNT/LENGTH counters),
+    EX/WordMedian.java:1 (CDF walk → percentile),
+    EX/WordStandardDeviation.java:1 (sqrt(E[x²]−E[x]²) from SUM,
+    SUM_SQ) — same exact-integer-sums formulation here.
+    """
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    toks = df.select(F.explode(tokenize(text_col)).alias("word"))
+    lens = toks.select(F.length("word").cast("bigint").alias("len"))
+    n = F.count("*")
+    s = F.sum("len")
+    s2 = F.sum(F.col("len") * F.col("len"))
+    return lens.agg(
+        n.cast("bigint").alias("word_count"),
+        (s.cast("double") / n).alias("mean_len"),
+        F.expr("percentile(len, 0.5)").alias("median_len"),
+        F.sqrt(s2.cast("double") / n - (s.cast("double") / n) * (s.cast("double") / n)).alias(
+            "stddev_len"
+        ),
+    )
+
+
+def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The canonical query (reference: EX/WordCount.java:36)."""
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    return (
+        df.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )

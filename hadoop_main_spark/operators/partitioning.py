@@ -1,0 +1,59 @@
+"""Partitioning / distribution operators.
+
+Reference partitioners (SURVEY.md §2.4) re-expressed as repartition
+helpers. In Spark, partitioning is an *optimizer-visible* property:
+`repartition(n, cols)` produces hash partitioning Catalyst can reuse
+across stages (avoiding a second shuffle for a following groupBy on
+the same keys), and `repartitionByRange` is the sampled
+TotalOrderPartitioner. These helpers exist to make partitioning
+intent explicit at the points where the 100 TB plan needs it —
+everywhere else we deliberately let AQE choose.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_partition(df: DataFrame, n: int, cols: Sequence[str | Column]) -> DataFrame:
+    """hash(key) mod R — reference: MRC/mapreduce/lib/partition/
+    HashPartitioner.java:31 (Spark uses Murmur3 internally; the
+    contract — equal keys co-located — is identical)."""
+    return df.repartition(n, *[F.col(c) if isinstance(c, str) else c for c in cols])
+
+
+def range_partition(df: DataFrame, n: int, cols: Sequence[str | Column]) -> DataFrame:
+    """Sampled range partitioning — reference: TotalOrderPartitioner +
+    InputSampler (MRC/mapreduce/lib/partition/TotalOrderPartitioner.java:50)."""
+    return df.repartitionByRange(n, *[F.col(c) if isinstance(c, str) else c for c in cols])
+
+
+def key_field_partition(
+    df: DataFrame, n: int, line_col: str, fields: Sequence[int], sep: str = "\t"
+) -> DataFrame:
+    """Partition on a subset of delimited key fields — reference:
+    KeyFieldBasedPartitioner (MRC/mapreduce/lib/partition/
+    KeyFieldBasedPartitioner.java:85). ``fields`` are 1-based."""
+    arr = F.split(F.col(line_col), F.lit(sep).cast("string"))
+    return df.repartition(n, *[F.element_at(arr, i) for i in fields])
+
+
+def binary_prefix_partition(
+    df: DataFrame, n: int, col: str, offset: int = 1, length: int = 4
+) -> DataFrame:
+    """Partition on a byte/char slice of the key — reference:
+    BinaryPartitioner (MRC/mapreduce/lib/partition/BinaryPartitioner.java:1)."""
+    return df.repartition(n, F.substring(F.col(col).cast("string"), offset, length))
+
+
+def partition_audit(df: DataFrame) -> DataFrame:
+    """Rows per physical partition (skew inspection helper)."""
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count("*").alias("rows"))
+        .orderBy("__pid")
+    )

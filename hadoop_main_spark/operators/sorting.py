@@ -1,0 +1,128 @@
+"""Sort semantics: global total order, secondary sort, `sort -k` specs.
+
+Reference mechanisms re-expressed (SURVEY.md §2.5):
+- TotalOrderPartitioner + InputSampler (MRC/mapreduce/lib/partition/
+  TotalOrderPartitioner.java:50, InputSampler.java:314): Spark's
+  `orderBy` range-partitions with automatic sampling — the same
+  sample→split-points→binary-search design, built in.
+- Secondary sort (EX/SecondarySort.java: FirstPartitioner:133,
+  FirstGroupingComparator:145): partition by the primary key, order
+  values by the secondary key within each group → a Window, or
+  repartition+sortWithinPartitions when a streaming-style pass is
+  wanted.
+- KeyFieldBasedComparator `sort -k` specs (MRC/mapreduce/lib/
+  partition/KeyFieldBasedComparator.java:53): compiled to typed sort
+  expressions.
+
+Scale note: `orderBy` is the one unavoidable full-shuffle; its skew
+behavior is exactly the reference's (2008 run saw 2.6× reduce skew,
+EX/terasort/package.html:109) — AQE handles moderate skew, and the
+write path should `sortWithinPartitions` instead when only per-file
+order matters.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def total_order_sort(df: DataFrame, *cols: str | Column, ranked: str | None = None) -> DataFrame:
+    """Globally sort (TeraSort / EX/Sort.java:98 equivalent).
+
+    If ``ranked`` is given, also emit a 1-based global rank column —
+    this makes total order verifiable under order-insensitive
+    comparison (the driver hashes sorted rows).
+    """
+    out = df.orderBy(*cols)
+    if ranked:
+        w = Window.orderBy(*cols)
+        out = out.withColumn(ranked, F.row_number().over(w))
+    return out
+
+
+def secondary_sort(
+    df: DataFrame,
+    group_key: str | Sequence[str],
+    order_key: str | Sequence[str],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-group ordering surfaced as an explicit rank column.
+
+    Reference: EX/SecondarySort.java — partition on key part 1, sort
+    composite (part1, part2), group on part 1; the reducer sees
+    values ascending. The Window form keeps everything declarative.
+    """
+    gk = [group_key] if isinstance(group_key, str) else list(group_key)
+    ok = [order_key] if isinstance(order_key, str) else list(order_key)
+    w = Window.partitionBy(*gk).orderBy(*ok)
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def sorted_groups(
+    df: DataFrame, group_key: str | Sequence[str], order_key: str | Sequence[str]
+) -> DataFrame:
+    """Alternative physical shape: cluster by group key and sort within
+    partitions — the exact MapReduce reduce-input layout, useful when a
+    downstream mapPartitions wants streaming per-group order."""
+    gk = [group_key] if isinstance(group_key, str) else list(group_key)
+    ok = [order_key] if isinstance(order_key, str) else list(order_key)
+    return df.repartition(*[F.col(c) for c in gk]).sortWithinPartitions(*gk, *ok)
+
+
+# --- `sort -k` key-field spec compiler --------------------------------------
+
+
+@dataclass(frozen=True)
+class KeySpec:
+    """One `-k` style field spec: 1-based field index range plus flags
+    (n = numeric, r = reverse) — the subset of
+    KeyFieldBasedComparator.java:53 semantics our compiler supports
+    (char-offset-within-field addressing is intentionally dropped;
+    fields are whole columns after splitting)."""
+
+    start: int
+    end: int | None = None
+    numeric: bool = False
+    reverse: bool = False
+
+
+_SPEC_RE = re.compile(r"^-k(\d+)(?:,(\d+))?([nr]*)$")
+
+
+def parse_sort_spec(spec: str) -> list[KeySpec]:
+    """Parse e.g. ``"-k2,2nr -k1"`` (space-separated -k options)."""
+    out: list[KeySpec] = []
+    for piece in spec.split():
+        m = _SPEC_RE.match(piece)
+        if not m:
+            raise ValueError(f"bad sort spec piece: {piece}")
+        start = int(m.group(1))
+        end = int(m.group(2)) if m.group(2) else None
+        flags = m.group(3)
+        out.append(KeySpec(start, end, "n" in flags, "r" in flags))
+    return out
+
+
+def compile_sort_spec(spec: str, line: Column | str, sep: str = "\t") -> list[Column]:
+    """Compile a `sort -k` spec into Spark sort expressions over a
+    delimited text column."""
+    c = F.col(line) if isinstance(line, str) else line
+    arr = F.split(c, F.lit(sep).cast("string"))
+    cols: list[Column] = []
+    for ks in parse_sort_spec(spec):
+        end = ks.end or ks.start
+        for idx in range(ks.start, end + 1):
+            field = F.element_at(arr, idx)
+            if ks.numeric:
+                field = field.cast("double")
+            cols.append(field.desc() if ks.reverse else field.asc())
+    return cols
+
+
+def sort_by_spec(df: DataFrame, col: str, spec: str, sep: str = "\t") -> DataFrame:
+    return df.orderBy(*compile_sort_spec(spec, col, sep))

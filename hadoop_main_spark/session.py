@@ -1,0 +1,83 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine hand-tunes its physical layer via conf keys
+(io.sort.mb, io.sort.factor, parallel copies — see
+mapred-default.xml in the reference); here the equivalent knobs are
+Spark SQL confs. Defaults below are chosen so the same program runs
+on local[N] for tests and on a large cluster unchanged:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting)
+  replaces the reference's static reduce-count + manual skew fixes.
+- Arrow enabled for every pandas-UDF boundary.
+- UTC session timezone so timestamp semantics match the DuckDB
+  oracle and are cluster-location independent.
+- `nanosAsLong` so nanosecond parquet timestamps (events table) are
+  readable; `hadoop_main_spark.tables` converts them properly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and desirable) to apply at runtime on an
+#: externally provided session as well — see :func:`tune`.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet scans: keep splits near the HDFS-block-sized splits the
+    # reference uses (FileInputFormat splitSize = max(min, min(max, block)))
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "hadoop-main-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    On a real cluster `master` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    tune(spark)
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally created session
+    (e.g. the verification driver's). Best-effort: unsettable keys are
+    skipped."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark

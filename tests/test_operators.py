@@ -1,0 +1,81 @@
+"""Operator unit tests on tiny in-memory DataFrames — the pytest
+analog of the reference's JUnit operator layer (SURVEY.md §5.1)."""
+
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.functions.hashing import hash64, hash64_py
+from hadoop_main_spark.operators import joins as J
+from hadoop_main_spark.operators import sorting as S
+from hadoop_main_spark.operators import transforms as T
+
+
+def test_tokenize_drops_empty(spark):
+    df = spark.createDataFrame([("a  b c",), ("",), ("  x ",)], ["text"])
+    rows = df.select(T.tokenize("text").alias("t")).collect()
+    assert [r.t for r in rows] == [["a", "b", "c"], [], ["x"]]
+
+
+def test_kv_split_missing_separator(spark):
+    df = spark.createDataFrame([("k1\tv1",), ("lonely",), ("a\tb\tc",)], ["line"])
+    rows = T.kv_split(df, "line").collect()
+    assert [(r.key, r.value) for r in rows] == [("k1", "v1"), ("lonely", ""), ("a", "b\tc")]
+
+
+def test_field_spec_parser():
+    assert T.parse_field_spec("0") == [(0, 1)]
+    assert T.parse_field_spec("2-4") == [(2, 5)]
+    assert T.parse_field_spec("3-") == [(3, None)]
+    assert T.parse_field_spec("-1") == [(0, 2)]
+    assert T.parse_field_spec("0,2-3") == [(0, 1), (2, 4)]
+
+
+def test_field_selection(spark):
+    df = spark.createDataFrame([("a\tb\tc\td",)], ["line"])
+    row = T.field_selection(df, "line", "0", "2-").collect()[0]
+    assert (row.key, row.value) == ("a", "c\td")
+    row = T.field_selection(df, "line", "3,0", "1").collect()[0]
+    assert (row.key, row.value) == ("d\ta", "b")
+
+
+def test_override_join_rightmost_wins(spark):
+    # keys: 1 in all, 2 in s1+s2, 3 only s1, 4 only s3
+    s1 = spark.createDataFrame([(1, "a1"), (2, "a2"), (3, "a3")], ["k", "v"])
+    s2 = spark.createDataFrame([(1, "b1"), (2, "b2")], ["k", "v"])
+    s3 = spark.createDataFrame([(1, "c1"), (4, "c4")], ["k", "v"])
+    out = {r.k: r.v for r in J.composite_join([s1, s2, s3], "k", "override").collect()}
+    assert out == {1: "c1", 2: "b2", 3: "a3", 4: "c4"}
+
+
+def test_composite_outer_join(spark):
+    s1 = spark.createDataFrame([(1, "a")], ["k", "v1"])
+    s2 = spark.createDataFrame([(2, "b")], ["k", "v2"])
+    rows = {r.k: (r.v1, r.v2) for r in J.composite_join([s1, s2], "k", "outer").collect()}
+    assert rows == {1: ("a", None), 2: (None, "b")}
+
+
+def test_sort_spec_compiler(spark):
+    df = spark.createDataFrame([("a\t10",), ("b\t2",), ("c\t10",)], ["line"])
+    rows = S.sort_by_spec(df, "line", "-k2,2nr -k1").collect()
+    assert [r.line for r in rows] == ["a\t10", "c\t10", "b\t2"]
+
+
+def test_secondary_sort_rank(spark):
+    df = spark.createDataFrame(
+        [("g1", 5), ("g1", 1), ("g1", 3), ("g2", 2)], ["g", "x"]
+    )
+    rows = S.secondary_sort(df, "g", "x").orderBy("g", "rank").collect()
+    assert [(r.g, r.x, r.rank) for r in rows] == [
+        ("g1", 1, 1),
+        ("g1", 3, 2),
+        ("g1", 5, 3),
+        ("g2", 2, 1),
+    ]
+
+
+def test_hash64_matches_python(spark):
+    df = spark.createDataFrame([("hello",), ("world",)], ["s"])
+    rows = df.select("s", hash64("s").alias("h"), hash64("s", 7).alias("h7")).collect()
+    for r in rows:
+        assert r.h == hash64_py(r.s)
+        assert r.h7 == hash64_py(r.s, 7)
+        assert 0 <= r.h < 2**60
