@@ -1,0 +1,130 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video are opaque ``binary`` payload columns with a
+typed metadata struct. The Spark-side machinery — schema,
+partition-friendly layout, Arrow-batched UDF signatures, batch
+shapes — is real and tested; the actual media decode is stubbed
+behind ``decoder='stub'`` (decode libraries are not in this
+container) with a clearly-marked NotImplementedError for real
+decoders and a deterministic fake for tests.
+
+Scale notes: payloads dominate row size — keep them in their own
+column (Parquet stores them contiguously), never in the shuffle key,
+and resize/feature-extract *before* any wide operation so shuffles
+move features (KBs) not media (MBs). `mapInPandas` keeps the decode
+batch-parallel with Arrow transfer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("meta_format", StringType()),
+        StructField("meta_width", LongType()),
+        StructField("meta_height", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media-shaped table from the documents fixture: payload =
+    utf-8 bytes of the text (a stand-in binary blob with real
+    per-row variance), metadata derived deterministically."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("stub/raw").alias("meta_format"),
+        (F.col("n_chars") % 640 + 16).alias("meta_width"),
+        (F.col("n_chars") % 480 + 16).alias("meta_height"),
+    )
+
+
+def _stub_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake 'embedding' from the payload bytes: md5-seeded
+    values in [0,1). Stands in for a real decode→model pipeline."""
+    out = []
+    h = payload
+    for i in range(dim):
+        h = hashlib.md5(h + bytes([i & 0xFF])).digest()
+        out.append(int.from_bytes(h[:8], "big") / 2**64)
+    return out
+
+
+def extract_features(
+    media: DataFrame, decoder: str = "stub", dim: int = 8, batch_check: bool = False
+) -> DataFrame:
+    """Decode + feature-extract each payload via Arrow-batched
+    mapInPandas. ``decoder='stub'`` produces deterministic fake
+    features; any other name requires the real decode libraries.
+    """
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder '{decoder}' needs media libraries not present in this "
+            "environment; the stub decoder exercises the full Spark plumbing"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if batch_check and len(b) == 0:
+                continue
+            payloads = b["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(lambda p: hashlib.md5(p).hexdigest()),
+                    "features": payloads.map(lambda p: _stub_features(bytes(p), dim)),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: updates metadata, passes payload through (a
+    real implementation decodes/resizes/re-encodes inside
+    mapInPandas with the same signature)."""
+    return media.withColumn("meta_width", F.lit(width).cast("long")).withColumn(
+        "meta_height", F.lit(height).cast("long")
+    )
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per
+    sampled frame index (real decoder would attach the frame bytes).
+    Demonstrates the 1→N explode shape feature pipelines need."""
+    frames = F.sequence(F.lit(0), (F.col("meta_width") % 5 + 1))  # fake frame count
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", F.explode(frames).alias("frame_idx"))
+        .filter(F.col("frame_idx") % every_n == 0)
+    )

@@ -1,0 +1,93 @@
+"""Pipe / multimodal / generator / rollup queries.
+
+These exercise the non-pure-SQL surfaces (subprocess pipe,
+Arrow-batched mapInPandas, synthetic generators); where the result
+is still SQL-reproducible the oracle is provided, otherwise the
+driver records a rows-only check (generator queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.operators import multimodal as MM
+from hadoop_main_spark.operators import pipe as PIPE
+from hadoop_main_spark.plans.registry import query, t
+
+
+@query(
+    "pipe_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="Hadoop-Streaming-style subprocess pipe (ST/PipeMapper.java:38): "
+    "documents piped through `tr A-Z a-z` (one subprocess per task, "
+    "stdin/stdout line protocol), then WordCount on the piped output — "
+    "oracle reproduces the subprocess's effect with lower().",
+)
+def pipe_wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    piped = PIPE.pipe(d, "tr 'A-Z' 'a-z'")
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    return (
+        piped.select(F.explode(tokenize("value")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+    doc="Multimodal payload plumbing: binary payload column + typed "
+    "metadata, feature extraction via Arrow-batched mapInPandas (stub "
+    "decoder); byte-length and digest verified against the oracle.",
+)
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    media = MM.media_table_from_documents(t(spark, sf, "documents"))
+    feats = MM.extract_features(media, decoder="stub")
+    return feats.select("media_id", "n_bytes", "digest")
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="Grouping-set rollup — absent in the reference (SURVEY §2.6), "
+    "free Catalyst capability.",
+)
+def rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "terasort_100k",
+    oracle=None,  # generator source — not expressible over the DuckDB views
+    doc="TeraGen→TeraSort (EX/terasort/TeraGen.java:1, TeraSort.java:49): "
+    "100k deterministic 100-byte records, global total-order sort. "
+    "Order+checksum validated by sources.generators.validate_sorted "
+    "in tests (the TeraValidate analog).",
+    bench=True,
+)
+def terasort_100k(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.sources.generators import teragen
+
+    return teragen(spark, 100_000, seed=42).orderBy("key", "rowid")

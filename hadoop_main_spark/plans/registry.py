@@ -52,3 +52,4 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Import side-effect modules that populate REGISTRY.
 from hadoop_main_spark.plans import core_queries  # noqa: E402,F401
 from hadoop_main_spark.plans import llm_queries  # noqa: E402,F401
+from hadoop_main_spark.plans import misc_queries  # noqa: E402,F401

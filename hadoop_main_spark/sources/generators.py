@@ -1,0 +1,88 @@
+"""Synthetic data generators as sources (SURVEY.md §2.1).
+
+TeraGen / RandomWriter / RandomTextWriter re-expressed as
+``spark.range(n)`` + deterministic column expressions: seedable,
+partition-parallel, no data movement. The reference's TeraGen is a
+128-bit LCG (EX/terasort/Random16.java:1) producing 100-byte
+records (layout EX/terasort/TeraGen.java:55-:62); we keep the
+layout and determinism but derive bytes from hash64 — byte-identity
+with the 2008 fixtures is out of scope (SURVEY §7 'bit-exact
+TeraGen' note), sortability and distribution are what matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.functions.hashing import hash64
+
+#: TeraGen's printable key alphabet is ' ' .. '~' (95 symbols).
+_KEY_CHARS = 95
+_KEY_LEN = 10
+
+
+def teragen(spark: SparkSession, rows: int, seed: int = 0, partitions: int | None = None) -> DataFrame:
+    """100-byte sort records: 10-char printable key, 2-char constant,
+    32-hex rowid, 48-char filler — uniform keys, deterministic given
+    (rows, seed). Columns: (key string, rowid string, filler string)."""
+    rng = spark.range(0, rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    h = hash64(F.col("id").cast("string"), salt=f"teragen-{seed}")
+    # expand 60 hash bits into 10 chars of a 95-symbol alphabet by
+    # re-hashing per character position (uniform, portable)
+    key_chars = [
+        F.chr(hash64(F.col("id").cast("string"), salt=f"tg-{seed}-{i}") % _KEY_CHARS + 32)
+        for i in range(_KEY_LEN)
+    ]
+    rowid = F.lpad(F.conv(F.col("id").cast("string"), 10, 16), 32, "0")
+    filler = F.rpad(F.upper(F.substring(F.md5(F.col("id").cast("string")), 1, 8)), 48, "X")
+    return rng.select(
+        F.concat(*key_chars).alias("key"),
+        rowid.alias("rowid"),
+        filler.alias("filler"),
+        h.alias("checksum_part"),
+    )
+
+
+def random_text_writer(
+    spark: SparkSession,
+    rows: int,
+    words_per_row: int = 20,
+    vocab_size: int = 1000,
+    seed: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """RandomTextWriter (EX/RandomTextWriter.java:1): rows of random
+    words from a bounded vocabulary — deterministic given the seed.
+    Column: (line string)."""
+    rng = spark.range(0, rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    words = [
+        F.concat(
+            F.lit("w"),
+            (hash64(F.col("id").cast("string"), salt=f"rtw-{seed}-{j}") % vocab_size).cast(
+                "string"
+            ),
+        )
+        for j in range(words_per_row)
+    ]
+    return rng.select(F.concat_ws(" ", *words).alias("line"))
+
+
+def validate_sorted(df: DataFrame, key: str = "key") -> dict:
+    """TeraValidate: assert global order (per-partition order + cross-
+    partition boundary order) and return a multiset checksum that is
+    partitioning-independent. Reference: EX/terasort/TeraValidate.java:88
+    (misorder detection), TeraChecksum.java:1 (sum of record hashes).
+    Intended to run on the *written* output of a total_order_sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(key)
+    misordered = (
+        df.select(key, F.lag(key).over(w).alias("__prev"))
+        .filter(F.col("__prev") > F.col(key))
+        .count()
+    )
+    checksum = df.select(
+        F.sum(hash64(key) % F.lit(2**31 - 1)).alias("c")
+    ).collect()[0]["c"]
+    return {"misordered": misordered, "checksum": int(checksum or 0), "rows": df.count()}

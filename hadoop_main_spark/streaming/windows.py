@@ -1,0 +1,137 @@
+"""Structured Streaming operators (capability extension, SURVEY §2.12).
+
+The reference has no stream processing (its "Streaming" is
+subprocess piping). We add the standard event-time toolkit on the
+same expressions the batch queries use — the point of the design is
+that `events_window` (plans/core_queries.py) and
+:func:`tumbling_counts` share aggregation logic, so a batch oracle
+validates the streaming operator.
+
+Scale notes: state-store size is bounded by the watermark horizon;
+`dropDuplicates` state by the id column's cardinality within it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (nanos → µs ts as in
+    tables.load_table). Spark file streams require a *directory*; the
+    fixture is a single file, so we stage a symlink dir (at real scale
+    the source is already a growing directory)."""
+    import os
+    import tempfile
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        stream_dir = os.path.join(
+            tempfile.gettempdir(), f"events_stream_{abs(hash(src))}"
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time window counts + sums with late-data
+    handling via watermark. Works on both batch and streaming frames
+    (watermark applies only under readStream)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding window average value per event_type."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg((F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows per user (gap-based) — the reference has no
+    session concept at all; built on F.session_window."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-id stream dedup within the watermark horizon
+    (the streaming form of exact_dedup)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates([id_col])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
+    """Drive a streaming frame to completion into an in-memory table
+    (availableNow trigger) — the test/validation harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

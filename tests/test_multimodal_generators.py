@@ -1,0 +1,87 @@
+"""Multimodal plumbing, generators + validators, counters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.functions.counters import Counters, count_matching
+from hadoop_main_spark.operators import multimodal as MM
+from hadoop_main_spark.sources.generators import random_text_writer, teragen, validate_sorted
+from hadoop_main_spark.tables import load_table
+
+
+def test_media_table_schema(spark, sf_dir):
+    media = MM.media_table_from_documents(load_table(spark, sf_dir, "documents"))
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "media_type", "payload", "meta_format", "meta_width", "meta_height",
+    ]
+    assert dict(media.dtypes)["payload"] == "binary"
+    types = {r.media_type for r in media.select("media_type").distinct().collect()}
+    assert types <= {"image", "audio", "video"}
+
+
+def test_extract_features_stub(spark, sf_dir):
+    media = MM.media_table_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = MM.extract_features(media, decoder="stub", dim=8)
+    rows = feats.limit(10).collect()
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(0.0 <= x < 1.0 for r in rows for x in r.features)
+    # deterministic: same payload → same features
+    again = {r.media_id: r.features for r in MM.extract_features(media, dim=8).limit(10).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.features
+
+
+def test_real_decoder_raises(spark, sf_dir):
+    media = MM.media_table_from_documents(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, decoder="pillow")
+
+
+def test_frame_sample_shape(spark, sf_dir):
+    media = MM.media_table_from_documents(load_table(spark, sf_dir, "documents"))
+    frames = MM.frame_sample_stub(media, every_n=1)
+    assert frames.columns == ["media_id", "frame_idx"]
+    assert frames.count() > 0
+
+
+def test_teragen_deterministic(spark):
+    a = teragen(spark, 1000, seed=7).collect()
+    b = {r.rowid: r.key for r in teragen(spark, 1000, seed=7).collect()}
+    assert len(a) == 1000
+    assert all(len(r.key) == 10 for r in a[:20])
+    for r in a:
+        assert b[r.rowid] == r.key
+    # different seed → different keys
+    c = {r.rowid: r.key for r in teragen(spark, 1000, seed=8).collect()}
+    assert sum(1 for r in a if c[r.rowid] != r.key) > 900
+
+
+def test_terasort_validates(spark):
+    data = teragen(spark, 5000, seed=1)
+    sorted_df = data.orderBy("key", "rowid")
+    report = validate_sorted(sorted_df.select("key"), "key")
+    assert report["misordered"] == 0
+    assert report["rows"] == 5000
+    # checksum is partitioning-independent (TeraChecksum property)
+    report2 = validate_sorted(data.repartition(17).select("key"), "key")
+    assert report2["checksum"] == report["checksum"]
+
+
+def test_random_text_writer(spark):
+    df = random_text_writer(spark, 100, words_per_row=5, vocab_size=50, seed=3)
+    rows = df.collect()
+    assert len(rows) == 100
+    assert all(len(r.line.split()) == 5 for r in rows)
+
+
+def test_counters_accumulator(spark):
+    cs = Counters(spark)
+    acc = cs.counter("rows_seen")
+    spark.range(100).foreach(lambda _: acc.add(1))
+    assert cs.value("rows_seen") == 100
+
+
+def test_count_matching(spark):
+    df = spark.range(10).toDF("x")
+    got = count_matching(df, evens=F.col("x") % 2 == 0, big=F.col("x") > 6)
+    assert got == {"evens": 5, "big": 3}

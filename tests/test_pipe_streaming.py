@@ -1,0 +1,99 @@
+"""Pipe operator (Hadoop Streaming semantics) + Structured Streaming
+windows — the pytest analog of the reference's streaming conformance
+corpus (SURVEY §5.4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.operators import pipe as P
+from hadoop_main_spark.streaming import windows as W
+
+
+def test_pipe_identity(spark):
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], ["k", "v"])
+    out = {(r.key, r.value) for r in P.pipe(df, "cat").collect()}
+    assert out == {("a", "1"), ("b", "2")}
+
+
+def test_pipe_transform(spark):
+    df = spark.createDataFrame([("abc", "xyz")], ["k", "v"])
+    out = {(r.key, r.value) for r in P.pipe(df, "tr 'a-z' 'A-Z'").collect()}
+    assert out == {("ABC", "XYZ")}
+
+
+def test_pipe_custom_separator(spark):
+    df = spark.createDataFrame([("a", "b")], ["k", "v"])
+    out = P.pipe(df, "cat", input_sep=",", output_sep=",").collect()
+    assert (out[0].key, out[0].value) == ("a", "b")
+
+
+def test_pipe_missing_output_sep(spark):
+    df = spark.createDataFrame([("onlykey",)], ["k"])
+    out = P.pipe(df, "cat").collect()
+    assert (out[0].key, out[0].value) == ("onlykey", "")
+
+
+def test_pipe_failing_command(spark):
+    df = spark.createDataFrame([("a",)], ["k"])
+    with pytest.raises(Exception):
+        P.pipe(df, "false").collect()
+
+
+def test_pipe_reduce_grouped_order(spark):
+    # a reducer script that keeps only the first line per key needs
+    # grouped+sorted input; awk emulates a classic streaming reducer
+    df = spark.createDataFrame(
+        [("k1", 5), ("k1", 1), ("k2", 7), ("k1", 3)], ["k", "v"]
+    )
+    out = P.pipe_reduce(
+        df, "awk -F'\\t' '!seen[$1]++'", group_key="k", order_key="v"
+    )
+    rows = {(r.key, r.value) for r in out.collect()}
+    assert rows == {("k1", "1"), ("k2", "7")}
+
+
+# --- structured streaming ----------------------------------------------------
+
+
+def test_tumbling_counts_stream_matches_batch(spark, sf_dir):
+    stream = W.read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    W.run_to_memory(W.tumbling_counts(stream, watermark="0 seconds"), "t_win")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("t_win").collect()
+    }
+    from hadoop_main_spark.tables import load_table
+
+    batch = W.tumbling_counts(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sessionize_batch(spark, sf_dir):
+    from hadoop_main_spark.tables import load_table
+
+    sess = W.sessionize(load_table(spark, sf_dir, "events"))
+    rows = sess.limit(5).collect()
+    assert all(r.session_end >= r.session_start for r in rows)
+    assert sess.count() > 0
+
+
+def test_dedup_stream(spark, sf_dir):
+    stream = W.read_events_stream(spark, sf_dir)
+    q = (
+        W.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from hadoop_main_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert spark.table("t_dedup").count() == n
