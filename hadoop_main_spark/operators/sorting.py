@@ -38,11 +38,43 @@ def total_order_sort(df: DataFrame, *cols: str | Column, ranked: str | None = No
     this makes total order verifiable under order-insensitive
     comparison (the driver hashes sorted rows).
     """
-    out = df.orderBy(*cols)
     if ranked:
-        w = Window.orderBy(*cols)
-        out = out.withColumn(ranked, F.row_number().over(w))
-    return out
+        return global_rank(df, *cols, rank_col=ranked)
+    return df.orderBy(*cols)
+
+
+def global_rank(
+    df: DataFrame,
+    *cols: str | Column,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable global 1-based rank: the TotalOrderPartitioner pattern.
+
+    An unpartitioned ``Window.orderBy`` funnels the whole dataset
+    through ONE task — fatal at scale. Instead: range-repartition on
+    the sort keys (Spark samples split points, exactly
+    MRC/mapreduce/lib/partition/InputSampler.java:314 →
+    TotalOrderPartitioner.java:50), rank within each partition, and
+    add per-partition offsets computed from a partition-count table
+    that is tiny (one row per partition) and broadcast back. Output
+    rows are also globally sorted across partition index.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        with_pid.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.col("__rn"))
+        .drop("__pid", "__rn", "__off")
+    )
 
 
 def secondary_sort(

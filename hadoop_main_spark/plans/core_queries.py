@@ -350,8 +350,7 @@ def sort_by_spec(spark: SparkSession, sf: str) -> DataFrame:
             "line"
         )
     )
-    w = Window.orderBy(*S.compile_sort_spec("-k2,2nr -k1", "line", "\t"))
-    return sup.withColumn("rank", F.row_number().over(w))
+    return S.global_rank(sup, *S.compile_sort_spec("-k2,2nr -k1", "line", "\t"), rank_col="rank")
 
 
 # ---------------------------------------------------------------------------

@@ -72,17 +72,39 @@ def validate_sorted(df: DataFrame, key: str = "key") -> dict:
     """TeraValidate: assert global order (per-partition order + cross-
     partition boundary order) and return a multiset checksum that is
     partitioning-independent. Reference: EX/terasort/TeraValidate.java:88
-    (misorder detection), TeraChecksum.java:1 (sum of record hashes).
-    Intended to run on the *written* output of a total_order_sort."""
-    from pyspark.sql.window import Window
+    (misorder detection, per-task), :122-:140 (cross-file boundary
+    check), TeraChecksum.java:1 (sum of record hashes). Intended to run
+    on the *written* output of a total_order_sort.
 
-    w = Window.orderBy(key)
-    misordered = (
-        df.select(key, F.lag(key).over(w).alias("__prev"))
-        .filter(F.col("__prev") > F.col(key))
-        .count()
+    Scale shape matches the reference exactly: each partition is
+    scanned once in physical row order, emitting one summary row
+    (first key, last key, local misorder count); the cross-partition
+    boundary check runs driver-side over #partitions rows."""
+
+    def per_partition(idx, rows):
+        first = last = None
+        mis = 0
+        n = 0
+        for r in rows:
+            k = r[0]
+            if first is None:
+                first = k
+            elif last is not None and last > k:
+                mis += 1
+            last = k
+            n += 1
+        if n:
+            yield (idx, first, last, mis, n)
+
+    stats = sorted(
+        df.select(key).rdd.mapPartitionsWithIndex(per_partition).collect()
     )
+    misordered = sum(s[3] for s in stats)
+    rows = sum(s[4] for s in stats)
+    for (_, _, prev_last, _, _), (_, nxt_first, _, _, _) in zip(stats, stats[1:]):
+        if prev_last > nxt_first:
+            misordered += 1
     checksum = df.select(
         F.sum(hash64(key) % F.lit(2**31 - 1)).alias("c")
     ).collect()[0]["c"]
-    return {"misordered": misordered, "checksum": int(checksum or 0), "rows": df.count()}
+    return {"misordered": misordered, "checksum": int(checksum or 0), "rows": rows}
