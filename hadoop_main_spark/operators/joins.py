@@ -113,3 +113,78 @@ def semi_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """NOT EXISTS-style join — absent in the reference."""
     return left.join(right, on=key, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """As-of join: for each left row, the columns of the latest right
+    row with the same key and ``right_ts <= left_ts`` (left outer).
+
+    Absent in the reference (SURVEY §2.7 'free in Spark' family) and in
+    Spark's builtin join types. Implemented WITHOUT a per-key pandas
+    merge (which would concentrate hot keys): tag-union both sides,
+    then a single window pass per key ordered by time carries the
+    right side's values forward (`last(..., ignorenulls)`); one shuffle
+    on the key, linear work, skew behavior identical to a groupBy on
+    the same key.
+
+    ``right`` must be unique per (on, right_ts); pre-aggregate if not.
+    """
+    from pyspark.sql import Window
+
+    vcols = list(value_cols) or [c for c in right.columns if c not in (on, right_ts)]
+    l_tag = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in vcols],
+    )
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None))
+    for c in vcols:
+        if c not in l_tag.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None))
+    u = l_tag.select(*r_tag.columns).unionByName(r_tag.select(*r_tag.columns))
+    # right rows sort before left rows at equal timestamps → inclusive <=
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[c for c in u.columns if c not in vcols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in vcols],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side", "__t")
+
+
+def range_count_join(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    id_col: str = "event_id",
+    window_us: int = 3_600_000_000,
+) -> DataFrame:
+    """For each row, count same-key rows in (ts, ts + window] — an
+    interval self-join (equi on the key + range predicate). Spark
+    plans equi+range as a sort-merge join with the range as a
+    post-condition; the equi component keeps the shuffle bounded by
+    the key cardinality.
+    """
+    a = df.select(F.col(key), F.col(ts).alias("__ats"), F.col(id_col).alias("__aid"))
+    b = df.select(F.col(key), F.col(ts).alias("__bts"))
+    au, bu = F.unix_micros("__ats"), F.unix_micros("__bts")
+    pairs = a.join(b, (a[key] == b[key]) & (bu > au) & (bu <= au + F.lit(window_us)))
+    return (
+        pairs.groupBy(a[key].alias(key), "__aid")
+        .agg(F.count("*").alias("n_follow"))
+        .withColumnRenamed("__aid", id_col)
+    )

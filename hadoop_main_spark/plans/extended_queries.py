@@ -1,0 +1,243 @@
+"""Extended operator queries: temporal joins, sessionization, set ops,
+grouping sets, compute-only jobs, JDBC round-trip, generator pipelines.
+
+These cover the SURVEY.md §2 rows marked "absent in reference — free
+in Spark" (as-of/range joins §2.7, intersect/except §2.8, cube §2.6)
+plus the reference's compute-only examples (§2.11 QuasiMonteCarlo)
+and the DBCountPageView JDBC round-trip (§2.7, EX/DBCountPageView.java:1)
+— all with exact DuckDB oracles, including the generator pipeline
+(deterministic hash64 data derivation is reproduced in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.functions.hashing import hash64, hash64_sql
+from hadoop_main_spark.operators import joins as J
+from hadoop_main_spark.operators import sessions as SES
+from hadoop_main_spark.plans.registry import query, t
+
+_US_HOUR = 3_600_000_000
+_TWO60 = float(2**60)
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT user_id, ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           c.click_id AS prev_click_id
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (absent in reference and in Spark's builtin join "
+    "types, SURVEY §2.7): for each purchase, the latest same-user "
+    "click at or before it. Tag-union + one windowed carry-forward "
+    "pass per key — single shuffle, no per-key pandas merge.",
+)
+def asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    res = J.asof_join(purchases, clicks, on="user_id", value_cols=["click_id"])
+    return res.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("click_id").alias("prev_click_id"),
+    )
+
+
+@query(
+    "range_join",
+    oracle="""
+    SELECT a.user_id, a.event_id, COUNT(*) AS n_follow
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.user_id, a.event_id
+    """,
+    doc="Interval self-join (equi key + range predicate; absent in the "
+    "reference, SURVEY §2.7): follower-event counts within one hour. "
+    "The equi component keeps the shuffle keyed; the range is a "
+    "join post-condition.",
+)
+def range_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    return J.range_count_join(e, "user_id", window_us=_US_HOUR)
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+      SELECT user_id,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM b
+    ),
+    per AS (SELECT user_id, session_id, COUNT(*) AS n FROM sid GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           MAX(n) AS longest_session_events
+    FROM per GROUP BY user_id
+    """,
+    doc="Gap-based sessionization, batch form (30-min gap; capability "
+    "extension, SURVEY §2.12). Windows are partitioned by user — one "
+    "shuffle; streaming twin is streaming/windows.py:sessionize "
+    "(F.session_window + watermark).",
+)
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    return SES.session_stats(t(spark, sf, "events"))
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'with_orders' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+    doc="INTERSECT / EXCEPT — absent in the reference (SURVEY §2.8), "
+    "free Catalyst capability.",
+)
+def set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer").select("c_custkey")
+    ordered = t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cust.intersect(ordered).withColumn("tag", F.lit("with_orders"))
+    without = cust.subtract(ordered).withColumn("tag", F.lit("without_orders"))
+    return with_orders.unionByName(without).select("tag", "c_custkey")
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE grouping sets — absent in the reference (SURVEY §2.6).",
+)
+def cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "pi_estimate",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST({hash64_sql('id', 'qmc-x')} AS DOUBLE) / {2**60}.0 AS x,
+             CAST({hash64_sql('id', 'qmc-y')} AS DOUBLE) / {2**60}.0 AS y
+      FROM range(0, 100000) t(id)
+    ),
+    c AS (
+      SELECT COUNT(*) AS n_points,
+             CAST(SUM(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+      FROM pts
+    )
+    SELECT n_points, n_inside,
+           4.0 * CAST(n_inside AS DOUBLE) / CAST(n_points AS DOUBLE) AS pi_estimate
+    FROM c
+    """,
+    doc="QuasiMonteCarlo pi estimator (EX/QuasiMonteCarlo.java:1, "
+    "compute-only job family SURVEY §2.11): deterministic hash-derived "
+    "points from spark.range — embarrassingly parallel, zero input IO; "
+    "the in-circle count is exact-integer so the oracle matches "
+    "bit-for-bit.",
+)
+def pi_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    pts = spark.range(0, 100_000).select(
+        (hash64(F.col("id").cast("string"), salt="qmc-x").cast("double") / F.lit(_TWO60)).alias("x"),
+        (hash64(F.col("id").cast("string"), salt="qmc-y").cast("double") / F.lit(_TWO60)).alias("y"),
+    )
+    c = pts.agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.when(F.col("x") * F.col("x") + F.col("y") * F.col("y") <= 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inside"),
+    )
+    return c.withColumn(
+        "pi_estimate",
+        F.lit(4.0) * F.col("n_inside").cast("double") / F.col("n_points").cast("double"),
+    )
+
+
+@query(
+    "db_count_pageview",
+    oracle="""
+    SELECT event_type, COUNT(*) AS views
+    FROM events GROUP BY event_type
+    """,
+    doc="DBCountPageView (EX/DBCountPageView.java:1): aggregate → "
+    "batched JDBC INSERT (DBOutputFormat) → JDBC scan back "
+    "(DBInputFormat), against an embedded Derby database (the same "
+    "DB the reference's test uses: EX/DBCountPageView.java:77 HSQLDB "
+    "analog). Round-trips through real spark.read/write.jdbc.",
+)
+def db_count_pageview(spark: SparkSession, sf: str) -> DataFrame:
+    agg = t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("views"))
+    url = "jdbc:derby:memory:pageviews;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    agg.coalesce(1).write.jdbc(url, "pageview", mode="overwrite", properties=props)
+    return spark.read.jdbc(url, "pageview", properties=props).select("event_type", "views")
+
+
+@query(
+    "generated_word_count",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt FROM (
+      SELECT 'w' || CAST(
+        CAST({hash64_sql("concat(CAST(id AS VARCHAR), '§rtw-7-', CAST(j AS VARCHAR))")} AS BIGINT)
+        % 1000 AS VARCHAR) AS word
+      FROM range(0, 5000) t(id) CROSS JOIN range(0, 20) u(j)
+    ) GROUP BY word
+    """,
+    doc="RandomTextWriter → WordCount pipeline (EX/RandomTextWriter.java:1 "
+    "+ EX/WordCount.java:36): generator source + tokenize + count. The "
+    "generator is deterministic hash64 derivation, so even the "
+    "generated data is oracle-reproducible in SQL.",
+)
+def generated_word_count(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.transforms import tokenize
+    from hadoop_main_spark.sources.generators import random_text_writer
+
+    lines = random_text_writer(spark, 5000, words_per_row=20, vocab_size=1000, seed=7)
+    return (
+        lines.select(F.explode(tokenize("line")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -53,3 +53,4 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from hadoop_main_spark.plans import core_queries  # noqa: E402,F401
 from hadoop_main_spark.plans import llm_queries  # noqa: E402,F401
 from hadoop_main_spark.plans import misc_queries  # noqa: E402,F401
+from hadoop_main_spark.plans import extended_queries  # noqa: E402,F401
