@@ -96,7 +96,9 @@ def minhash_signature(
     get the empty signature (P-1 per slot) so they never collide
     with real content by accident.
     """
-    sh = df.select(
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    sh = fan_out(df.select(id_col, text_col), [id_col]).select(
         F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("shingle")
     )
     h = (hash64("shingle") % MINHASH_P).alias("h")
@@ -183,7 +185,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from hadoop_main_spark.operators.transforms import tokenize
 
-    tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    tok = fan_out(df.select(id_col, text_col), [id_col]).select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+    )
     tok = tok.select(id_col, hash64("token").alias("h"))
     bit_sums = [
         F.sum(
@@ -248,7 +254,9 @@ def ngram_jaccard_pairs(
     cand = minhash_lsh_pairs(df, id_col, text_col, n, min_est_jaccard=0.0).select(
         "id_a", "id_b"
     )
-    grams = df.select(
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    grams = fan_out(df.select(id_col, text_col), [id_col]).select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g")
     )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))

@@ -57,3 +57,23 @@ def partition_audit(df: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("rows"))
         .orderBy("__pid")
     )
+
+
+def fan_out(df: DataFrame, cols: Sequence[str | Column] | None = None, min_partitions: int | None = None) -> DataFrame:
+    """Raise parallelism before a compute-heavy narrow stage.
+
+    The NLineInputFormat lesson (MRC/mapreduce/lib/input/
+    NLineInputFormat.java:61): when the input is small but the
+    per-record work is large (shingling, hashing, UDF decode), the
+    scan's file-split parallelism is the wrong unit — a small parquet
+    file arrives as ONE partition and the whole pipeline runs on one
+    core. One cheap narrow-input shuffle up front parallelizes
+    everything downstream. No-op when the input already has enough
+    partitions (the 100 TB case — never add a shuffle there).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if cols:
+        return df.repartition(target, *[F.col(c) if isinstance(c, str) else c for c in cols])
+    return df.repartition(target)
