@@ -44,6 +44,7 @@ _TWO60 = float(2**60)
     "types, SURVEY §2.7): for each purchase, the latest same-user "
     "click at or before it. Tag-union + one windowed carry-forward "
     "pass per key — single shuffle, no per-key pandas merge.",
+    bench=True,
 )
 def asof_join(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events")
@@ -110,6 +111,7 @@ def range_join(spark: SparkSession, sf: str) -> DataFrame:
     "extension, SURVEY §2.12). Windows are partitioned by user — one "
     "shuffle; streaming twin is streaming/windows.py:sessionize "
     "(F.session_window + watermark).",
+    bench=True,
 )
 def sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return SES.session_stats(t(spark, sf, "events"))

@@ -28,10 +28,14 @@ def teragen(spark: SparkSession, rows: int, seed: int = 0, partitions: int | Non
     (rows, seed). Columns: (key string, rowid string, filler string)."""
     rng = spark.range(0, rows, 1, partitions or spark.sparkContext.defaultParallelism)
     h = hash64(F.col("id").cast("string"), salt=f"teragen-{seed}")
-    # expand 60 hash bits into 10 chars of a 95-symbol alphabet by
-    # re-hashing per character position (uniform, portable)
+    # one md5 per row: slice its 32 hex chars into ten 3-hex (12-bit)
+    # groups, each mapped onto the 95-symbol alphabet (bias 4096/95 ≈
+    # 1%, irrelevant for sort distribution)
+    hx = F.md5(F.concat(F.col("id").cast("string"), F.lit(f"§tg-{seed}")))
     key_chars = [
-        F.chr(hash64(F.col("id").cast("string"), salt=f"tg-{seed}-{i}") % _KEY_CHARS + 32)
+        F.chr(
+            F.conv(F.substring(hx, 1 + 3 * i, 3), 16, 10).cast("bigint") % _KEY_CHARS + 32
+        )
         for i in range(_KEY_LEN)
     ]
     rowid = F.lpad(F.conv(F.col("id").cast("string"), 10, 16), 32, "0")
