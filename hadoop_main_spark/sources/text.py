@@ -91,3 +91,18 @@ def auto_input(spark: SparkSession, path: str) -> DataFrame:
     if low.endswith(".json") or low.endswith(".jsonl"):
         return spark.read.json(path)
     return read_text(spark, path)
+
+
+def read_xml_records(
+    spark: SparkSession, path: str, tag: str, col: str = "record"
+) -> DataFrame:
+    """StreamXmlRecordReader analog (ST/StreamXmlRecordReader.java:1):
+    one row per ``<tag>…</tag>`` element. Files are read whole (one
+    row per file) then split by pattern — matching the reference's
+    begin/end-mark scan. For huge single XML files prefer converting
+    upstream; for many-file corpora this parallelizes per file."""
+    whole = spark.read.text(path, wholetext=True)
+    pat = f"(?s)<{tag}[\\s>].*?</{tag}>"
+    return whole.select(
+        F.explode(F.regexp_extract_all("value", F.lit(pat), F.lit(0))).alias(col)
+    )

@@ -1,0 +1,88 @@
+"""SequenceFile round-trip, XML records, DistCp, and the bucketed-join
+shuffle-elimination property (the persisted CompositeInputFormat
+precondition)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.sources.distcp import distcp
+from hadoop_main_spark.sources.sequencefile import (
+    read_sequencefile,
+    sequencefile_to_parquet,
+    write_sequencefile,
+)
+from hadoop_main_spark.sources.text import read_xml_records
+
+
+def test_sequencefile_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "seq")
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v2"), ("k3", "v3")], ["key", "value"]
+    )
+    write_sequencefile(df, path)
+    back = read_sequencefile(spark, path)
+    assert sorted((r.key, r.value) for r in back.collect()) == [
+        ("k1", "v1"), ("k2", "v2"), ("k3", "v3"),
+    ]
+    pq = str(tmp_path / "pq")
+    sequencefile_to_parquet(spark, path, pq)
+    assert spark.read.parquet(pq).count() == 3
+
+
+def test_sequencefile_int_values(spark, tmp_path):
+    path = str(tmp_path / "seqint")
+    write_sequencefile(spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]), path)
+    back = {r.key: r.value for r in read_sequencefile(spark, path).collect()}
+    assert back == {"a": 1, "b": 2}
+
+
+def test_xml_records(spark, tmp_path):
+    p = tmp_path / "data.xml"
+    p.write_text(
+        "<root><doc id='1'>alpha</doc>\n<skip/>\n<doc id='2'>beta\ngamma</doc></root>"
+    )
+    recs = read_xml_records(spark, str(p), "doc").collect()
+    assert len(recs) == 2
+    assert "alpha" in recs[0].record and "beta\ngamma" in recs[1].record
+
+
+def test_distcp_copies_and_validates(spark, tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("hello")
+    (src / "sub" / "b.bin").write_bytes(b"\x00" * 1024)
+    dst = tmp_path / "dst"
+    report = distcp(spark, str(src), str(dst)).collect()
+    assert len(report) == 2
+    assert all(r.ok == 1 for r in report)
+    assert (dst / "a.txt").read_text() == "hello"
+    assert (dst / "sub" / "b.bin").stat().st_size == 1024
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join
+    with NO shuffle exchange — the persisted form of the reference's
+    co-partitioned CompositeInputFormat precondition."""
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_cust_b")
+    o = spark.range(0, 1000).select(
+        F.col("id").alias("custkey"), (F.col("id") * 2).alias("total")
+    )
+    c = spark.range(0, 500).select(
+        F.col("id").alias("custkey"), F.concat(F.lit("c"), F.col("id")).alias("name")
+    )
+    o.write.mode("overwrite").bucketBy(4, "custkey").sortBy("custkey").saveAsTable("t_orders_b")
+    c.write.mode("overwrite").bucketBy(4, "custkey").sortBy("custkey").saveAsTable("t_cust_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(spark.table("t_cust_b"), "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
