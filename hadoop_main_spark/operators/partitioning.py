@@ -77,3 +77,36 @@ def fan_out(df: DataFrame, cols: Sequence[str | Column] | None = None, min_parti
     if cols:
         return df.repartition(target, *[F.col(c) if isinstance(c, str) else c for c in cols])
     return df.repartition(target)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    The reference had no skew remedy (the 2008 TeraSort run shipped
+    2.6x reduce skew, EX/terasort/package.html:109); AQE splits skewed
+    *joins* but a hot groupBy key still lands on one reducer. Salting
+    splits each key into ``salt_buckets`` sub-keys, partially
+    aggregates, then combines — both phases map-side-combinable.
+
+    ``aggs``: out_col -> (fn, col) with fn in {sum, count, min, max}.
+    (avg decomposes as sum+count at the call site; this mirrors the
+    combiner-compatible subset of MRC/mapreduce/lib/aggregate.)
+    """
+    salt = (F.rand(seed=0) * salt_buckets).cast("int").alias("__salt")
+    phase1_aggs, phase2_aggs = [], []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(col).alias(out))
+            phase2_aggs.append(F.sum(out).alias(out))
+        elif fn in ("sum", "min", "max"):
+            phase1_aggs.append(getattr(F, fn)(col).alias(out))
+            phase2_aggs.append(getattr(F, fn)(out).alias(out))
+        else:
+            raise ValueError(f"non-decomposable agg fn: {fn}")
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*phase1_aggs)
+    return partial.groupBy(*keys).agg(*phase2_aggs)

@@ -79,3 +79,24 @@ def test_hash64_matches_python(spark):
         assert r.h == hash64_py(r.s)
         assert r.h7 == hash64_py(r.s, 7)
         assert 0 <= r.h < 2**60
+
+
+def test_salted_agg_matches_plain(spark):
+    from hadoop_main_spark.operators.partitioning import salted_agg
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    got = {
+        r.k: (r.n, r.total, r.mx)
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "v"), "total": ("sum", "v"), "mx": ("max", "v")}
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.total, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want

@@ -97,3 +97,28 @@ def test_dedup_stream(spark, sf_dir):
 
     n = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert spark.table("t_dedup").count() == n
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    from hadoop_main_spark.streaming.stateful import running_totals
+    from hadoop_main_spark.tables import load_table
+
+    stream = W.read_events_stream(spark, sf_dir)
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, round(r.total_value, 6))
+           for r in spark.table("t_state").collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+    )
+    want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
+    assert got == want
