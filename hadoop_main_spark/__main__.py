@@ -1,0 +1,82 @@
+"""CLI driver — the ToolRunner/JobClient analog (SURVEY.md §3.3).
+
+Usage:
+  python -m hadoop_main_spark list
+  python -m hadoop_main_spark run <query> [--sf-dir DIR] [--limit N] [--out PATH]
+  python -m hadoop_main_spark bench
+  python -m hadoop_main_spark validate-sort <parquet_path> --key KEY
+
+The reference drives every example through `ToolRunner.run(new
+Tool(), args)` (EX/terasort/TeraSort.java:49); here a query name
+selects a registry entry and the DataFrame program replaces the
+hand-assembled job DAG.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hadoop_main_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registry queries")
+
+    run_p = sub.add_parser("run", help="run one registry query")
+    run_p.add_argument("query")
+    run_p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    run_p.add_argument("--limit", type=int, default=20)
+    run_p.add_argument("--out", help="write full result as parquet instead of showing")
+
+    sub.add_parser("bench", help="run the bench harness")
+
+    vs = sub.add_parser("validate-sort", help="order+checksum validation of a sorted table")
+    vs.add_argument("path")
+    vs.add_argument("--key", default="key")
+
+    args = ap.parse_args(argv)
+
+    from hadoop_main_spark.plans.registry import REGISTRY
+
+    if args.cmd == "list":
+        for name, q in REGISTRY.items():
+            tags = ("bench " if q.bench else "") + ("oracle" if q.oracle else "rows-only")
+            print(f"{name:28s} [{tags}] {q.doc.splitlines()[0][:90]}")
+        return 0
+
+    from hadoop_main_spark.session import get_spark
+
+    spark = get_spark("hadoop-main-spark-cli")
+    try:
+        if args.cmd == "run":
+            if args.query not in REGISTRY:
+                print(f"unknown query: {args.query}", file=sys.stderr)
+                return 2
+            df = REGISTRY[args.query].build(spark, args.sf_dir)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                print(f"wrote {args.out}")
+            else:
+                df.show(args.limit, truncate=False)
+            return 0
+        if args.cmd == "bench":
+            import bench
+
+            bench.main()
+            return 0
+        if args.cmd == "validate-sort":
+            from hadoop_main_spark.sources.generators import validate_sorted
+
+            report = validate_sorted(spark.read.parquet(args.path), args.key)
+            print(json.dumps(report))
+            return 0 if report["misordered"] == 0 else 1
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

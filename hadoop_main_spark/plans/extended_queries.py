@@ -243,3 +243,33 @@ def generated_word_count(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "grep_sorted",
+    oracle="""
+    WITH counts AS (
+      SELECT m AS match, COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS m FROM documents)
+      GROUP BY m
+    )
+    SELECT match, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, match ASC) AS rank
+    FROM counts
+    """,
+    doc="The full Grep example shape (EX/Grep.java:68-:91, also "
+    "Logalyzer hadoop-tools/hadoop-extras/.../Logalyzer.java:1): regex "
+    "extract -> count -> global sort by descending frequency. The "
+    "reference chains two MR jobs through a temp dir; here it is one "
+    "plan, with the desc-frequency rank via scalable global_rank.",
+)
+def grep_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators import sorting as S
+    from hadoop_main_spark.operators import transforms as T
+
+    counts = (
+        T.regex_matches(t(spark, sf, "documents"), "text", "[a-z]*a[a-z]*")
+        .groupBy("match")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return S.global_rank(counts, F.desc("cnt"), F.asc("match"), rank_col="rank")

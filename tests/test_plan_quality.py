@@ -1,0 +1,57 @@
+"""Physical-plan audits: the scale properties the engine promises
+must be visible in the optimized plan, not just asserted in docs.
+
+These run on sf0.001 — plan shape, not data volume, is under test.
+"""
+
+import pytest
+
+from hadoop_main_spark.plans.registry import REGISTRY
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString() + "\n" + (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, "pricing_summary", sf_dir)
+    # lineitem has 16 columns; the scan must read only the 7 used
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, "inner_join_nary", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_unpartitioned_window(spark, sf_dir):
+    """Global-rank queries must not have a Window with an empty
+    partition spec over the main data (single-task funnel). The only
+    allowed unpartitioned window is over the per-partition count table
+    (≤ #partitions rows), recognizable by its __pid input."""
+    for q in ("total_order_sort", "sort_by_spec", "grep_sorted"):
+        plan = _plan(spark, q, sf_dir)
+        for ln in plan.splitlines():
+            if "Window" in ln and "partitionBy" not in ln and "windowspecdefinition" in ln:
+                # unpartitioned window specs list no partition columns
+                # before the sort spec; __pid windows are the offset table
+                if "windowspecdefinition(" in ln and "__pid" not in ln:
+                    pytest.fail(f"{q}: suspicious unpartitioned window: {ln.strip()[:160]}")
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    """groupBy must plan partial (map-side) + final HashAggregate —
+    the combiner the reference wires by hand."""
+    plan = _plan(spark, "word_count", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial_" in plan
