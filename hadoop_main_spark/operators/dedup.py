@@ -309,3 +309,80 @@ def embedding_quantize_dedup(
         .filter(F.col("group_size") > 1)
         .select(id_col, "canonical_id", "group_size")
     )
+
+
+# --- embedding-cosine near-dup via random-hyperplane LSH ---------------------
+
+RHP_BITS = 16
+RHP_BAND_BITS = 4
+
+
+def rhp_weights(dim: int, bits: int = RHP_BITS) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from hash64 — reproducible in any
+    engine (the SQL oracle regenerates them from the same hashes)."""
+    from hadoop_main_spark.functions.hashing import hash64_py
+
+    return [
+        [1.0 if hash64_py(f"{j}-{d}", "rhp") % 2 == 1 else -1.0 for d in range(dim)]
+        for j in range(bits)
+    ]
+
+
+def rhp_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    min_cosine: float = 0.95,
+    bits: int = RHP_BITS,
+    band_bits: int = RHP_BAND_BITS,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH
+    (SimHash for vectors): sign-of-dot signatures, banded candidate
+    join, exact cosine verification on candidates only.
+
+    Dots fold sequentially over dimensions (F.aggregate) so signature
+    bits are bit-identical to the oracle's list_reduce fold. Candidate
+    generation is an equi-join on (band, band_val) — corpus is never
+    all-pairs joined. Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    from hadoop_main_spark.operators.partitioning import fan_out
+    from hadoop_main_spark.operators.similarity import cosine
+
+    W = rhp_weights(dim, bits)
+    wide = fan_out(df.select(F.col(id_col), F.col(vec_col)), [id_col])
+    sig_cols = []
+    for j in range(bits):
+        wl = F.array(*[F.lit(w) for w in W[j]])
+        prods = F.zip_with(F.col(vec_col), wl, lambda x, w: x.cast("double") * w)
+        dot = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+        sig_cols.append(F.when(dot >= 0, 1).otherwise(0).alias(f"__b{j}"))
+    sig = wide.select(F.col(id_col), *sig_cols)
+    n_bands = bits // band_bits
+    bands = []
+    for b in range(n_bands):
+        val = sum(
+            F.col(f"__b{b * band_bits + r}") * F.lit(1 << r) for r in range(band_bits)
+        )
+        bands.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), val.alias("band_val"))
+        )
+    allb = bands[0]
+    for o in bands[1:]:
+        allb = allb.unionByName(o)
+    left = allb.select("band", "band_val", F.col(id_col).alias("id_a"))
+    right = allb.select("band", "band_val", F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine("__va", "__vb").alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -361,3 +361,96 @@ def token_counts(spark: SparkSession, sf: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     return d.select("doc_id", TS.fingerprint("text").alias("fp"))
+
+
+_RHP_W_HASH = hash64_sql("concat(CAST(j AS VARCHAR), '-', CAST(d AS VARCHAR))", "rhp")
+_PERT_HASH = hash64_sql(
+    "concat(CAST(vec_id AS VARCHAR), '-', CAST(p[2]-1 AS VARCHAR))", "pert"
+)
+_FOLD_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH wts AS (
+      SELECT j, list(CASE WHEN {_RHP_W_HASH} % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wl
+      FROM range(0, 16) t(j) CROSS JOIN range(0, 64) u(d)
+      GROUP BY j
+    ),
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT orig_id + 1000000 AS vec_id, v FROM (
+        SELECT vec_id AS orig_id,
+             list_transform(list_zip(embedding, generate_series(1, len(embedding))),
+               p -> CAST(p[1] AS DOUBLE)
+                    + ((CAST({_PERT_HASH} % 1000 AS DOUBLE) / 1000.0 - 0.5) * 0.05)) AS v
+        FROM embeddings)
+    ),
+    bits AS (
+      SELECT c.vec_id, w.j,
+             CASE WHEN {_FOLD_DOT.format(a="c.v", b="w.wl")} >= 0 THEN 1 ELSE 0 END AS bit
+      FROM corpus c CROSS JOIN wts w
+    ),
+    bands AS (
+      SELECT vec_id, j // 4 AS band, SUM(bit * (1 << (j % 4))) AS band_val
+      FROM bits GROUP BY vec_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             ({_FOLD_DOT.format(a="va.v", b="vb.v")}
+              / (sqrt({_FOLD_DOT.format(a="va.v", b="va.v")})
+                 * sqrt({_FOLD_DOT.format(a="vb.v", b="vb.v")}))) AS cosine
+      FROM cand JOIN corpus va ON va.vec_id = id_a JOIN corpus vb ON vb.vec_id = id_b)
+    WHERE cosine >= 0.95
+    """,
+    doc="Embedding-cosine near-dup via random-hyperplane LSH (SimHash "
+    "for vectors): plant one perturbed copy per embedding "
+    "(deterministic hash noise), sign-of-dot 16-bit signatures, 4-band "
+    "candidate join, exact cosine >= 0.95 verification on candidates "
+    "only — never an all-pairs product. Completes the dedup family "
+    "(exact / minhash / simhash / ngram / quantized / cosine).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+
+    e = t(spark, sf, "embeddings")
+    orig = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # two-step select: computing the +1000000 alias in the same select
+    # as the lambda would lateral-capture the NEW vec_id inside the
+    # perturbation hash (Spark resolves the alias, DuckDB the column)
+    pert = e.select(
+        F.col("vec_id").alias("orig_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + (
+                (
+                    hash64(
+                        F.concat(
+                            F.col("vec_id").cast("string"), F.lit("-"), i.cast("string")
+                        ),
+                        "pert",
+                    )
+                    % 1000
+                ).cast("double")
+                / 1000.0
+                - 0.5
+            )
+            * 0.05,
+        ).alias("v"),
+    ).select((F.col("orig_id") + 1000000).alias("vec_id"), "v")
+    corpus = orig.unionByName(pert)
+    return D.rhp_cosine_pairs(corpus, "vec_id", "v", dim=64, min_cosine=0.95)

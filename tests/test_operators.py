@@ -100,3 +100,17 @@ def test_salted_agg_matches_plain(spark):
         .collect()
     }
     assert got == want
+
+
+def test_rhp_cosine_pairs_finds_planted_dup(spark):
+    from hadoop_main_spark.operators.dedup import rhp_cosine_pairs
+
+    base = [0.5, -0.2, 0.8, 0.1]
+    near = [0.5001, -0.2001, 0.8001, 0.1001]   # cosine ~ 1
+    far = [-0.9, 0.4, -0.1, 0.3]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["vid", "v"]
+    ).select("vid", F.col("v").cast("array<double>").alias("v"))
+    pairs = rhp_cosine_pairs(df, "vid", "v", dim=4, min_cosine=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].cosine > 0.999
