@@ -148,3 +148,28 @@ def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def reduce_grouped(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    fn,
+    schema,
+) -> DataFrame:
+    """The full Reducer contract (MRC/mapreduce/Reducer.java:147): an
+    arbitrary Python fold over each key group, with the group's rows
+    presented in ``order`` — the grouping-comparator + secondary-sort
+    guarantee MapReduce gives a reducer.
+
+    ``fn(key_tuple, pdf) -> pandas.DataFrame`` receives the group as
+    one (sorted) pandas frame. Use ONLY when no Catalyst aggregate
+    expresses the fold — this is the escape hatch, Arrow-batched and
+    shuffled once on the keys (state is bounded by the largest single
+    group, the same constraint a reference reducer has).
+    """
+
+    def run(key, pdf):
+        return fn(key, pdf.sort_values(list(order), kind="mergesort"))
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)

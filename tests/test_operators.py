@@ -114,3 +114,27 @@ def test_rhp_cosine_pairs_finds_planted_dup(spark):
     pairs = rhp_cosine_pairs(df, "vid", "v", dim=4, min_cosine=0.99).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
     assert pairs[0].cosine > 0.999
+
+
+def test_reduce_grouped_sees_sorted_values(spark):
+    import pandas as pd
+
+    from hadoop_main_spark.operators.aggregate import reduce_grouped
+
+    df = spark.createDataFrame(
+        [("a", 3, "x3"), ("a", 1, "x1"), ("a", 2, "x2"), ("b", 9, "y9"), ("b", 5, "y5")],
+        ["k", "seq", "v"],
+    )
+
+    def first_last_concat(key, pdf: "pd.DataFrame"):
+        return pd.DataFrame(
+            {"k": [key[0]], "joined": ["|".join(pdf["v"])], "n": [len(pdf)]}
+        )
+
+    out = {
+        r.k: (r.joined, r.n)
+        for r in reduce_grouped(
+            df, ["k"], ["seq"], first_last_concat, "k string, joined string, n long"
+        ).collect()
+    }
+    assert out == {"a": ("x1|x2|x3", 3), "b": ("y5|y9", 2)}
