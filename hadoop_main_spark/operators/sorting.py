@@ -62,17 +62,24 @@ def global_rank(
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
-    counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    # monotonically_increasing_id encodes (partition id << 33) + the
+    # row's position in physical partition order — which IS the sort
+    # order after sortWithinPartitions. Decoding it gives per-partition
+    # ranks with NO window and NO second full-data exchange (a window
+    # partitioned on pid would re-shuffle everything by pid). Holds for
+    # < 2^33 rows per partition.
+    mid = F.monotonically_increasing_id()
+    with_mid = ordered.withColumn("__pid", F.shiftright(mid, 33)).withColumn(
+        "__rn", mid.bitwiseAND(F.lit((1 << 33) - 1))
+    )
+    counts = with_mid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
     )
-    w = Window.partitionBy("__pid").orderBy(*cols)
     return (
-        with_pid.withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(offsets), "__pid")
-        .withColumn(rank_col, F.col("__off") + F.col("__rn"))
+        with_mid.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.col("__rn") + 1)
         .drop("__pid", "__rn", "__off")
     )
 
