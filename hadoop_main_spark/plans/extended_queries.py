@@ -273,3 +273,93 @@ def grep_sorted(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     return S.global_rank(counts, F.desc("cnt"), F.asc("match"), rank_col="rank")
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_s, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    doc="TPC-H Q3 shape (capability query): selective dim filter joined "
+    "into two fact tables, grouped revenue. Exercises broadcast of the "
+    "filtered customer side into the orders-lineitem sort-merge join; "
+    "decimal-exact revenue.",
+    bench=True,
+)
+def shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "nation_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape (capability query): five-way join with a "
+    "same-nation predicate across customer and supplier; dims "
+    "broadcast, facts sort-merge joined, decimal-exact revenue.",
+)
+def nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
