@@ -1,0 +1,47 @@
+"""Distributed sketches on the portable hash64.
+
+The reference's UniqValueCount (MRC/mapreduce/lib/aggregate/
+UniqValueCount.java:35) caps distinct tracking with an arbitrary
+subset; its modern large-scale counterpart is a mergeable sketch.
+KMV (k-minimum-values) is implemented here because, unlike HLL
+register implementations, it is *bit-reproducible across engines*:
+the k smallest hash64 values of a column are a deterministic set, so
+the estimate — (k-1) * 2^60 / kth_min — is oracle-verifiable exactly.
+
+Scale shape: per-partition top-k (Spark plans orderBy+limit as
+TakeOrderedAndProject — partial top-k map-side, k-row merge on the
+driver stage), so the full data is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.functions.hashing import hash64
+
+HASH_SPACE = float(2**60)
+
+
+def kmv_distinct(df: DataFrame, col: Column | str, k: int = 256) -> DataFrame:
+    """KMV distinct-count estimate of ``col``.
+
+    Returns one row: (k_used, kth_min, est_distinct). For fewer than
+    ``k`` distinct hashes the estimate is the exact distinct count.
+    """
+    h = hash64(col)
+    mins = df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    agg = mins.agg(
+        F.count("*").alias("k_used"), F.max("h").alias("kth_min")
+    )
+    return agg.select(
+        "k_used",
+        "kth_min",
+        F.when(
+            F.col("k_used") < k, F.col("k_used").cast("double")
+        )
+        .otherwise(
+            (F.col("k_used") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min").cast("double")
+        )
+        .alias("est_distinct"),
+    )

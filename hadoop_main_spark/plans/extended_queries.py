@@ -363,3 +363,37 @@ def nation_volume(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH mins AS (
+      SELECT DISTINCT {hash64_sql('word')} AS h FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+      WHERE word <> ''
+      ORDER BY h LIMIT 256
+    ),
+    agg AS (SELECT COUNT(*) AS k_used, MAX(h) AS kth_min FROM mins)
+    SELECT k_used, kth_min,
+           CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                ELSE CAST(k_used - 1 AS DOUBLE) * {float(2**60)} / CAST(kth_min AS DOUBLE)
+           END AS est_distinct
+    FROM agg
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch over document "
+    "tokens — the mergeable, large-scale successor to UniqValueCount "
+    "(MRC/mapreduce/lib/aggregate/UniqValueCount.java:35). Unlike HLL, "
+    "KMV on the portable hash64 is bit-reproducible in SQL, so even "
+    "the *estimate* is oracle-exact. Physical shape: per-partition "
+    "top-k merge (TakeOrderedAndProject), no full shuffle.",
+)
+def kmv_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.sketches import kmv_distinct
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    words = (
+        t(spark, sf, "documents")
+        .select(F.explode(tokenize("text")).alias("word"))
+    )
+    return kmv_distinct(words, "word", k=256)

@@ -138,3 +138,16 @@ def test_reduce_grouped_sees_sorted_values(spark):
         ).collect()
     }
     assert out == {"a": ("x1|x2|x3", 3), "b": ("y5|y9", 2)}
+
+
+def test_kmv_estimates_large_cardinality(spark):
+    from hadoop_main_spark.functions.sketches import kmv_distinct
+
+    df = spark.range(0, 20000).select(F.concat(F.lit("u"), (F.col("id") % 10000).cast("string")).alias("u"))
+    row = kmv_distinct(df, "u", k=256).collect()[0]
+    assert row.k_used == 256
+    assert abs(row.est_distinct - 10000) / 10000 < 0.15  # ~1/sqrt(k) error
+
+    small = spark.range(0, 50).select(F.col("id").cast("string").alias("u"))
+    row = kmv_distinct(small, "u", k=256).collect()[0]
+    assert row.est_distinct == 50.0  # exact below k
