@@ -122,3 +122,19 @@ def test_stateful_running_totals(spark, sf_dir):
     )
     want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_sliding_avg_stream_matches_batch(spark, sf_dir):
+    from hadoop_main_spark.tables import load_table
+
+    stream = W.read_events_stream(spark, sf_dir)
+    W.run_to_memory(W.sliding_avg(stream, watermark="0 seconds"), "t_slide")
+    got = {
+        (r.window_start, r.event_type): round(r.avg_value, 9)
+        for r in spark.table("t_slide").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): round(r.avg_value, 9)
+        for r in W.sliding_avg(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want

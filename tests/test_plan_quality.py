@@ -55,3 +55,22 @@ def test_partial_aggregation_present(spark, sf_dir):
     plan = _plan(spark, "word_count", sf_dir)
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan or "partial_" in plan
+
+
+def test_ivf_cells_partition_prune(spark, tmp_path):
+    """The IVF scale path: cells written partitionBy(cell) must prune
+    non-probed cells at the file level (PartitionFilters in the scan,
+    not a post-scan filter)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 8).alias("cell")
+    )
+    path = str(tmp_path / "ivf_cells")
+    df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    probed = spark.read.parquet(path).filter(F.col("cell").isin(2, 5))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:80]
+    assert probed.count() == 250
+    # pruning is partition-level: no post-scan Filter on cell remains
+    assert "cell#" not in plan.split("PushedFilters")[0].split("Filter (")[-1][:40]
