@@ -86,3 +86,48 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_bad_record_skipping(spark, tmp_path):
+    """§2.11 bad-record skipping: corrupt files are skipped under
+    ignoreCorruptFiles (the SkippingReduceValuesIterator analog at
+    file granularity); malformed CSV rows drop under DROPMALFORMED."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.createDataFrame([(1, "ok"), (2, "fine")], "id long, s string").write.mode(
+        "overwrite"
+    ).parquet(str(d / "good.parquet"))
+    (d / "good.parquet" / "corrupt.parquet").write_bytes(b"not a parquet file")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        back = spark.read.schema("id LONG, s STRING").parquet(str(d / "good.parquet"))
+        assert back.count() == 2
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+    csv = tmp_path / "rows.csv"
+    csv.write_text("1,a\nnot_an_int,b\n3,c\n")
+    ok = (
+        spark.read.schema("id INT, s STRING")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(csv))
+    )
+    assert sorted(r.id for r in ok.collect()) == [1, 3]
+
+
+def test_parquet_bloom_filter_write(spark, tmp_path):
+    """BloomMapFile analog (IO/BloomMapFile.java): parquet column bloom
+    filters for keyed membership probes."""
+    path = str(tmp_path / "bloomed")
+    df = spark.range(0, 10000).selectExpr("id", "concat('k', id) AS key")
+    (
+        df.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .option("parquet.bloom.filter.expected.ndv#key", "10000")
+        .parquet(path)
+    )
+    hit = spark.read.parquet(path).filter("key = 'k137'")
+    assert hit.count() == 1
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(key), EqualTo(key,k137)]" in plan

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the semantics SURVEY.md §7
+flags as easy to get backwards: override-join tie-breaking, KV-split
+edges, `sort -k` spec compilation, and the as-of inclusive bound.
+
+A Python reference model plays the role of the reference engine's
+semantics; Spark must agree on every generated enumeration.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadoop_main_spark.operators import joins as J
+from hadoop_main_spark.operators import sorting as S
+from hadoop_main_spark.operators import transforms as T
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+source_maps = st.lists(
+    st.dictionaries(keys, st.integers(min_value=-99, max_value=99), max_size=5),
+    min_size=2,
+    max_size=4,
+)
+
+
+@_slow
+@given(source_maps)
+def test_override_join_rightmost_wins_model(spark, sources):
+    dfs = []
+    for i, m in enumerate(sources):
+        rows = [(k, v) for k, v in m.items()] or [(None, None)]
+        dfs.append(
+            spark.createDataFrame(rows, "k int, v int").filter("k is not null")
+        )
+    got = {
+        r.k: r.v for r in J.composite_join(dfs, "k", op="override").collect()
+    }
+    # model: rightmost source containing the key wins
+    want = {}
+    for m in sources:
+        for k, v in m.items():
+            want[k] = v
+    assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+def test_asof_join_model(spark, rows):
+    """asof_join(left, right) == per-row argmax over right_ts <= left_ts."""
+    left = [(k, t, f"L{k}-{t}") for (k, t, _) in rows]
+    right = [(k, t2, f"R{k}-{t2}") for (k, _, t2) in rows]
+    # dedupe right per (k, ts) as the operator contract requires
+    rmap = {}
+    for k, t2, v in right:
+        rmap[(k, t2)] = max(v, rmap.get((k, t2), v))
+    right = [(k, t2, v) for (k, t2), v in rmap.items()]
+    ldf = spark.createDataFrame(left, "k int, ts long, lid string")
+    rdf = spark.createDataFrame(right, "k int, ts long, rid string")
+    out = {
+        (r.k, r.ts, r.lid): r.rid
+        for r in J.asof_join(ldf, rdf, on="k", value_cols=["rid"]).collect()
+    }
+    for k, t, lid in left:
+        cands = [(t2, v) for (kk, t2, v) in right if kk == k and t2 <= t]
+        want = max(cands)[1] if cands else None
+        assert out[(k, t, lid)] == want
+
+
+@_slow
+@given(st.lists(st.text(alphabet="ab\tc", max_size=8), min_size=1, max_size=10))
+def test_kv_split_first_separator_model(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    got = [(r.key, r.value) for r in T.kv_split(df, "line").collect()]
+    want = []
+    for ln in lines:
+        if "\t" in ln:
+            k, _, v = ln.partition("\t")
+            want.append((k, v))
+        else:
+            want.append((ln, ""))
+    assert sorted(got) == sorted(want)
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_sort_spec_numeric_reverse_model(spark, pairs):
+    lines = [f"{a}\t{b}" for a, b in pairs]
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    out = [r.line for r in S.sort_by_spec(df, "line", "-k2,2nr -k1,1n").collect()]
+    want = [f"{a}\t{b}" for a, b in sorted(pairs, key=lambda p: (-p[1], p[0]))]
+    assert out == want
