@@ -38,6 +38,11 @@ def main() -> None:
     for name in names:
         times[name] = round(run_once(spark, name, sf_dir), 3)
     total = round(sum(times.values()), 3)
+    # MRBench analog (JT/mapred/MRBench.java:201): tiny-job latency —
+    # the scheduling+execution floor for a 1-row map/reduce round trip
+    t0 = time.perf_counter()
+    spark.range(1).groupBy().count().collect()
+    small_job = round(time.perf_counter() - t0, 3)
     print(
         json.dumps(
             {
@@ -46,6 +51,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "small_job_latency_s": small_job,
             }
         )
     )
