@@ -386,3 +386,54 @@ def rhp_cosine_pairs(
         .select("id_a", "id_b", cosine("__va", "__vb").alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# --- duplicate-cluster resolution (connected components) ---------------------
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation, the step that turns
+    pairwise LSH output into a keep-one-per-cluster decision.
+
+    Each iteration is one shuffle (join + min-aggregate) and the
+    frontier is localCheckpoint()ed so lineage stays flat; convergence
+    is reached in graph-diameter iterations (near-dup clusters are
+    shallow — a handful of hops). This is inherently iterative — no
+    single SQL statement expresses it in Spark — but the oracle can
+    still verify it via a recursive CTE.
+
+    Returns (id, component) for every node appearing in ``pairs``,
+    component = min node id reachable.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = und.join(
+            labels.select(F.col("id").alias("dst"), "component"), "dst"
+        ).select(F.col("src").alias("id"), "component")
+        new_labels = (
+            labels.union(neigh).groupBy("id").agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

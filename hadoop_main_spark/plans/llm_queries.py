@@ -454,3 +454,99 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     ).select((F.col("orig_id") + 1000000).alias("vec_id"), "v")
     corpus = orig.unionByName(pert)
     return D.rhp_cosine_pairs(corpus, "vec_id", "v", dim=64, min_cosine=0.95)
+
+
+_CC_SUFFIX = f"""
+ , pairs AS (
+    SELECT id_a, id_b
+    FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+    WHERE CAST(({_AGREE}) AS DOUBLE) / {float(J)} >= 0.5),
+  und AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+  reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+  comp AS (SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a)
+SELECT doc_id, canonical_id,
+       COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM comp
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=_MINHASH_PREFIX.replace("WITH", "WITH RECURSIVE", 1) + _CC_SUFFIX,
+    doc="Duplicate-cluster resolution: MinHash-LSH pairs -> connected "
+    "components (iterative min-label propagation, one shuffle per "
+    "hop, localCheckpoint-flattened lineage) -> canonical doc per "
+    "cluster + cluster size. The oracle verifies the iterative "
+    "algorithm against a recursive CTE.",
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", min_est_jaccard=0.5)
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
+@query(
+    "curation_pipeline",
+    oracle=_MINHASH_PREFIX
+    + f"""
+ , pairs AS (
+    SELECT id_a, id_b
+    FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+    WHERE CAST(({_AGREE}) AS DOUBLE) / {float(J)} >= 0.5),
+  dupes AS (SELECT DISTINCT id_b FROM pairs),
+  lang AS (SELECT doc_id FROM ({_langid_sql()}) WHERE lang_guess = 'en'),
+  qual AS (
+    SELECT doc_id, n_tokens FROM (
+      SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+               / (CASE WHEN len({_TOKS}) > 0 THEN CAST(len({_TOKS}) AS DOUBLE) ELSE 1.0 END) AS unique_ratio
+      FROM documents)
+    WHERE n_tokens >= 20 AND unique_ratio >= 0.3)
+SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens
+FROM documents d
+JOIN lang l ON d.doc_id = l.doc_id
+JOIN qual q ON d.doc_id = q.doc_id
+LEFT JOIN dupes ON d.doc_id = dupes.id_b
+WHERE dupes.id_b IS NULL
+GROUP BY d.source
+""",
+    doc="End-to-end training-data curation pipeline composed from the "
+    "operator library: language-ID filter (en) -> quality gate "
+    "(>=20 tokens, unique-ratio >=0.3) -> MinHash-LSH near-dup drop "
+    "(keep the smaller id of each pair) -> per-source doc/token "
+    "budget report. One declarative plan; every stage is the same "
+    "operator verified individually elsewhere.",
+    bench=True,
+)
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    lang_ok = d.select("doc_id", TS.lang_id("text").alias("g")).filter(
+        F.col("g") == "en"
+    )
+    qual = TS.quality_features(d, "doc_id", "text").filter(
+        (F.col("n_tokens") >= 20) & (F.col("unique_ratio") >= 0.3)
+    )
+    dupes = (
+        D.minhash_lsh_pairs(d, "doc_id", "text", min_est_jaccard=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        d.join(lang_ok.select("doc_id"), "doc_id")
+        .join(qual.select("doc_id", "n_tokens"), "doc_id")
+        .join(dupes, "doc_id", "left_anti")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -151,3 +151,15 @@ def test_kmv_estimates_large_cardinality(spark):
     small = spark.range(0, 50).select(F.col("id").cast("string").alias("u"))
     row = kmv_distinct(small, "u", k=256).collect()[0]
     assert row.est_distinct == 50.0  # exact below k
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from hadoop_main_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
