@@ -135,3 +135,24 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def write_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Production file sink: append-mode parquet with a checkpoint dir
+    (exactly-once via the streaming commit log — the FileOutputCommitter
+    role in the streaming world). Returns the StreamingQuery; caller
+    awaits/stops it."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -138,3 +138,18 @@ def test_sliding_avg_stream_matches_batch(spark, sf_dir):
         for r in W.sliding_avg(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want
+
+
+def test_stream_parquet_sink_checkpointed(spark, sf_dir, tmp_path):
+    stream = W.read_events_stream(spark, sf_dir)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = W.write_stream_parquet(stream.select("event_id", "event_type"), out, ckpt)
+    q.awaitTermination(120)
+    from hadoop_main_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(out).count() == n
+    # re-running against the same checkpoint must be a no-op (no dup rows)
+    q2 = W.write_stream_parquet(W.read_events_stream(spark, sf_dir).select("event_id", "event_type"), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n
