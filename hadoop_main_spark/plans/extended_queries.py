@@ -397,3 +397,44 @@ def kmv_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.explode(tokenize("text")).alias("word"))
     )
     return kmv_distinct(words, "word", k=256)
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS first_signup
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, MIN(ts) AS first_purchase
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COUNT(*) AS n_signed,
+           CAST(SUM(CASE WHEN first_purchase >= first_signup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(SUM(CASE WHEN first_purchase >= first_signup
+                         THEN epoch_us(first_purchase) - epoch_us(first_signup)
+                         ELSE 0 END) AS BIGINT) AS total_conversion_us
+    FROM s LEFT JOIN p USING (user_id)
+    """,
+    doc="Event-funnel conversion (capability query): first-touch "
+    "signup -> purchase ordering per user; two keyed min-aggregations "
+    "and one join, integer-exact conversion-lag total.",
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    j = s.join(p, "user_id", "left")
+    conv = F.col("first_purchase") >= F.col("first_signup")
+    lag_us = F.unix_micros("first_purchase") - F.unix_micros("first_signup")
+    return j.agg(
+        F.count("*").alias("n_signed"),
+        F.sum(F.when(conv, 1).otherwise(0)).cast("bigint").alias("n_converted"),
+        F.sum(F.when(conv, lag_us).otherwise(0)).cast("bigint").alias("total_conversion_us"),
+    )
