@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the bench harness")
 
+    sql_p = sub.add_parser("sql", help="run Spark SQL over the registered tables")
+    sql_p.add_argument("statement")
+    sql_p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sql_p.add_argument("--limit", type=int, default=20)
+
     vs = sub.add_parser("validate-sort", help="order+checksum validation of a sorted table")
     vs.add_argument("path")
     vs.add_argument("--key", default="key")
@@ -61,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"wrote {args.out}")
             else:
                 df.show(args.limit, truncate=False)
+            return 0
+        if args.cmd == "sql":
+            from hadoop_main_spark.tables import register_views
+
+            register_views(spark, args.sf_dir)
+            spark.sql(args.statement).show(args.limit, truncate=False)
             return 0
         if args.cmd == "bench":
             import bench

@@ -173,3 +173,41 @@ def reduce_grouped(
         return fn(key, pdf.sort_values(list(order), kind="mergesort"))
 
     return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
+
+
+def aggregate_descriptor_records(df: DataFrame, record_col: str = "record") -> DataFrame:
+    """The record-level ValueAggregator dataflow: each input record is
+    a descriptor string ``"<AggType>:<id>\\t<value>"`` (exactly what
+    ValueAggregatorMapper emits and the combiner/reducer consume —
+    MRC/mapreduce/lib/aggregate/ValueAggregatorBaseDescriptor.java:89,
+    ValueAggregatorReducer.java:1). One grouped pass computes every
+    integer-typed aggregator; the result column is selected per
+    group's AggType.
+
+    Supported types: LongValueSum, LongValueMax, LongValueMin,
+    ValueCount, UniqValueCount. Output: (agg_type, id, result).
+    """
+    c = F.col(record_col)
+    head = F.substring_index(c, "\t", 1)
+    parsed = df.select(
+        F.substring_index(head, ":", 1).alias("agg_type"),
+        F.substring_index(head, ":", -1).alias("id"),
+        F.substring_index(c, "\t", -1).alias("value"),
+    )
+    # UniqValueCount values may be non-numeric; numeric aggs see NULL
+    v = F.col("value").try_cast("bigint")
+    agg = parsed.groupBy("agg_type", "id").agg(
+        F.sum(v).alias("__sum"),
+        F.max(v).alias("__max"),
+        F.min(v).alias("__min"),
+        F.count("*").cast("bigint").alias("__cnt"),
+        F.countDistinct("value").cast("bigint").alias("__uniq"),
+    )
+    result = (
+        F.when(F.col("agg_type") == "LongValueSum", F.col("__sum"))
+        .when(F.col("agg_type") == "LongValueMax", F.col("__max"))
+        .when(F.col("agg_type") == "LongValueMin", F.col("__min"))
+        .when(F.col("agg_type") == "ValueCount", F.col("__cnt"))
+        .when(F.col("agg_type") == "UniqValueCount", F.col("__uniq"))
+    )
+    return agg.select("agg_type", "id", result.alias("result"))

@@ -438,3 +438,49 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(conv, 1).otherwise(0)).cast("bigint").alias("n_converted"),
         F.sum(F.when(conv, lag_us).otherwise(0)).cast("bigint").alias("total_conversion_us"),
     )
+
+
+@query(
+    "descriptor_records",
+    oracle="""
+    SELECT 'ValueCount' AS agg_type, 'orders_' || o_orderstatus AS id,
+           COUNT(*) AS result
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'LongValueMax', 'max_orderkey', MAX(o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'UniqValueCount', 'priorities', COUNT(DISTINCT o_orderpriority) FROM orders
+    """,
+    doc="Record-level ValueAggregatorJob: descriptor strings "
+    "'<AggType>:<id>\\t<value>' built from orders, parsed and "
+    "aggregated in one grouped pass (ValueAggregatorBaseDescriptor."
+    "generateEntry -> Mapper -> Reducer dataflow). The oracle checks "
+    "the end-to-end semantics directly against the table.",
+)
+def descriptor_records(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.aggregate import aggregate_descriptor_records
+
+    o = t(spark, sf, "orders")
+    recs = (
+        o.select(
+            F.concat(
+                F.lit("ValueCount:orders_"), F.col("o_orderstatus"), F.lit("\t1")
+            ).alias("record")
+        )
+        .unionAll(
+            o.select(
+                F.concat(
+                    F.lit("LongValueMax:max_orderkey\t"),
+                    F.col("o_orderkey").cast("string"),
+                ).alias("record")
+            )
+        )
+        .unionAll(
+            o.select(
+                F.concat(
+                    F.lit("UniqValueCount:priorities\t"), F.col("o_orderpriority")
+                ).alias("record")
+            )
+        )
+    )
+    return aggregate_descriptor_records(recs)

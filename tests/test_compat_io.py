@@ -131,3 +131,22 @@ def test_parquet_bloom_filter_write(spark, tmp_path):
     assert hit.count() == 1
     plan = hit._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(key), EqualTo(key,k137)]" in plan
+
+
+def test_cli_list_and_sql():
+    """CLI smoke (subprocess — the ToolRunner entry path)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "hadoop_main_spark", "list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0 and "pricing_summary" in r.stdout
+
+    r = subprocess.run(
+        [sys.executable, "-m", "hadoop_main_spark", "sql",
+         "SELECT COUNT(*) AS n FROM region", "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert r.returncode == 0 and "5" in r.stdout
