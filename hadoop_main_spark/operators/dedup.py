@@ -46,13 +46,20 @@ PERM: list[tuple[int, int]] = [
 
 def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
     """Exact duplicate marking: rows identical on ``key_cols`` form a
-    group; the lowest ``id_col`` is canonical. Hash-groupBy — one
-    shuffle on the content hash, never on the content itself."""
-    content = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
-    w = Window.partitionBy(hash64(content), content).orderBy(id_col)
-    return (
-        df.withColumn("canonical_id", F.min(id_col).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("is_duplicate", (F.col(id_col) != F.col("canonical_id")))
+    group; the lowest ``id_col`` is canonical.
+
+    Scale shape: content is digested at the scan (md5, 128-bit) and
+    only (id, digest) rows ever shuffle - the content itself never
+    moves, which matters when key_cols is document text. Two narrow
+    shuffles: digest -> min-id, then the per-digest canonical joined
+    back. Returns (id_col, canonical_id, is_duplicate)."""
+    content = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    m = df.select(F.col(id_col), F.md5(content).alias("__d"))
+    canon = m.groupBy("__d").agg(F.min(id_col).alias("canonical_id"))
+    return m.join(canon, "__d").select(
+        id_col,
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
     )
 
 
