@@ -61,11 +61,15 @@ def distcp(
     src_dir: str,
     dst_dir: str,
     tasks: int | None = None,
+    update: bool = False,
 ) -> DataFrame:
     """Copy ``src_dir`` → ``dst_dir`` in parallel; returns the per-file
     report (size, bytes copied, ok flag). Large files spread across
     tasks by size-aware round-robin of the listing (the uniform-size
-    splitter, DistCp's default assignment policy)."""
+    splitter, DistCp's default assignment policy). ``update=True`` is
+    DistCp's -update: files whose destination already exists with the
+    same size are skipped (reported with copied == size, ok == 1) —
+    the incremental-sync mode DistCpSync builds on."""
     listing = build_listing(spark, src_dir, dst_dir)
     n = tasks or spark.sparkContext.defaultParallelism
     # order by size desc then round-robin → balanced task byte-loads
@@ -80,6 +84,13 @@ def distcp(
             out = []
             for r in pdf.itertuples(index=False):
                 try:
+                    if (
+                        update
+                        and os.path.exists(r.dst)
+                        and os.path.getsize(r.dst) == r.size
+                    ):
+                        out.append((r.src, r.dst, r.size, r.size, 1))
+                        continue
                     os.makedirs(os.path.dirname(r.dst), exist_ok=True)
                     shutil.copyfile(r.src, r.dst)
                     copied = os.path.getsize(r.dst)

@@ -150,3 +150,31 @@ def test_cli_list_and_sql():
         capture_output=True, text=True, cwd="/root/repo", timeout=180,
     )
     assert r.returncode == 0 and "5" in r.stdout
+
+
+def test_distcp_update_skips_current(spark, tmp_path):
+    src, dst = tmp_path / "s", tmp_path / "d"
+    src.mkdir()
+    (src / "x.txt").write_text("abcde")
+    distcp(spark, str(src), str(dst)).collect()
+    mtime = (dst / "x.txt").stat().st_mtime_ns
+    report = distcp(spark, str(src), str(dst), update=True).collect()
+    assert report[0].ok == 1
+    # unchanged file must not have been rewritten
+    assert (dst / "x.txt").stat().st_mtime_ns == mtime
+
+
+def test_compression_codecs_roundtrip(spark, tmp_path):
+    """§2.1 codec row: gzip text and zstd/snappy parquet round-trips —
+    codec handling is native to every Spark file source."""
+    df = spark.createDataFrame([("line one",), ("line two",)], ["value"])
+    gz = str(tmp_path / "gz")
+    df.write.option("compression", "gzip").mode("overwrite").text(gz)
+    assert sorted(r.value for r in spark.read.text(gz).collect()) == [
+        "line one", "line two",
+    ]
+    import glob
+    assert glob.glob(gz + "/*.gz")
+    zs = str(tmp_path / "zstd")
+    df.write.option("compression", "zstd").mode("overwrite").parquet(zs)
+    assert spark.read.parquet(zs).count() == 2

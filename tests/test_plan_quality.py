@@ -74,3 +74,10 @@ def test_ivf_cells_partition_prune(spark, tmp_path):
     assert probed.count() == 250
     # pruning is partition-level: no post-scan Filter on cell remains
     assert "cell#" not in plan.split("PushedFilters")[0].split("Filter (")[-1][:40]
+
+
+def test_top_k_plans_as_take_ordered(spark, sf_dir):
+    """limit-after-sort must plan as TakeOrderedAndProject (partial
+    per-partition top-k, k-row merge) — never a global sort."""
+    plan = _plan(spark, "top_k", sf_dir)
+    assert "TakeOrderedAndProject" in plan
