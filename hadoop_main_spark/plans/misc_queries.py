@@ -91,3 +91,29 @@ def terasort_100k(spark: SparkSession, sf: str) -> DataFrame:
     from hadoop_main_spark.sources.generators import teragen
 
     return teragen(spark, 100_000, seed=42).orderBy("key", "rowid")
+
+
+@query(
+    "frame_sample",
+    oracle="""
+    SELECT media_id, unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+    FROM (
+      SELECT doc_id AS media_id, doc_id % 240 + 1 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2)
+    """,
+    doc="Multimodal frame sampling: video rows expand to every-10th "
+    "frame index (the 1->N decode-and-sample shape; a real decoder "
+    "attaches frame bytes inside mapInPandas with the same plan "
+    "shape). Frame counts derived deterministically from the media "
+    "id; videos are the doc_id % 3 == 2 slice of the media table.",
+)
+def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    videos = d.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 240 + 1).alias("n_frames"),
+    )
+    return videos.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))).alias("frame_idx"),
+    )
