@@ -122,9 +122,10 @@ def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     EX/WordStandardDeviation.java:1 (sqrt(E[x²]−E[x]²) from SUM,
     SUM_SQ) — same exact-integer-sums formulation here.
     """
+    from hadoop_main_spark.operators.partitioning import fan_out
     from hadoop_main_spark.operators.transforms import tokenize
 
-    toks = df.select(F.explode(tokenize(text_col)).alias("word"))
+    toks = fan_out(df.select(text_col)).select(F.explode(tokenize(text_col)).alias("word"))
     lens = toks.select(F.length("word").cast("bigint").alias("len"))
     n = F.count("*")
     s = F.sum("len")
@@ -141,10 +142,12 @@ def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The canonical query (reference: EX/WordCount.java:36)."""
+    from hadoop_main_spark.operators.partitioning import fan_out
     from hadoop_main_spark.operators.transforms import tokenize
 
     return (
-        df.select(F.explode(tokenize(text_col)).alias("word"))
+        fan_out(df.select(text_col))
+        .select(F.explode(tokenize(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
