@@ -550,3 +550,56 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+    doc="Distinctive-term extraction (TF-IDF family): tf * N / df "
+    "scoring — an exact integer ratio, so the score is engine-portable "
+    "without libm log differences. Per-doc top-3 via a keyed window; "
+    "document frequency is one narrow term-level aggregate (broadcast "
+    "back), term explosion fan_out-parallelized.",
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.operators.partitioning import fan_out
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    n_docs = d.count()
+    tok = fan_out(d.select("doc_id", "text"), ["doc_id"]).select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df").cast("double")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
