@@ -153,3 +153,37 @@ def test_stream_parquet_sink_checkpointed(spark, sf_dir, tmp_path):
     q2 = W.write_stream_parquet(W.read_events_stream(spark, sf_dir).select("event_id", "event_type"), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    from hadoop_main_spark.streaming.joins import interval_join
+    from hadoop_main_spark.tables import load_table
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("cu"), F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("click_id"),
+        ).withColumnRenamed("cu", "user_id")
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id"), F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, buys
+
+    sl, sr = sides(W.read_events_stream(spark, sf_dir))
+    j = interval_join(sl, sr, "user_id").select("click_id", "purchase_id")
+    q = (
+        j.writeStream.format("memory").queryName("t_ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.purchase_id) for r in spark.table("t_ssj").collect()}
+
+    bl, br = sides(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join(bl, br, "user_id")
+        .select("click_id", "purchase_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
