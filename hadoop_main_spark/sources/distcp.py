@@ -104,3 +104,32 @@ def distcp(
         .drop("bucket")
         .mapInPandas(copy_batch, REPORT_SCHEMA)
     )
+
+
+def distch(
+    spark: SparkSession,
+    target_dir: str,
+    mode: int | None = None,
+    tasks: int | None = None,
+) -> DataFrame:
+    """DistCh (hadoop-tools/hadoop-extras/.../DistCh.java:1): bulk
+    metadata change over a file tree as a Spark job — same listing +
+    mapInPandas fleet as distcp, applying chmod instead of copy.
+    Returns (src, dst, size, copied=0, ok) rows; ownership changes are
+    intentionally not attempted (container-dependent)."""
+    listing = build_listing(spark, target_dir, target_dir)
+    n = tasks or spark.sparkContext.defaultParallelism
+
+    def apply_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    if mode is not None:
+                        os.chmod(r.src, mode)
+                    out.append((r.src, r.dst, r.size, 0, 1))
+                except OSError:
+                    out.append((r.src, r.dst, r.size, 0, 0))
+            yield pd.DataFrame(out, columns=[f.name for f in REPORT_SCHEMA.fields])
+
+    return listing.repartition(n).mapInPandas(apply_batch, REPORT_SCHEMA)

@@ -178,3 +178,14 @@ def test_compression_codecs_roundtrip(spark, tmp_path):
     zs = str(tmp_path / "zstd")
     df.write.option("compression", "zstd").mode("overwrite").parquet(zs)
     assert spark.read.parquet(zs).count() == 2
+
+
+def test_distch_chmod(spark, tmp_path):
+    from hadoop_main_spark.sources.distcp import distch
+
+    d = tmp_path / "t"
+    d.mkdir()
+    (d / "f.txt").write_text("x")
+    report = distch(spark, str(d), mode=0o600).collect()
+    assert report[0].ok == 1
+    assert (d / "f.txt").stat().st_mode & 0o777 == 0o600
