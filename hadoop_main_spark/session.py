@@ -80,4 +80,10 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    try:
+        # size the shuffle to the machine instead of the 200 default;
+        # AQE still coalesces below this at runtime
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
     return spark
