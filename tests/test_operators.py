@@ -163,3 +163,16 @@ def test_connected_components_chain_and_triangle(spark):
     )
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_operators_survive_empty_input(spark):
+    from hadoop_main_spark.operators.dedup import minhash_lsh_pairs
+    from hadoop_main_spark.operators.sessions import session_stats
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_pairs(empty_docs, "doc_id", "text").count() == 0
+    empty_sorted = spark.createDataFrame([], "v int")
+    assert S.global_rank(empty_sorted, "v").count() == 0
+    import datetime as dt
+    empty_events = spark.createDataFrame([], "user_id long, ts timestamp, event_id long")
+    assert session_stats(empty_events).count() == 0

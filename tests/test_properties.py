@@ -107,3 +107,14 @@ def test_sort_spec_numeric_reverse_model(spark, pairs):
     out = [r.line for r in S.sort_by_spec(df, "line", "-k2,2nr -k1,1n").collect()]
     want = [f"{a}\t{b}" for a, b in sorted(pairs, key=lambda p: (-p[1], p[0]))]
     assert out == want
+
+
+@_slow
+@given(st.lists(st.integers(-1000, 1000), min_size=0, max_size=60, unique=True))
+def test_global_rank_model(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals] or [(None,)], "v int").filter(
+        "v is not null"
+    )
+    got = {r.v: r.rank for r in S.global_rank(df, "v", rank_col="rank").collect()}
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == want
