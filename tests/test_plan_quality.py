@@ -81,3 +81,30 @@ def test_top_k_plans_as_take_ordered(spark, sf_dir):
     per-partition top-k, k-row merge) — never a global sort."""
     plan = _plan(spark, "top_k", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_materialized_layout_join_is_exchange_free(spark, sf_dir):
+    """After materialize_bucketed, the orders-lineitem fact join (the
+    spine of every order-level query) must sort-merge join with no
+    hash exchange on either side."""
+    from hadoop_main_spark.sources.layouts import materialize_bucketed
+
+    names = materialize_bucketed(spark, sf_dir, n_buckets=4, prefix="tmb_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table(names["orders"])
+        li = spark.table(names["lineitem"])
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        join_side = plan.split("SortMergeJoin")[1]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for n in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
