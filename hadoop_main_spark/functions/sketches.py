@@ -45,3 +45,62 @@ def kmv_distinct(df: DataFrame, col: Column | str, k: int = 256) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def count_min_table(df: DataFrame, col: Column | str, depth: int = CM_DEPTH, width: int = CM_WIDTH) -> DataFrame:
+    """Count-min sketch as a DataFrame: (row, bucket, cnt) — depth
+    hash rows, width buckets each. Built with one explode(depth) +
+    grouped count; rows merge across partitions/streams by addition
+    (the mergeability that makes sketches work at 100 TB). Integer
+    counters + hash64 buckets → bit-reproducible in SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (hash64(c, salt=f"cm{j}") % width).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("rb")
+    )
+    return rows.groupBy("rb.row", "rb.bucket").agg(F.count("*").alias("cnt"))
+
+
+def count_min_estimate(
+    df: DataFrame,
+    col: Column | str,
+    items: DataFrame,
+    item_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: estimate =
+    min over hash rows of the item's bucket counter (an upper bound
+    on the true count; exact when no collisions). The sketch table is
+    small (depth × width) and broadcasts."""
+    sketch = count_min_table(df, col, depth, width)
+    it = items.select(F.col(item_col).alias("item"))
+    probes = it.select(
+        "item",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (hash64("item", salt=f"cm{j}") % width).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("rb"),
+    ).select("item", "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .fillna(0, ["cnt"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est_count"))
+    )

@@ -484,3 +484,55 @@ def descriptor_records(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return aggregate_descriptor_records(recs)
+
+
+def _cm_bucket(expr: str, j: int) -> str:
+    return f"{hash64_sql(expr, f'cm{j}')} % 256"
+
+
+@query(
+    "count_min_heavy_hitters",
+    oracle=f"""
+    WITH words AS (
+      SELECT word FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+      WHERE word <> ''),
+    sketch AS (
+      { " UNION ALL ".join(
+          f"SELECT {j} AS row, {_cm_bucket('word', j)} AS bucket, COUNT(*) AS cnt FROM words GROUP BY bucket"
+          for j in range(4)) }
+    ),
+    top AS (
+      SELECT word AS item FROM words GROUP BY word
+      ORDER BY COUNT(*) DESC, word LIMIT 10),
+    probes AS (
+      { " UNION ALL ".join(
+          f"SELECT item, {j} AS row, {_cm_bucket('item', j)} AS bucket FROM top"
+          for j in range(4)) }
+    )
+    SELECT p.item, MIN(coalesce(s.cnt, 0)) AS est_count
+    FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+    GROUP BY p.item
+    """,
+    doc="Count-min sketch heavy hitters: 4x256 integer counter table "
+    "(mergeable across partitions/streams), point-queried for the true "
+    "top-10 tokens. hash64 buckets + integer counters make even the "
+    "sketch ESTIMATES oracle-exact. Companion to kmv_distinct_sketch "
+    "(SURVEY §2.6 modern-aggregate family).",
+)
+def count_min_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.sketches import count_min_estimate
+    from hadoop_main_spark.operators.partitioning import fan_out
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    words = fan_out(t(spark, sf, "documents").select("text")).select(
+        F.explode(tokenize("text")).alias("word")
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(10)
+        .select("word")
+    )
+    return count_min_estimate(words, "word", top, "word")

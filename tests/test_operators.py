@@ -176,3 +176,17 @@ def test_operators_survive_empty_input(spark):
     import datetime as dt
     empty_events = spark.createDataFrame([], "user_id long, ts timestamp, event_id long")
     assert session_stats(empty_events).count() == 0
+
+
+def test_count_min_upper_bound_property(spark):
+    from hadoop_main_spark.functions.sketches import count_min_estimate
+
+    # 2000 tokens over 50 distinct values with known counts
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("w"), (F.col("id") % 50).cast("string")).alias("w")
+    )
+    items = df.select(F.col("w").alias("item")).distinct()
+    est = {r.item: r.est_count for r in count_min_estimate(df, "w", items, "item").collect()}
+    true = {r.w: r.c for r in df.groupBy("w").agg(F.count("*").alias("c")).collect()}
+    assert all(est[k] >= v for k, v in true.items())      # CM never undercounts
+    assert sum(est[k] == v for k, v in true.items()) >= 40  # few collisions at 4x256
