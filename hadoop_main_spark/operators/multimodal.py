@@ -109,10 +109,43 @@ def extract_features(
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize(media: DataFrame, width: int, height: int, decoder: str = "stub") -> DataFrame:
+    """Resize as a real Arrow-batched pass: decode -> resample ->
+    re-encode per payload inside mapInPandas (batch shape and schema
+    are the production ones; the codec itself is stubbed as a
+    deterministic byte resample — a real decoder drops into
+    ``_resize_payload``)."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            "real media codecs are not available in this environment; "
+            "plug one in here (same mapInPandas signature)"
+        )
+    target = width * height
+
+    def _resize_payload(p: bytes) -> bytes:
+        # deterministic fake resample: stretch/shrink bytes to the
+        # target pixel count by index mapping (stands in for a codec)
+        if not p:
+            return b"\x00" * target
+        n = len(p)
+        return bytes(p[(i * n) // target] for i in range(target))
+
+    out_schema = media.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            b = b.copy()
+            b["payload"] = b["payload"].map(lambda p: _resize_payload(bytes(p)))
+            b["meta_width"] = width
+            b["meta_height"] = height
+            yield b
+
+    return media.mapInPandas(run, out_schema)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: updates metadata, passes payload through (a
-    real implementation decodes/resizes/re-encodes inside
-    mapInPandas with the same signature)."""
+    """Metadata-only variant (no payload rewrite) — kept for cheap
+    schema tests."""
     return media.withColumn("meta_width", F.lit(width).cast("long")).withColumn(
         "meta_height", F.lit(height).cast("long")
     )

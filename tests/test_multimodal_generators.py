@@ -85,3 +85,22 @@ def test_count_matching(spark):
     df = spark.range(10).toDF("x")
     got = count_matching(df, evens=F.col("x") % 2 == 0, big=F.col("x") > 6)
     assert got == {"evens": 5, "big": 3}
+
+
+def test_resize_rewrites_payload(spark, sf_dir):
+    from hadoop_main_spark.operators.multimodal import media_table_from_documents, resize
+    from hadoop_main_spark.tables import load_table
+
+    media = media_table_from_documents(load_table(spark, sf_dir, "documents")).limit(5)
+    out = resize(media, 16, 8).collect()
+    assert all(len(r.payload) == 16 * 8 for r in out)
+    assert all(r.meta_width == 16 and r.meta_height == 8 for r in out)
+    # deterministic: same input -> same bytes
+    again = resize(media, 16, 8).collect()
+    assert {r.media_id: bytes(r.payload) for r in out} == {
+        r.media_id: bytes(r.payload) for r in again
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        resize(media, 16, 8, decoder="pillow")
