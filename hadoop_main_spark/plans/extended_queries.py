@@ -536,3 +536,36 @@ def count_min_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .select("word")
     )
     return count_min_estimate(words, "word", top, "word")
+
+
+@query(
+    "bbp_pi_series",
+    oracle="""
+    SELECT list_reduce(list_prepend(0.0, list_transform(generate_series(0, 11),
+             k -> (1.0 / power(16.0, CAST(k AS DOUBLE))) * (
+                    4.0 / (8.0 * CAST(k AS DOUBLE) + 1.0)
+                    - 2.0 / (8.0 * CAST(k AS DOUBLE) + 4.0)
+                    - 1.0 / (8.0 * CAST(k AS DOUBLE) + 5.0)
+                    - 1.0 / (8.0 * CAST(k AS DOUBLE) + 6.0)))),
+           (acc, x) -> acc + x) AS pi_bbp,
+           12 AS n_terms
+    """,
+    doc="Bailey-Borwein-Plouffe pi series (EX/BaileyBorweinPlouffe."
+    "java:1, compute-only family SURVEY 2.11): 12 terms summed by an "
+    "ordered fold - identical IEEE operation sequence in both engines, "
+    "so the double result matches bit-for-bit (machine-precision pi).",
+)
+def bbp_pi_series(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.sequence(F.lit(0), F.lit(11))
+    term = lambda kk: (
+        (F.lit(1.0) / F.pow(F.lit(16.0), kk.cast("double")))
+        * (
+            F.lit(4.0) / (F.lit(8.0) * kk.cast("double") + F.lit(1.0))
+            - F.lit(2.0) / (F.lit(8.0) * kk.cast("double") + F.lit(4.0))
+            - F.lit(1.0) / (F.lit(8.0) * kk.cast("double") + F.lit(5.0))
+            - F.lit(1.0) / (F.lit(8.0) * kk.cast("double") + F.lit(6.0))
+        )
+    )
+    terms = F.transform(k, term)
+    pi = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+    return spark.range(1).select(pi.alias("pi_bbp"), F.lit(12).alias("n_terms"))
