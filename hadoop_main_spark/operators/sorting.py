@@ -118,32 +118,38 @@ def sorted_groups(
 
 @dataclass(frozen=True)
 class KeySpec:
-    """One `-k` style field spec: 1-based field index range plus flags
-    (n = numeric, r = reverse) — the subset of
-    KeyFieldBasedComparator.java:53 semantics our compiler supports
-    (char-offset-within-field addressing is intentionally dropped;
-    fields are whole columns after splitting)."""
+    """One `-k` style field spec: 1-based field index range with
+    optional 1-based char offsets within the start/end fields, plus
+    flags (n = numeric, r = reverse) — KeyFieldBasedComparator.java:53
+    semantics: ``-k2.3,3.2nr`` compares from char 3 of field 2 through
+    char 2 of field 3, numerically, descending. ``end_char`` is
+    inclusive; 0/None means "to end of field"."""
 
     start: int
     end: int | None = None
     numeric: bool = False
     reverse: bool = False
+    start_char: int = 1
+    end_char: int | None = None
 
 
-_SPEC_RE = re.compile(r"^-k(\d+)(?:,(\d+))?([nr]*)$")
+_SPEC_RE = re.compile(r"^-k(\d+)(?:\.(\d+))?(?:,(\d+)(?:\.(\d+))?)?([nr]*)$")
 
 
 def parse_sort_spec(spec: str) -> list[KeySpec]:
-    """Parse e.g. ``"-k2,2nr -k1"`` (space-separated -k options)."""
+    """Parse e.g. ``"-k2,2nr -k1"`` or ``"-k2.3,2.5n"``
+    (space-separated -k options, optional .char offsets)."""
     out: list[KeySpec] = []
     for piece in spec.split():
         m = _SPEC_RE.match(piece)
         if not m:
             raise ValueError(f"bad sort spec piece: {piece}")
         start = int(m.group(1))
-        end = int(m.group(2)) if m.group(2) else None
-        flags = m.group(3)
-        out.append(KeySpec(start, end, "n" in flags, "r" in flags))
+        start_char = int(m.group(2)) if m.group(2) else 1
+        end = int(m.group(3)) if m.group(3) else None
+        end_char = int(m.group(4)) if m.group(4) else None
+        flags = m.group(5)
+        out.append(KeySpec(start, end, "n" in flags, "r" in flags, start_char, end_char))
     return out
 
 
@@ -157,8 +163,16 @@ def compile_sort_spec(spec: str, line: Column | str, sep: str = "\t") -> list[Co
         end = ks.end or ks.start
         for idx in range(ks.start, end + 1):
             field = F.element_at(arr, idx)
+            # char-offset addressing applies to the range's edge fields
+            if idx == ks.start and ks.start_char > 1:
+                field = F.substring(field, ks.start_char, 2_000_000_000)
+            if idx == end and ks.end_char:
+                # end_char counts from the field start (inclusive);
+                # when start==end the start offset was already stripped
+                keep = ks.end_char - (ks.start_char - 1 if idx == ks.start else 0)
+                field = F.substring(field, 1, max(keep, 0))
             if ks.numeric:
-                field = field.cast("double")
+                field = field.try_cast("double")
             cols.append(field.desc() if ks.reverse else field.asc())
     return cols
 

@@ -190,3 +190,16 @@ def test_count_min_upper_bound_property(spark):
     true = {r.w: r.c for r in df.groupBy("w").agg(F.count("*").alias("c")).collect()}
     assert all(est[k] >= v for k, v in true.items())      # CM never undercounts
     assert sum(est[k] == v for k, v in true.items()) >= 40  # few collisions at 4x256
+
+
+def test_sort_spec_char_offsets(spark):
+    # lines: field1 = label, field2 = code where chars 2-3 are the sort key
+    rows = [("a\tx25z",), ("b\tx03z",), ("c\tx17z",)]
+    df = spark.createDataFrame(rows, ["line"])
+    out = [r.line for r in S.sort_by_spec(df, "line", "-k2.2,2.3n").collect()]
+    assert out == ["b\tx03z", "c\tx17z", "a\tx25z"]
+    out_r = [r.line for r in S.sort_by_spec(df, "line", "-k2.2,2.3nr").collect()]
+    assert out_r == ["a\tx25z", "c\tx17z", "b\tx03z"]
+    # plain field specs unchanged
+    out_f1 = [r.line for r in S.sort_by_spec(df, "line", "-k1,1r").collect()]
+    assert out_f1 == ["c\tx17z", "b\tx03z", "a\tx25z"]
