@@ -73,18 +73,64 @@ def random_text_writer(
 
 
 def validate_sorted(df: DataFrame, key: str = "key") -> dict:
-    """TeraValidate: assert global order (per-partition order + cross-
-    partition boundary order) and return a multiset checksum that is
-    partitioning-independent. Reference: EX/terasort/TeraValidate.java:88
-    (misorder detection, per-task), :122-:140 (cross-file boundary
-    check), TeraChecksum.java:1 (sum of record hashes). Intended to run
-    on the *written* output of a total_order_sort.
+    """TeraValidate: assert global order and return a multiset checksum
+    that is partitioning-independent. Reference:
+    EX/terasort/TeraValidate.java:88 (per-task misorder detection),
+    :122-:140 (cross-file boundary check), TeraChecksum.java:1.
 
-    Scale shape matches the reference exactly: each partition is
-    scanned once in physical row order, emitting one summary row
-    (first key, last key, local misorder count); the cross-partition
-    boundary check runs driver-side over #partitions rows."""
+    File-backed DataFrames (the written output of a total sort) are
+    validated exactly the way TeraValidate does: row adjacency within
+    each file via the ``_metadata.row_index`` column (a keyed self-join
+    — no global ordering operation), plus a driver-side boundary chain
+    over per-file summaries in file-name order (one row per file).
 
+    Non-file DataFrames fall back to physical-partition-order scanning,
+    which is only meaningful directly after a sort (before a write or
+    any repartitioning) — Spark's scan-side split packing does NOT
+    preserve name order on read-back, which is why the file path is
+    the authority here.
+    """
+    try:
+        meta = df.select(
+            F.col(key).alias("__k"),
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.row_index").alias("__i"),
+        )
+        return _validate_sorted_files(meta)
+    except Exception:
+        return _validate_sorted_partitions(df, key)
+
+
+def _validate_sorted_files(meta: DataFrame) -> dict:
+    left = meta.select("__f", "__i", F.col("__k").alias("__ka"))
+    right = meta.select("__f", (F.col("__i") - 1).alias("__i"), F.col("__k").alias("__kb"))
+    misordered = (
+        left.join(right, ["__f", "__i"]).filter(F.col("__ka") > F.col("__kb")).count()
+    )
+    per_file = (
+        meta.groupBy("__f")
+        .agg(
+            F.min_by("__k", "__i").alias("first"),
+            F.max_by("__k", "__i").alias("last"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    per_file.sort(key=lambda r: r["__f"])
+    for a, b in zip(per_file, per_file[1:]):
+        if a["last"] > b["first"]:
+            misordered += 1
+    checksum = meta.select(
+        F.sum(hash64("__k") % F.lit(2**31 - 1)).alias("c")
+    ).collect()[0]["c"]
+    return {
+        "misordered": misordered,
+        "checksum": int(checksum or 0),
+        "rows": sum(r["n"] for r in per_file),
+    }
+
+
+def _validate_sorted_partitions(df: DataFrame, key: str) -> dict:
     def per_partition(idx, rows):
         first = last = None
         mis = 0

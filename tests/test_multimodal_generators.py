@@ -104,3 +104,41 @@ def test_resize_rewrites_payload(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         resize(media, 16, 8, decoder="pillow")
+
+
+def test_validate_sorted_on_written_output(spark, tmp_path):
+    """File-based TeraValidate path: validation must be correct on
+    READ-BACK data, where Spark's split packing does not preserve
+    partition order (the trap the partition-scan fallback has)."""
+    from hadoop_main_spark.sources.generators import teragen, validate_sorted
+
+    out = str(tmp_path / "sorted")
+    teragen(spark, 50_000, seed=3).orderBy("key", "rowid").write.mode(
+        "overwrite"
+    ).parquet(out)
+    report = validate_sorted(spark.read.parquet(out), "key")
+    assert report["misordered"] == 0
+    assert report["rows"] == 50_000
+
+    # an unsorted write must be flagged
+    teragen(spark, 5_000, seed=4).write.mode("overwrite").parquet(out + "_raw")
+    bad = validate_sorted(spark.read.parquet(out + "_raw"), "key")
+    assert bad["misordered"] > 0
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SLOW"), reason="set SPARK_GRAFT_SLOW=1 to run"
+)
+def test_terasort_10m_slow(spark, tmp_path):
+    from hadoop_main_spark.sources.generators import teragen, validate_sorted
+
+    out = str(tmp_path / "ts10m")
+    teragen(spark, 10_000_000, seed=99).orderBy("key", "rowid").write.mode(
+        "overwrite"
+    ).parquet(out)
+    report = validate_sorted(spark.read.parquet(out), "key")
+    assert report["misordered"] == 0 and report["rows"] == 10_000_000
