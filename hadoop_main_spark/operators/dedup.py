@@ -431,8 +431,17 @@ def connected_components(
         neigh = und.join(
             labels.select(F.col("id").alias("dst"), "component"), "dst"
         ).select(F.col("src").alias("id"), "component")
+        prop = labels.union(neigh).groupBy("id").agg(
+            F.min("component").alias("component")
+        )
+        # pointer jumping: component := component's component. Halves
+        # the remaining chain depth each round, so convergence is
+        # O(log diameter) instead of O(diameter) — deep chains stay in
+        # a handful of shuffles.
+        jump = prop.select(F.col("component").alias("id"), F.col("id").alias("src_id"))
         new_labels = (
-            labels.union(neigh).groupBy("id").agg(F.min("component").alias("component"))
+            jump.join(prop.select(F.col("id"), F.col("component").alias("cc")), "id")
+            .select(F.col("src_id").alias("id"), F.col("cc").alias("component"))
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")

@@ -203,3 +203,14 @@ def test_sort_spec_char_offsets(spark):
     # plain field specs unchanged
     out_f1 = [r.line for r in S.sort_by_spec(df, "line", "-k1,1r").collect()]
     assert out_f1 == ["c\tx17z", "b\tx03z", "a\tx25z"]
+
+
+def test_connected_components_deep_chain_converges(spark):
+    from hadoop_main_spark.operators.dedup import connected_components
+
+    # 60-node chain: min-label alone needs ~60 hops; pointer jumping
+    # must close it within the 20-iteration budget
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(60)], ["id_a", "id_b"])
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 61
