@@ -156,3 +156,43 @@ def write_stream_parquet(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def upsert_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch keyed upsert: each micro-batch replaces existing
+    rows with the same key (last write wins within a batch by
+    arbitrary order — dedupe upstream if that matters). Without a
+    transactional table format this is read+merge+overwrite per
+    batch — correct under the streaming commit log's exactly-once
+    batch ids, appropriate for modest dimension-table sinks; at large
+    scale swap the merge body for a MERGE INTO on a transactional
+    format, same foreachBatch shape."""
+    spark = stream_df.sparkSession
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates([key])
+        try:
+            existing = spark.read.parquet(path)
+            merged = existing.join(
+                batch.select(key), key, "left_anti"
+            ).unionByName(batch)
+        except Exception:
+            merged = batch
+        merged.cache().count()  # materialize before overwriting the source
+        merged.write.mode("overwrite").parquet(path)
+        merged.unpersist()
+
+    w = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

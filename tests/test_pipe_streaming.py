@@ -187,3 +187,19 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_upsert_stream_sink(spark, sf_dir, tmp_path):
+    from hadoop_main_spark.tables import load_table
+
+    out, ckpt = str(tmp_path / "up"), str(tmp_path / "upckpt")
+    stream = W.read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    q = W.upsert_stream_parquet(stream, out, ckpt, key="user_id")
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    # exactly one row per key survives the upserts
+    assert got.count() == n_users
+    assert got.select("user_id").distinct().count() == n_users
