@@ -108,3 +108,15 @@ def test_materialized_layout_join_is_exchange_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for n in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_asof_join_single_data_shuffle(spark, sf_dir):
+    """asof_join's one-shuffle claim: exactly one exchange on the
+    union'd event data (the key hash for the carry-forward window);
+    the only other exchange belongs to the right side's dedup
+    pre-aggregation."""
+    plan = _plan(spark, "asof_join", sf_dir)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) <= 2
+    win = [ln for ln in plan.splitlines() if "Window" in ln and "last(" in ln]
+    assert win and "user_id" in win[0]  # window keyed, not global
