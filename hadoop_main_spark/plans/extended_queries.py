@@ -569,3 +569,36 @@ def bbp_pi_series(spark: SparkSession, sf: str) -> DataFrame:
     terms = F.transform(k, term)
     pi = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
     return spark.range(1).select(pi.alias("pi_bbp"), F.lit(12).alias("n_terms"))
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sampled_total
+    FROM orders
+    WHERE {hash64_sql('o_orderkey', 'strat')} % 100 <
+          CASE o_orderpriority
+            WHEN '1-URGENT' THEN 50
+            WHEN '2-HIGH' THEN 25
+            ELSE 10 END
+    GROUP BY o_orderpriority
+    """,
+    doc="Stratified sampling with per-stratum rates (50/25/10%), "
+    "deterministic via hash64 thresholds — reproducible across runs "
+    "and engines, unlike RNG sampleBy; the scan-level sibling of "
+    "SequenceFileInputFilter's percent sampler (MRC/mapreduce/lib/"
+    "input/SequenceFileInputFilter.java:1).",
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 50)
+        .when(F.col("o_orderpriority") == "2-HIGH", 25)
+        .otherwise(10)
+    )
+    kept = o.filter(hash64("o_orderkey", "strat") % 100 < rate)
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("sampled_total"),
+    )
