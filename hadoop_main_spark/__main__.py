@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
             spark.sql(args.statement).show(args.limit, truncate=False)
             return 0
         if args.cmd == "bench":
+            import os as _os
+
+            sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
             import bench
 
             bench.main()

@@ -34,6 +34,11 @@ RUNTIME_CONFS = {
     # reference uses (FileInputFormat splitSize = max(min, min(max, block)))
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # runtime row-level join pruning: build a bloom filter from the
+    # selective side of a shuffle join and push it into the big scan.
+    # NOTE: do NOT also enable runtimeFilter.semiJoinReduction — on this
+    # Spark build it sends the optimizer into a loop (trivial queries hang).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -120,3 +120,29 @@ def test_asof_join_single_data_shuffle(spark, sf_dir):
     assert len(exchanges) <= 2
     win = [ln for ln in plan.splitlines() if "Window" in ln and "last(" in ln]
     assert win and "user_id" in win[0]  # window keyed, not global
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: a date-partitioned fact joined to a filtered dim must get a
+    dynamicpruning subquery on the partition column — only matching
+    partitions are scanned at runtime."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 20).alias("day")
+    )
+    path = str(tmp_path / "fact_by_day")
+    fact.write.mode("overwrite").partitionBy("day").parquet(path)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("day"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    ).filter(F.col("day").isin(3, 7))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the DPP-from-broadcast path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        j = spark.read.parquet(path).join(dim, "day")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan or "dynamicpruningexpression" in plan.lower()
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
