@@ -1,0 +1,426 @@
+"""Deep analytic query shapes (TPC-H-adapted to the TESTDATA schema).
+
+The reference engine can express any of these only as hand-chained
+MapReduce jobs (SURVEY.md §2.11: Grep/WordMedian chain two jobs by
+temp dirs; JobControl wires DAGs, MRC/mapreduce/lib/jobcontrol/
+JobControl.java:55). Here each is ONE declarative plan: Catalyst
+performs the join ordering, broadcast selection, partial
+aggregation, and predicate pushdown that the reference user had to
+hand-schedule.
+
+Scale notes per query are in the docstrings; shared discipline:
+- money math in DECIMAL (exact, order-independent), cast to double
+  only at the output boundary;
+- dimension tables (nation, customer, supplier, part) broadcast —
+  at 100 TB the fact tables shuffle only when a fact-fact join or
+  a high-cardinality groupBy demands it;
+- top-k always carries a deterministic tie-break column so results
+  are stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_main_spark.plans.core_queries import _one, _price, _rate
+from hadoop_main_spark.plans.registry import query, t
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _rev() -> F.Column:
+    return _price("l_extendedprice") * (_one() - _rate("l_discount"))
+
+
+@query(
+    "late_shipping_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: per-priority count of Q1-1996 orders with at "
+    "least one line shipped >60 days after order date. EXISTS compiles "
+    "to a LEFT SEMI join (no duplication, no distinct) with the "
+    "non-equi lateness predicate evaluated inside the join — the "
+    "reference needs a reduce-side tagged join plus a dedup job.",
+)
+def late_shipping_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "revenue_filter",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan→filter→global agg. All four "
+    "predicates push to the parquet scan (PushedFilters) and only 4 of "
+    "11 columns are read — the plan audit pins this; at 100 TB this is "
+    "an IO-bound single pass with a one-row result.",
+)
+def revenue_filter(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_price("l_extendedprice") * _rate("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "volume_shipping",
+    oracle=f"""
+    SELECT n_s.n_name AS supp_nation, n_c.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate)::INT AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n_s ON n_s.n_nationkey = s_nationkey
+    JOIN nation n_c ON n_c.n_nationkey = c_nationkey
+    WHERE ((n_s.n_name = 'NATION_1' AND n_c.n_name = 'NATION_2')
+        OR (n_s.n_name = 'NATION_2' AND n_c.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations by "
+    "ship year. One fact-fact join (lineitem⋈orders, shuffle on "
+    "orderkey) plus three broadcast dims; the nation filter reaches "
+    "supplier/customer BEFORE the fact join (Catalyst pushes it "
+    "through), shrinking the shuffled side.",
+)
+def volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    n = t(spark, sf, "nation")
+    s = (
+        t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        t(spark, sf, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "returned_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by revenue lost to returned "
+    "items in a half-year window. Fact-fact join shuffles on orderkey; "
+    "customer+nation broadcast; the final top-20 runs as "
+    "TakeOrderedAndProject (per-partition top-k, 20-row merge — no "
+    "global sort). Tie-break on c_custkey keeps the cut deterministic.",
+    bench=True,
+)
+def returned_customers(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    cn = c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")).select(
+        "c_custkey", "c_name", "n_name"
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cn), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: distribution of orders-per-customer including "
+    "zero-order customers (left outer join, COUNT of non-null keys). "
+    "Two cascaded aggregations; the second groups on a tiny domain so "
+    "its shuffle is negligible.",
+)
+def customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE)
+             * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: share of one month's revenue from PROMO "
+    "parts. Part broadcasts into the filtered lineitem scan; both "
+    "conditional and total sums are exact DECIMAL accumulated in the "
+    "same pass, divided once as doubles (bit-stable in any engine).",
+)
+def promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_rev()).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, SUM({_REV_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON supplier_no = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: supplier(s) achieving the quarter's maximum "
+    "revenue. The per-supplier aggregate is computed once and reused "
+    "for both the max (1-row broadcast) and the equality filter — the "
+    "reference's two-job temp-dir chain collapses into one plan. "
+    "Equality compares exact DECIMALs, so ties are real ties.",
+)
+def top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_rev"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best), F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape: customers holding very large orders (total "
+    "quantity > 300). The HAVING aggregate shrinks lineitem to a "
+    "handful of orderkeys before any join — at 100 TB the join input "
+    "is the aggregate's output, not the fact table.",
+)
+def large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_price("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > F.lit(300).cast("decimal(12,2)"))
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "no_order_customers",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    CROSS JOIN thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q22 shape: wealthy lapsed customers — balance above the "
+    "positive-balance average, no order since 2000-01-01 — by nation. "
+    "The average is an exact-decimal-sum / count double (order-"
+    "independent scalar, broadcast to every row); NOT EXISTS compiles "
+    "to LEFT ANTI against the date-filtered o_custkey column, with the "
+    "date predicate pushed to the orders scan.",
+)
+def no_order_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_price("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+        )
+    )
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    n = t(spark, sf, "nation")
+    rich = (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_price("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "json_event_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured extraction: events.props is a JSON string "
+    "column; get_json_object pulls '$.k' JVM-side (no Python round "
+    "trip) and integer aggregates stay exact. The pattern for log / "
+    "telemetry payloads where the schema lives inside the value — "
+    "at 100 TB prefer parsing once and persisting columnar, but the "
+    "extraction itself must be an engine primitive.",
+)
+def json_event_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
