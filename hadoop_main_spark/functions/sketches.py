@@ -15,6 +15,8 @@ driver stage), so the full data is never shuffled.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +47,73 @@ def kmv_distinct(df: DataFrame, col: Column | str, k: int = 256) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_M = 256  # 2^8 buckets
+#: hash64 is uniform in [0, 2^60); the low 8 bits pick the bucket and
+#: the remaining 52 bits feed the rank, so ranks live in [1, 53]
+#: (rank 53 = all 52 payload bits zero).
+HLL_MAX_RANK = 53
+#: alpha_256 * m^2 * 2^53 — the estimate numerator, precomputed in
+#: Python and embedded as the SAME double literal in Spark and the
+#: SQL oracle (repr round-trips, so both engines divide the identical
+#: numerator by the identical integer denominator).
+HLL_NUMER = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**53)
+
+
+def hll_registers(df: DataFrame, col: Column | str, group_cols: Sequence[str] = ()) -> DataFrame:
+    """HyperLogLog registers of ``col`` (optionally per group).
+
+    Returns (group..., bucket, reg): bucket = hash64 & 255, reg = max
+    over rows of the rank (1 + leading-zero count of the 52 payload
+    bits, computed portably as 53 - length(bin(payload))). Registers
+    are the mergeable state: max-combining register tables from any
+    partitioning, shard, or stream batch yields the global sketch —
+    the property that makes HLL the 100 TB distinct-counter.
+    """
+    h = hash64(col)
+    w = F.shiftright(h, 8)
+    rank = F.when(w == 0, F.lit(HLL_MAX_RANK)).otherwise(
+        F.lit(HLL_MAX_RANK) - F.length(F.bin(w))
+    )
+    rows = df.select(
+        *group_cols, h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"), rank.alias("rank")
+    )
+    return rows.groupBy(*group_cols, "bucket").agg(F.max("rank").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Distinct-count estimate from an HLL register table.
+
+    est = alpha_m * m^2 / Σ_buckets 2^-reg, with absent buckets
+    contributing 2^-0. The harmonic sum is computed exactly as the
+    integer Σ 2^(53-reg) (max 256 * 2^53 < 2^62), so the only float
+    op is one double division — bit-reproducible in any engine.
+    Returns (group..., n_buckets_used, est_distinct).
+    """
+    # SQL expr: the Python shiftleft() wrapper only takes a literal
+    # shift amount, the SQL function takes a column
+    pow_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_MAX_RANK} - reg AS INT))")
+    s = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("n_buckets_used"),
+        F.sum(pow_term).alias("__s_present"),
+    )
+    denom = F.col("__s_present") + (F.lit(HLL_M) - F.col("n_buckets_used")) * F.lit(
+        2**HLL_MAX_RANK
+    )
+    return s.select(
+        *group_cols,
+        "n_buckets_used",
+        (F.lit(HLL_NUMER) / denom.cast("double")).alias("est_distinct"),
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge register tables by bucket-wise max (drop or re-key the
+    group columns first to control what is merged)."""
+    return registers.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
 
 
 CM_DEPTH = 4

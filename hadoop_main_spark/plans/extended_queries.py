@@ -602,3 +602,66 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("sampled_total"),
     )
+
+
+def _hll_oracle() -> str:
+    from hadoop_main_spark.functions.sketches import HLL_M, HLL_MAX_RANK, HLL_NUMER
+
+    h = hash64_sql("o_custkey")
+    rank = (
+        f"CASE WHEN (h >> 8) = 0 THEN {HLL_MAX_RANK} "
+        f"ELSE {HLL_MAX_RANK} - length(bin(h >> 8)) END"
+    )
+    return f"""
+    WITH h AS (SELECT o_orderpriority AS grp, {h} AS h FROM orders),
+    r AS (SELECT grp, h & {HLL_M - 1} AS bucket, MAX({rank}) AS reg
+          FROM h GROUP BY grp, bucket),
+    rall AS (SELECT 'ALL' AS grp, bucket, MAX(reg) AS reg FROM r GROUP BY bucket),
+    allr AS (SELECT * FROM r UNION ALL SELECT * FROM rall),
+    s AS (SELECT grp, COUNT(*) AS n_buckets_used,
+                 SUM(1::BIGINT << ({HLL_MAX_RANK} - reg)) AS s_present
+          FROM allr GROUP BY grp),
+    ex AS (SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey) AS exact_distinct
+           FROM orders GROUP BY grp
+           UNION ALL
+           SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders)
+    SELECT s.grp, n_buckets_used,
+           CAST('{HLL_NUMER!r}' AS DOUBLE)
+             / CAST(s_present + ({HLL_M} - n_buckets_used) * (1::BIGINT << {HLL_MAX_RANK}) AS DOUBLE)
+             AS est_distinct,
+           exact_distinct
+    FROM s JOIN ex ON s.grp = ex.grp
+    """
+
+
+@query(
+    "hll_distinct_sketch",
+    oracle=_hll_oracle(),
+    doc="HyperLogLog distinct-customer sketch per order priority PLUS a "
+    "merged 'ALL' row produced by bucket-wise max over the per-group "
+    "register tables — demonstrating the merge property that makes HLL "
+    "the 100 TB distinct counter (registers from any shard/stream "
+    "combine losslessly). hash64-based registers and an integer-exact "
+    "harmonic sum make even the ESTIMATE oracle-exact; exact distinct "
+    "counts ride along for error inspection. Companion to "
+    "kmv_distinct_sketch (same registry family as the reference's "
+    "UniqValueCount, MRC/mapreduce/lib/aggregate/UniqValueCount.java:35).",
+)
+def hll_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.sketches import hll_estimate, hll_merge, hll_registers
+
+    o = t(spark, sf, "orders")
+    regs = hll_registers(o, "o_custkey", ["o_orderpriority"]).cache()
+    merged = hll_merge(regs.drop("o_orderpriority")).withColumn("grp", F.lit("ALL"))
+    per_grp = regs.withColumnRenamed("o_orderpriority", "grp")
+    est = hll_estimate(per_grp.unionByName(merged), ["grp"])
+    exact = (
+        o.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+        .unionByName(
+            o.agg(F.countDistinct("o_custkey").alias("exact_distinct")).withColumn(
+                "grp", F.lit("ALL")
+            )
+        )
+    )
+    return est.join(exact, "grp")

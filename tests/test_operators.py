@@ -153,6 +153,27 @@ def test_kmv_estimates_large_cardinality(spark):
     assert row.est_distinct == 50.0  # exact below k
 
 
+def test_hll_accuracy_and_merge(spark):
+    from hadoop_main_spark.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.concat(F.lit("u"), (F.col("id") % 10000).cast("string")).alias("u"),
+        (F.col("id") % 2).alias("half"),
+    )
+    est = hll_estimate(hll_registers(df, "u")).collect()[0]
+    assert abs(est.est_distinct - 10000) / 10000 < 0.10  # ~1.04/sqrt(256) ≈ 6.5%
+
+    # merge property: per-half registers max-merged == whole-data registers
+    merged = hll_merge(hll_registers(df, "u", ["half"]).drop("half"))
+    whole = hll_registers(df, "u")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
 def test_connected_components_chain_and_triangle(spark):
     from hadoop_main_spark.operators.dedup import connected_components
 
