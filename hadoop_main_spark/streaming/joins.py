@@ -32,3 +32,24 @@ def interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_lag}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def broadcast_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a static dimension via stream-static
+    broadcast join — the streaming analog of the reference's
+    DistributedCache map-side hash join (MRC/filecache/
+    DistributedCache.java:135).
+
+    The dimension is broadcast once per micro-batch planning cycle;
+    no state store is involved (unlike stream-stream joins), so this
+    is the right shape whenever one side is a slowly-changing lookup
+    table. The same expression enriches batch frames identically.
+    """
+    d = F.broadcast(dim.withColumnRenamed(dim_key, key) if dim_key else dim)
+    return stream.join(d, key, how)

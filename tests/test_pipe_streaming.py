@@ -203,3 +203,35 @@ def test_upsert_stream_sink(spark, sf_dir, tmp_path):
     # exactly one row per key survives the upserts
     assert got.count() == n_users
     assert got.select("user_id").distinct().count() == n_users
+
+
+def test_stream_broadcast_enrich_matches_batch(spark, sf_dir):
+    from hadoop_main_spark.streaming.joins import broadcast_enrich
+    from hadoop_main_spark.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = W.read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    enriched = broadcast_enrich(stream, dim, "user_id", dim_key="c_custkey")
+    q = (
+        enriched.writeStream.format("memory").queryName("t_enrich")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.c_mktsegment) for r in spark.table("t_enrich").collect()
+    }
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    want = {
+        (r.event_id, r.c_mktsegment)
+        for r in broadcast_enrich(batch, dim, "user_id", dim_key="c_custkey").collect()
+    }
+    assert got == want and len(want) > 0
+    # left join: every stream row survives even without a dim match
+    assert len(got) == batch.count()
