@@ -146,3 +146,55 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         assert j.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_revenue_filter_full_pushdown(spark, sf_dir):
+    """Q6 shape: every predicate reaches PushedFilters and the scan
+    reads only the 4 referenced lineitem columns."""
+    plan = _plan(spark, "revenue_filter", sf_dir)
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"missing pushdown for {col}"
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_returned_customers_plan_shape(spark, sf_dir):
+    """Q10 shape: top-20 runs as TakeOrderedAndProject; customer and
+    nation joins broadcast (no shuffle for dims); order-date and
+    returnflag predicates push to their scans."""
+    plan = _plan(spark, "returned_customers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_late_shipping_semi_join(spark, sf_dir):
+    """Q4 shape: EXISTS must plan as LeftSemi (no duplication, no
+    post-join distinct)."""
+    plan = _plan(spark, "late_shipping_orders", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_no_order_customers_anti_join(spark, sf_dir):
+    """Q22 shape: NOT EXISTS plans as LeftAnti; the orders side scans
+    only o_custkey + the pushed date filter."""
+    plan = _plan(spark, "no_order_customers", sf_dir)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_large_orders_aggregates_before_join(spark, sf_dir):
+    """Q18 shape: the HAVING aggregate must run BELOW the joins (the
+    join inputs are aggregate output, not raw lineitem)."""
+    plan = _plan(spark, "large_orders", sf_dir)
+    opt = plan.split("\n\n")[0] if "\n\n" in plan else plan
+    # in the optimized plan the Aggregate on l_orderkey appears under
+    # the Join operators — assert textual order: first Join line comes
+    # before the last Aggregate line in the tree dump (parents print first)
+    lines = plan.splitlines()
+    join_idx = [i for i, ln in enumerate(lines) if "Join" in ln]
+    agg_idx = [i for i, ln in enumerate(lines) if "Aggregate" in ln or "HashAggregate" in ln]
+    assert join_idx and agg_idx
+    assert min(join_idx) < max(agg_idx), "aggregate should sit below the joins"
