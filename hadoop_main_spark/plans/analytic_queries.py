@@ -424,3 +424,77 @@ def json_event_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "window_running_totals",
+    oracle="""
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER w AS seq,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_value,
+           CAST(lag(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS prev_value,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS us_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Per-user ordered analytics: running totals, lag deltas, and "
+    "sequence numbers over a keyed window (PARTITION BY user_id — "
+    "never an unpartitioned window over the data, so the work "
+    "distributes across users). Running sums accumulate in DECIMAL, "
+    "immune to windowed-aggregation association differences between "
+    "engines; the (ts, event_id) sort key is unique, so every frame "
+    "is deterministic.",
+)
+def window_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec_val = F.col("value").cast("decimal(12,2)")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.sum(dec_val).over(run).cast("double").alias("running_value"),
+        F.lag(dec_val).over(w).cast("double").alias("prev_value"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+        ).alias("us_since_prev"),
+    )
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O_total,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F_total,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (long→wide): order count and decimal-exact totals per "
+    "priority × status, statuses spread into columns. With the pivot "
+    "values enumerated the plan stays a single partial+final hash "
+    "aggregate (no extra pass to discover the domain) — absent in the "
+    "reference, free in Spark.",
+)
+def pivot_status_counts(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return wide

@@ -603,3 +603,55 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "score", "rnk")
     )
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    chunks AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(0,
+               greatest((len(tk) - {CHUNK_SIZE} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}, 0))) AS chunk_idx
+      FROM toks)
+    SELECT doc_id, chunk_idx,
+           len(tk[chunk_idx*{CHUNK_STRIDE} + 1 : chunk_idx*{CHUNK_STRIDE} + {CHUNK_SIZE}]) AS n_chunk_tokens,
+           array_to_string(tk[chunk_idx*{CHUNK_STRIDE} + 1 : chunk_idx*{CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk_text
+    FROM chunks
+    """,
+    doc=f"Document chunking for training pipelines: split each document "
+    f"into overlapping {CHUNK_SIZE}-token windows with stride "
+    f"{CHUNK_STRIDE} (1→N expand via sequence+explode, then an O(1) "
+    f"array slice per chunk — the text is tokenized once, never "
+    f"re-scanned per chunk). Trailing partial chunks are kept; chunk "
+    f"count is the integer formula ceil((n-size)/stride)+1 clamped "
+    f"at 1, so coverage is total. At 100 TB this is a narrow "
+    f"map-side transform — no shuffle at all.",
+)
+def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", tokenize("text").alias("tk"))
+    n_last = F.greatest(
+        F.expr(f"(size(tk) - {CHUNK_SIZE} + {CHUNK_STRIDE - 1}) DIV {CHUNK_STRIDE}"),
+        F.lit(0),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("tk"), F.col("chunk_idx") * CHUNK_STRIDE + 1, F.lit(CHUNK_SIZE)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

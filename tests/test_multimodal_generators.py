@@ -1,5 +1,7 @@
 """Multimodal plumbing, generators + validators, counters."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -142,3 +144,22 @@ def test_terasort_10m_slow(spark, tmp_path):
     ).parquet(out)
     report = validate_sorted(spark.read.parquet(out), "key")
     assert report["misordered"] == 0 and report["rows"] == 10_000_000
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_SLOW") != "1", reason="set RUN_SLOW=1 for scale smokes"
+)
+def test_terasort_10m_scale_smoke(spark, tmp_path):
+    """Opt-in scale smoke: 10M 100-byte records (~1 GB) gen→sort→write→
+    read-back validate — the TeraSort pipeline at 100× the bench query
+    size. Guards against regressions that only appear past the
+    in-memory scale (spill, range-partitioner sampling, committer)."""
+    from hadoop_main_spark.sources.generators import teragen, validate_sorted
+
+    out = str(tmp_path / "tera10m")
+    data = teragen(spark, 10_000_000, seed=42)
+    data.orderBy("key", "rowid").write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    report = validate_sorted(back.select("key"), "key")
+    assert report["misordered"] == 0
+    assert report["rows"] == 10_000_000
