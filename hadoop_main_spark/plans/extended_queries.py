@@ -665,3 +665,70 @@ def hll_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return est.join(exact, "grp")
+
+
+@query(
+    "gap_fill_daily",
+    oracle="""
+    WITH dedup AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id, ts),
+    bounds AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds),
+    spine2 AS (
+      SELECT user_id, day,
+             day + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND AS day_end
+      FROM spine),
+    cnt AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY user_id, day)
+    SELECT s.user_id, CAST(epoch_us(s.day) AS BIGINT) AS day_us,
+           coalesce(c.n_events, 0) AS n_events,
+           d.value AS last_value
+    FROM spine2 s
+    ASOF LEFT JOIN dedup d ON s.user_id = d.user_id AND s.day_end >= d.ts
+    LEFT JOIN cnt c ON c.user_id = s.user_id AND c.day = s.day
+    """,
+    doc="Time-series gap fill / daily resample (hypertable-rollup "
+    "family; absent in the reference): per user, a dense daily spine "
+    "between that user's first and last event, each day carrying the "
+    "day's event count (0 on gap days) and the last observed value "
+    "carried forward across gaps. Spine generation is sequence+explode "
+    "(no driver loop); carry-forward is the asof_join operator (one "
+    "keyed shuffle + window pass); the day-count join is keyed. The "
+    "oracle cross-checks against DuckDB's native ASOF JOIN.",
+)
+def gap_fill_daily(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    dedup = e.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    bounds = e.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    ).select(
+        "user_id",
+        "day",
+        (F.col("day") + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND")).alias("ts"),
+    )
+    cnt = e.groupBy("user_id", day.alias("day")).agg(F.count("*").alias("n_events"))
+    filled = J.asof_join(spine, dedup, on="user_id", value_cols=["value"])
+    return (
+        filled.join(cnt, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("day").alias("day_us"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -655,3 +655,60 @@ def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
         F.size(piece).alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+      FROM toks),
+    per_gram AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY doc_id, shingle),
+    per_doc AS (
+      SELECT doc_id, SUM(c) AS total_grams, MAX(c) AS top_gram_count,
+             COUNT(*) AS distinct_grams
+      FROM per_gram GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(total_grams, 0) AS BIGINT) AS total_grams,
+           CAST(coalesce(top_gram_count, 0) AS BIGINT) AS top_gram_count,
+           CAST(coalesce(top_gram_count, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(total_grams, 0), 1) AS DOUBLE) AS top_gram_ratio,
+           CAST(coalesce(total_grams, 0) - coalesce(distinct_grams, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(total_grams, 0), 1) AS DOUBLE) AS dup_gram_ratio
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+    doc="Repetition / boilerplate detection (quality signal for "
+    "training-data curation): per document, the share of word-3-grams "
+    "taken by the single most repeated gram (top_gram_ratio) and the "
+    "share that are repeats of an earlier gram (dup_gram_ratio). "
+    "High values flag looped/boilerplate text. Integer-exact ratios; "
+    "two keyed aggregations, fan_out-parallelized explosion; gram-less "
+    "docs (<3 tokens) report zeros.",
+)
+def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    d = t(spark, sf, "documents")
+    grams = fan_out(d.select("doc_id", "text"), ["doc_id"]).select(
+        "doc_id", F.explode(D.word_shingles("text", 3)).alias("shingle")
+    )
+    per_gram = grams.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("total_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.count("*").alias("distinct_grams"),
+    )
+    total = F.coalesce(F.col("total_grams"), F.lit(0))
+    top = F.coalesce(F.col("top_gram_count"), F.lit(0))
+    distinct = F.coalesce(F.col("distinct_grams"), F.lit(0))
+    denom = F.greatest(total, F.lit(1)).cast("double")
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        total.cast("bigint").alias("total_grams"),
+        top.cast("bigint").alias("top_gram_count"),
+        (top.cast("double") / denom).alias("top_gram_ratio"),
+        ((total - distinct).cast("double") / denom).alias("dup_gram_ratio"),
+    )
