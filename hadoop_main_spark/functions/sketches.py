@@ -116,6 +116,70 @@ def hll_merge(registers: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame
     return registers.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
 
 
+# --- Bloom filter -----------------------------------------------------------
+
+BLOOM_M = 65536  # bits
+BLOOM_K = 4  # hash functions
+
+
+def bloom_bits(
+    df: DataFrame, col: Column | str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Bloom filter as a DataFrame of set bit positions (j, bit) —
+    the distributed form of the reference's BloomMapFile membership
+    filter (IO/BloomMapFile.java). Bit positions derive from the
+    portable hash64 with per-hash salts, so the sketch (and every
+    probe verdict) is reproducible in SQL. Mergeable by union-distinct;
+    the materialized sketch is at most k*m rows regardless of input
+    size, so it always broadcasts."""
+    c = F.col(col) if isinstance(col, str) else col
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (hash64(c, salt=f"bloom{j}") % m).alias("bit"),
+                )
+                for j in range(k)
+            ])
+        ).alias("jb")
+    )
+    return rows.select("jb.j", "jb.bit").distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe the sketch: a probe is 'maybe present' iff all k of its
+    bit positions are set (no false negatives; false-positive rate
+    ~(1 - e^(-kn/m))^k). The bits table broadcasts; the probe side
+    never shuffles."""
+    pos = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (hash64(col, salt=f"bloom{j}") % m).alias("bit"),
+                )
+                for j in range(k)
+            ])
+        ).alias("jb"),
+    ).select(col, "jb.j", "jb.bit")
+    hits = (
+        pos.join(F.broadcast(bits), ["j", "bit"], "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("__hits"))
+    )
+    return probes.join(hits, col, "left").select(
+        col, (F.coalesce("__hits", F.lit(0)) == k).alias("bloom_maybe")
+    )
+
+
 CM_DEPTH = 4
 CM_WIDTH = 256
 

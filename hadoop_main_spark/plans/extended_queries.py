@@ -732,3 +732,76 @@ def gap_fill_daily(spark: SparkSession, sf: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+def _bloom_oracle() -> str:
+    from hadoop_main_spark.functions.sketches import BLOOM_K, BLOOM_M
+
+    bit_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT DISTINCT {j} AS j, {hash64_sql('o_custkey', f'bloom{j}')} % {BLOOM_M} AS bit FROM orders"
+        for j in range(BLOOM_K)
+    )
+    probe_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT pk, {j} AS j, {hash64_sql('pk', f'bloom{j}')} % {BLOOM_M} AS bit FROM probes"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+    WITH bits AS (
+      {bit_selects}
+    ),
+    probes AS (SELECT unnest(generate_series(1, 2000))::BIGINT AS pk),
+    pos AS (
+      {probe_selects}
+    ),
+    hits AS (
+      SELECT pk, COUNT(*) AS h
+      FROM (SELECT DISTINCT pos.pk, pos.j FROM pos JOIN bits USING (j, bit)) u
+      GROUP BY pk),
+    verdict AS (
+      SELECT p.pk, coalesce(h, 0) = {BLOOM_K} AS bloom_maybe,
+             EXISTS (SELECT 1 FROM orders WHERE o_custkey = p.pk) AS present
+      FROM probes p LEFT JOIN hits USING (pk))
+    SELECT COUNT(*) AS n_probes,
+           COUNT(CASE WHEN bloom_maybe THEN 1 END) AS n_bloom_maybe,
+           COUNT(CASE WHEN present THEN 1 END) AS n_present,
+           COUNT(CASE WHEN bloom_maybe AND NOT present THEN 1 END) AS n_false_positive,
+           COUNT(CASE WHEN present AND NOT bloom_maybe THEN 1 END) AS n_false_negative
+    FROM verdict
+    """
+
+
+@query(
+    "bloom_membership",
+    oracle=_bloom_oracle(),
+    doc="Bloom-filter membership sketch (the reference's BloomMapFile, "
+    "IO/BloomMapFile.java): build a 65536-bit / 4-hash filter over "
+    "orders.o_custkey as a (j, bit) DataFrame, probe custkeys 1..2000, "
+    "and report maybe/present/false-positive/false-negative counts — "
+    "the oracle proves zero false negatives and bit-identical "
+    "false-positive verdicts. The sketch is bounded at k*m rows, so "
+    "it broadcasts to probes at any corpus scale.",
+)
+def bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.sketches import BLOOM_K, bloom_bits, bloom_probe
+
+    o = t(spark, sf, "orders")
+    bits = bloom_bits(o, "o_custkey")
+    probes = spark.range(1, 2001).select(F.col("id").alias("pk"))
+    verdict = bloom_probe(bits, probes, "pk")
+    present = o.select(F.col("o_custkey").alias("pk")).distinct().withColumn(
+        "present", F.lit(True)
+    )
+    v = verdict.join(present, "pk", "left").select(
+        "pk", "bloom_maybe", F.coalesce("present", F.lit(False)).alias("present")
+    )
+    return v.agg(
+        F.count("*").alias("n_probes"),
+        F.count(F.when(F.col("bloom_maybe"), 1)).alias("n_bloom_maybe"),
+        F.count(F.when(F.col("present"), 1)).alias("n_present"),
+        F.count(F.when(F.col("bloom_maybe") & ~F.col("present"), 1)).alias(
+            "n_false_positive"
+        ),
+        F.count(F.when(F.col("present") & ~F.col("bloom_maybe"), 1)).alias(
+            "n_false_negative"
+        ),
+    )
