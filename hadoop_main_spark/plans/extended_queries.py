@@ -805,3 +805,87 @@ def bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
             "n_false_negative"
         ),
     )
+
+
+@query(
+    "quantile_histogram",
+    oracle="""
+    WITH hist AS (
+      SELECT o_orderpriority AS grp, CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS b,
+             COUNT(*) AS c
+      FROM orders GROUP BY grp, b),
+    cum AS (
+      SELECT grp, b, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY grp) AS n
+      FROM hist),
+    est AS (
+      SELECT grp, MAX(n) AS n,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS p50_b,
+             MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN b END) AS p95_b
+      FROM cum GROUP BY grp),
+    ranked AS (
+      SELECT o_orderpriority AS grp, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders),
+    exact AS (
+      SELECT grp, o_totalprice AS p50_exact FROM ranked WHERE rn = (n + 1) // 2)
+    SELECT e.grp, e.n,
+           CAST((p50_b + 1) * 1000.0 AS DOUBLE) AS p50_est_upper,
+           CAST((p95_b + 1) * 1000.0 AS DOUBLE) AS p95_est_upper,
+           x.p50_exact
+    FROM est e JOIN exact x ON e.grp = x.grp
+    """,
+    doc="Mergeable quantile sketch: fixed-width (1000-unit) histogram "
+    "of order totals per priority — buckets merge by count addition "
+    "across partitions/shards, the scale path for the reference's "
+    "ValueHistogram median/percentile report (MRC/mapreduce/lib/"
+    "aggregate/ValueHistogram.java:83). p50/p95 read off the "
+    "cumulative histogram with integer-exact rank thresholds; the "
+    "exact p50 (deterministic (value, orderkey) rank) rides along, "
+    "bounding the estimate error by one bucket width. The histogram "
+    "is O(value_range/width) rows however large the input.",
+)
+def quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("bigint")
+    hist = o.groupBy(F.col("o_orderpriority").alias("grp"), b.alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("grp").orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "b",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    est = cum.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("b"))).alias("p50_b"),
+        F.min(F.when(F.col("cum") >= F.expr("(95 * n + 99) DIV 100"), F.col("b"))).alias("p95_b"),
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_totalprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    exact = ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "grp", F.col("o_totalprice").alias("p50_exact")
+    )
+    return est.join(exact, "grp").select(
+        "grp",
+        "n",
+        ((F.col("p50_b") + 1) * F.lit(1000.0)).cast("double").alias("p50_est_upper"),
+        ((F.col("p95_b") + 1) * F.lit(1000.0)).cast("double").alias("p95_est_upper"),
+        "p50_exact",
+    )
