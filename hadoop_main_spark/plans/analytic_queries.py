@@ -498,3 +498,59 @@ def pivot_status_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return wide
+
+
+@query(
+    "market_share",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
+           CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN {_REV_SQL}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = nc.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: NATION_3 suppliers' share of revenue sold to "
+    "ASIA customers, by order year — a six-table join where every "
+    "dimension (customer, nation x2, region, supplier) broadcasts and "
+    "only lineitem⋈orders shuffles. Both the conditional and total "
+    "revenue accumulate as exact DECIMAL in one aggregate pass; a "
+    "single double division per year at the end.",
+)
+def market_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = (
+        t(spark, sf, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    nation3_rev = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nation3_rev).cast("double") / F.sum(_rev()).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
