@@ -196,3 +196,44 @@ def upsert_stream_parquet(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def hll_sketch_stream_parquet(
+    stream_df: DataFrame,
+    col: str,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming distinct-count sketch sink: each micro-batch's
+    HyperLogLog registers are max-merged into a parquet register table
+    (functions/sketches.py). Because HLL merge is lossless, the
+    estimate read from the sink after any sequence of batches is
+    IDENTICAL to the batch estimate over all data seen — the property
+    the equivalence test pins. State is <= 256 rows regardless of
+    stream volume, so the merge cost is constant per batch; the same
+    shape scales to per-key sketches by adding group columns to the
+    register key."""
+    from hadoop_main_spark.functions.sketches import hll_merge, hll_registers
+
+    spark = stream_df.sparkSession
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch, col)
+        try:
+            existing = spark.read.parquet(path)
+            merged = hll_merge(existing.unionByName(regs))
+        except Exception:
+            merged = regs
+        merged.cache().count()  # materialize before overwriting the source
+        merged.write.mode("overwrite").parquet(path)
+        merged.unpersist()
+
+    w = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

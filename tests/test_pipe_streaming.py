@@ -235,3 +235,19 @@ def test_stream_broadcast_enrich_matches_batch(spark, sf_dir):
     assert got == want and len(want) > 0
     # left join: every stream row survives even without a dim match
     assert len(got) == batch.count()
+
+
+def test_stream_hll_sketch_equals_batch(spark, sf_dir, tmp_path):
+    from hadoop_main_spark.functions.sketches import hll_estimate, hll_registers
+    from hadoop_main_spark.tables import load_table
+
+    out, ckpt = str(tmp_path / "hll"), str(tmp_path / "hllckpt")
+    stream = W.read_events_stream(spark, sf_dir).select("user_id")
+    q = W.hll_sketch_stream_parquet(stream, "user_id", out, ckpt)
+    q.awaitTermination(120)
+
+    stream_est = hll_estimate(spark.read.parquet(out)).collect()[0].est_distinct
+    batch = load_table(spark, sf_dir, "events").select("user_id")
+    batch_est = hll_estimate(hll_registers(batch, "user_id")).collect()[0].est_distinct
+    # lossless register merge: stream and batch estimates are IDENTICAL
+    assert stream_est == batch_est

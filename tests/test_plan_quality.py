@@ -198,3 +198,23 @@ def test_large_orders_aggregates_before_join(spark, sf_dir):
     agg_idx = [i for i, ln in enumerate(lines) if "Aggregate" in ln or "HashAggregate" in ln]
     assert join_idx and agg_idx
     assert min(join_idx) < max(agg_idx), "aggregate should sit below the joins"
+
+
+def test_market_share_single_fact_shuffle(spark, sf_dir):
+    """Q8 shape: all five dimension joins broadcast — the only
+    sort-merge-eligible join is lineitem⋈orders; no dimension may
+    force a hash exchange."""
+    plan = _plan(spark, "market_share", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3
+    # dims must not shuffle: no exchange hash-partitions on dim keys
+    for key in ("c_custkey", "s_suppkey", "n_nationkey", "r_regionkey"):
+        assert f"Exchange hashpartitioning({key}" not in plan
+
+
+def test_gap_fill_windows_are_keyed(spark, sf_dir):
+    """Gap fill: the asof carry-forward window must be keyed by
+    user_id (distributable), never an unpartitioned window."""
+    plan = _plan(spark, "gap_fill_daily", sf_dir)
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "user_id" in ln, f"unkeyed window: {ln.strip()[:160]}"
