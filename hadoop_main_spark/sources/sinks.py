@@ -72,3 +72,47 @@ def write_sorted_bucketed(
         .sortBy(*sort_cols)
         .saveAsTable(table)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> dict:
+    """Compact a parquet directory of many small files into files of
+    ~``target_file_bytes`` — the write-side sibling of the reference's
+    CombineFileInputFormat read-side packing (MRC/mapreduce/lib/input/
+    CombineFileInputFormat.java:1). Small files are the classic 100 TB
+    operational hazard (NameNode/listing pressure, per-file open cost,
+    tiny row groups defeating parquet stats); periodic compaction is
+    the standard fix.
+
+    Sizing reads actual on-disk bytes via the file index (no data
+    pass); the rewrite is one coalesce (narrow — no shuffle) unless
+    ``out_path`` is None, in which case the rewrite targets a sibling
+    then the caller swaps. Returns {files_before, files_after,
+    bytes_total, rows}.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    dest = out_path or (path.rstrip("/") + "_compacted")
+    rows = df.count()
+    df.coalesce(n_out).write.mode("overwrite").parquet(dest)
+    out_files = spark.read.parquet(dest).inputFiles()
+    return {
+        "files_before": len(files),
+        "files_after": len(out_files),
+        "bytes_total": int(total),
+        "rows": rows,
+        "out_path": dest,
+    }

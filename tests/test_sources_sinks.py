@@ -103,3 +103,19 @@ def test_jdbc_split_computation():
     # boundaries are lexicographically ordered
     flat = [x for pair in ts for x in pair]
     assert flat == sorted(flat)
+
+
+def test_compact_small_files(spark, tmp_path):
+    from hadoop_main_spark.sources.sinks import compact_small_files
+
+    src = str(tmp_path / "many")
+    spark.range(0, 100_000).repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+    report = compact_small_files(spark, src, target_file_bytes=10 * 1024 * 1024)
+    assert report["files_before"] == 64
+    assert report["files_after"] <= 2
+    assert report["rows"] == 100_000
+    back = spark.read.parquet(report["out_path"])
+    assert back.count() == 100_000
+    # content preserved (sum is partition-order independent)
+    assert back.agg({"id": "sum"}).collect()[0][0] == 100_000 * 99_999 // 2
