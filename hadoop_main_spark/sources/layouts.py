@@ -43,3 +43,52 @@ def materialize_bucketed(
         )
         names[table] = name
     return names
+
+
+def zorder_value(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) value of two non-negative integer columns:
+    bit-interleaved so that sorting by it clusters rows that are close
+    in BOTH dimensions. Pure Catalyst shift/mask expressions — JVM-
+    evaluated, codegen-friendly.
+    """
+    from pyspark.sql import functions as F
+
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("bigint")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("bigint")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def write_zordered(
+    df,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered by the Z-order of (col_a, col_b): range-
+    partition + sort by the Morton value so each output file covers a
+    small rectangle of the 2-D key space. Parquet footer min/max stats
+    on BOTH columns then prune file/row-group reads for range filters
+    on EITHER dimension — the multi-dimensional generalization of the
+    reference's sorted MapFile layout (IO/MapFile.java), where a
+    single-key sort can only prune one dimension.
+    """
+    from pyspark.sql import functions as F
+
+    z = zorder_value(col_a, col_b, bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

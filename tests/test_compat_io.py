@@ -189,3 +189,37 @@ def test_distch_chmod(spark, tmp_path):
     report = distch(spark, str(d), mode=0o600).collect()
     assert report[0].ok == 1
     assert (d / "f.txt").stat().st_mode & 0o777 == 0o600
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Each z-ordered file must cover a small rectangle of the 2-D key
+    space: the mean per-file extent in BOTH dimensions stays near the
+    ideal sqrt(n_files) grid cell, where a 1-D sort leaves the second
+    dimension's extent at ~full range per file."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.sources.layouts import write_zordered
+
+    n, side = 65536, 256  # 256x256 uniform grid
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("bigint").alias("y")
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, "x", "y", n_files=16, bits=8)
+
+    spans = (
+        spark.read.parquet(zpath)
+        .select("x", "y", F.col("_metadata.file_path").alias("f"))
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    mean_sx = sum(r.sx for r in spans) / len(spans)
+    mean_sy = sum(r.sy for r in spans) / len(spans)
+    # 16 files over a 256x256 grid -> ideal cell 64x64; allow 2x slack.
+    # A 1-D sort on x would give mean_sy ~= 255.
+    assert mean_sx <= 128, f"x extent too wide: {mean_sx}"
+    assert mean_sy <= 128, f"y extent too wide: {mean_sy}"
