@@ -529,26 +529,40 @@ GROUP BY d.source
     bench=True,
 )
 def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.transforms import tokenize
+
     d = t(spark, sf, "documents")
-    lang_ok = d.select("doc_id", TS.lang_id("text").alias("g")).filter(
-        F.col("g") == "en"
+    # lang + quality are all token-derived: fuse them into ONE
+    # projection pass over documents (one scan, no self-joins) —
+    # only the near-dup id set joins in, as a left anti.
+    toks = tokenize("text")
+    n_tok = F.size(toks).cast("bigint")
+    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    safe = F.when(n_tok > 0, n_tok.cast("double")).otherwise(F.lit(1.0))
+    feats = d.select(
+        "doc_id",
+        "source",
+        TS.lang_id("text").alias("g"),
+        n_tok.alias("n_tokens"),
+        (n_uniq.cast("double") / safe).alias("unique_ratio"),
     )
-    qual = TS.quality_features(d, "doc_id", "text").filter(
-        (F.col("n_tokens") >= 20) & (F.col("unique_ratio") >= 0.3)
+    kept = feats.filter(
+        (F.col("g") == "en")
+        & (F.col("n_tokens") >= 20)
+        & (F.col("unique_ratio") >= 0.3)
     )
     dupes = (
         D.minhash_lsh_pairs(d, "doc_id", "text", min_est_jaccard=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    kept = (
-        d.join(lang_ok.select("doc_id"), "doc_id")
-        .join(qual.select("doc_id", "n_tokens"), "doc_id")
-        .join(dupes, "doc_id", "left_anti")
-    )
-    return kept.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+    return (
+        kept.join(dupes, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
     )
 
 
