@@ -121,16 +121,19 @@ def minhash_signature(
 
 def lsh_band_signatures(sig: DataFrame, id_col: str) -> DataFrame:
     """Banded LSH: (doc, band, band_sig) rows; equal band_sig within a
-    band → candidate pair. band_sig re-hashes the band's minhashes."""
-    bands = []
+    band → candidate pair. band_sig re-hashes the band's minhashes.
+    One explode pass emits all bands (a union of per-band selects
+    would rescan the signature table B times)."""
+    structs = []
     for b in range(BANDS):
         cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
         band_sig = hash64(F.concat_ws("_", *[c.cast("string") for c in cols]), f"band{b}")
-        bands.append(sig.select(F.col(id_col), F.lit(b).alias("band"), band_sig.alias("band_sig")))
-    out = bands[0]
-    for other in bands[1:]:
-        out = out.unionByName(other)
-    return out
+        structs.append(
+            F.struct(F.lit(b).alias("band"), band_sig.alias("band_sig"))
+        )
+    return sig.select(F.col(id_col), F.explode(F.array(*structs)).alias("__bb")).select(
+        id_col, "__bb.band", "__bb.band_sig"
+    )
 
 
 def minhash_lsh_pairs(
@@ -217,19 +220,16 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     hamming ≤ 3 of 32 bits must agree on ≥1 of 4 bands), verified by
     exact Hamming distance."""
     sim = simhash(df, id_col, text_col).cache()
-    bands = []
-    for b in range(4):
-        bands.append(
-            sim.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("band_val"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("band_val"),
         )
-    all_bands = bands[0]
-    for o in bands[1:]:
-        all_bands = all_bands.unionByName(o)
+        for b in range(4)
+    ]
+    all_bands = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("__bb")
+    ).select(id_col, "simhash", "__bb.band", "__bb.band_val")
     left = all_bands.select("band", "band_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
     right = all_bands.select("band", "band_val", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
     cand = (
