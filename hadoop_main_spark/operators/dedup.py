@@ -366,17 +366,17 @@ def rhp_cosine_pairs(
         sig_cols.append(F.when(dot >= 0, 1).otherwise(0).alias(f"__b{j}"))
     sig = wide.select(F.col(id_col), *sig_cols)
     n_bands = bits // band_bits
-    bands = []
+    band_structs = []
     for b in range(n_bands):
         val = sum(
             F.col(f"__b{b * band_bits + r}") * F.lit(1 << r) for r in range(band_bits)
         )
-        bands.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"), val.alias("band_val"))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), val.alias("band_val"))
         )
-    allb = bands[0]
-    for o in bands[1:]:
-        allb = allb.unionByName(o)
+    allb = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__bb")
+    ).select(id_col, "__bb.band", "__bb.band_val")
     left = allb.select("band", "band_val", F.col(id_col).alias("id_a"))
     right = allb.select("band", "band_val", F.col(id_col).alias("id_b"))
     cand = (
