@@ -17,13 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over the events parquet (nanos → µs ts as in
-    tables.load_table). Spark file streams require a *directory*; the
-    fixture is a single file, so we stage a symlink dir (at real scale
-    the source is already a growing directory)."""
+    """File-source stream over any TESTDATA table parquet. Spark file
+    streams require a *directory*; the fixture is a single file, so we
+    stage a symlink dir (at real scale the source is already a growing
+    directory). Nanos timestamps read back as bigint and convert to µs
+    exactly as tables.load_table does."""
     import os
     import tempfile
 
@@ -31,15 +32,15 @@ def read_events_stream(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    src = f"{sf_dir.rstrip('/')}/{table}.parquet"
     if os.path.isdir(src):
         stream_dir = src
     else:
         stream_dir = os.path.join(
-            tempfile.gettempdir(), f"events_stream_{abs(hash(src))}"
+            tempfile.gettempdir(), f"{table}_stream_{abs(hash(src))}"
         )
         os.makedirs(stream_dir, exist_ok=True)
-        link = os.path.join(stream_dir, "events.parquet")
+        link = os.path.join(stream_dir, f"{table}.parquet")
         if not os.path.exists(link):
             os.symlink(src, link)
     batch = spark.read.parquet(src)
@@ -51,6 +52,14 @@ def read_events_stream(
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (see
+    :func:`read_table_stream`)."""
+    return read_table_stream(spark, sf_dir, "events", max_files_per_trigger)
 
 
 def tumbling_counts(
@@ -237,3 +246,40 @@ def hll_sketch_stream_parquet(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def dedup_stream_minhash(docs_stream: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Streaming near-duplicate suppression: per arriving document,
+    compute the MinHash signature (stateless Catalyst expressions —
+    same constants as operators/dedup.py) and keep only the FIRST
+    document per full signature via dropDuplicates on the signature
+    columns. Equal full signatures ⇒ near-certain near-dup, so this is
+    the streaming cousin of exact dedup with near-dup sensitivity;
+    banded (probabilistic) matching needs the batch LSH join instead.
+
+    State = one row per distinct signature (unbounded without a
+    watermark — bound it with dropDuplicatesWithinWatermark on a ts
+    column when the stream has event time).
+    """
+    from hadoop_main_spark.operators.dedup import (
+        MINHASH_P,
+        NUM_HASHES,
+        PERM,
+        word_shingles,
+    )
+    from hadoop_main_spark.functions.hashing import hash64
+
+    sh = F.transform(
+        word_shingles(text_col), lambda s: hash64(s) % MINHASH_P
+    )
+    sig_cols = [
+        F.coalesce(
+            F.array_min(F.transform(sh, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)),
+            F.lit(MINHASH_P - 1),
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(PERM)
+    ]
+    with_sig = docs_stream.select(F.col(id_col), F.col(text_col), *sig_cols)
+    return with_sig.dropDuplicates([f"mh{j}" for j in range(NUM_HASHES)]).select(
+        id_col, text_col, *[f"mh{j}" for j in range(NUM_HASHES)]
+    )

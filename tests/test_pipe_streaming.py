@@ -251,3 +251,28 @@ def test_stream_hll_sketch_equals_batch(spark, sf_dir, tmp_path):
     batch_est = hll_estimate(hll_registers(batch, "user_id")).collect()[0].est_distinct
     # lossless register merge: stream and batch estimates are IDENTICAL
     assert stream_est == batch_est
+
+
+def test_stream_minhash_dedup_matches_batch(spark, sf_dir):
+    stream = W.read_table_stream(spark, sf_dir, "documents").select("doc_id", "text")
+    q = (
+        W.dedup_stream_minhash(stream, "doc_id", "text")
+        .writeStream.format("memory").queryName("t_mh_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    kept = spark.table("t_mh_dedup").count()
+
+    # batch truth: number of distinct full minhash signatures
+    from hadoop_main_spark.operators.dedup import minhash_signature
+    from hadoop_main_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_sigs = (
+        minhash_signature(docs, "doc_id", "text")
+        .select(*[f"mh{j}" for j in range(16)])
+        .distinct()
+        .count()
+    )
+    assert kept == n_sigs
+    assert kept < docs.count()  # the fixture contains near-dups
