@@ -117,3 +117,39 @@ def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))).alias("frame_idx"),
     )
+
+
+# ($1 "") forces STRING comparison: a first key of "0" compares
+# numerically equal to the uninitialized k ("" coerces to 0) and the
+# group transition would never fire for it.
+_AWK_SUM = (
+    "awk -F'\\t' '"
+    "($1 \"\") != (k \"\") { if (NR > 1) print k \"\\t\" s; k = $1; s = 0 } "
+    "{ s += $2 } "
+    "END { if (NR > 0) print k \"\\t\" s }'"
+)
+
+
+@query(
+    "pipe_reduce_sum",
+    oracle="""
+    SELECT user_id, CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Hadoop-Streaming subprocess REDUCER (ST/PipeMapRed.java:1 "
+    "semantics): rows are co-located per key and sorted — the contract "
+    "a streaming reducer script expects on stdin — then piped through "
+    "an awk running-sum reducer that emits one line per key group. "
+    "Values are integer cents (explicit floor — portable across "
+    "engines), so the subprocess arithmetic is oracle-exact.",
+)
+def pipe_reduce_sum(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = PIPE.pipe_reduce(e, _AWK_SUM, group_key="user_id")
+    return out.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        F.col("value").cast("bigint").alias("total_cents"),
+    )
