@@ -118,3 +118,61 @@ def test_global_rank_model(spark, vals):
     got = {r.v: r.rank for r in S.global_rank(df, "v", rank_col="rank").collect()}
     want = {v: i + 1 for i, v in enumerate(sorted(vals))}
     assert got == want
+
+
+sets_and_probes = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+)
+
+
+@_slow
+@given(sets_and_probes)
+def test_bloom_never_false_negative_model(spark, data):
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.functions.sketches import bloom_bits, bloom_probe
+
+    members, probes = data
+    mdf = spark.createDataFrame([(int(x),) for x in members], "k long")
+    pdf = spark.createDataFrame([(int(x),) for x in probes], "k long")
+    verdict = {
+        r.k: r.bloom_maybe
+        for r in bloom_probe(bloom_bits(mdf, "k"), pdf, "k").collect()
+    }
+    for p in probes:
+        if p in members:
+            assert verdict[p], f"false negative for {p}"
+
+
+split_values = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@_slow
+@given(split_values)
+def test_hll_merge_invariant_under_any_split_model(spark, rows):
+    """Registers merged from ANY partition of the data equal the
+    whole-data registers — the property that lets shards/streams
+    combine losslessly."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.functions.sketches import hll_merge, hll_registers
+
+    df = spark.createDataFrame(
+        [(str(v), g) for v, g in rows], "v string, part int"
+    )
+    whole = {
+        (r.bucket): r.reg for r in hll_registers(df, "v").collect()
+    }
+    merged = {
+        (r.bucket): r.reg
+        for r in hll_merge(hll_registers(df, "v", ["part"]).drop("part")).collect()
+    }
+    assert whole == merged
