@@ -110,3 +110,32 @@ def salted_agg(
             raise ValueError(f"non-decomposable agg fn: {fn}")
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*phase1_aggs)
     return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (big, skewed) left side into
+    ``salt_buckets`` sub-keys and replicate each right row once per
+    bucket, so a hot key's rows spread over ``salt_buckets`` tasks
+    instead of stalling one straggler.
+
+    AQE's skew-join split handles this adaptively for shuffle joins;
+    explicit salting remains the tool when (a) the skew is known ahead
+    of time, (b) the join is bucketed/sort-merge and AQE can't resplit,
+    or (c) deterministic task sizing matters. Replication multiplies
+    the right side by ``salt_buckets`` — use only when right is much
+    smaller (but too big / unwanted to broadcast).
+
+    Inner join only; columns = left's then right's non-key columns.
+    """
+    salt = (F.rand(seed=0) * salt_buckets).cast("int")
+    l_s = left.withColumn("__salt", salt)
+    r_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l_s.join(r_s, [key, "__salt"], "inner").drop("__salt")
+    return out

@@ -235,3 +235,21 @@ def test_connected_components_deep_chain_converges(spark):
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 61
+
+
+def test_salted_join_matches_plain_on_skewed_data(spark):
+    from hadoop_main_spark.operators.partitioning import salted_join
+
+    # 90% of left rows share one hot key
+    left = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("rv")
+    )
+    got = salted_join(left, right, "k")
+    plain = left.join(right, "k")
+    assert got.count() == plain.count()
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
