@@ -83,7 +83,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check-correctness")
+    # SPARK_GRAFT_SHUFFLE overrides shuffle parallelism — rerunning the
+    # whole sweep at e.g. 5 partitions certifies results are
+    # partitioning-independent
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    spark = get_spark(
+        "check-correctness", shuffle_partitions=int(shuffle) if shuffle else None
+    )
     con = duck_connection(sf_dir)
     failures = 0
     for name, q in REGISTRY.items():
