@@ -726,3 +726,86 @@ def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
         (top.cast("double") / denom).alias("top_gram_ratio"),
         ((total - distinct).cast("double") / denom).alias("dup_gram_ratio"),
     )
+
+
+@query(
+    "crossmodal_dup_agreement",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             {hash64_sql("array_to_string(list_transform(embedding[1:8], x -> CAST(CAST(floor(CAST(x AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR)), ',')")} AS qhash
+      FROM embeddings),
+    g AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qhash) AS canon FROM q),
+    pairs AS (SELECT canon AS id_a, vec_id AS id_b FROM g WHERE vec_id <> canon),
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    grams AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gm
+              FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS ic
+              FROM pairs p JOIN grams ga ON ga.doc_id = p.id_a
+                           JOIN grams gb ON gb.doc_id = p.id_b AND ga.gm = gb.gm
+              GROUP BY p.id_a, p.id_b)
+    SELECT p.id_a, p.id_b,
+           {_cos("ea.embedding", "eb.embedding")} AS cosine,
+           CAST(coalesce(ic, 0) AS DOUBLE)
+             / CAST(sa.sz + sb.sz - coalesce(ic, 0) AS DOUBLE) AS text_jaccard
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    """,
+    doc="Cross-modal duplicate verification: candidate pairs come from "
+    "the cheap embedding grid-quantization bucketer (O(n), vector "
+    "space); each candidate is then scored BOTH by exact embedding "
+    "cosine and by text word-3-gram Jaccard over the 1:1-aligned "
+    "documents table. The pattern for multimodal corpora where "
+    "near-dup decisions need agreement between modalities before "
+    "dropping data. Candidates only — never an all-pairs product in "
+    "either modality.",
+)
+def crossmodal_dup_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.partitioning import fan_out
+    from hadoop_main_spark.operators.similarity import cosine
+
+    e = t(spark, sf, "embeddings")
+    d = t(spark, sf, "documents")
+    q = D.embedding_quantize_dedup(e, "vec_id", "embedding", grid=0.5, dims=8)
+    pairs = q.filter(F.col("vec_id") != F.col("canonical_id")).select(
+        F.col("canonical_id").alias("id_a"), F.col("vec_id").alias("id_b")
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    grams = fan_out(d.select("doc_id", "text"), ["doc_id"]).select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(D.word_shingles("text", 3))).alias("gm"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(grams.select(F.col("doc_id").alias("id_a"), "gm"), "id_a")
+        .join(grams.select(F.col("doc_id").alias("id_b"), F.col("gm").alias("gm2")), "id_b")
+        .filter(F.col("gm") == F.col("gm2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ic"))
+    )
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine("__va", "__vb").alias("cosine"),
+            (
+                F.coalesce(F.col("ic"), F.lit(0)).cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("ic"), F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("text_jaccard"),
+        )
+    )
