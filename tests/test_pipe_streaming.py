@@ -276,3 +276,55 @@ def test_stream_minhash_dedup_matches_batch(spark, sf_dir):
     )
     assert kept == n_sigs
     assert kept < docs.count()  # the fixture contains near-dups
+
+
+def test_pipe_multichar_separator(spark):
+    # TestStreamingSeparator analog: multi-char separators survive the
+    # round trip through the subprocess line protocol
+    df = spark.createDataFrame([("k1", "v1"), ("k2", "v2")], ["k", "v"])
+    out = {
+        (r.key, r.value)
+        for r in P.pipe(df, "cat", input_sep="::", output_sep="::").collect()
+    }
+    assert out == {("k1", "v1"), ("k2", "v2")}
+
+
+def test_pipe_combiner_then_reduce(spark):
+    # TestStreamingCombiner analog: a map-side pre-aggregation
+    # (Spark partial agg plays the combiner role) feeding a subprocess
+    # reducer gives the same totals as the plain aggregate
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("a", 4), ("b", 5)], ["k", "v"]
+    )
+    combined = df.groupBy("k").agg(F.sum("v").alias("v"))  # combiner stage
+    out = P.pipe_reduce(
+        combined,
+        "awk -F'\\t' '($1 \"\") != (p \"\") { if (NR > 1) print p \"\\t\" s; p = $1; s = 0 } "
+        "{ s += $2 } END { if (NR > 0) print p \"\\t\" s }'",
+        group_key="k",
+    )
+    rows = {(r.key, int(r.value)) for r in out.collect()}
+    assert rows == {("a", 7), ("b", 8)}
+
+
+def test_pipe_preserves_utf8_and_specials(spark):
+    # content with UTF-8, quotes, and shell metacharacters must pass
+    # through the stdin/stdout protocol unmangled
+    vals = ["héllo wörld", "a\"quote'd", "dollar$and|pipe&amp"]
+    df = spark.createDataFrame([(v,) for v in vals], ["k"])
+    out = {r.key for r in P.pipe(df, "cat").collect()}
+    assert out == set(vals)
+
+
+def test_pipe_large_group_streams(spark):
+    # a 50k-line group must stream through the subprocess without
+    # deadlock (writer thread vs stdout reader) and count exactly
+    df = spark.range(50_000).select(F.lit("g").alias("k"), F.col("id").cast("string").alias("v"))
+    out = P.pipe_reduce(
+        df,
+        "awk -F'\\t' '($1 \"\") != (p \"\") { if (NR > 1) print p \"\\t\" c; p = $1; c = 0 } "
+        "{ c += 1 } END { if (NR > 0) print p \"\\t\" c }'",
+        group_key="k",
+    )
+    rows = [(r.key, int(r.value)) for r in out.collect()]
+    assert sorted(rows) == [("g", 50_000)] or sum(v for _, v in rows) == 50_000
