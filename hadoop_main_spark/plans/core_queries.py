@@ -598,3 +598,42 @@ def events_window(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "sliding_window_stats",
+    oracle="""
+    WITH starts AS (
+      SELECT ts, event_type, value,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+      FROM events)
+    SELECT CAST(floor(epoch(w_start)) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    doc="Sliding event-time windows (2h window, 1h slide): each event "
+    "lands in window/slide = 2 overlapping windows — F.window does the "
+    "expansion; the oracle reproduces Spark's epoch-aligned starts by "
+    "expanding each event to its two covering hour-starts. Same "
+    "expressions run under readStream with a watermark "
+    "(streaming/windows.py sliding_avg).",
+)
+def sliding_window_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_d("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
