@@ -554,3 +554,112 @@ def market_share(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name AS nation, EXTRACT(year FROM l_shipdate)::INT AS o_year,
+           CAST(SUM({_REV_SQL}
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(0.1 AS DECIMAL(4,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape: profit (revenue minus a 10%-of-retail unit "
+    "cost proxy — the testdata has no partsupp/supplycost) per "
+    "supplier nation per ship year, restricted to red parts. "
+    "Part/supplier/nation broadcast; the LIKE prefix filter lands on "
+    "the part scan as a StartsWith pushdown before the join.",
+)
+def profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.1).cast("decimal(4,2)")
+        * _price("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(_rev() - cost).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_size IN (5, 10, 15, 20) AND p_type <> 'PROMO'
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct supplier count per part attribute "
+    "combination (testdata has no partsupp — lineitem supplies the "
+    "part↔supplier relation). COUNT(DISTINCT) plans as a two-phase "
+    "expand+aggregate; the size/type filters push to the part scan "
+    "before its broadcast.",
+)
+def parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        t(spark, sf, "part")
+        .filter(F.col("p_size").isin(5, 10, 15, 20) & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "bracket_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    doc="TPC-H Q19 shape: disjunctive bracket predicates spanning both "
+    "join sides (brand/size from part, quantity from lineitem). "
+    "Catalyst extracts the common sub-predicates it can push to each "
+    "scan and evaluates the OR as a join post-condition — the "
+    "reference would need three tagged join jobs plus a union.",
+)
+def bracket_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
