@@ -663,3 +663,86 @@ def bracket_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle=f"""
+    WITH avg_qty AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS aq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN avg_qty ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * aq
+    """,
+    doc="TPC-H Q17 shape: revenue from unusually small orders "
+    "(quantity under 20% of that part's average). The correlated avg "
+    "subquery decorrelates into one per-part aggregate joined back — "
+    "Catalyst does this automatically for the SQL form; here it is "
+    "written decorrelated so the plan is explicit: aggregate once, "
+    "broadcast the per-part averages, filter in the join. Exact-"
+    "decimal-sum/count average keeps the 0.2*avg comparison "
+    "bit-identical across engines.",
+)
+def small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_price("l_quantity")).cast("double") / F.count("*")).alias("aq")
+    )
+    p = t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            (F.sum(_price("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "nation_inventory_share",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT n_name, SUM({_REV_SQL}) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name),
+    total AS (SELECT SUM(val) AS tot FROM per_nation)
+    SELECT n_name, CAST(val AS DOUBLE) AS value,
+           CAST(val AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+    FROM per_nation CROSS JOIN total
+    WHERE CAST(val AS DOUBLE) > 0.02 * CAST(tot AS DOUBLE)
+    """,
+    doc="TPC-H Q11 shape: per-nation inventory value kept only when it "
+    "exceeds 2% of the global total. The global total is the SUM of "
+    "the per-nation aggregate (exact DECIMAL — no double re-walk of "
+    "the data), broadcast as a one-row scalar; the HAVING-against-"
+    "scalar-subquery pattern common in monitoring rollups.",
+)
+def nation_inventory_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation")
+    per_nation = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).alias("val"))
+    )
+    total = per_nation.agg(F.sum("val").alias("tot"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > 0.02 * F.col("tot").cast("double"))
+        .select(
+            "n_name",
+            F.col("val").cast("double").alias("value"),
+            (F.col("val").cast("double") / F.col("tot").cast("double")).alias("share"),
+        )
+    )
