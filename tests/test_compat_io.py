@@ -223,3 +223,41 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     # A 1-D sort on x would give mean_sy ~= 255.
     assert mean_sx <= 128, f"x extent too wide: {mean_sx}"
     assert mean_sy <= 128, f"y extent too wide: {mean_sy}"
+
+
+def test_permissive_csv_bad_records(spark, tmp_path):
+    """Bad-record skipping (SURVEY §2.11, SkippingReduceValuesIterator
+    analog): PERMISSIVE mode keeps malformed rows in a corrupt-record
+    column instead of failing the job."""
+    p = tmp_path / "rows.csv"
+    p.write_text("1,alpha\n2,beta\nnot_an_int,gamma\n3,delta\n")
+    df = (
+        spark.read.schema("id INT, name STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    df = df.cache()
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert good.count() == 3
+    assert bad.count() == 1
+    assert "not_an_int" in bad.collect()[0]._corrupt
+    df.unpersist()
+
+
+def test_ignore_corrupt_files(spark, tmp_path):
+    """ignoreCorruptFiles: a garbage file in the directory is skipped,
+    the healthy parquet still reads (the job-level bad-input remedy)."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.range(100).write.parquet(str(d / "good"))
+    (d / "good" / "junk.parquet").write_bytes(b"this is not parquet at all")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        # explicit schema: corrupt-file skipping applies at scan time,
+        # not to schema inference (which reads footers eagerly)
+        assert spark.read.schema("id LONG").parquet(str(d / "good")).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
