@@ -45,6 +45,22 @@ def main() -> None:
     t0 = time.perf_counter()
     spark.range(1).groupBy().count().collect()
     small_job = round(time.perf_counter() - t0, 3)
+    # TestDFSIO analog (JT/fs/TestDFSIO.java:60): sequential parquet
+    # write then read of a ~64 MB synthetic table, reported as MB/s
+    import shutil
+    import tempfile
+
+    io_dir = os.path.join(tempfile.gettempdir(), "bench_dfsio")
+    rows = 4_000_000  # 2 longs/row ≈ 64 MB uncompressed
+    df_io = spark.range(rows).selectExpr("id", "id * 7 AS v")
+    t0 = time.perf_counter()
+    df_io.write.mode("overwrite").parquet(io_dir)
+    write_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.read.parquet(io_dir).selectExpr("sum(v)").collect()
+    read_s = time.perf_counter() - t0
+    mb = rows * 16 / 1e6
+    shutil.rmtree(io_dir, ignore_errors=True)
     print(
         json.dumps(
             {
@@ -54,6 +70,8 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "small_job_latency_s": small_job,
+                "io_write_mbps": round(mb / write_s, 1),
+                "io_read_mbps": round(mb / read_s, 1),
             }
         )
     )
