@@ -328,3 +328,36 @@ def test_pipe_large_group_streams(spark):
     )
     rows = [(r.key, int(r.value)) for r in out.collect()]
     assert sorted(rows) == [("g", 50_000)] or sum(v for _, v in rows) == 50_000
+
+
+def test_streaming_curation_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """Capstone composition: token-quality gate (stateless exprs) ->
+    minhash near-dup suppression (dropDuplicates state) -> checkpointed
+    parquet sink, driven as a stream; row count must equal the batch
+    computation (distinct signatures among quality-passing docs)."""
+    from hadoop_main_spark.operators.dedup import minhash_signature
+    from hadoop_main_spark.operators.transforms import tokenize
+    from hadoop_main_spark.tables import load_table
+
+    def quality_gate(df):
+        toks = tokenize("text")
+        return df.filter(
+            (F.size(toks) >= 20)
+            & (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.3)
+        )
+
+    out, ckpt = str(tmp_path / "curated"), str(tmp_path / "cckpt")
+    stream = W.read_table_stream(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = W.dedup_stream_minhash(quality_gate(stream), "doc_id", "text")
+    q = W.write_stream_parquet(kept.select("doc_id"), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).count()
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = (
+        minhash_signature(quality_gate(docs), "doc_id", "text")
+        .select(*[f"mh{j}" for j in range(16)])
+        .distinct()
+        .count()
+    )
+    assert got == want and got > 0
