@@ -42,6 +42,18 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("path")
     vs.add_argument("--key", default="key")
 
+    cp = sub.add_parser("compact", help="compact small parquet files to ~target size")
+    cp.add_argument("path")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--out")
+
+    zo = sub.add_parser("zorder", help="rewrite a parquet table Z-ordered on two int columns")
+    zo.add_argument("path")
+    zo.add_argument("out")
+    zo.add_argument("col_a")
+    zo.add_argument("col_b")
+    zo.add_argument("--files", type=int, default=16)
+
     args = ap.parse_args(argv)
 
     from hadoop_main_spark.plans.registry import REGISTRY
@@ -87,6 +99,23 @@ def main(argv: list[str] | None = None) -> int:
             report = validate_sorted(spark.read.parquet(args.path), args.key)
             print(json.dumps(report))
             return 0 if report["misordered"] == 0 else 1
+        if args.cmd == "compact":
+            from hadoop_main_spark.sources.sinks import compact_small_files
+
+            report = compact_small_files(
+                spark, args.path, args.target_mb * 1024 * 1024, args.out
+            )
+            print(json.dumps(report))
+            return 0
+        if args.cmd == "zorder":
+            from hadoop_main_spark.sources.layouts import write_zordered
+
+            write_zordered(
+                spark.read.parquet(args.path), args.out, args.col_a, args.col_b,
+                n_files=args.files,
+            )
+            print(f"wrote {args.out}")
+            return 0
     finally:
         spark.stop()
     return 0

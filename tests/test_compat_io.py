@@ -261,3 +261,50 @@ def test_ignore_corrupt_files(spark, tmp_path):
         assert spark.read.schema("id LONG").parquet(str(d / "good")).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_nested_type_roundtrip(spark, tmp_path):
+    """SURVEY §1 type-system mapping: the reference's container
+    Writables land on native Catalyst types — ArrayWritable/
+    TwoDArrayWritable → array/array<array>, MapWritable → map,
+    GenericWritable/ObjectWritable → tagged-union struct — and all
+    survive a parquet round trip."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            id=1,
+            arr=[1, 2, 3],
+            arr2d=[[1, 2], [3]],
+            m={"a": 1, "b": 2},
+            union=Row(tag="int", int_v=7, str_v=None),
+        ),
+        Row(
+            id=2,
+            arr=[],
+            arr2d=[],
+            m={},
+            union=Row(tag="str", int_v=None, str_v="x"),
+        ),
+    ]
+    df = spark.createDataFrame(rows)
+    p = str(tmp_path / "nested")
+    df.write.parquet(p)
+    back = spark.read.parquet(p).orderBy("id").collect()
+    assert back[0].arr2d == [[1, 2], [3]]
+    assert back[0].m == {"a": 1, "b": 2}
+    assert (back[0].union.tag, back[0].union.int_v) == ("int", 7)
+    assert (back[1].union.tag, back[1].union.str_v) == ("str", "x")
+    # tagged-union dispatch is an expression, not code
+    got = (
+        spark.read.parquet(p)
+        .select(
+            "id",
+            F.when(F.col("union.tag") == "int", F.col("union.int_v").cast("string"))
+            .otherwise(F.col("union.str_v"))
+            .alias("value"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.value) for r in got] == [(1, "7"), (2, "x")]
