@@ -52,10 +52,24 @@ def _uniq_count(value: Column, cap: int | None) -> Column:
     return F.least(F.countDistinct(value), F.lit(cap)).cast("bigint")
 
 
-def compile_aggregator(agg_type: str, value: Column | str, cap: int | None = None) -> Column:
-    """AggType name → aggregate Column (the descriptor 'compiler')."""
-    v = F.col(value) if isinstance(value, str) else value
-    table: dict[str, Column] = {
+#: user-registered AggType plugins: name → builder(value_col, cap) →
+#: aggregate Column. The analog of UserDefinedValueAggregatorDescriptor
+#: (MRC/mapreduce/lib/aggregate/UserDefinedValueAggregatorDescriptor.java:1),
+#: which loads user aggregator classes by name at job setup.
+USER_AGGREGATORS: dict = {}
+
+
+def register_aggregator(name: str, builder) -> None:
+    """Register a custom AggType under ``name``; ``builder(value_col,
+    cap)`` must return an aggregate Column. Registered names win over
+    nothing — builtins cannot be shadowed."""
+    if name in _builtin_aggregators(F.lit(0), None):
+        raise ValueError(f"cannot shadow builtin aggregator: {name}")
+    USER_AGGREGATORS[name] = builder
+
+
+def _builtin_aggregators(v: Column, cap: int | None) -> dict[str, Column]:
+    return {
         "LongValueSum": F.sum(v.cast("bigint")).cast("bigint"),
         "DoubleValueSum": exact_sum(v),
         "LongValueMax": F.max(v.cast("bigint")),
@@ -65,9 +79,18 @@ def compile_aggregator(agg_type: str, value: Column | str, cap: int | None = Non
         "ValueCount": F.count(v).cast("bigint"),
         "UniqValueCount": _uniq_count(v, cap),
     }
-    if agg_type not in table:
-        raise ValueError(f"unknown aggregator type: {agg_type}")
-    return table[agg_type]
+
+
+def compile_aggregator(agg_type: str, value: Column | str, cap: int | None = None) -> Column:
+    """AggType name → aggregate Column (the descriptor 'compiler').
+    Builtins first, then user plugins (:func:`register_aggregator`)."""
+    v = F.col(value) if isinstance(value, str) else value
+    table = _builtin_aggregators(v, cap)
+    if agg_type in table:
+        return table[agg_type]
+    if agg_type in USER_AGGREGATORS:
+        return USER_AGGREGATORS[agg_type](v, cap)
+    raise ValueError(f"unknown aggregator type: {agg_type}")
 
 
 def value_aggregator(

@@ -253,3 +253,31 @@ def test_salted_join_matches_plain_on_skewed_data(spark):
     assert got.count() == plain.count()
     assert got.exceptAll(plain).count() == 0
     assert plain.exceptAll(got).count() == 0
+
+
+def test_user_registered_aggregator_plugin(spark):
+    from hadoop_main_spark.operators.aggregate import (
+        register_aggregator,
+        value_aggregator,
+    )
+
+    # a custom AggType, loadable by name like the reference's
+    # UserDefinedValueAggregatorDescriptor classes
+    register_aggregator(
+        "LongValueRange", lambda v, cap: (F.max(v) - F.min(v)).cast("bigint")
+    )
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 10), ("b", 5)], ["k", "v"]
+    )
+    out = {
+        r.k: (r.total, r.spread)
+        for r in value_aggregator(
+            df, ["k"], {"total": ("LongValueSum", "v"), "spread": ("LongValueRange", "v")}
+        ).collect()
+    }
+    assert out == {"a": (13, 7), "b": (5, 0)}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        register_aggregator("LongValueSum", lambda v, cap: F.sum(v))
