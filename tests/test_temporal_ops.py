@@ -74,3 +74,29 @@ def test_sessionize_gap_boundaries(spark):
     stats = {r.user_id: (r.n_sessions, r.n_events, r.longest_session_events)
              for r in SES.session_stats(df).collect()}
     assert stats == {1: (2, 3, 2), 2: (1, 1, 1)}
+
+
+def test_ivf_indexed_matches_inmemory(spark, sf_dir, tmp_path):
+    """Materialized IVF index returns the same neighbors as the
+    in-memory IVF path, and the probe scan prunes to the probed
+    cells' partitions."""
+    from hadoop_main_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(e, path, "label")
+    got = ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
+    want = ivf_topk(e, q, "label", k=5, nprobe=2)
+    g = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    w = {(r.query_id, r.rank): r.neighbor_id for r in want.collect()}
+    assert g == w and len(g) == 25
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:120]
