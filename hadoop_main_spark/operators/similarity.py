@@ -200,7 +200,13 @@ def ivf_topk_indexed(
         .filter(F.col("crank") <= nprobe)
         .select(query_id, "cell", "__qv")
     )
-    vectors = spark.read.parquet(f"{path}/vectors")
+    # static partition pruning: the probed-cell set is tiny (≤ queries
+    # × nprobe) — collect it and push an IN-list to the scan, which
+    # prunes files deterministically (runtime DPP proved unreliable
+    # here: the 1M-vector smoke still scanned all 100 cells)
+    cell_rank = cell_rank.cache()
+    probed = [r.cell for r in cell_rank.select("cell").distinct().collect()]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probed))
     scored = (
         vectors.select("cell", F.col(id_col).alias("neighbor_id"), F.col(vec_col))
         .join(broadcast(cell_rank), "cell")
