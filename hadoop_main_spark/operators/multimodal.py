@@ -161,3 +161,48 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
         .select("media_id", F.explode(frames).alias("frame_idx"))
         .filter(F.col("frame_idx") % every_n == 0)
     )
+
+
+AUDIO_SCHEMA = "media_id long, n_samples_in long, n_samples_out long, out_digest string"
+
+
+def audio_resample(
+    media: DataFrame, src_rate: int = 44100, dst_rate: int = 16000, decoder: str = "stub"
+) -> DataFrame:
+    """Audio resampling plumbing: decode payload to PCM samples,
+    rate-convert, report sample counts + output digest — the whole
+    pass Arrow-batched in mapInPandas (one Python worker round trip
+    per batch, never per row). The codec is stubbed: payload bytes
+    read as int16 little-endian PCM and resampled by deterministic
+    index mapping; a real decoder/soxr drops into ``_resample``
+    with the same signature."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            "real audio codecs are not available in this environment; "
+            "plug one in here (same mapInPandas signature)"
+        )
+    import hashlib
+
+    def _resample(p: bytes) -> tuple[int, int, str]:
+        n_in = len(p) // 2
+        n_out = (n_in * dst_rate) // src_rate
+        # index-mapped nearest-sample pick (stands in for a filter bank)
+        out = bytearray()
+        for i in range(n_out):
+            j = (i * n_in) // max(n_out, 1)
+            out += p[2 * j : 2 * j + 2]
+        return n_in, n_out, hashlib.md5(bytes(out)).hexdigest()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            trip = b["payload"].map(lambda p: _resample(bytes(p)))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "n_samples_in": trip.map(lambda t: t[0]).astype("int64"),
+                    "n_samples_out": trip.map(lambda t: t[1]).astype("int64"),
+                    "out_digest": trip.map(lambda t: t[2]),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_SCHEMA)

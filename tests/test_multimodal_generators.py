@@ -146,20 +146,20 @@ def test_terasort_10m_slow(spark, tmp_path):
     assert report["misordered"] == 0 and report["rows"] == 10_000_000
 
 
-@pytest.mark.skipif(
-    os.environ.get("RUN_SLOW") != "1", reason="set RUN_SLOW=1 for scale smokes"
-)
-def test_terasort_10m_scale_smoke(spark, tmp_path):
-    """Opt-in scale smoke: 10M 100-byte records (~1 GB) gen→sort→write→
-    read-back validate — the TeraSort pipeline at 100× the bench query
-    size. Guards against regressions that only appear past the
-    in-memory scale (spill, range-partitioner sampling, committer)."""
-    from hadoop_main_spark.sources.generators import teragen, validate_sorted
+def test_audio_resample_plumbing(spark):
+    from hadoop_main_spark.operators.multimodal import audio_resample
 
-    out = str(tmp_path / "tera10m")
-    data = teragen(spark, 10_000_000, seed=42)
-    data.orderBy("key", "rowid").write.mode("overwrite").parquet(out)
-    back = spark.read.parquet(out)
-    report = validate_sorted(back.select("key"), "key")
-    assert report["misordered"] == 0
-    assert report["rows"] == 10_000_000
+    rows = [
+        (1, bytes(range(0, 200)) * 441),   # 44100 samples
+        (2, b"\x01\x02" * 100),            # 100 samples
+        (3, b""),                          # empty payload
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in audio_resample(media).collect()}
+    assert out[1].n_samples_in == 44100
+    assert out[1].n_samples_out == 16000
+    assert out[2].n_samples_out == (100 * 16000) // 44100
+    assert out[3].n_samples_in == 0 and out[3].n_samples_out == 0
+    # deterministic: same payload -> same digest on rerun
+    again = {r.media_id: r.out_digest for r in audio_resample(media).collect()}
+    assert {k: v.out_digest for k, v in out.items()} == again
