@@ -163,3 +163,21 @@ def test_audio_resample_plumbing(spark):
     # deterministic: same payload -> same digest on rerun
     again = {r.media_id: r.out_digest for r in audio_resample(media).collect()}
     assert {k: v.out_digest for k, v in out.items()} == again
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SLOW"), reason="set SPARK_GRAFT_SLOW=1 to run"
+)
+def test_big_shuffle_stress(spark):
+    """BigMapOutput analog (JT/mapred/BigMapOutput.java): a wide
+    shuffle far beyond one task's memory — 20M rows, ~200-byte
+    payloads, high-cardinality groupBy — must complete with exact
+    counts (exercises sort-shuffle spill + merge)."""
+    n = 20_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 2_000_000).alias("k"),
+        F.concat(F.lit("p" * 180), F.col("id").cast("string")).alias("pad"),
+    )
+    agg = df.groupBy("k").agg(F.count("*").alias("c"), F.max("pad").alias("m"))
+    assert agg.count() == 2_000_000
+    assert agg.agg(F.sum("c")).collect()[0][0] == n
