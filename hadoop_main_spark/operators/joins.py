@@ -179,12 +179,18 @@ def range_count_join(
     post-condition; the equi component keeps the shuffle bounded by
     the key cardinality.
     """
+    # distinct column names on the two sides: a self-join condition
+    # written as a[key] == b[key] relies on Spark's plan-id
+    # disambiguation (and logs a trivially-true-predicate warning)
     a = df.select(F.col(key), F.col(ts).alias("__ats"), F.col(id_col).alias("__aid"))
-    b = df.select(F.col(key), F.col(ts).alias("__bts"))
+    b = df.select(F.col(key).alias("__bkey"), F.col(ts).alias("__bts"))
     au, bu = F.unix_micros("__ats"), F.unix_micros("__bts")
-    pairs = a.join(b, (a[key] == b[key]) & (bu > au) & (bu <= au + F.lit(window_us)))
+    pairs = a.join(
+        b,
+        (F.col(key) == F.col("__bkey")) & (bu > au) & (bu <= au + F.lit(window_us)),
+    )
     return (
-        pairs.groupBy(a[key].alias(key), "__aid")
+        pairs.groupBy(key, "__aid")
         .agg(F.count("*").alias("n_follow"))
         .withColumnRenamed("__aid", id_col)
     )
