@@ -361,3 +361,29 @@ def test_streaming_curation_pipeline_matches_batch(spark, sf_dir, tmp_path):
         .count()
     )
     assert got == want and got > 0
+
+
+def test_hll_sink_merges_across_micro_batches(spark, sf_dir, tmp_path):
+    """Multi-batch merge path: 4 source files with maxFilesPerTrigger=1
+    force 4 micro-batches, so the sink's read-merge-overwrite branch
+    actually executes; the final estimate must still equal the batch
+    estimate (lossless register merge across batches)."""
+    from hadoop_main_spark.functions.sketches import hll_estimate, hll_registers
+    from hadoop_main_spark.tables import load_table
+
+    src = str(tmp_path / "events4")
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "hll4"), str(tmp_path / "hll4ckpt")
+    q = W.hll_sketch_stream_parquet(stream, "user_id", out, ckpt)
+    q.awaitTermination(120)
+
+    stream_est = hll_estimate(spark.read.parquet(out)).collect()[0].est_distinct
+    batch_est = hll_estimate(hll_registers(events, "user_id")).collect()[0].est_distinct
+    assert stream_est == batch_est
