@@ -119,3 +119,39 @@ def test_compact_small_files(spark, tmp_path):
     assert back.count() == 100_000
     # content preserved (sum is partition-order independent)
     assert back.agg({"id": "sum"}).collect()[0][0] == 100_000 * 99_999 // 2
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Long-lived tables evolve: a later batch adds a column; reading
+    with mergeSchema yields the union schema with nulls backfilled."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: rewriting one day's partition
+    must not clobber other partitions — the idempotent-daily-rerun
+    contract for partitioned fact tables."""
+    p = str(tmp_path / "by_day")
+    base = spark.createDataFrame(
+        [(1, "d1"), (2, "d2"), (3, "d2")], "id long, day string"
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(p)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        redo = spark.createDataFrame([(99, "d2")], "id long, day string")
+        redo.write.partitionBy("day").mode("overwrite").parquet(p)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = {(r.id, r.day) for r in spark.read.parquet(p).collect()}
+    assert back == {(1, "d1"), (99, "d2")}  # d1 untouched, d2 replaced
