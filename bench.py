@@ -50,7 +50,7 @@ def main() -> None:
     import shutil
     import tempfile
 
-    io_dir = os.path.join(tempfile.gettempdir(), "bench_dfsio")
+    io_dir = os.path.join(tempfile.mkdtemp(prefix="bench_dfsio_"), "data")
     rows = 4_000_000  # 2 longs/row ≈ 64 MB uncompressed
     df_io = spark.range(rows).selectExpr("id", "id * 7 AS v")
     t0 = time.perf_counter()
@@ -60,7 +60,7 @@ def main() -> None:
     spark.read.parquet(io_dir).selectExpr("sum(v)").collect()
     read_s = time.perf_counter() - t0
     mb = rows * 16 / 1e6
-    shutil.rmtree(io_dir, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(io_dir), ignore_errors=True)
     print(
         json.dumps(
             {

@@ -173,7 +173,9 @@ def bloom_probe(
     hits = (
         pos.join(F.broadcast(bits), ["j", "bit"], "left_semi")
         .groupBy(col)
-        .agg(F.count("*").alias("__hits"))
+        # countDistinct, not count: duplicate probe VALUES would double
+        # their hit rows and break `hits == k` (a false negative)
+        .agg(F.countDistinct("j").alias("__hits"))
     )
     return probes.join(hits, col, "left").select(
         col, (F.coalesce("__hits", F.lit(0)) == k).alias("bloom_maybe")

@@ -58,12 +58,27 @@ def _uniq_count(value: Column, cap: int | None) -> Column:
 #: which loads user aggregator classes by name at job setup.
 USER_AGGREGATORS: dict = {}
 
+#: static name set so registration works at import time, before any
+#: SparkSession exists (building Columns requires a live context)
+BUILTIN_AGG_NAMES = frozenset(
+    {
+        "LongValueSum",
+        "DoubleValueSum",
+        "LongValueMax",
+        "LongValueMin",
+        "StringValueMax",
+        "StringValueMin",
+        "ValueCount",
+        "UniqValueCount",
+    }
+)
+
 
 def register_aggregator(name: str, builder) -> None:
     """Register a custom AggType under ``name``; ``builder(value_col,
     cap)`` must return an aggregate Column. Registered names win over
     nothing — builtins cannot be shadowed."""
-    if name in _builtin_aggregators(F.lit(0), None):
+    if name in BUILTIN_AGG_NAMES:
         raise ValueError(f"cannot shadow builtin aggregator: {name}")
     USER_AGGREGATORS[name] = builder
 

@@ -183,7 +183,10 @@ def audio_resample(
         )
     import hashlib
 
-    def _resample(p: bytes) -> tuple[int, int, str]:
+    def _resample(p) -> tuple[int, int, str]:
+        # null payload = bad record: report zeros instead of killing
+        # the task (one bad row must not fail a 100 TB pass)
+        p = bytes(p) if p is not None else b""
         n_in = len(p) // 2
         n_out = (n_in * dst_rate) // src_rate
         # index-mapped nearest-sample pick (stands in for a filter bank)
@@ -195,7 +198,7 @@ def audio_resample(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            trip = b["payload"].map(lambda p: _resample(bytes(p)))
+            trip = b["payload"].map(_resample)
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],

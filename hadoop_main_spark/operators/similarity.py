@@ -201,11 +201,14 @@ def ivf_topk_indexed(
         .select(query_id, "cell", "__qv")
     )
     # static partition pruning: the probed-cell set is tiny (≤ queries
-    # × nprobe) — collect it and push an IN-list to the scan, which
-    # prunes files deterministically (runtime DPP proved unreliable
-    # here: the 1M-vector smoke still scanned all 100 cells)
-    cell_rank = cell_rank.cache()
-    probed = [r.cell for r in cell_rank.select("cell").distinct().collect()]
+    # × nprobe) — collect it once to the driver and push an IN-list to
+    # the scan, which prunes files deterministically (runtime DPP
+    # proved unreliable here: the 1M-vector smoke scanned all cells).
+    # Re-create the tiny rank frame from the collected rows instead of
+    # cache() so nothing stays pinned in executor storage.
+    rank_rows = cell_rank.collect()
+    probed = sorted({r.cell for r in rank_rows})
+    cell_rank = spark.createDataFrame(rank_rows, cell_rank.schema)
     vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probed))
     scored = (
         vectors.select("cell", F.col(id_col).alias("neighbor_id"), F.col(vec_col))

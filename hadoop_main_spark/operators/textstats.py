@@ -67,6 +67,22 @@ def lang_id(text: Column | str) -> Column:
     return best
 
 
+def token_quality_cols(text_col: str) -> dict[str, Column]:
+    """The token-derived quality expressions as reusable Columns —
+    :func:`quality_features` and the fused curation pipeline both
+    build from this single definition, so the gate semantics cannot
+    diverge between the two call sites."""
+    toks = tokenize(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    safe = F.when(n_tok > 0, n_tok.cast("double")).otherwise(F.lit(1.0))
+    return {
+        "n_tokens": n_tok,
+        "n_unique_tokens": n_uniq,
+        "unique_ratio": n_uniq.cast("double") / safe,
+    }
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features + a composite score in [0,1]:
     length, token stats, stopword ratio, punctuation ratio, unique

@@ -529,22 +529,18 @@ GROUP BY d.source
     bench=True,
 )
 def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    from hadoop_main_spark.operators.transforms import tokenize
-
     d = t(spark, sf, "documents")
     # lang + quality are all token-derived: fuse them into ONE
     # projection pass over documents (one scan, no self-joins) —
-    # only the near-dup id set joins in, as a left anti.
-    toks = tokenize("text")
-    n_tok = F.size(toks).cast("bigint")
-    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
-    safe = F.when(n_tok > 0, n_tok.cast("double")).otherwise(F.lit(1.0))
+    # only the near-dup id set joins in, as a left anti. The gate
+    # expressions are shared with quality_features (single source).
+    qcols = TS.token_quality_cols("text")
     feats = d.select(
         "doc_id",
         "source",
         TS.lang_id("text").alias("g"),
-        n_tok.alias("n_tokens"),
-        (n_uniq.cast("double") / safe).alias("unique_ratio"),
+        qcols["n_tokens"].alias("n_tokens"),
+        qcols["unique_ratio"].alias("unique_ratio"),
     )
     kept = feats.filter(
         (F.col("g") == "en")

@@ -71,7 +71,7 @@ def write_zordered(
     col_a: str,
     col_b: str,
     n_files: int = 16,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> None:
     """Write ``df`` clustered by the Z-order of (col_a, col_b): range-
     partition + sort by the Morton value so each output file covers a
@@ -83,6 +83,16 @@ def write_zordered(
     """
     from pyspark.sql import functions as F
 
+    if bits is None:
+        # derive bits from the actual key range: interleaving only the
+        # low bits of wider values would SCRAMBLE the layout (far keys
+        # collide, near keys diverge) — worse than no clustering
+        mx = df.agg(
+            F.max(F.col(col_a).cast("bigint")).alias("a"),
+            F.max(F.col(col_b).cast("bigint")).alias("b"),
+        ).collect()[0]
+        need = max(int(mx.a or 0), int(mx.b or 0)).bit_length()
+        bits = min(max(need, 1), 31)
     z = zorder_value(col_a, col_b, bits).alias("__z")
     (
         df.withColumn("__z", z)

@@ -106,9 +106,12 @@ def compact_small_files(
         total += p.getFileSystem(conf).getFileStatus(p).getLen()
     n_out = max(1, math.ceil(total / target_file_bytes))
     dest = out_path or (path.rstrip("/") + "_compacted")
-    rows = df.count()
     df.coalesce(n_out).write.mode("overwrite").parquet(dest)
-    out_files = spark.read.parquet(dest).inputFiles()
+    out = spark.read.parquet(dest)
+    out_files = out.inputFiles()
+    # row count from the compacted output's footers (few files) — not
+    # a second scan of the many-small-files source
+    rows = out.count()
     return {
         "files_before": len(files),
         "files_after": len(out_files),

@@ -223,20 +223,29 @@ def hll_sketch_stream_parquet(
     stream volume, so the merge cost is constant per batch; the same
     shape scales to per-key sketches by adding group columns to the
     register key."""
-    from hadoop_main_spark.functions.sketches import hll_merge, hll_registers
+    from hadoop_main_spark.functions.sketches import HLL_M, hll_merge, hll_registers
 
     spark = stream_df.sparkSession
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        import os as _os
+
         regs = hll_registers(batch, col)
-        try:
+        # only a genuinely absent sink means "first batch": a transient
+        # read error must FAIL the batch (the commit log will retry),
+        # never silently discard the accumulated registers
+        if _os.path.exists(path):
             existing = spark.read.parquet(path)
             merged = hll_merge(existing.unionByName(regs))
-        except Exception:
+        else:
             merged = regs
-        merged.cache().count()  # materialize before overwriting the source
-        merged.write.mode("overwrite").parquet(path)
-        merged.unpersist()
+        # registers are <= HLL_M rows: materialize on the driver, then
+        # overwrite — no cached-plan-reads-deleted-files hazard
+        rows = merged.collect()
+        assert len(rows) <= HLL_M
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
 
     w = (
         stream_df.writeStream.foreachBatch(merge)

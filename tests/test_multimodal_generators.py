@@ -1,7 +1,5 @@
 """Multimodal plumbing, generators + validators, counters."""
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 

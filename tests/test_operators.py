@@ -281,3 +281,18 @@ def test_user_registered_aggregator_plugin(spark):
 
     with pytest.raises(ValueError):
         register_aggregator("LongValueSum", lambda v, cap: F.sum(v))
+
+
+def test_bloom_probe_duplicate_probe_values(spark):
+    """Regression: duplicate values in the probes frame must not turn
+    into false negatives (hit counting is per distinct hash row, not
+    per exploded row)."""
+    from hadoop_main_spark.functions.sketches import bloom_bits, bloom_probe
+
+    members = spark.createDataFrame([(7,), (8,)], "k long")
+    probes = spark.createDataFrame([(7,), (7,), (9,)], "k long")
+    got = [
+        (r.k, r.bloom_maybe)
+        for r in bloom_probe(bloom_bits(members, "k"), probes, "k").collect()
+    ]
+    assert sorted(got) == [(7, True), (7, True), (9, False)]
