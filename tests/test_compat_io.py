@@ -308,3 +308,30 @@ def test_nested_type_roundtrip(spark, tmp_path):
         .collect()
     )
     assert [(r.id, r.value) for r in got] == [(1, "7"), (2, "x")]
+
+
+def test_zorder_auto_bits_wide_keys(spark, tmp_path):
+    """Regression: keys wider than the old 16-bit default must still
+    cluster (bits now derive from the actual key range)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.sources.layouts import write_zordered
+
+    n, side = 65536, 256
+    df = spark.range(n).select(
+        ((F.col("id") % side) * 1000).alias("x"),       # up to ~255k (18 bits)
+        ((F.col("id") / side).cast("bigint") * 1000).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder_wide")
+    write_zordered(df, zpath, "x", "y", n_files=16)  # bits auto-derived
+    spans = (
+        spark.read.parquet(zpath)
+        .select("x", "y", F.col("_metadata.file_path").alias("f"))
+        .groupBy("f")
+        .agg((F.max("x") - F.min("x")).alias("sx"), (F.max("y") - F.min("y")).alias("sy"))
+        .collect()
+    )
+    mean_sx = sum(r.sx for r in spans) / len(spans)
+    mean_sy = sum(r.sy for r in spans) / len(spans)
+    # ideal cell is 64k x 64k of the 255k range; allow 2x slack
+    assert mean_sx <= 128_000 and mean_sy <= 128_000
