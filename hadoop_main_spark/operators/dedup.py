@@ -53,7 +53,10 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFram
     moves, which matters when key_cols is document text. Two narrow
     shuffles: digest -> min-id, then the per-digest canonical joined
     back. Returns (id_col, canonical_id, is_duplicate)."""
-    content = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    # to_json(struct(...)) is an UNAMBIGUOUS multi-column encoding:
+    # a plain concat would collide ('ab','c') with ('a','bc') and
+    # silently drop NULL columns
+    content = F.to_json(F.struct(*[F.col(c) for c in key_cols]))
     m = df.select(F.col(id_col), F.md5(content).alias("__d"))
     canon = m.groupBy("__d").agg(F.min(id_col).alias("canonical_id"))
     return m.join(canon, "__d").select(
@@ -67,11 +70,17 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFram
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles of a text column (empty-token-free)."""
+    """Word n-gram shingles of a text column (empty-token-free).
+    Documents with fewer than ``n`` tokens yield an EMPTY array —
+    sequence(1, 0) in Spark counts DOWN ([1, 0]), so the short-doc
+    case must be guarded explicitly or element_at goes out of range
+    and kills the job on the first short document."""
     from hadoop_main_spark.operators.transforms import tokenize
 
     toks = tokenize(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -150,8 +150,12 @@ def asof_join(
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None))
     for c in vcols:
-        if c not in l_tag.columns:
-            l_tag = l_tag.withColumn(c, F.lit(None))
+        # ALWAYS null the left side's value columns — a left column
+        # sharing a value column's name would otherwise win the
+        # carry-forward at its own row (last() sees it at currentRow)
+        # and silently return the left's value instead of the as-of
+        # right value
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(r_tag.dtypes)[c]))
     u = l_tag.select(*r_tag.columns).unionByName(r_tag.select(*r_tag.columns))
     # right rows sort before left rows at equal timestamps → inclusive <=
     w = (

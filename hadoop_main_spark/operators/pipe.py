@@ -73,7 +73,11 @@ def pipe(
     """Pipe every row (all columns joined with ``input_sep``) through
     ``cmd``; parse stdout lines into (key, value) on the first
     ``output_sep``. One subprocess per task."""
-    line_col = F.concat_ws(input_sep, *[F.col(c).cast("string") for c in df.columns])
+    # coalesce NULLs to '' — concat_ws silently DROPS null columns,
+    # which would shift every later field the script reads
+    line_col = F.concat_ws(
+        input_sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    )
     src = df.select(line_col.alias("__line"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

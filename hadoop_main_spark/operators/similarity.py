@@ -42,7 +42,13 @@ def fnorm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return fdot(a, b) / (fnorm(a) * fnorm(b))
+    """Cosine similarity; zero-norm vectors yield NULL, never NaN —
+    Spark orders NaN ABOVE every real double, so an unguarded zero
+    vector (padding row, failed encoder) would rank as the #1
+    neighbor of every query and pass every min_cosine filter. NULL
+    instead sorts last under DESC and fails >= filters."""
+    denom = fnorm(a) * fnorm(b)
+    return F.when(denom > 0, fdot(a, b) / denom)
 
 
 def brute_force_topk(

@@ -43,7 +43,9 @@ def bpe_ish_count(text: Column | str) -> Column:
     plus standalone non-space punctuation (a cheap, deterministic
     stand-in for a real tokenizer's piece count)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.expr(f"regexp_extract_all({text}, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\\\s]', 0)"))
+    return F.size(
+        F.regexp_extract_all(c, F.lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), F.lit(0))
+    )
 
 
 def stopword_score(text: Column | str, words: tuple[str, ...]) -> Column:

@@ -11,6 +11,8 @@ where chained maps run in a single task with no materialization.
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -38,9 +40,14 @@ def explode_tokens(
 
 def regex_matches(df: DataFrame, col: str, pattern: str, out: str = "match") -> DataFrame:
     """One row per regex match in ``col`` — the map half of Grep
-    (reference: MRC/mapreduce/lib/map/RegexMapper.java:1)."""
+    (reference: MRC/mapreduce/lib/map/RegexMapper.java:1). The
+    pattern is passed as a literal Column, never interpolated into
+    SQL text (string interpolation eats backslash classes like \\d
+    and breaks on quotes)."""
     return df.select(
-        F.explode(F.expr(f"regexp_extract_all({col}, '{pattern}', 0)")).alias(out)
+        F.explode(
+            F.regexp_extract_all(F.col(col), F.lit(pattern), F.lit(0))
+        ).alias(out)
     )
 
 
@@ -91,7 +98,9 @@ def kv_split(
     KeyValueLineRecordReader.java:1): missing separator → whole line
     is the key and the value is empty.
     """
-    parts = F.split(F.col(col), sep, 2)
+    # F.split takes a REGEX: escape the separator so sep='|' or '.'
+    # splits on the literal character, not on everything
+    parts = F.split(F.col(col), re.escape(sep), 2)
     return df.select(
         parts.getItem(0).alias(key),
         F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit("")).alias(value),

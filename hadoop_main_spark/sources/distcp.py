@@ -73,9 +73,12 @@ def distcp(
     listing = build_listing(spark, src_dir, dst_dir)
     n = tasks or spark.sparkContext.defaultParallelism
     # order by size desc then round-robin → balanced task byte-loads
-    ranked = listing.withColumn(
-        "bucket", F.monotonically_increasing_id() % n
-    )
+    # (monotonically_increasing_id over the raw listing would keep a
+    # directory's adjacent large files in the same bucket)
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(Window.orderBy(F.desc("size"), F.asc("src")))
+    ranked = listing.withColumn("bucket", (rank - 1) % n)
 
     def copy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import shutil

@@ -92,7 +92,14 @@ def write_zordered(
             F.max(F.col(col_b).cast("bigint")).alias("b"),
         ).collect()[0]
         need = max(int(mx.a or 0), int(mx.b or 0)).bit_length()
-        bits = min(max(need, 1), 31)
+        if need > 31:
+            # silently interleaving only the low bits would SCRAMBLE
+            # the layout — refuse instead
+            raise ValueError(
+                f"z-order keys need {need} bits (> 31); pre-scale or "
+                "bucket the columns before clustering"
+            )
+        bits = max(need, 1)
     z = zorder_value(col_a, col_b, bits).alias("__z")
     (
         df.withColumn("__z", z)

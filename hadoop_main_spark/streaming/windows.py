@@ -17,6 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — works for
+    any URI scheme the session can read (local, hdfs://, s3a://...)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def read_table_stream(
     spark: SparkSession, sf_dir: str, table: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -133,17 +142,25 @@ def dedup_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "
     return src.dropDuplicates([id_col])
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
+def run_to_memory(
+    stream_df: DataFrame, name: str, timeout_s: int = 120, output_mode: str = "complete"
+) -> None:
     """Drive a streaming frame to completion into an in-memory table
-    (availableNow trigger) — the test/validation harness."""
+    (availableNow trigger) — the test/validation harness. Spark only
+    allows 'complete' for aggregated streams; pass
+    ``output_mode='append'`` for non-aggregated ones. Raises if the
+    query does not finish within ``timeout_s`` (a silent timeout
+    would leave a half-filled table behind)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream '{name}' did not finish in {timeout_s}s")
 
 
 def write_stream_parquet(
@@ -186,16 +203,26 @@ def upsert_stream_parquet(
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         batch = batch.dropDuplicates([key])
-        try:
+        if _hadoop_path_exists(spark, path):
             existing = spark.read.parquet(path)
             merged = existing.join(
                 batch.select(key), key, "left_anti"
             ).unionByName(batch)
-        except Exception:
+        else:
             merged = batch
-        merged.cache().count()  # materialize before overwriting the source
-        merged.write.mode("overwrite").parquet(path)
-        merged.unpersist()
+        # write to a sibling temp dir, then swap via FS rename: a
+        # cache().count() + overwrite of the path being read is unsafe
+        # (evicted/lost cached blocks recompute from deleted files)
+        tmp = f"{path}__tmp_batch{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path)
+        )
 
     w = (
         stream_df.writeStream.foreachBatch(merge)
@@ -228,13 +255,14 @@ def hll_sketch_stream_parquet(
     spark = stream_df.sparkSession
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        import os as _os
-
         regs = hll_registers(batch, col)
         # only a genuinely absent sink means "first batch": a transient
         # read error must FAIL the batch (the commit log will retry),
-        # never silently discard the accumulated registers
-        if _os.path.exists(path):
+        # never silently discard the accumulated registers. Existence
+        # goes through the Hadoop FileSystem API so hdfs://, s3a://,
+        # etc. work — a driver-local os.path check would always be
+        # False for remote URIs and reset the sketch every batch.
+        if _hadoop_path_exists(spark, path):
             existing = spark.read.parquet(path)
             merged = hll_merge(existing.unionByName(regs))
         else:

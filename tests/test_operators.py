@@ -296,3 +296,74 @@ def test_bloom_probe_duplicate_probe_values(spark):
         for r in bloom_probe(bloom_bits(members, "k"), probes, "k").collect()
     ]
     assert sorted(got) == [(7, True), (7, True), (9, False)]
+
+
+def test_word_shingles_short_docs(spark):
+    """Regression: docs with fewer than n tokens must yield EMPTY
+    shingles (Spark sequence(1, 0) counts DOWN — unguarded it crashed
+    element_at on the first short document)."""
+    from hadoop_main_spark.operators.dedup import minhash_signature, word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two"), (3, ""), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    sh = {r.doc_id: r.s for r in df.select("doc_id", word_shingles("text").alias("s")).collect()}
+    assert sh[1] == ["one two three", "two three four"]
+    assert sh[2] == [] and sh[3] == [] and sh[4] == []
+    # the empty-signature fallback (P-1 per slot) is reachable now
+    sig = minhash_signature(df, "doc_id", "text").collect()
+    assert len(sig) == 4
+
+
+def test_regex_matches_backslash_classes(spark):
+    """Regression: patterns with \\d etc. were mangled by SQL string
+    interpolation (pattern silently became 'd+')."""
+    from hadoop_main_spark.operators.transforms import regex_matches
+
+    df = spark.createDataFrame([("abc 123 def 45",)], ["line"])
+    got = sorted(r.match for r in regex_matches(df, "line", r"\d+").collect())
+    assert got == ["123", "45"]
+
+
+def test_exact_dedup_multi_column_no_collision(spark):
+    """Regression: ('ab','c') and ('a','bc') must NOT be duplicates
+    (plain concat digests collided); NULL and '' must differ."""
+    from hadoop_main_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc"), (3, "a", None), (4, "a", "")],
+        ["id", "x", "y"],
+    )
+    out = {r.id: r.is_duplicate for r in exact_dedup(df, ["x", "y"], "id").collect()}
+    assert out == {1: False, 2: False, 3: False, 4: False}
+
+
+def test_cosine_zero_vector_never_ranks(spark):
+    """Regression: a zero-norm vector produced cosine NaN, and Spark
+    ranks NaN above every real double — it became everyone's #1
+    neighbor. NULL instead sorts last / fails filters."""
+    from hadoop_main_spark.operators.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])], ["vid", "v"]
+    ).select("vid", F.col("v").cast("array<float>").alias("v"))
+    q = df.filter("vid = 1").select(F.col("vid").alias("query_id"), "v")
+    got = brute_force_topk(df, q, "vid", "v", k=1).collect()
+    assert got[0].neighbor_id == 2  # not the zero vector
+
+
+def test_asof_join_value_col_shadowed_by_left(spark):
+    """Regression: when left and right share a value column name, the
+    left row's own value must NOT win the carry-forward."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12), 999.0)], ["k", "ts", "price"]
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 5.0), (1, dt.datetime(2024, 1, 1, 14), 7.0)],
+        ["k", "ts", "price"],
+    )
+    out = J.asof_join(left, right, on="k", value_cols=["price"]).collect()
+    assert len(out) == 1 and out[0].price == 5.0  # as-of 12:00 → 10:00 row
