@@ -47,8 +47,9 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     vector (padding row, failed encoder) would rank as the #1
     neighbor of every query and pass every min_cosine filter. NULL
     instead sorts last under DESC and fails >= filters."""
-    denom = fnorm(a) * fnorm(b)
-    return F.when(denom > 0, fdot(a, b) / denom)
+    # nullif evaluates the denominator ONCE (a when(denom > 0, ...)
+    # guard pays the two norm folds twice)
+    return fdot(a, b) / F.nullif(fnorm(a) * fnorm(b), F.lit(0.0))
 
 
 def brute_force_topk(
