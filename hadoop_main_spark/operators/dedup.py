@@ -162,6 +162,22 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
     sig = minhash_signature(df, id_col, text_col, n).cache()
+    return lsh_pairs_from_signatures(
+        sig, id_col, min_est_jaccard=min_est_jaccard, max_band_bucket=max_band_bucket
+    )
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    min_est_jaccard: float = 0.5,
+    max_band_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs from an EXISTING signature table (id_col,
+    mh0..mh{J-1}) — the reuse path when signatures are persisted at
+    ingest (sources/layouts.py materialize_minhash_signatures): the
+    shingle+hash pass, the expensive part at 100 TB, is paid once and
+    every later dedup run starts here."""
     bands = lsh_band_signatures(sig, id_col)
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "band_sig"))

@@ -109,3 +109,16 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def materialize_minhash_signatures(
+    df, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist per-document MinHash signatures at ingest. The
+    shingle→hash→16-way-min pass is the dominant cost of every
+    near-dup query; amortizing it turns each later dedup run into a
+    read of a narrow (id, 16×bigint) table + band join
+    (operators/dedup.py lsh_pairs_from_signatures)."""
+    from hadoop_main_spark.operators.dedup import minhash_signature
+
+    minhash_signature(df, id_col, text_col).write.mode("overwrite").parquet(path)

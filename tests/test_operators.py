@@ -367,3 +367,29 @@ def test_asof_join_value_col_shadowed_by_left(spark):
     )
     out = J.asof_join(left, right, on="k", value_cols=["price"]).collect()
     assert len(out) == 1 and out[0].price == 5.0  # as-of 12:00 → 10:00 row
+
+
+def test_lsh_pairs_from_persisted_signatures(spark, sf_dir, tmp_path):
+    """Persisted-signature reuse path yields exactly the pairs the
+    from-scratch computation yields."""
+    from hadoop_main_spark.operators.dedup import (
+        lsh_pairs_from_signatures,
+        minhash_lsh_pairs,
+    )
+    from hadoop_main_spark.sources.layouts import materialize_minhash_signatures
+    from hadoop_main_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "sigs")
+    materialize_minhash_signatures(docs, path)
+    got = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in lsh_pairs_from_signatures(
+            spark.read.parquet(path), "doc_id"
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == want and len(want) > 0
