@@ -387,3 +387,15 @@ def test_hll_sink_merges_across_micro_batches(spark, sf_dir, tmp_path):
     stream_est = hll_estimate(spark.read.parquet(out)).collect()[0].est_distinct
     batch_est = hll_estimate(hll_registers(events, "user_id")).collect()[0].est_distinct
     assert stream_est == batch_est
+
+
+def test_pipe_null_columns_keep_field_alignment(spark):
+    """Regression: NULL columns must become empty fields, not vanish
+    (concat_ws drops nulls, which shifted every later field)."""
+    df = spark.createDataFrame(
+        [("k1", None, "v1"), ("k2", "mid", "v2")], ["a", "b", "c"]
+    )
+    out = {r.key: r.value for r in P.pipe(df, "cat").collect()}
+    # line was a<TAB>b<TAB>c; key = first field, value = rest
+    assert out["k1"] == "\tv1"  # empty middle field preserved
+    assert out["k2"] == "mid\tv2"
