@@ -167,6 +167,26 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, max_band_bucket: int = 1000
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a signature table:
+    band → bucket-size guard → band-bucket equi-self-join. The single
+    shared candidate-generation subtree for every LSH consumer."""
+    bands = lsh_band_signatures(sig, id_col)
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
+    ).filter(F.col("bucket_n") <= max_band_bucket)
+    left = sized.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_a"))
+    right = sized.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_pairs_from_signatures(
     sig: DataFrame,
     id_col: str,
@@ -178,18 +198,7 @@ def lsh_pairs_from_signatures(
     ingest (sources/layouts.py materialize_minhash_signatures): the
     shingle+hash pass, the expensive part at 100 TB, is paid once and
     every later dedup run starts here."""
-    bands = lsh_band_signatures(sig, id_col)
-    sized = bands.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
-    ).filter(F.col("bucket_n") <= max_band_bucket)
-    left = sized.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_a"))
-    right = sized.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_b"))
-    cand = (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(sig, id_col, max_band_bucket)
     a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_HASHES)])
     b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_HASHES)])
     agree = sum(
@@ -282,16 +291,29 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over distinct word n-grams, computed only for
     MinHash-LSH candidate pairs (never all-pairs): the standard
     verify step after probabilistic candidate generation.
-    Output: (id_a, id_b, jaccard)."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, n, min_est_jaccard=0.0).select(
-        "id_a", "id_b"
-    )
+    Output: (id_a, id_b, jaccard).
+
+    Requires ``min_jaccard > 0``: a zero-intersection candidate can
+    then never pass the filter, so the candidate set feeds ONLY the
+    intersection join and the LSH band subtree appears exactly once
+    in the plan (the join-back shape would compute it twice — the
+    dominant stage at scale; plan-audited in test_plan_quality).
+    """
+    if min_jaccard <= 0:
+        raise ValueError("min_jaccard must be > 0 (jaccard==0 pairs are never emitted)")
+    sig = minhash_signature(df, id_col, text_col, n)
+    cand = lsh_candidate_pairs(sig, id_col)
     from hadoop_main_spark.operators.partitioning import fan_out
 
     grams = fan_out(df.select(id_col, text_col), [id_col]).select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g")
     )
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # per-doc gram counts as a narrow projection (no explode/shuffle) —
+    # recomputing the exploded grams frame for this would double the
+    # shingle pass
+    sizes = df.select(
+        F.col(id_col), F.size(F.array_distinct(word_shingles(text_col, n))).alias("sz")
+    )
     inter = (
         cand.join(grams.select(F.col(id_col).alias("id_a"), "g"), "id_a")
         .join(grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("g2")), "id_b")
@@ -300,9 +322,7 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        cand.join(inter, ["id_a", "id_b"], "left")
-        .fillna(0, ["inter"])
-        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .select(
             "id_a",

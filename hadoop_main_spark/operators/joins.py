@@ -71,25 +71,58 @@ def composite_join(
 
 
 def tagged_join(
-    sources: dict[str, DataFrame], key: str, value_col: str, how: str = "inner"
+    sources: dict[str, DataFrame],
+    key: str,
+    value_col: str,
+    how: str = "inner",
+    max_values_per_group: int | None = None,
 ) -> DataFrame:
-    """Reduce-side tagged join: tag each source, group by key, emit the
-    per-key cross product of tag combinations.
+    """N-ary reduce-side tagged join: tag each source, group by key,
+    emit the per-key cross product across sources.
 
     Reference: DataJoinMapperBase tags records
-    (hadoop-tools/.../DataJoinMapperBase.java:1) and
-    DataJoinReducerBase.joinAndCollect crosses them (:174-:199).
-    For two sources this is exactly a shuffle join of the tagged
-    relations — so that is what we emit (Catalyst then picks the
-    physical strategy; no manual regrouping).
+    (hadoop-tools/.../DataJoinMapperBase.java:1);
+    DataJoinReducerBase.reduce regroups values by tag and
+    joinAndCollect recursively crosses one value list per tag
+    (DataJoinReducerBase.java:129-:141, :174-:227). The subclass
+    ``combine`` hook decides inner (emit only when every source has
+    the key) vs outer (cross whatever tags are present, absent
+    sources null) — which is exactly a chain of inner / full-outer
+    shuffle joins on the key, so that is what we emit and Catalyst
+    picks the physical strategy (no manual regrouping).
+
+    ``max_values_per_group`` mirrors
+    ``mapred.datajoin.maxNumOfValuesPerGroup``
+    (DataJoinReducerBase.java:103-:105): keys whose TOTAL value count
+    across all sources exceeds the cap are dropped entirely — the
+    reference's hot-key guard, the same job salting does for
+    aggregations.
     """
     tags = list(sources)
-    if len(tags) != 2:
-        raise ValueError("tagged_join currently joins exactly 2 tagged sources")
-    a, b = tags
-    left = sources[a].select(F.col(key), F.col(value_col).alias(f"{a}_{value_col}"))
-    right = sources[b].select(F.col(key), F.col(value_col).alias(f"{b}_{value_col}"))
-    return left.join(right, on=key, how=how)
+    if len(tags) < 2:
+        raise ValueError("tagged_join needs >= 2 tagged sources")
+    how = {"outer": "full_outer", "full": "full_outer"}.get(how, how)
+    tagged = [
+        sources[tag].select(F.col(key), F.col(value_col).alias(f"{tag}_{value_col}"))
+        for tag in tags
+    ]
+    if max_values_per_group is not None:
+        from functools import reduce as _reduce
+
+        all_keys = _reduce(
+            DataFrame.unionByName, [d.select(key) for d in tagged]
+        )
+        ok = (
+            all_keys.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_values_per_group)
+            .select(key)
+        )
+        tagged = [d.join(ok, key, "left_semi") for d in tagged]
+    out = tagged[0]
+    for right in tagged[1:]:
+        out = out.join(right, on=key, how=how)
+    return out
 
 
 def broadcast_join(

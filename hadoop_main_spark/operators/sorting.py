@@ -43,43 +43,127 @@ def total_order_sort(df: DataFrame, *cols: str | Column, ranked: str | None = No
     return df.orderBy(*cols)
 
 
+def _sort_specs(df: DataFrame, cols: Sequence[str | Column]) -> list[tuple[Column, bool]]:
+    """Normalize sort arguments to (value column, ascending) pairs.
+
+    ``F.desc(x)``-style Columns wrap an internal SortOrder node; the
+    child expression and direction are recovered from it so split-point
+    comparisons can honor per-column direction.
+    """
+    from pyspark.sql.classic.column import Column as _CCol
+
+    jvm = df.sparkSession._jvm
+    specs: list[tuple[Column, bool]] = []
+    for c in cols:
+        if isinstance(c, str):
+            specs.append((F.col(c), True))
+            continue
+        node = c._jc.node()
+        if node.getClass().getSimpleName() == "SortOrder":
+            child = _CCol(jvm.org.apache.spark.sql.Column(node.child()))
+            asc = "Descending" not in node.sortDirection().getClass().getSimpleName()
+            specs.append((child, asc))
+        else:
+            specs.append((c, True))
+    return specs
+
+
+def _split_points(
+    df: DataFrame, specs: list[tuple[Column, bool]], n: int, seed: int = 9371
+) -> list[tuple]:
+    """Sample the sort keys ONCE (fixed seed) and pick n-1 split
+    points on the driver — TotalOrderPartitioner's sampled split file
+    (MRC/mapreduce/lib/partition/InputSampler.java:314). Returns
+    boundary tuples in sort order, deduplicated."""
+    keys = df.select([c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)])
+    total = keys.count()
+    if total == 0 or n <= 1:
+        return []
+    target = max(n * 60, 1000)
+    fraction = min(1.0, target / total * 1.2)
+    rows = [
+        tuple(r)
+        for r in keys.sample(False, fraction, seed).collect()
+        if None not in tuple(r)
+    ]
+    if not rows:
+        return []
+    for i in reversed(range(len(specs))):
+        rows.sort(key=lambda r, i=i: r[i], reverse=not specs[i][1])
+    m = len(rows)
+    bounds: list[tuple] = []
+    seen: set[tuple] = set()
+    for j in range(1, n):
+        b = rows[min((j * m) // n, m - 1)]
+        if b not in seen:
+            seen.add(b)
+            bounds.append(b)
+    return bounds
+
+
+def _at_or_after(specs: list[tuple[Column, bool]], bound: tuple) -> Column:
+    """Lexicographic 'row sorts at-or-after bound' honoring per-column
+    direction. Assumes non-null sort keys (nulls fall into bucket 0)."""
+    cond: Column | None = None
+    for i in reversed(range(len(specs))):
+        col, asc = specs[i]
+        lit = F.lit(bound[i])
+        after = (col > lit) if asc else (col < lit)
+        if cond is None:
+            cond = after | (col == lit)
+        else:
+            cond = after | ((col == lit) & cond)
+    assert cond is not None
+    return cond
+
+
 def global_rank(
     df: DataFrame,
     *cols: str | Column,
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    split_points: list[tuple] | None = None,
 ) -> DataFrame:
     """Scalable global 1-based rank: the TotalOrderPartitioner pattern.
 
     An unpartitioned ``Window.orderBy`` funnels the whole dataset
-    through ONE task — fatal at scale. Instead: range-repartition on
-    the sort keys (Spark samples split points, exactly
-    MRC/mapreduce/lib/partition/InputSampler.java:314 →
-    TotalOrderPartitioner.java:50), rank within each partition, and
-    add per-partition offsets computed from a partition-count table
-    that is tiny (one row per partition) and broadcast back. Output
-    rows are also globally sorted across partition index.
+    through ONE task — fatal at scale. Instead, the sort keys are
+    sampled once with a FIXED seed and n-1 split points are collected
+    to the driver (exactly TotalOrderPartitioner.java:50's split
+    file + InputSampler.java:314), every row is assigned a bucket id
+    by comparing against the literal split points, and the rank is
+    bucket-local row_number + a per-bucket offset from a tiny
+    (one row per bucket) broadcast table.
+
+    Assigning buckets from driver-held literals — instead of
+    ``repartitionByRange`` — matters for correctness, not just style:
+    Spark's RangePartitioner seeds its reservoir sample with the
+    RDD id, so the two plan branches (counts and ranks) can compute
+    DIFFERENT partition boundaries for the same data and the offsets
+    silently misalign. Literal split points are consistent across any
+    number of recomputations by construction.
+
+    ``split_points`` skips the sampling passes when the caller knows
+    the key distribution (e.g. TeraGen's uniform keys) — the
+    pre-built partition file TotalOrderPartitioner accepts.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    # monotonically_increasing_id encodes (partition id << 33) + the
-    # row's position in physical partition order — which IS the sort
-    # order after sortWithinPartitions. Decoding it gives per-partition
-    # ranks with NO window and NO second full-data exchange (a window
-    # partitioned on pid would re-shuffle everything by pid). Holds for
-    # < 2^33 rows per partition.
-    mid = F.monotonically_increasing_id()
-    with_mid = ordered.withColumn("__pid", F.shiftright(mid, 33)).withColumn(
-        "__rn", mid.bitwiseAND(F.lit((1 << 33) - 1))
-    )
-    counts = with_mid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    specs = _sort_specs(df, cols)
+    bounds = split_points if split_points is not None else _split_points(df, specs, n)
+    pid: Column = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(_at_or_after(specs, b), 1).otherwise(0)
+    with_pid = df.withColumn("__pid", pid)
+    w_rn = Window.partitionBy("__pid").orderBy(*cols)
+    with_rn = with_pid.withColumn("__rn", F.row_number().over(w_rn))
+    counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
     )
     return (
-        with_mid.join(F.broadcast(offsets), "__pid")
-        .withColumn(rank_col, F.col("__off") + F.col("__rn") + 1)
+        with_rn.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.col("__rn"))
         .drop("__pid", "__rn", "__off")
     )
 

@@ -446,6 +446,40 @@ def tagged_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "tagged_join_nary",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS k, c_acctbal AS cus_val FROM customer),
+         s AS (SELECT s_nationkey AS k, s_acctbal AS sup_val FROM supplier),
+         n AS (SELECT n_nationkey AS k, CAST(n_regionkey AS DOUBLE) AS nat_val FROM nation)
+    SELECT COALESCE(cs.k, n.k) AS nationkey, cus_val, sup_val, nat_val
+    FROM (SELECT COALESCE(c.k, s.k) AS k, cus_val, sup_val
+          FROM c FULL OUTER JOIN s ON c.k = s.k) cs
+    FULL OUTER JOIN n ON cs.k = n.k
+    """,
+    doc="N-ary reduce-side tagged OUTER join (datajoin "
+    "DataJoinReducerBase.joinAndCollect, DataJoinReducerBase.java:174-"
+    ":227): three tagged sources crossed per key; keys absent from a "
+    "source keep null for that tag — the outer-subclass combine() "
+    "behavior. At small SFs some nations genuinely lack suppliers, so "
+    "the outer path is exercised for real.",
+)
+def tagged_join_nary(spark: SparkSession, sf: str) -> DataFrame:
+    srcs = {
+        "cus": t(spark, sf, "customer").select(
+            F.col("c_nationkey").alias("k"), F.col("c_acctbal").alias("val")
+        ),
+        "sup": t(spark, sf, "supplier").select(
+            F.col("s_nationkey").alias("k"), F.col("s_acctbal").alias("val")
+        ),
+        "nat": t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("k"), F.col("n_regionkey").cast("double").alias("val")
+        ),
+    }
+    out = J.tagged_join(srcs, key="k", value_col="val", how="outer")
+    return out.select(F.col("k").alias("nationkey"), "cus_val", "sup_val", "nat_val")
+
+
+@query(
     "broadcast_join_agg",
     oracle="""
     SELECT p_brand,

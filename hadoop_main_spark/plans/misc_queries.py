@@ -78,19 +78,35 @@ def rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+from hadoop_main_spark.sources.teragen_exact import duckdb_oracle_sql as _tg_oracle
+
+
 @query(
     "terasort_100k",
-    oracle=None,  # generator source — not expressible over the DuckDB views
-    doc="TeraGen→TeraSort (EX/terasort/TeraGen.java:1, TeraSort.java:49): "
-    "100k deterministic 100-byte records, global total-order sort. "
-    "Order+checksum validated by sources.generators.validate_sorted "
-    "in tests (the TeraValidate analog).",
+    # the oracle REGENERATES the bit-exact gensort LCG stream in pure
+    # SQL (limb arithmetic over embedded skip-ahead tables) — see
+    # sources/teragen_exact.duckdb_oracle_sql
+    oracle=_tg_oracle(100_000),
+    doc="TeraGen→TeraSort, bit-exact (EX/terasort/Random16.java:20, "
+    "GenSort.java:39, TeraGen.java:218, TeraSort.java:49): 100k "
+    "gensort 100-byte records from the 128-bit LCG, global "
+    "total-order sort with a scalable rank. key_hex+filler_hex are "
+    "the full 128-bit rand per row, so the oracle checks the entire "
+    "stream; CRC record checksums (TeraChecksum analog) are pinned "
+    "in tests.",
     bench=True,
 )
 def terasort_100k(spark: SparkSession, sf: str) -> DataFrame:
-    from hadoop_main_spark.sources.generators import teragen
+    from hadoop_main_spark.operators.sorting import global_rank
+    from hadoop_main_spark.sources.teragen_exact import teragen_exact
 
-    return teragen(spark, 100_000, seed=42).orderBy("key", "rowid")
+    g = teragen_exact(spark, 100_000)
+    # analytic split points: keys are uniform 80-bit values, so the
+    # even hex-space split is exact — no sampling pass needed
+    n = spark.sparkContext.defaultParallelism
+    bounds = [("%020X" % (j * (1 << 80) // n), 0) for j in range(1, n)]
+    ranked = global_rank(g, "key_hex", "rowid", rank_col="rank", split_points=bounds)
+    return ranked.select("rowid", "key_hex", "filler_hex", "rank")
 
 
 @query(

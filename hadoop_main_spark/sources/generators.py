@@ -4,10 +4,11 @@ TeraGen / RandomWriter / RandomTextWriter re-expressed as
 ``spark.range(n)`` + deterministic column expressions: seedable,
 partition-parallel, no data movement. The reference's TeraGen is a
 128-bit LCG (EX/terasort/Random16.java:1) producing 100-byte
-records (layout EX/terasort/TeraGen.java:55-:62); we keep the
-layout and determinism but derive bytes from hash64 — byte-identity
-with the 2008 fixtures is out of scope (SURVEY §7 'bit-exact
-TeraGen' note), sortability and distribution are what matter.
+records (layout EX/terasort/TeraGen.java:55-:62); this module's
+``teragen`` derives bytes from hash64 (fast, expression-only) and is
+kept for RandomWriter-style workloads; the BIT-EXACT gensort port
+(Random16/Unsigned16/GenSort parity, with a DuckDB oracle) lives in
+``sources/teragen_exact.py`` and backs the terasort_100k query.
 """
 
 from __future__ import annotations

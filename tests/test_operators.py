@@ -393,3 +393,61 @@ def test_lsh_pairs_from_persisted_signatures(spark, sf_dir, tmp_path):
         for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
     }
     assert got == want and len(want) > 0
+
+
+def _model_tagged_join(sources: dict, how: str):
+    """Driver-side model of DataJoinReducerBase.joinAndCollect: group
+    each source's values by key, cross one value per present tag;
+    inner requires every tag present, outer nulls the absent tags."""
+    from itertools import product
+
+    tags = list(sources)
+    keys = set().union(*[{k for k, _ in rows} for rows in sources.values()])
+    out = []
+    for key in keys:
+        per_tag = [[v for k, v in sources[tag] if k == key] for tag in tags]
+        if how == "inner" and any(not vs for vs in per_tag):
+            continue
+        padded = [vs or [None] for vs in per_tag]
+        for combo in product(*padded):
+            out.append((key, *combo))
+    return sorted(out, key=lambda r: tuple((x is None, x) for x in r))
+
+
+def test_tagged_join_nary_matches_model(spark):
+    cases = [
+        {
+            "a": [(1, 10), (1, 11), (2, 20)],
+            "b": [(1, 100), (3, 300)],
+            "c": [(1, 1000), (2, 2000), (3, 3000), (3, 3001)],
+        },
+        {"a": [(1, 1)], "b": [(2, 2)], "c": [(3, 3)]},
+    ]
+    for data in cases:
+        srcs = {
+            tag: spark.createDataFrame(rows, "k int, val int")
+            for tag, rows in data.items()
+        }
+        for how in ("inner", "outer"):
+            got = sorted(
+                (
+                    tuple(r)
+                    for r in J.tagged_join(srcs, "k", "val", how=how).collect()
+                ),
+                key=lambda r: tuple((x is None, x) for x in r),
+            )
+            assert got == _model_tagged_join(data, how), (how, data)
+
+
+def test_tagged_join_max_values_per_group(spark):
+    # key 1 has 4 total values (> cap 3) and must be dropped entirely —
+    # mapred.datajoin.maxNumOfValuesPerGroup semantics
+    data = {
+        "a": [(1, 10), (1, 11), (2, 20)],
+        "b": [(1, 100), (1, 101), (2, 200)],
+    }
+    srcs = {
+        tag: spark.createDataFrame(rows, "k int, val int") for tag, rows in data.items()
+    }
+    got = J.tagged_join(srcs, "k", "val", how="inner", max_values_per_group=3).collect()
+    assert [tuple(r) for r in got] == [(2, 20, 200)]

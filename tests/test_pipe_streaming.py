@@ -399,3 +399,61 @@ def test_pipe_null_columns_keep_field_alignment(spark):
     # line was a<TAB>b<TAB>c; key = first field, value = rest
     assert out["k1"] == "\tv1"  # empty middle field preserved
     assert out["k2"] == "mid\tv2"
+
+
+def test_pipe_binary_roundtrip_hostile_bytes(spark):
+    """Separator-hostile content (newlines, tabs, NULs, 0xFF, empty)
+    must survive the subprocess boundary bit-exactly — the guarantee
+    typed-bytes provides (ST/io/TypedBytesInputWriter.java:1)."""
+    payloads = [
+        b"plain",
+        b"embedded\nnewline\r\n",
+        b"tab\tand\x00nul",
+        bytes(range(256)),
+        b"",
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "data binary").repartition(1)
+    got = sorted(bytes(r.value) for r in P.pipe_binary(df, "cat").collect())
+    assert got == sorted(payloads)
+
+
+def test_pipe_binary_multi_column_requires_input_col(spark):
+    df = spark.createDataFrame([(1, b"x")], "id int, data binary")
+    with pytest.raises(ValueError):
+        P.pipe_binary(df, "cat")
+    got = [bytes(r.value) for r in P.pipe_binary(df, "cat", input_col="data").collect()]
+    assert got == [b"x"]
+
+
+def test_pipe_chunked_output_expansion(spark):
+    """An output-expanding command under a tiny chunk size: results
+    must be complete and correct while the task only ever holds
+    chunk_rows rows (the unbounded-buffer fix)."""
+    df = spark.createDataFrame([(i,) for i in range(50)], "n int").repartition(2)
+    # awk emits 40 lines per input line -> 2000 output rows, chunk 16
+    cmd = "awk '{ for (i = 0; i < 40; i++) print $1 \"\\t\" i }'"
+    out = P.pipe(df, cmd, chunk_rows=16)
+    rows = [(int(r.key), int(r.value)) for r in out.collect()]
+    assert sorted(rows) == sorted((n, i) for n in range(50) for i in range(40))
+
+
+def test_pipe_feed_error_propagates_not_hangs():
+    """A feed-side error must close stdin, surface the exception on
+    the consuming thread, and NOT hang (the silent-hang failure mode:
+    child waiting on stdin EOF forever). Unit-level: Spark normalizes
+    unencodable strings before they reach the writer, so the trigger
+    is a failing feed iterator."""
+
+    def bad_lines():
+        yield "ok"
+        raise RuntimeError("feed boom")
+
+    with pytest.raises(RuntimeError, match="feed boom"):
+        list(P._run_pipe(bad_lines(), "cat", "\t"))
+
+    def bad_recs():
+        yield b"ok"
+        raise RuntimeError("feed boom bin")
+
+    with pytest.raises(RuntimeError, match="feed boom bin"):
+        list(P._run_pipe_binary(bad_recs(), "cat"))

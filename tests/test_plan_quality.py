@@ -218,3 +218,23 @@ def test_gap_fill_windows_are_keyed(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition(" in ln:
             assert "user_id" in ln, f"unkeyed window: {ln.strip()[:160]}"
+
+
+def test_ngram_jaccard_single_lsh_subtree(spark, sf_dir):
+    """The LSH candidate subtree (band bucket-size window over
+    band_sig) must appear exactly ONCE in the ngram-verify plan: the
+    join-back shape computed the whole shingle→band→self-join
+    pipeline twice — doubling the dominant stage at 100 TB."""
+    df = REGISTRY["dedup_ngram_jaccard"].build(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = [
+        ln
+        for ln in optimized.splitlines()
+        if "windowspecdefinition" in ln and "band_sig" in ln
+    ]
+    # exactly the band-bucket self-join pair (AQE reuses that exchange
+    # at runtime, asserted below); the old join-back shape showed 4
+    assert len(windows) == 2, f"band bucket window appears {len(windows)}x"
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, "band self-join exchange not reused at runtime"
