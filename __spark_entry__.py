@@ -33,35 +33,10 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     return run
 
 
-def _driver_checked() -> set[str]:
-    """Names already sampled by the driver in past rounds
-    (CORRECTNESS_r*.json); the driver checks a prefix of queries(),
-    so rotating unchecked entries first maximizes cumulative
-    driver-verified coverage across rounds."""
-    import glob
-    import json
-
-    seen: set[str] = set()
-    here = os.path.dirname(os.path.abspath(__file__))
-    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        try:
-            with open(p) as f:
-                for name, row in json.load(f).items():
-                    # only fully-green rows count as covered; rows-only
-                    # or failed entries should be re-sampled
-                    if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
-                        seen.add(name)
-        except Exception:
-            pass
-    return seen
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    never-driver-checked entries first."""
-    seen = _driver_checked()
-    names = sorted(REGISTRY, key=lambda n: (n in seen, list(REGISTRY).index(n)))
-    return {name: _wrap(REGISTRY[name].build) for name in names}
+    in stable declared registry order."""
+    return {name: _wrap(REGISTRY[name].build) for name in REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -402,7 +402,7 @@ def no_order_customers(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type

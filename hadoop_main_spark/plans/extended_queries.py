@@ -833,7 +833,7 @@ def bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
       FROM orders),
     exact AS (
       SELECT grp, o_totalprice AS p50_exact FROM ranked WHERE rn = (n + 1) // 2)
-    SELECT e.grp, e.n,
+    SELECT e.grp, CAST(e.n AS BIGINT) AS n,
            CAST((p50_b + 1) * 1000.0 AS DOUBLE) AS p50_est_upper,
            CAST((p95_b + 1) * 1000.0 AS DOUBLE) AS p95_est_upper,
            x.p50_exact
