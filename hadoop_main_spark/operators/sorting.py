@@ -43,23 +43,45 @@ def total_order_sort(df: DataFrame, *cols: str | Column, ranked: str | None = No
     return df.orderBy(*cols)
 
 
-def _sort_specs(df: DataFrame, cols: Sequence[str | Column]) -> list[tuple[Column, bool]]:
+SortArg = "str | Column | tuple[str | Column, bool]"
+
+
+def _sort_specs(df: DataFrame, cols: Sequence) -> list[tuple[Column, bool]]:
     """Normalize sort arguments to (value column, ascending) pairs.
 
-    ``F.desc(x)``-style Columns wrap an internal SortOrder node; the
-    child expression and direction are recovered from it so split-point
-    comparisons can honor per-column direction.
+    Accepted forms: a column name (ascending), an explicit
+    ``(column, ascending)`` tuple — the stable public form — or a
+    ``F.desc(x)``-style Column wrapping an internal SortOrder node,
+    from which child expression and direction are recovered. The
+    introspection depends on classic-mode PySpark internals, so when
+    it is unavailable (e.g. Spark Connect) a plain Column is treated
+    as ascending and SortOrder-wrapped Columns raise with a pointer
+    to the tuple form rather than silently mis-sorting.
     """
-    from pyspark.sql.classic.column import Column as _CCol
-
-    jvm = df.sparkSession._jvm
     specs: list[tuple[Column, bool]] = []
     for c in cols:
         if isinstance(c, str):
             specs.append((F.col(c), True))
             continue
-        node = c._jc.node()
-        if node.getClass().getSimpleName() == "SortOrder":
+        if isinstance(c, tuple):
+            col, asc = c
+            specs.append((F.col(col) if isinstance(col, str) else col, bool(asc)))
+            continue
+        try:
+            from pyspark.sql.classic.column import Column as _CCol
+
+            jvm = df.sparkSession._jvm
+            node = c._jc.node()
+            is_sort_order = node.getClass().getSimpleName() == "SortOrder"
+        except Exception as exc:  # Connect / future-version fallback
+            if "desc" in repr(c).lower():
+                raise ValueError(
+                    "cannot introspect sort direction on this Spark backend; "
+                    "pass (column, ascending) tuples instead of F.desc(...)"
+                ) from exc
+            specs.append((c, True))
+            continue
+        if is_sort_order:
             child = _CCol(jvm.org.apache.spark.sql.Column(node.child()))
             asc = "Descending" not in node.sortDirection().getClass().getSimpleName()
             specs.append((child, asc))
@@ -68,22 +90,41 @@ def _sort_specs(df: DataFrame, cols: Sequence[str | Column]) -> list[tuple[Colum
     return specs
 
 
+def _order_cols(specs: list[tuple[Column, bool]]) -> list[Column]:
+    return [c.asc() if asc else c.desc() for c, asc in specs]
+
+
 def _split_points(
     df: DataFrame, specs: list[tuple[Column, bool]], n: int, seed: int = 9371
 ) -> list[tuple]:
-    """Sample the sort keys ONCE (fixed seed) and pick n-1 split
-    points on the driver — TotalOrderPartitioner's sampled split file
-    (MRC/mapreduce/lib/partition/InputSampler.java:314). Returns
-    boundary tuples in sort order, deduplicated."""
-    keys = df.select([c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)])
-    total = keys.count()
-    if total == 0 or n <= 1:
+    """Pick n-1 split points from ONE cheap pass over the sort keys:
+    the first K keys of each input partition — InputSampler's
+    SplitSampler (MRC/mapreduce/lib/partition/InputSampler.java:115),
+    the reference's default TeraSort sampler. Each task stops pulling
+    Arrow batches after K rows, so the pass reads ~K rows per
+    partition rather than scanning (no count() pass, no full-scan
+    sample pass). Deterministic by construction (no RNG; ``seed``
+    kept for API compatibility). Returns boundary tuples in sort
+    order, deduplicated."""
+    if n <= 1:
         return []
+    keys = df.select([c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)])
+    nparts = max(keys.rdd.getNumPartitions(), 1)
     target = max(n * 60, 1000)
-    fraction = min(1.0, target / total * 1.2)
+    k = max(-(-target // nparts), 20)
+
+    def first_k(batches):
+        taken = 0
+        for pdf in batches:
+            if taken >= k:
+                break  # early-exit: the columnar read stops here
+            chunk = pdf.iloc[: k - taken]
+            taken += len(chunk)
+            yield chunk
+
     rows = [
         tuple(r)
-        for r in keys.sample(False, fraction, seed).collect()
+        for r in keys.mapInPandas(first_k, keys.schema).collect()
         if None not in tuple(r)
     ]
     if not rows:
@@ -101,13 +142,14 @@ def _split_points(
     return bounds
 
 
-def _at_or_after(specs: list[tuple[Column, bool]], bound: tuple) -> Column:
+def _at_or_after(specs: list[tuple[Column, bool]], bound: Sequence) -> Column:
     """Lexicographic 'row sorts at-or-after bound' honoring per-column
-    direction. Assumes non-null sort keys (nulls fall into bucket 0)."""
+    direction; ``bound`` holds per-column literals or Columns. Assumes
+    non-null sort keys (nulls fall into bucket 0)."""
     cond: Column | None = None
     for i in reversed(range(len(specs))):
         col, asc = specs[i]
-        lit = F.lit(bound[i])
+        lit = bound[i] if isinstance(bound[i], Column) else F.lit(bound[i])
         after = (col > lit) if asc else (col < lit)
         if cond is None:
             cond = after | (col == lit)
@@ -115,6 +157,178 @@ def _at_or_after(specs: list[tuple[Column, bool]], bound: tuple) -> Column:
             cond = after | ((col == lit) & cond)
     assert cond is not None
     return cond
+
+
+#: fixed byte width for variable-length (string/binary) key encodings;
+#: truncation only coarsens ties (see _enc_block), never misorders
+_ENC_STR_WIDTH = 16
+
+_ENCODABLE_PREFIXES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "decimal",
+    "string",
+    "binary",
+    "boolean",
+    "date",
+    "timestamp",
+)
+
+
+def _enc_block(values, dtype: str, asc: bool):
+    """Order-preserving fixed-width byte encoding of one key column:
+    an (n, w) uint8 block whose row-wise lexicographic order matches
+    the column's Spark sort order (descending columns are bitwise
+    complemented — complement is order-reversing on fixed width).
+
+    The encoding may be COARSER than the true order (strings truncate
+    to _ENC_STR_WIDTH bytes; huge ints / decimals round through
+    float64), which is safe for bucket assignment: any monotone
+    function of the sort key yields correct global ranks — coarsening
+    only merges adjacent buckets. Nulls are encoded as zeros and
+    handled by the caller's null mask (null keys → bucket 0, matching
+    the comparator semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(list(values)) if not isinstance(values, pd.Series) else values
+    flip = np.uint64(1) << np.uint64(63)
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        a = s.fillna(0).to_numpy()
+        a = a.astype(np.int64) if a.dtype.kind in "iu" else np.asarray(a, np.float64).astype(np.int64)
+        block = ((a.view(np.uint64) ^ flip).astype(">u8")).view(np.uint8).reshape(-1, 8)
+    elif dtype in ("float", "double") or dtype.startswith("decimal"):
+        v = pd.to_numeric(s, errors="coerce").fillna(0.0).to_numpy(np.float64)
+        bits = v.view(np.uint64)
+        u = np.where(bits >> np.uint64(63), ~bits, bits | flip)
+        block = u.astype(">u8").view(np.uint8).reshape(-1, 8)
+    elif dtype == "boolean":
+        block = s.fillna(False).to_numpy(np.uint8).reshape(-1, 1)
+    elif dtype == "date" or dtype.startswith("timestamp"):
+        dt = pd.to_datetime(s, errors="coerce")
+        try:
+            dt = dt.dt.tz_localize(None)
+        except (TypeError, AttributeError):
+            pass
+        a = dt.to_numpy("datetime64[ns]").astype("datetime64[us]").astype(np.int64)
+        a = np.where(pd.isna(dt).to_numpy(), 0, a)
+        block = ((a.view(np.uint64) ^ flip).astype(">u8")).view(np.uint8).reshape(-1, 8)
+    elif dtype in ("string", "binary"):
+        w = _ENC_STR_WIDTH
+        raw = [
+            b"" if x is None or (isinstance(x, float) and pd.isna(x))
+            else (x.encode("utf-8") if isinstance(x, str) else bytes(x))
+            for x in s.tolist()
+        ]
+        block = np.array(raw, dtype=f"S{w}").view(np.uint8).reshape(-1, w)
+    else:  # pragma: no cover - guarded by _ENCODABLE_PREFIXES check
+        raise TypeError(f"unencodable sort key type: {dtype}")
+    return block if asc else (np.uint8(255) - block)
+
+
+def _bucket_id(
+    specs: list[tuple[Column, bool]], bounds: list[tuple], dtypes: list[str] | None = None
+) -> Column:
+    """Bucket id = number of split points the row sorts at-or-after.
+
+    Fast path (all key types byte-encodable): an Arrow-vectorized
+    pandas UDF encodes the key columns into one fixed-width byte key
+    and runs ``np.searchsorted`` against the driver-encoded, sorted
+    bound array — O(log P) C-level comparisons per row with O(1) plan
+    size. This is TotalOrderPartitioner's byte-wise trie / binary
+    search (MRC/mapreduce/lib/partition/TotalOrderPartitioner.java:178
+    BinarySearchNode) re-expressed over Arrow batches; a per-row
+    Catalyst CASE chain is O(P) expressions (codegen blowup at
+    thousands of partitions) and an HOF fold is interpreted per row —
+    both measured slower at 600k rows than the Arrow round-trip.
+
+    Fallback (exotic key types): a fold over ceil(log2(P+1)) binary-
+    search steps carrying (lo, hi) and probing a literal sorted
+    array<struct> with element_at — same O(log P) comparisons, no
+    Python."""
+    if dtypes is not None and len(bounds) > 0 and all(
+        any(d == p or d.startswith(p) for p in _ENCODABLE_PREFIXES) for d in dtypes
+    ):
+        return _bucket_id_searchsorted(specs, bounds, dtypes)
+    return _bucket_id_fold(specs, bounds)
+
+
+def _bucket_id_searchsorted(
+    specs: list[tuple[Column, bool]], bounds: list[tuple], dtypes: list[str]
+) -> Column:
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    ascs = [asc for _, asc in specs]
+    ncols = len(specs)
+    bblocks = [
+        _enc_block([b[i] for b in bounds], dtypes[i], ascs[i]) for i in range(ncols)
+    ]
+    width = sum(blk.shape[1] for blk in bblocks)
+    benc = np.frombuffer(np.hstack(bblocks).tobytes(), dtype=f"S{width}")
+    benc = np.sort(benc)  # already sorted by construction; safeguard
+
+    def _pid(*cols):
+        import numpy as np
+        import pandas as pd
+
+        n = len(cols[0])
+        blocks = [_enc_block(cols[i], dtypes[i], ascs[i]) for i in range(ncols)]
+        keys = np.frombuffer(
+            (np.hstack(blocks) if ncols > 1 else blocks[0]).tobytes(), dtype=f"S{width}"
+        )
+        out = np.searchsorted(benc, keys, side="right").astype(np.int32)
+        isnull = np.zeros(n, dtype=bool)
+        for c in cols:
+            isnull |= pd.isna(c).to_numpy()
+        out[isnull] = 0  # null keys → bucket 0 (comparator semantics)
+        return pd.Series(out)
+
+    # coalesce: non-nullable result, so joins don't push an
+    # isnotnull(__pid) into one plan branch only (breaks exchange reuse)
+    return F.coalesce(pandas_udf(_pid, "int")(*[c for c, _ in specs]), F.lit(0))
+
+
+def _bucket_id_fold(specs: list[tuple[Column, bool]], bounds: list[tuple]) -> Column:
+    p = len(bounds)
+    if p == 0:
+        return F.lit(0)
+    ncols = len(specs)
+    arr = F.array(
+        *[
+            F.struct(*[F.lit(b[i]).alias(f"k{i}") for i in range(ncols)])
+            for b in bounds
+        ]
+    )
+
+    def step(acc: Column, _: Column) -> Column:
+        lo, hi = acc.getField("lo"), acc.getField("hi")
+        mid = ((lo + hi + F.lit(1)) / F.lit(2)).cast("int")
+        probe = F.element_at(arr, mid)  # mid >= lo+1 >= 1 whenever evaluated
+        ge = _at_or_after(specs, [probe.getField(f"k{i}") for i in range(ncols)])
+        new_lo = F.when(lo < hi, F.when(ge, mid).otherwise(lo)).otherwise(lo)
+        new_hi = F.when(lo < hi, F.when(ge, hi).otherwise(mid - 1)).otherwise(hi)
+        return F.struct(new_lo.alias("lo"), new_hi.alias("hi"))
+
+    # bit_length(P) >= ceil(log2(P+1)) iterations guarantee lo == hi.
+    # coalesce makes the result non-nullable (it never IS null — null
+    # keys converge to bucket 0) so a downstream join does not push an
+    # isnotnull(__pid) filter into one branch only, which would break
+    # exchange-reuse between the rank and count branches
+    return F.coalesce(
+        F.aggregate(
+            F.array_repeat(F.lit(0), max(1, p.bit_length())),
+            F.struct(F.lit(0).alias("lo"), F.lit(p).alias("hi")),
+            step,
+            lambda acc: acc.getField("lo"),
+        ),
+        F.lit(0),
+    )
 
 
 def global_rank(
@@ -143,23 +357,43 @@ def global_rank(
     silently misalign. Literal split points are consistent across any
     number of recomputations by construction.
 
-    ``split_points`` skips the sampling passes when the caller knows
+    ``split_points`` skips the sampling pass when the caller knows
     the key distribution (e.g. TeraGen's uniform keys) — the
     pre-built partition file TotalOrderPartitioner accepts.
+
+    Cost shape: ONE cheap first-K-per-partition sampling read (unless
+    ``split_points`` is given) plus ONE full scan — the per-bucket
+    counts are derived as max(row_number) of the ranked branch, so
+    both plan branches share the identical Exchange(hash __pid) and
+    Spark's ReuseExchange materializes the shuffle once.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     specs = _sort_specs(df, cols)
+    order = _order_cols(specs)
     bounds = split_points if split_points is not None else _split_points(df, specs, n)
-    pid: Column = F.lit(0)
-    for b in bounds:
-        pid = pid + F.when(_at_or_after(specs, b), 1).otherwise(0)
-    with_pid = df.withColumn("__pid", pid)
-    w_rn = Window.partitionBy("__pid").orderBy(*cols)
+    dtypes = [
+        f.dataType.simpleString()
+        for f in df.select(
+            [c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)]
+        ).schema.fields
+    ]
+    with_pid = df.withColumn("__pid", _bucket_id(specs, bounds, dtypes))
+    w_rn = Window.partitionBy("__pid").orderBy(*order)
     with_rn = with_pid.withColumn("__rn", F.row_number().over(w_rn))
-    counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # counts from the RANKED branch (not a second aggregation of the
+    # input): the groupBy shuffles on __pid just like the window, so
+    # the exchange below is reused and the input is scanned ONCE
+    counts = with_rn.groupBy("__pid").agg(F.max("__rn").alias("__cnt"))
+    # exclusive prefix sum over ≤ n rows; the lit(0) partition key is
+    # intentional (tiny frame) and keeps WindowExec from warning
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
     )
     return (
         with_rn.join(F.broadcast(offsets), "__pid")

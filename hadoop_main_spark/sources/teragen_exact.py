@@ -28,10 +28,14 @@ Unsigned16.java:206, GenSort.java:39-:76, TeraGen.java:218-:237):
 Generation is embarrassingly parallel: each partition skip-aheads to
 its first row then iterates sequentially — exactly the reference
 mapper's strategy, so the design holds at any scale (1T rows = 1T
-independent row ranges). The per-row work is Python-int arithmetic
-inside Arrow-batched mapInPandas; at 100 TB the same skip-ahead would
-be numpy-vectorized per batch, but the partition contract is already
-the scalable one.
+independent row ranges). Inside each Arrow batch the LCG stream is
+numpy-VECTORIZED: the 128-bit state lives as four 32-bit limbs in
+uint64 arrays, and the batch's states are produced by prefix
+doubling — states[m..2m) = f**m(states[0..m)) using the skip table's
+(a, c) of f**(2**k) — so a batch of n rows costs O(log n) vector
+affine steps (each a handful of numpy multiply/mask/shift ops), not
+n Python big-int iterations. Record assembly (hex digits, 100-byte
+layout) is likewise vectorized over uint8 matrices.
 
 The DuckDB oracle (``duckdb_oracle_sql``) regenerates the identical
 stream in pure SQL: rand_j for j = hi*256+lo is
@@ -104,6 +108,113 @@ _BREAK2 = bytes((0x88, 0x99, 0xAA, 0xBB))
 _BREAK3 = bytes((0xCC, 0xDD, 0xEE, 0xFF))
 
 
+# --- vectorized batch generation (numpy, 32-bit limbs in uint64) ------------
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _limbs32(v: int) -> list[int]:
+    """Four little-endian 32-bit limbs of a 128-bit value."""
+    return [(v >> (32 * i)) & 0xFFFFFFFF for i in range(4)]
+
+
+def _affine_vec(a: int, c: int, x: list) -> list:
+    """(a*x + c) mod 2**128 applied to a VECTOR of states.
+
+    ``x`` is four uint64 arrays holding 32-bit limbs. Every partial
+    product a_j * x_k fits uint64 (< 2**64); column accumulators hold
+    at most ~9 values < 2**32 plus carries (< 2**36) — no overflow.
+    """
+    np = _np()
+    m32 = np.uint64(0xFFFFFFFF)
+    s32 = np.uint64(32)
+    al, cl = _limbs32(a), _limbs32(c)
+    n = len(x[0])
+    acc = [np.zeros(n, dtype=np.uint64) for _ in range(4)]
+    for i in range(4):
+        for j in range(i + 1):
+            if al[j] == 0:
+                continue
+            p = np.uint64(al[j]) * x[i - j]
+            acc[i] += p & m32
+            if i + 1 < 4:
+                acc[i + 1] += p >> s32
+        if cl[i]:
+            acc[i] += np.uint64(cl[i])
+    out = []
+    carry = np.zeros(n, dtype=np.uint64)
+    for i in range(4):
+        s = acc[i] + carry
+        out.append(s & m32)
+        carry = s >> s32
+    return out
+
+
+def _states_vec(first_rand: int, n: int) -> list:
+    """States ``f**i(first_rand)`` for i in [0, n) as limb vectors,
+    by prefix doubling over the skip table: log2(n) vector affines."""
+    np = _np()
+    st = [np.array([l], dtype=np.uint64) for l in _limbs32(first_rand)]
+    k = 0
+    while len(st[0]) < n:
+        a, c = _SKIP[k]  # f**(2**k)
+        nxt = _affine_vec(a, c, st)
+        st = [np.concatenate([s, t]) for s, t in zip(st, nxt)]
+        k += 1
+    return [s[:n] for s in st]
+
+
+_HEXBYTES = b"0123456789ABCDEF"
+
+
+def _gen_batch_vec(rowids, first_rand: int):
+    """Vectorized records for CONTIGUOUS rowids seeded at first_rand.
+
+    Returns (keys, key_hex, filler_hex, records) as per-row Python
+    bytes/str lists (the Arrow-serializable shapes)."""
+    np = _np()
+    n = len(rowids)
+    st = _states_vec(first_rand, n)
+    hexmap = np.frombuffer(_HEXBYTES, dtype=np.uint8)
+    # 16 rand bytes, big-endian: limb3 .. limb0
+    b16 = np.empty((n, 16), dtype=np.uint8)
+    for k in range(4):
+        b16[:, (3 - k) * 4 : (4 - k) * 4] = (
+            st[k].astype(">u4").view(np.uint8).reshape(n, 4)
+        )
+    nib = np.empty((n, 32), dtype=np.uint8)
+    nib[:, 0::2] = b16 >> 4
+    nib[:, 1::2] = b16 & 0xF
+    hx = hexmap[nib]  # (n, 32) ASCII uppercase hex of the 128-bit rand
+    # 32 ASCII hex digits of the row number (top 16 are '0': rowid < 2**64)
+    rid8 = np.ascontiguousarray(rowids.astype(">u8")).view(np.uint8).reshape(n, 8)
+    ridnib = np.empty((n, 16), dtype=np.uint8)
+    ridnib[:, 0::2] = rid8 >> 4
+    ridnib[:, 1::2] = rid8 & 0xF
+    rec = np.empty((n, 100), dtype=np.uint8)
+    rec[:, 0:10] = b16[:, 0:10]
+    rec[:, 10:12] = np.frombuffer(_BREAK1, dtype=np.uint8)
+    rec[:, 12:28] = ord("0")
+    rec[:, 28:44] = hexmap[ridnib]
+    rec[:, 44:48] = np.frombuffer(_BREAK2, dtype=np.uint8)
+    rec[:, 48:96] = np.repeat(hx[:, 20:32], 4, axis=1)
+    rec[:, 96:100] = np.frombuffer(_BREAK3, dtype=np.uint8)
+    # materialize per-row objects by slicing ONE contiguous buffer each
+    # (bulk tobytes + cheap slices, not n tobytes/decode calls)
+    b16_all = b16.tobytes()
+    hx_all = hx.tobytes().decode("ascii")
+    rec_all = rec.tobytes()
+    keys = [b16_all[i * 16 : i * 16 + 10] for i in range(n)]
+    key_hex = [hx_all[i * 32 : i * 32 + 20] for i in range(n)]
+    fill_hex = [hx_all[i * 32 + 20 : i * 32 + 32] for i in range(n)]
+    recs = [rec_all[i * 100 : (i + 1) * 100] for i in range(n)]
+    return keys, key_hex, fill_hex, recs
+
+
 def record_bytes(rowid: int, rand: int) -> bytes:
     """The full 100-byte GenSort binary record (GenSort.java:39-:76)."""
     r16 = rand.to_bytes(16, "big")
@@ -122,42 +233,57 @@ def teragen_exact(
     together are the full 128-bit rand (hex digits 0..19 / 20..31),
     so value-comparing them checks the entire LCG stream.
     """
-    nparts = partitions or spark.sparkContext.defaultParallelism
+    # ≥25k rows per generator partition: each partition pays a fixed
+    # Arrow/Python-worker cost, so tiny slices are pure overhead; at
+    # real scale (rows >> 25k * parallelism) this is just
+    # defaultParallelism, and cluster callers pass `partitions`
+    nparts = partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, -(-rows // 25_000))
+    )
     rng = spark.range(0, rows, 1, nparts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             n = len(ids)
-            rowids = [0] * n
-            keys: list[bytes] = [b""] * n
-            key_hex = [""] * n
-            fill_hex = [""] * n
-            recs: list[bytes] = [b""] * n
-            rand = 0
-            prev = None
-            for i in range(n):
-                rid = int(ids[i])
-                # consecutive run → one sequential LCG step; otherwise
-                # skip-ahead (the reference mapper's firstRow seek)
-                rand = next_rand(rand) if rid == prev_plus1(prev) else skip_ahead(rid + 1)
-                prev = rid
-                hx = "%032X" % rand
-                rowids[i] = rid
-                keys[i] = rand.to_bytes(16, "big")[:10]
-                key_hex[i] = hx[:20]
-                fill_hex[i] = hx[20:]
-                recs[i] = (
-                    keys[i]
-                    + _BREAK1
-                    + (b"%032X" % rid)
-                    + _BREAK2
-                    + "".join(ch * 4 for ch in hx[20:]).encode("ascii")
-                    + _BREAK3
+            if n == 0:
+                continue
+            first = int(ids[0])
+            if bool((ids == first + np.arange(n, dtype=ids.dtype)).all()):
+                # hot path: spark.range partitions are contiguous — ONE
+                # skip-ahead to the first row, then O(log n) vectorized
+                # prefix-doubling affine steps generate the whole batch
+                keys, key_hex, fill_hex, recs = _gen_batch_vec(
+                    ids, skip_ahead(first + 1)
                 )
+            else:
+                # arbitrary id sets: per-row seek (scalar fallback)
+                keys, key_hex, fill_hex, recs = [], [], [], []
+                rand, prev = 0, None
+                for rid in (int(r) for r in ids):
+                    rand = (
+                        next_rand(rand)
+                        if rid == prev_plus1(prev)
+                        else skip_ahead(rid + 1)
+                    )
+                    prev = rid
+                    hx = "%032X" % rand
+                    keys.append(rand.to_bytes(16, "big")[:10])
+                    key_hex.append(hx[:20])
+                    fill_hex.append(hx[20:])
+                    recs.append(
+                        keys[-1]
+                        + _BREAK1
+                        + (b"%032X" % rid)
+                        + _BREAK2
+                        + "".join(ch * 4 for ch in hx[20:]).encode("ascii")
+                        + _BREAK3
+                    )
             yield pd.DataFrame(
                 {
-                    "rowid": pd.Series(rowids, dtype="int64"),
+                    "rowid": pd.Series(ids, dtype="int64"),
                     "key": keys,
                     "key_hex": key_hex,
                     "filler_hex": fill_hex,

@@ -58,8 +58,13 @@ def read_table_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stream_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # newer testdata writes timestamp[us] without UTC adjustment;
+        # normalize to session-tz timestamp exactly like tables.load_table
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -184,6 +189,56 @@ def write_stream_parquet(
     return w.start()
 
 
+def _jpath(spark, p: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _recover_replaced_dir(spark, path: str) -> None:
+    """Crash recovery for :func:`_replace_dir_safely`: if the sink dir
+    is missing but a ``__old_batch*`` aside copy exists, a crash hit
+    the swap window — restore the newest aside copy so the retried
+    batch merges against the accumulated state instead of silently
+    rebuilding from nothing (the round-1/2 data-loss window)."""
+    fs = _jpath(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(_jpath(spark, path)):
+        return
+    statuses = fs.globStatus(_jpath(spark, path + "__old_batch*"))
+    if not statuses:
+        return
+    cands = []
+    for st in statuses:
+        name = st.getPath().toString()
+        try:
+            cands.append((int(name.rsplit("__old_batch", 1)[1]), name))
+        except ValueError:
+            continue
+    if cands:
+        _, newest = max(cands)
+        fs.rename(_jpath(spark, newest), _jpath(spark, path))
+
+
+def _replace_dir_safely(spark, df: DataFrame, path: str, batch_id: int) -> None:
+    """Replace a sink dir's contents without a delete-then-rename
+    window: write to ``__tmp_batch``, move the live dir ASIDE (never
+    delete it first), swap the new dir in, then drop the aside copy.
+    A crash at any step leaves either the old or the new contents
+    restorable; callers run :func:`_recover_replaced_dir` on entry.
+    Retrying a batch after a completed swap is safe because both sink
+    merges (keyed upsert, HLL max-merge) are idempotent per batch."""
+    fs = _jpath(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, aside = f"{path}__tmp_batch{batch_id}", f"{path}__old_batch{batch_id}"
+    df.write.mode("overwrite").parquet(tmp)
+    if fs.exists(_jpath(spark, aside)):  # stale aside from a crashed retry
+        fs.delete(_jpath(spark, aside), True)
+    if fs.exists(_jpath(spark, path)):
+        fs.rename(_jpath(spark, path), _jpath(spark, aside))
+    fs.rename(_jpath(spark, tmp), _jpath(spark, path))
+    fs.delete(_jpath(spark, aside), True)
+    # sweep tmp dirs left by crashed earlier batches
+    for st in fs.globStatus(_jpath(spark, path + "__tmp_batch*")) or []:
+        fs.delete(st.getPath(), True)
+
+
 def upsert_stream_parquet(
     stream_df: DataFrame,
     path: str,
@@ -202,6 +257,10 @@ def upsert_stream_parquet(
     spark = stream_df.sparkSession
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        # restore the aside copy first if a prior attempt crashed
+        # mid-swap — otherwise the retry would see "no sink yet" and
+        # rebuild from this batch alone, losing accumulated keys
+        _recover_replaced_dir(spark, path)
         batch = batch.dropDuplicates([key])
         if _hadoop_path_exists(spark, path):
             existing = spark.read.parquet(path)
@@ -210,19 +269,12 @@ def upsert_stream_parquet(
             ).unionByName(batch)
         else:
             merged = batch
-        # write to a sibling temp dir, then swap via FS rename: a
+        # write to a sibling temp dir, then rename-aside swap: a
         # cache().count() + overwrite of the path being read is unsafe
-        # (evicted/lost cached blocks recompute from deleted files)
-        tmp = f"{path}__tmp_batch{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
-        fs.rename(
-            jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path)
-        )
+        # (evicted/lost cached blocks recompute from deleted files),
+        # and delete-then-rename has a crash window that loses the
+        # accumulated state
+        _replace_dir_safely(spark, merged, path, batch_id)
 
     w = (
         stream_df.writeStream.foreachBatch(merge)
@@ -255,6 +307,7 @@ def hll_sketch_stream_parquet(
     spark = stream_df.sparkSession
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        _recover_replaced_dir(spark, path)
         regs = hll_registers(batch, col)
         # only a genuinely absent sink means "first batch": a transient
         # read error must FAIL the batch (the commit log will retry),
@@ -268,12 +321,16 @@ def hll_sketch_stream_parquet(
         else:
             merged = regs
         # registers are <= HLL_M rows: materialize on the driver, then
-        # overwrite — no cached-plan-reads-deleted-files hazard
+        # rename-aside swap (a direct overwrite of the live dir would
+        # leave partial registers visible to a crashed retry)
         rows = merged.collect()
         assert len(rows) <= HLL_M
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
+        _replace_dir_safely(
+            spark,
+            spark.createDataFrame(rows, merged.schema).coalesce(1),
+            path,
+            batch_id,
+        )
 
     w = (
         stream_df.writeStream.foreachBatch(merge)

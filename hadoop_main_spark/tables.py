@@ -34,9 +34,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
         df = spark.read.parquet(path)
-        # ts arrives as int64 nanoseconds; truncate (not round) to µs.
-        if dict(df.dtypes).get("ts") == "bigint":
+        # ts arrives either as int64 nanoseconds (truncate, not round,
+        # to µs) or — newer testdata — as timestamp[us] without UTC
+        # adjustment, which Spark reads as TIMESTAMP_NTZ. Normalize to
+        # a session-tz timestamp (tz pinned UTC in session.tune) so
+        # unix_micros()/window arithmetic downstream keeps working.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

