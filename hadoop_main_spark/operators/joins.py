@@ -93,10 +93,13 @@ def tagged_join(
 
     ``max_values_per_group`` mirrors
     ``mapred.datajoin.maxNumOfValuesPerGroup``
-    (DataJoinReducerBase.java:103-:105): keys whose TOTAL value count
-    across all sources exceeds the cap are dropped entirely — the
-    reference's hot-key guard, the same job salting does for
-    aggregations.
+    (DataJoinReducerBase.regroup:103): the cap counts the key's TOTAL
+    values across all sources and SKIPS the excess — the first ``max``
+    values are kept and the key still produces joined output from
+    them (an empty post-cap tag behaves like an absent source). The
+    reference keeps shuffle-arrival order, which is nondeterministic;
+    here the kept values are the first ``max`` in (source order,
+    value order), so the result is stable under any partitioning.
     """
     tags = list(sources)
     if len(tags) < 2:
@@ -109,16 +112,42 @@ def tagged_join(
     if max_values_per_group is not None:
         from functools import reduce as _reduce
 
-        all_keys = _reduce(
-            DataFrame.unionByName, [d.select(key) for d in tagged]
+        from pyspark.sql import Window
+
+        # per-(key, tag) value counts → each tag's allowance is the cap
+        # minus the values already consumed by earlier tags
+        counts = _reduce(
+            DataFrame.unionByName,
+            [
+                d.select(F.col(key), F.lit(i).alias("__tag"))
+                for i, d in enumerate(tagged)
+            ],
+        ).groupBy(key, "__tag").agg(F.count(F.lit(1)).alias("__n"))
+        w_prior = (
+            Window.partitionBy(key)
+            .orderBy("__tag")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        ok = (
-            all_keys.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_values_per_group)
-            .select(key)
+        allow = counts.withColumn(
+            "__prior", F.coalesce(F.sum("__n").over(w_prior), F.lit(0))
+        ).select(
+            key,
+            "__tag",
+            F.greatest(
+                F.lit(max_values_per_group) - F.col("__prior"), F.lit(0)
+            ).alias("__allow"),
         )
-        tagged = [d.join(ok, key, "left_semi") for d in tagged]
+        capped = []
+        for i, (tag, d) in enumerate(zip(tags, tagged)):
+            vcol = f"{tag}_{value_col}"
+            w = Window.partitionBy(key).orderBy(vcol)
+            capped.append(
+                d.withColumn("__rn", F.row_number().over(w))
+                .join(allow.filter(F.col("__tag") == i).select(key, "__allow"), key)
+                .filter(F.col("__rn") <= F.col("__allow"))
+                .select(F.col(key), F.col(vcol))
+            )
+        tagged = capped
     out = tagged[0]
     for right in tagged[1:]:
         out = out.join(right, on=key, how=how)

@@ -205,6 +205,7 @@ def pipe_binary(
     cmd: Sequence[str] | str,
     input_col: str | None = None,
     chunk_rows: int = PIPE_CHUNK_ROWS,
+    null_as_empty: bool = False,
 ) -> DataFrame:
     """Binary-safe pipe (typed-bytes analog): each input row's
     ``input_col`` bytes cross the subprocess boundary as a
@@ -213,7 +214,12 @@ def pipe_binary(
     bit-transparent — embedded newlines, separators, NULs all
     survive (the failure mode typed-bytes exists to prevent:
     ST/io/TypedBytesInputWriter.java:1, test corpus
-    ST/.../TestTypedBytesStreaming.java)."""
+    ST/.../TestTypedBytesStreaming.java).
+
+    NULL input values RAISE by default: the framing cannot represent
+    null, and silently coercing it to b'' would alter data in a
+    function whose contract is bit-transparency. Pass
+    ``null_as_empty=True`` to opt into the coercion explicitly."""
     col = input_col or (df.columns[0] if len(df.columns) == 1 else None)
     if col is None:
         raise ValueError("pipe_binary needs input_col when df has multiple columns")
@@ -223,7 +229,16 @@ def pipe_binary(
         def rec_iter() -> Iterator[bytes]:
             for b in batches:
                 for rec in b["__rec"]:
-                    yield bytes(rec) if rec is not None else b""
+                    if rec is None:
+                        if not null_as_empty:
+                            raise ValueError(
+                                "pipe_binary: NULL input value (the binary "
+                                "framing cannot represent null); filter "
+                                "nulls out or pass null_as_empty=True"
+                            )
+                        yield b""
+                    else:
+                        yield bytes(rec)
 
         yield from _chunked(
             ((r,) for r in _run_pipe_binary(rec_iter(), cmd)), ["value"], chunk_rows

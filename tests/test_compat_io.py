@@ -335,3 +335,32 @@ def test_zorder_auto_bits_wide_keys(spark, tmp_path):
     mean_sy = sum(r.sy for r in spans) / len(spans)
     # ideal cell is 64k x 64k of the 255k range; allow 2x slack
     assert mean_sx <= 128_000 and mean_sy <= 128_000
+
+
+def test_har_scheme_passthrough(spark, tmp_path):
+    """Hadoop Archive passthrough (hadoop-tools/hadoop-archives;
+    HarFileSystem.java:57 VERSION=3): Spark reads `har://` paths
+    through the bundled HarFileSystem with no engine code — only the
+    archive-CREATION tool is out of scope (it is a MapReduce job; the
+    write path here is any parquet/text sink). The fixture handcrafts
+    a minimal v3 archive: _masterindex (version line + one hash-range
+    store covering the whole int range), _index (dir + file entries,
+    HarFileSystem.HarStatus format :583), and a part-0 payload."""
+    har = tmp_path / "test.har"
+    har.mkdir()
+    data = b"hello har\nline two\n"
+    (har / "part-0").write_bytes(data)
+    props = "0+420+root+root"  # urlencoded "modtime perm owner group"
+    index = "".join(
+        l + "\n"
+        for l in (
+            f"%2F dir {props} 0 0 data.txt",
+            f"%2Fdata.txt file part-0 0 {len(data)} {props}",
+        )
+    )
+    (har / "_index").write_text(index)
+    (har / "_masterindex").write_text(
+        "3 \n" + f"-2147483648 2147483647 0 {len(index.encode())}\n"
+    )
+    got = [r.value for r in spark.read.text(f"har://{har}/data.txt").collect()]
+    assert got == ["hello har", "line two"]

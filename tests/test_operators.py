@@ -440,8 +440,11 @@ def test_tagged_join_nary_matches_model(spark):
 
 
 def test_tagged_join_max_values_per_group(spark):
-    # key 1 has 4 total values (> cap 3) and must be dropped entirely —
     # mapred.datajoin.maxNumOfValuesPerGroup semantics
+    # (DataJoinReducerBase.regroup:103): the cap counts a key's TOTAL
+    # values across sources and SKIPS the excess — the first `max`
+    # values (source order, then value order here) are kept and the
+    # key still joins from them; it is NOT dropped.
     data = {
         "a": [(1, 10), (1, 11), (2, 20)],
         "b": [(1, 100), (1, 101), (2, 200)],
@@ -449,5 +452,30 @@ def test_tagged_join_max_values_per_group(spark):
     srcs = {
         tag: spark.createDataFrame(rows, "k int, val int") for tag, rows in data.items()
     }
-    got = J.tagged_join(srcs, "k", "val", how="inner", max_values_per_group=3).collect()
-    assert [tuple(r) for r in got] == [(2, 20, 200)]
+    got = sorted(
+        tuple(r)
+        for r in J.tagged_join(
+            srcs, "k", "val", how="inner", max_values_per_group=3
+        ).collect()
+    )
+    # key 1: keeps a=[10, 11] + b=[100] (3 of its 4 values)
+    assert got == [(1, 10, 100), (1, 11, 100), (2, 20, 200)]
+
+    # a tag emptied by the cap behaves like an absent source: inner
+    # drops the key, outer emits nulls for that side
+    data2 = {"a": [(1, 10), (1, 11)], "b": [(1, 100)]}
+    srcs2 = {
+        tag: spark.createDataFrame(rows, "k int, val int")
+        for tag, rows in data2.items()
+    }
+    assert (
+        J.tagged_join(srcs2, "k", "val", how="inner", max_values_per_group=2).count()
+        == 0
+    )
+    outer = sorted(
+        tuple(r)
+        for r in J.tagged_join(
+            srcs2, "k", "val", how="outer", max_values_per_group=2
+        ).collect()
+    )
+    assert outer == [(1, 10, None), (1, 11, None)]

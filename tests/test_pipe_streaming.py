@@ -527,3 +527,13 @@ def test_hll_sink_recovers_from_crash_mid_swap(spark, sf_dir, tmp_path):
     # lossless merge: estimate over the recovered+merged registers is
     # identical to the single-pass batch estimate
     assert got == want
+
+
+def test_pipe_binary_null_raises_unless_opted_in(spark):
+    from hadoop_main_spark.operators.pipe import pipe_binary
+
+    df = spark.createDataFrame([(b"x",), (None,)], "rec binary")
+    with pytest.raises(Exception, match="NULL input value"):
+        pipe_binary(df, ["cat"]).collect()
+    got = sorted(bytes(r.value) for r in pipe_binary(df, ["cat"], null_as_empty=True).collect())
+    assert got == [b"", b"x"]

@@ -271,3 +271,45 @@ def test_global_rank_no_per_partition_case_chain(spark, sf_dir):
     # one aggregate() fold, not 50 CASE WHENs
     assert plan.count("CASE WHEN") <= 6, plan
     assert "aggregate(" in plan
+
+
+def test_mapfile_lookup_prunes_to_one_bucket(spark, sf_dir, tmp_path):
+    """MapFile.Reader.get analog: a point lookup must read ONE bucket
+    directory (PartitionFilters on __bucket, not a post-scan filter)
+    and push the key filter into the scan for row-group skipping."""
+    from hadoop_main_spark.sources import layouts as L
+    from hadoop_main_spark.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "mapfile")
+    L.write_mapfile(cust, path, "c_custkey", n_buckets=8)
+
+    got = L.mapfile_lookup(spark, path, 42)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1][:160]
+    assert "__bucket" in pf and "=" in pf, plan
+    assert "c_custkey" in plan.split("PushedFilters:")[1][:160], plan
+
+    want = sorted(r.asDict() for r in cust.filter("c_custkey = 42").collect())
+    assert sorted(r.asDict() for r in got.collect()) == want
+    # a missing key reads one bucket and returns nothing
+    assert L.mapfile_lookup(spark, path, -1).count() == 0
+
+
+def test_lsh_queries_pin_no_storage_and_reuse_exchange(spark, sf_dir):
+    """The LSH self-joins must rely on ReusedExchange (identical
+    subplans), not cache(): after running, no RDD blocks may stay
+    pinned in executor storage (round-2 ADVICE: cache hygiene)."""
+    for q in ("dedup_minhash_lsh", "dedup_simhash_pairs", "hll_distinct_sketch"):
+        df = REGISTRY[q].build(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "InMemoryTableScan" not in final, q
+        assert "ReusedExchange" in final, q
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [i.toString() for i in infos]
