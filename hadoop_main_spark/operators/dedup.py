@@ -499,18 +499,35 @@ def connected_components(
     Returns (id, component) for every node appearing in ``pairs``,
     component = min node id reachable.
     """
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet()}
+
+    def _unpersist(ids: set[int]) -> None:
+        # free a superseded frontier's localCheckpoint blocks — they
+        # are dead weight once the next frontier is materialized, and
+        # would otherwise pin one cached RDD per iteration per query
+        # for the whole session
+        m = jsc.getPersistentRDDs()
+        for rid in ids:
+            if m.containsKey(rid):
+                m.get(rid).unpersist()
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+    mark = _persistent_ids()
     labels = (
         und.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    prev_ids = _persistent_ids() - mark  # the current frontier's blocks
     for _ in range(max_iter):
         neigh = und.join(
             labels.select(F.col("id").alias("dst"), "component"), "dst"
@@ -523,17 +540,24 @@ def connected_components(
         # O(log diameter) instead of O(diameter) — deep chains stay in
         # a handful of shuffles.
         jump = prop.select(F.col("component").alias("id"), F.col("id").alias("src_id"))
+        mark = _persistent_ids()
         new_labels = (
             jump.join(prop.select(F.col("id"), F.col("component").alias("cc")), "id")
             .select(F.col("src_id").alias("id"), F.col("cc").alias("component"))
         ).localCheckpoint()
+        created = _persistent_ids() - mark
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        _unpersist(prev_ids)
+        prev_ids = created
         labels = new_labels
         if changed == 0:
             break
+    # `und` (and the final frontier) stay pinned only until the caller
+    # consumes the result; und cannot be dropped here because the
+    # returned frame no longer references it yet a retry might
     return labels

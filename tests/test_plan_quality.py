@@ -298,8 +298,13 @@ def test_mapfile_lookup_prunes_to_one_bucket(spark, sf_dir, tmp_path):
 
 def test_lsh_queries_pin_no_storage_and_reuse_exchange(spark, sf_dir):
     """The LSH self-joins must rely on ReusedExchange (identical
-    subplans), not cache(): after running, no RDD blocks may stay
-    pinned in executor storage (round-2 ADVICE: cache hygiene)."""
+    subplans), not cache(): running them must pin NO NEW RDD blocks in
+    executor storage (round-2 ADVICE: cache hygiene). Delta-based:
+    other operators (connected_components' localCheckpoint) may hold
+    blocks from earlier tests in the shared session."""
+    before = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
     for q in ("dedup_minhash_lsh", "dedup_simhash_pairs", "hll_distinct_sketch"):
         df = REGISTRY[q].build(spark, sf_dir)
         df.collect()
@@ -311,5 +316,9 @@ def test_lsh_queries_pin_no_storage_and_reuse_exchange(spark, sf_dir):
         )
         assert "InMemoryTableScan" not in final, q
         assert "ReusedExchange" in final, q
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) == 0, [i.toString() for i in infos]
+    new = [
+        i.toString()
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before
+    ]
+    assert not new, new
