@@ -1,0 +1,90 @@
+"""Reproducible 10x scale smokes — the regression anchors recorded in
+NOTES.md ("Scale smokes" section).
+
+Duplicates the sf0.1 documents table 10x (doc_id-shifted copies, 50k
+docs at default sf) and times the heavy LLM pipelines end-to-end.
+Wall-times are load-sensitive; compare against NOTES.md anchors with
+~20% slack.
+
+Usage: python tools/scale_smoke.py [sf_dir] [copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_main_spark import tables
+from hadoop_main_spark.operators import dedup as D
+from hadoop_main_spark.operators import textstats as TS
+from hadoop_main_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale-smoke")
+    d = tables.load_table(spark, sf_dir, "documents")
+    big = reduce(
+        DataFrame.unionByName,
+        [
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            for i in range(copies)
+        ],
+    )
+    out: dict[str, float] = {"n_docs": big.count()}
+
+    t0 = time.time()
+    out["minhash_lsh_pairs"] = D.minhash_lsh_pairs(
+        big, "doc_id", "text", min_est_jaccard=0.5
+    ).count()
+    out["minhash_lsh_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    out["ngram_jaccard_pairs"] = D.ngram_jaccard_pairs(
+        big, "doc_id", "text", min_jaccard=0.5
+    ).count()
+    out["ngram_jaccard_s"] = round(time.time() - t0, 1)
+
+    # curation pipeline shape (mirrors plans/llm_queries.curation_pipeline)
+    qcols = TS.token_quality_cols("text")
+    feats = big.select(
+        "doc_id",
+        "source",
+        TS.lang_id("text").alias("g"),
+        qcols["n_tokens"].alias("n_tokens"),
+        qcols["unique_ratio"].alias("unique_ratio"),
+    )
+    kept = feats.filter(
+        (F.col("g") == "en")
+        & (F.col("n_tokens") >= 20)
+        & (F.col("unique_ratio") >= 0.3)
+    )
+    dupes = (
+        D.minhash_lsh_pairs(big, "doc_id", "text", min_est_jaccard=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    t0 = time.time()
+    out["curation_sources"] = (
+        kept.join(dupes, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("tt"))
+        .count()
+    )
+    out["curation_s"] = round(time.time() - t0, 1)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
