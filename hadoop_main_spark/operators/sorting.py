@@ -405,6 +405,81 @@ def global_rank(
     )
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "prefix",
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum in order, scalable to FEW HUGE groups.
+
+    ``Window.partitionBy(group)`` funnels an entire group through one
+    task — fatal when groups are few and large (the 100 TB shape of
+    sequence packing: ~20 sources × billions of docs). Instead the
+    rows are range-bucketed on (group, order) with driver-held literal
+    split points (global_rank's TotalOrderPartitioner machinery), the
+    running sum is computed per (group, bucket), and per-bucket
+    offsets — a tiny groups×buckets frame — are broadcast back.
+
+    Cost shape: one cheap first-K-per-partition sampling pass plus ONE
+    full scan (the per-bucket totals aggregate the window branch on
+    the same (group, bucket) partitioning, so the exchange is reused).
+
+    Order keys must be unique within a group for a deterministic
+    result — the same contract as row_number.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    specs = _sort_specs(df, [*gcols, *ocols])
+    bounds = _split_points(df, specs, n)
+    dtypes = [
+        f.dataType.simpleString()
+        for f in df.select(
+            [c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)]
+        ).schema.fields
+    ]
+    with_pid = df.withColumn("__pid", _bucket_id(specs, bounds, dtypes))
+    # INCLUSIVE running sum in the window; the exclusive variant is
+    # derived by subtracting the row's own value afterwards. Both the
+    # output branch and the totals branch then consume the SAME Window
+    # node (totals = value of the running sum at the bucket's last
+    # row, via max_by) — if totals aggregated the raw value instead,
+    # column pruning would drop the Window from that branch and the
+    # two exchanges would no longer canonicalize equal (no reuse,
+    # second scan)
+    w_local = (
+        Window.partitionBy(*gcols, "__pid")
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn(
+        "__incl", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    totals = local.groupBy(*gcols, "__pid").agg(
+        F.max_by("__incl", F.struct(*ocols)).alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *gcols,
+        "__pid",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    val = F.coalesce(F.col(value_col), F.lit(0)) if exclusive else F.lit(0)
+    return (
+        local.join(F.broadcast(offsets), [*gcols, "__pid"])
+        .withColumn(out_col, F.col("__off") + F.col("__incl") - val)
+        .drop("__pid", "__incl", "__off")
+    )
+
+
 def secondary_sort(
     df: DataFrame,
     group_key: str | Sequence[str],

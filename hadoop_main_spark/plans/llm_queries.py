@@ -886,23 +886,22 @@ def train_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     doc="Greedy contiguous sequence packing for LM training batches: "
     "documents concatenate in id order per source and split into "
     "2048-token context bins — a doc belongs to the bin where its "
-    "first token lands (concat-then-chunk semantics). Per-(source, "
-    "bin) doc counts and token fills; the window cumsum shuffles "
-    "once on source, nothing collects to the driver.",
+    "first token lands (concat-then-chunk semantics). The running "
+    "token count uses the two-phase grouped_prefix_sum (range-"
+    "bucketed local windows + broadcast offsets), NOT a "
+    "Window.partitionBy(source): with ~20 sources that window would "
+    "funnel each source through one task at 100 TB.",
 )
 def token_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from hadoop_main_spark.operators.sorting import grouped_prefix_sum
 
     d = t(spark, sf, "documents")
     tc = d.select("source", "doc_id", TS.token_count("text").alias("n_tok"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    prev = grouped_prefix_sum(
+        tc, ["source"], ["doc_id"], "n_tok", out_col="__prev", exclusive=True
     )
-    prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     return (
-        tc.withColumn("bin_id", F.floor(prev / F.lit(2048)).cast("bigint"))
+        prev.withColumn("bin_id", F.floor(F.col("__prev") / F.lit(2048)).cast("bigint"))
         .groupBy("source", "bin_id")
         .agg(
             F.count("*").alias("n_docs"),

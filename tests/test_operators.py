@@ -554,3 +554,55 @@ def test_global_rank_many_partitions(spark):
         F.countDistinct("r").alias("d"),
     ).collect()[0]
     assert (stats.n, stats.lo, stats.hi, stats.d) == (50_000, 1, 50_000, 50_000)
+
+
+def test_grouped_prefix_sum_matches_single_window(spark):
+    """Two-phase grouped prefix sum (range buckets + broadcast
+    offsets) must equal the plain keyed-window running sum, for both
+    exclusive and inclusive frames, across many buckets."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (f"g{rnd.randrange(4)}", i, rnd.randrange(-50, 100))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, seq long, v long")
+    from pyspark.sql import Window
+
+    for exclusive in (True, False):
+        end = -1 if exclusive else 0
+        w = Window.partitionBy("g").orderBy("seq").rowsBetween(
+            Window.unboundedPreceding, end
+        )
+        want = {
+            (r.g, r.seq): r.p
+            for r in df.withColumn(
+                "p", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        got = {
+            (r.g, r.seq): r.prefix
+            for r in S.grouped_prefix_sum(
+                df, ["g"], ["seq"], "v", exclusive=exclusive, num_partitions=16
+            ).collect()
+        }
+        assert got == want, exclusive
+
+
+def test_grouped_prefix_sum_single_scan(spark):
+    """The totals branch must reuse the window exchange: one scan."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="gps_") + "/t"
+    spark.range(5000).selectExpr(
+        "cast(id % 3 as string) g", "id seq", "id % 7 v"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = S.grouped_prefix_sum(df, ["g"], ["seq"], "v", num_partitions=8)
+    out.collect()
+    final = (
+        out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final.count("Scan parquet") == 1, final
+    assert "ReusedExchange" in final, final
