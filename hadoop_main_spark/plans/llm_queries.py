@@ -954,3 +954,76 @@ def domain_cap(spark: SparkSession, sf: str) -> DataFrame:
             F.max("n_total").cast("bigint").alias("n_total"),
         )
     )
+
+
+_SQ_L2 = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "kmeans_step",
+    oracle=f"""
+    WITH seeds AS (SELECT vec_id AS cluster, embedding AS seed
+                   FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, s.cluster,
+                      {_SQ_L2.format(a='e.embedding', b='s.seed')} AS d2,
+                      CAST(e.embedding[1] AS DOUBLE) AS e0,
+                      CAST(e.embedding[2] AS DOUBLE) AS e1
+               FROM embeddings e CROSS JOIN seeds s),
+         best AS (SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                    FROM d) WHERE rn = 1)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(CAST(e0 AS DECIMAL(25,10))) AS DOUBLE) AS c0_sum,
+           CAST(SUM(CAST(e1 AS DECIMAL(25,10))) AS DOUBLE) AS c1_sum,
+           CAST(SUM(CAST(d2 AS DECIMAL(25,10))) AS DOUBLE) AS inertia
+    FROM best GROUP BY cluster
+    """,
+    doc="One Lloyd k-means iteration — the IVF coarse-quantizer "
+    "TRAINING primitive (ann_ivf consumes a prior clustering; this is "
+    "how it gets built): 8 deterministic seed vectors (lowest ids), "
+    "every embedding assigned to the nearest seed by sequential-fold "
+    "squared L2 (ties to the smaller cluster id), then per-cluster "
+    "sizes, DECIMAL-exact component sums (partitioning-independent "
+    "centroid numerators) and DECIMAL-exact inertia. Seeds broadcast; "
+    "the corpus is scanned once and never shuffled before the final "
+    "per-cluster aggregate. Iterating this step to convergence is the "
+    "standard driver loop (each iteration one job), exactly like "
+    "connected_components' frontier loop.",
+)
+def kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    e = t(spark, sf, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("__seed")
+    )
+    diff_sq = F.zip_with(
+        "embedding",
+        "__seed",
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    d2 = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
+    assigned = e.crossJoin(broadcast(seeds)).select(
+        "vec_id",
+        "cluster",
+        d2.alias("d2"),
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.element_at("embedding", 2).cast("double").alias("e1"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
+    best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    dec = "decimal(25,10)"
+    return best.groupBy("cluster").agg(
+        F.count("*").alias("n_assigned"),
+        F.sum(F.col("e0").cast(dec)).cast("double").alias("c0_sum"),
+        F.sum(F.col("e1").cast(dec)).cast("double").alias("c1_sum"),
+        F.sum(F.col("d2").cast(dec)).cast("double").alias("inertia"),
+    )
