@@ -229,3 +229,130 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "rank", "cosine")
     )
+
+
+# --- k-means (IVF coarse-quantizer training) --------------------------------
+
+#: centroid quantization grid: 1e-7 units, offset keeps the floor-div
+#: operand positive so Spark's truncating DIV == DuckDB's flooring //
+KM_SCALE = 10**7
+KM_OFF = 16 * KM_SCALE  # components must satisfy |x| < 16
+
+
+def kmeans_centroids(
+    assigned: DataFrame, cluster_col: str = "cluster", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cluster mean vectors QUANTIZED to a 1e-7 grid via integer
+    arithmetic: each component rounds to micro-units in pure DOUBLE
+    ops (``floor(x * 1e7 + 0.5)`` — IEEE-identical in Spark and
+    DuckDB; a float→DECIMAL cast is NOT, the engines round ties
+    differently), per-cluster BIGINT sums divide by the count with an
+    offset floor-div, and the result converts back to double
+    losslessly (< 2**53). Every step is bit-identical across engines,
+    so iterated k-means stays oracle-exact — an engine-side
+    DECIMAL→DOUBLE mean can differ by 1 ulp, which a later distance
+    computation amplifies across iterations."""
+    dim = F.posexplode(F.col(vec_col))
+    comps = assigned.select(F.col(cluster_col).alias("cluster"), dim.alias("dim", "x"))
+    cent = (
+        comps.groupBy("cluster", "dim")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("x").cast("double") * F.lit(float(KM_SCALE)) + F.lit(0.5)
+                )
+            ).alias("su"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cluster",
+            "dim",
+            (
+                (
+                    F.expr(f"(su + n * {KM_OFF}) div n") - F.lit(KM_OFF)
+                ).cast("double")
+                / F.lit(float(KM_SCALE))
+            ).alias("c"),
+        )
+    )
+    return cent.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s.getField("c")
+        ).alias("centroid")
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2 via the
+    sequential fold, ties to the smaller cluster id). ``centroids``
+    are driver-held (cluster_id, components) literals — k×dim doubles,
+    tiny by definition of a coarse quantizer, exactly like the
+    split-point literals in sorting.global_rank. Returns the corpus
+    plus a ``cluster`` column; one narrow scan, no shuffle."""
+    best: Column | None = None
+    for cid, comps in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in comps])
+        diff_sq = F.zip_with(
+            vec_col, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        )
+        d2 = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
+        cand = F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cluster"))
+        best = cand if best is None else F.least(best, cand)
+    assert best is not None, "kmeans_assign needs >= 1 centroid"
+    return corpus.withColumn("cluster", best.getField("cluster")).withColumn(
+        "__d2", best.getField("d2")
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+):
+    """Lloyd's k-means to (early-stopping) convergence — how the
+    ``cell`` column ann_ivf consumes gets TRAINED in-repo.
+
+    Deterministic throughout: seeds are the k lowest-id vectors,
+    assignment ties break to the smaller cluster id, and centroid
+    recomputation uses DECIMAL-exact component sums (ivf_centroids),
+    so the result is independent of partitioning and cluster size.
+    Per iteration: one narrow assignment scan (k fold-L2s per row
+    against literal centroids) + one per-dimension aggregate; the
+    k×dim centroid table is collected to the driver each round — the
+    same loop structure as MLlib's KMeans and the reference's
+    iterative drivers. At 100 TB the assignment fold would move to a
+    BLAS pandas_udf; the loop shape is already the scalable one.
+
+    Returns (assignments DataFrame with ``cluster``, centroids list).
+    """
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in seeds
+    ]
+    assigned = None
+    for _ in range(max_iter):
+        assigned = kmeans_assign(corpus, cents, id_col, vec_col)
+        new_rows = (
+            kmeans_centroids(assigned, "cluster", vec_col)
+            .orderBy("cluster")
+            .collect()
+        )
+        new_cents = [
+            (int(r.cluster), [float(x) for x in r.centroid]) for r in new_rows
+        ]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return kmeans_assign(corpus, cents, id_col, vec_col).drop("__d2"), cents

@@ -956,6 +956,16 @@ def domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _qsum(col: str, scale: int):
+    """Partitioning-independent, ENGINE-IDENTICAL sum of doubles:
+    quantize each value to 1/scale units with pure double ops
+    (floor(v*scale + 0.5) — IEEE-identical in Spark and DuckDB,
+    unlike a double->DECIMAL cast whose tie-rounding differs), sum
+    as BIGINT, convert back. Quantization coarsens, never diverges."""
+    q = F.floor(F.col(col) * F.lit(float(scale)) + F.lit(0.5))
+    return F.sum(q).cast("double") / F.lit(float(scale))
+
+
 _SQ_L2 = (
     "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
     "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
@@ -979,9 +989,12 @@ _SQ_L2 = (
                     FROM d) WHERE rn = 1)
     SELECT cluster,
            CAST(COUNT(*) AS BIGINT) AS n_assigned,
-           CAST(SUM(CAST(e0 AS DECIMAL(25,10))) AS DOUBLE) AS c0_sum,
-           CAST(SUM(CAST(e1 AS DECIMAL(25,10))) AS DOUBLE) AS c1_sum,
-           CAST(SUM(CAST(d2 AS DECIMAL(25,10))) AS DOUBLE) AS inertia
+           CAST(SUM(CAST(floor(e0 * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000000 AS c0_sum,
+           CAST(SUM(CAST(floor(e1 * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000000 AS c1_sum,
+           CAST(SUM(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS inertia
     FROM best GROUP BY cluster
     """,
     doc="One Lloyd k-means iteration — the IVF coarse-quantizer "
@@ -1020,10 +1033,95 @@ def kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
     best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    dec = "decimal(25,10)"
     return best.groupBy("cluster").agg(
         F.count("*").alias("n_assigned"),
-        F.sum(F.col("e0").cast(dec)).cast("double").alias("c0_sum"),
-        F.sum(F.col("e1").cast(dec)).cast("double").alias("c1_sum"),
-        F.sum(F.col("d2").cast(dec)).cast("double").alias("inertia"),
+        _qsum("e0", 10**7).alias("c0_sum"),
+        _qsum("e1", 10**7).alias("c1_sum"),
+        _qsum("d2", 10**6).alias("inertia"),
+    )
+
+
+@query(
+    "kmeans_two_steps",
+    oracle=f"""
+    WITH seeds AS (SELECT vec_id AS cluster, embedding AS seed
+                   FROM embeddings WHERE vec_id < 8),
+         d1 AS (SELECT e.vec_id, s.cluster,
+                       {_SQ_L2.format(a='e.embedding', b='s.seed')} AS d2
+                FROM embeddings e CROSS JOIN seeds s),
+         b1 AS (SELECT vec_id, cluster FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                  FROM d1) WHERE rn = 1),
+         comp1 AS (
+           SELECT b1.cluster, i.i AS dim, e.embedding[i.i] AS x
+           FROM b1 JOIN embeddings e USING (vec_id),
+                unnest(generate_series(1, len(e.embedding))) AS i(i)),
+         centd AS (
+           SELECT cluster, dim,
+                  CAST(((SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
+                         + COUNT(*) * 160000000) // COUNT(*)) - 160000000 AS DOUBLE)
+                  / 10000000 AS c
+           FROM comp1 GROUP BY cluster, dim),
+         cent1 AS (SELECT cluster, list(c ORDER BY dim) AS centroid
+                   FROM centd GROUP BY cluster),
+         d2t AS (SELECT e.vec_id, c.cluster,
+                        {_SQ_L2.format(a='e.embedding', b='c.centroid')} AS d2,
+                        CAST(e.embedding[1] AS DOUBLE) AS e0,
+                        CAST(e.embedding[2] AS DOUBLE) AS e1
+                 FROM embeddings e CROSS JOIN cent1 c),
+         b2 AS (SELECT * FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                  FROM d2t) WHERE rn = 1)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(CAST(floor(e0 * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000000 AS c0_sum,
+           CAST(SUM(CAST(floor(e1 * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000000 AS c1_sum,
+           CAST(SUM(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS inertia
+    FROM b2 GROUP BY cluster
+    """,
+    doc="Two Lloyd iterations end-to-end (seed-assign -> DECIMAL-exact "
+    "centroid recompute -> re-assign), the in-repo training loop for "
+    "ann_ivf's coarse quantizer (operators/similarity.kmeans_fit "
+    "iterates the same step to convergence). The k x dim centroid "
+    "table is driver-collected between iterations — tiny by "
+    "definition, the same pattern as MLlib KMeans and global_rank's "
+    "split points. Inertia after step 2 is DECIMAL-exact so the whole "
+    "two-step trajectory is oracle-verified bit-for-bit.",
+)
+def kmeans_two_steps(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    ]
+    a1 = kmeans_assign(e, seeds, "vec_id", "embedding")
+    cents1 = [
+        (int(r.cluster), [float(x) for x in r.centroid])
+        for r in kmeans_centroids(a1, "cluster", "embedding").collect()
+    ]
+    a2 = kmeans_assign(e, cents1, "vec_id", "embedding")
+    return (
+        a2.select(
+            "cluster",
+            "__d2",
+            F.element_at("embedding", 1).cast("double").alias("e0"),
+            F.element_at("embedding", 2).cast("double").alias("e1"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            _qsum("e0", 10**7).alias("c0_sum"),
+            _qsum("e1", 10**7).alias("c1_sum"),
+            _qsum("__d2", 10**6).alias("inertia"),
+        )
     )

@@ -606,3 +606,35 @@ def test_grouped_prefix_sum_single_scan(spark):
     )
     assert final.count("Scan parquet") == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_kmeans_fit_converges_and_is_deterministic(spark):
+    from hadoop_main_spark.operators.similarity import kmeans_assign, kmeans_fit
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a1, cents1 = kmeans_fit(e, 8, max_iter=10)
+    a2, cents2 = kmeans_fit(e, 8, max_iter=10)
+    # deterministic: same centroids and assignments across runs
+    assert cents1 == cents2
+    m1 = {r.vec_id: r.cluster for r in a1.select("vec_id", "cluster").collect()}
+    m2 = {r.vec_id: r.cluster for r in a2.select("vec_id", "cluster").collect()}
+    assert m1 == m2 and len(m1) == e.count()
+    # all 8 clusters survive and every vector is assigned to one
+    assert sorted({c for c, _ in cents1}) == sorted(set(m1.values()))
+    assert len(cents1) == 8
+    # refinement helps: inertia after fit <= inertia after one step
+    def inertia(cents):
+        return (
+            kmeans_assign(e, cents)
+            .agg(F.sum(F.col("__d2")))
+            .collect()[0][0]
+        )
+
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    ]
+    assert inertia(cents1) <= inertia(seeds)
