@@ -95,3 +95,39 @@ def test_duckdb_oracle_matches_python():
         hx = "%032X" % rand
         assert res[rid][0] == rid
         assert (res[rid][1], res[rid][2]) == (hx[:20], hx[20:])
+
+
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SLOW"), reason="set SPARK_GRAFT_SLOW=1 to run"
+)
+def test_teragen_exact_10m_rank_slow(spark):
+    """1 GB-class end-to-end: 10M bit-exact gensort rows through the
+    vectorized generator + single-scan global_rank. Rank must be a
+    dense permutation consistent with the key order."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators.sorting import global_rank
+    from hadoop_main_spark.sources.teragen_exact import teragen_exact
+
+    n = spark.sparkContext.defaultParallelism
+    g = teragen_exact(spark, 10_000_000).select("rowid", "key_hex")
+    bounds = [("%020X" % (j * (1 << 80) // n), 0) for j in range(1, n)]
+    ranked = global_rank(g, "key_hex", "rowid", rank_col="r", split_points=bounds)
+    stats = ranked.agg(
+        F.count("*").alias("c"),
+        F.min("r").alias("lo"),
+        F.max("r").alias("hi"),
+        F.countDistinct("r").alias("d"),
+    ).collect()[0]
+    assert (stats.c, stats.lo, stats.hi, stats.d) == (10_000_000, 1, 10_000_000, 10_000_000)
+    sample = sorted(
+        ranked.sample(0.0002, seed=1).select("key_hex", "rowid", "r").collect(),
+        key=lambda x: (x.key_hex, x.rowid),
+    )
+    ranks = [x.r for x in sample]
+    assert ranks == sorted(ranks) and len(ranks) > 500
