@@ -1125,3 +1125,59 @@ def kmeans_two_steps(spark: SparkSession, sf: str) -> DataFrame:
             _qsum("__d2", 10**6).alias("inertia"),
         )
     )
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+         g5 AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(tk) - 4, 0)),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+                FROM toks),
+         bg AS (SELECT DISTINCT {hash64_sql('g')} AS gh FROM g5
+                WHERE doc_id % 97 = 0),
+         tg AS (SELECT doc_id, {hash64_sql('g')} AS gh FROM g5
+                WHERE doc_id % 97 <> 0),
+         hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gh))
+    SELECT d.doc_id, d.source, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+    doc="Benchmark decontamination — the test-set-overlap scrub every "
+    "serious training corpus needs: the doc_id %% 97 == 0 slice plays "
+    "the benchmark/eval set, its distinct word-5-gram hashes become a "
+    "BROADCAST filter (eval sets are tiny by construction), and every "
+    "training document sharing at least one 5-gram is flagged. Only "
+    "64-bit gram hashes move — document text never shuffles; the "
+    "per-doc flag (not a dropped row) lets downstream choose flag-"
+    "and-weight vs hard removal.",
+)
+def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from hadoop_main_spark.functions.hashing import hash64
+
+    d = t(spark, sf, "documents")
+    g5 = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(D.word_shingles("text", 5))).alias("g"),
+    ).select("doc_id", hash64("g").alias("gh"))
+    bench_grams = g5.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    train_grams = g5.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        train_grams.join(broadcast(bench_grams), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "source", F.coalesce("__hit", F.lit(False)).alias("contaminated")
+        )
+    )
