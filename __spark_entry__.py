@@ -7,13 +7,16 @@ and (where SQL-expressible) a DuckDB oracle.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
 
 from hadoop_main_spark.plans.registry import REGISTRY  # noqa: E402
 from hadoop_main_spark.session import tune  # noqa: E402
@@ -33,13 +36,55 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     return run
 
 
+def _last_green_round() -> dict[str, int]:
+    """Per-query latest round with a fully-green row in
+    CORRECTNESS_r*.json (0 = never driver-green)."""
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(path).rsplit("_r", 1)[-1].split(".")[0])
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _driver_order() -> list[str]:
+    """Registry names, least-recently-driver-verified first.
+
+    The driver verifies a bounded window from the FRONT of
+    ``queries()``, so ordering by ascending last-green round rotates
+    never-checked and stale entries into the window each round while
+    recently-green entries cycle to the back.  Ties keep declared
+    registry order (sorted() is stable), so the rotation is
+    deterministic for a given set of CORRECTNESS files.
+    """
+    last = _last_green_round()
+    return sorted(REGISTRY, key=lambda n: last.get(n, 0))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2,
-    in stable declared registry order."""
-    return {name: _wrap(REGISTRY[name].build) for name in REGISTRY}
+    """One entry per implemented operator from SURVEY.md §2, ordered
+    least-recently-driver-verified first (see _driver_order)."""
+    return {name: _wrap(REGISTRY[name].build) for name in _driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted where not
     SQL-expressible → driver records a rows-only check)."""
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _driver_order()
+        if REGISTRY[name].oracle is not None
+    }

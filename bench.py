@@ -32,8 +32,9 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("hadoop-main-spark-bench")
     names = [n for n, q in REGISTRY.items() if q.bench]
-    # warm the JVM + file listing once with the cheapest query
-    run_once(spark, names[0], sf_dir)
+    # warm the JVM + file listing once with a fixed cheap query, pinned
+    # by name so bench numbers stay comparable if ordering ever changes
+    run_once(spark, "word_count" if "word_count" in names else names[0], sf_dir)
     times: dict[str, float] = {}
     for name in names:
         # min of two runs: the second run reuses warmed file listings
