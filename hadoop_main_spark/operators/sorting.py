@@ -98,14 +98,23 @@ def _split_points(
     df: DataFrame, specs: list[tuple[Column, bool]], n: int, seed: int = 9371
 ) -> list[tuple]:
     """Pick n-1 split points from ONE cheap pass over the sort keys:
-    the first K keys of each input partition — InputSampler's
+    K keys from the head of each input partition — InputSampler's
     SplitSampler (MRC/mapreduce/lib/partition/InputSampler.java:115),
     the reference's default TeraSort sampler. Each task stops pulling
-    Arrow batches after K rows, so the pass reads ~K rows per
-    partition rather than scanning (no count() pass, no full-scan
-    sample pass). Deterministic by construction (no RNG; ``seed``
-    kept for API compatibility). Returns boundary tuples in sort
-    order, deduplicated."""
+    Arrow batches once K rows are taken, so the pass reads a bounded
+    prefix of each partition rather than scanning (no count() pass).
+    Within that prefix the K rows are SPREAD across Arrow batches
+    with an even stride (IntervalSampler-flavored,
+    InputSampler.java:163) so inputs whose row order correlates with
+    the sort key (e.g. internally-sorted files) don't sample only
+    their per-partition minima. If the spread sample still comes back
+    degenerate (fewer distinct keys than requested buckets — the
+    clustered-minima signature), ONE seeded per-partition reservoir
+    pass over the keys (RandomSampler parity, InputSampler.java:58)
+    replaces it; that fallback scans the key columns only.
+    Deterministic by construction (stride sampling has no RNG; the
+    reservoir is seeded). Returns boundary tuples in sort order,
+    deduplicated."""
     if n <= 1:
         return []
     keys = df.select([c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)])
@@ -115,18 +124,48 @@ def _split_points(
 
     def first_k(batches):
         taken = 0
+        per_batch = max(-(-k // 8), 1)  # spread over ≥8 batches
         for pdf in batches:
             if taken >= k:
                 break  # early-exit: the columnar read stops here
-            chunk = pdf.iloc[: k - taken]
+            want = min(k - taken, per_batch)
+            step = max(len(pdf) // want, 1)
+            chunk = pdf.iloc[::step].iloc[:want]
             taken += len(chunk)
             yield chunk
+
+    def reservoir_k(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        rng = np.random.RandomState((seed ^ (pid * 0x9E3779B1)) & 0x7FFFFFFF)
+        buf = None
+        for pdf in batches:
+            # uniform k-sample == keep the k smallest of iid uniforms;
+            # RNG consumption tracks row order only, so deterministic
+            pdf = pdf.assign(__r=rng.random_sample(len(pdf)))
+            buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            if len(buf) > k:
+                buf = buf.nsmallest(k, "__r")
+        if buf is not None:
+            yield buf.drop(columns="__r")
 
     rows = [
         tuple(r)
         for r in keys.mapInPandas(first_k, keys.schema).collect()
         if None not in tuple(r)
     ]
+    if rows and len(set(rows)) < min(n, len(rows)):
+        sampled = [
+            tuple(r)
+            for r in keys.mapInPandas(reservoir_k, keys.schema).collect()
+            if None not in tuple(r)
+        ]
+        if len(set(sampled)) > len(set(rows)):
+            rows = sampled
     if not rows:
         return []
     for i in reversed(range(len(specs))):
@@ -145,7 +184,12 @@ def _split_points(
 def _at_or_after(specs: list[tuple[Column, bool]], bound: Sequence) -> Column:
     """Lexicographic 'row sorts at-or-after bound' honoring per-column
     direction; ``bound`` holds per-column literals or Columns. Assumes
-    non-null sort keys (nulls fall into bucket 0)."""
+    non-null sort keys: in the FOLD path a null key column makes the
+    comparison null → treated false → the row converges to bucket 0,
+    which matches Spark's nulls-first default for ASC keys only (the
+    searchsorted path encodes nulls exactly for both directions via
+    its indicator byte; the fold path only runs for exotic key types,
+    where the approximation is documented here)."""
     cond: Column | None = None
     for i in reversed(range(len(specs))):
         col, asc = specs[i]
@@ -179,32 +223,59 @@ _ENCODABLE_PREFIXES = (
 )
 
 
-def _enc_block(values, dtype: str, asc: bool):
+def _enc_block(values, dtype: str, asc: bool, null_mask=None):
     """Order-preserving fixed-width byte encoding of one key column:
-    an (n, w) uint8 block whose row-wise lexicographic order matches
-    the column's Spark sort order (descending columns are bitwise
-    complemented — complement is order-reversing on fixed width).
+    an (n, 1+w) uint8 block — a leading null-indicator byte (0 null,
+    1 non-null) followed by w value bytes — whose row-wise
+    lexicographic order matches the column's Spark sort order.
+    Descending columns are bitwise complemented (complement is
+    order-reversing on fixed width), which also flips the indicator:
+    nulls sort FIRST on asc and LAST on desc, exactly Spark's default
+    null ordering. Non-null float NaN encodes as the all-ones max
+    pattern — above +Inf — matching Spark's "NaN is larger than any
+    other numeric value" ordering.
 
-    The encoding may be COARSER than the true order (strings truncate
-    to _ENC_STR_WIDTH bytes; huge ints / decimals round through
-    float64), which is safe for bucket assignment: any monotone
-    function of the sort key yields correct global ranks — coarsening
-    only merges adjacent buckets. Nulls are encoded as zeros and
-    handled by the caller's null mask (null keys → bucket 0, matching
-    the comparator semantics)."""
+    ``null_mask`` is an explicit boolean null mask. It is REQUIRED
+    for float/double columns whenever SQL NULLs are possible: Arrow
+    conversion collapses NULL and NaN into NaN, so pd.isna cannot
+    tell them apart (the caller passes F.isnull alongside the key).
+    For other dtypes pd.isna on the raw values is used when the mask
+    is omitted.
+
+    The value encoding may be COARSER than the true order (strings
+    truncate to _ENC_STR_WIDTH bytes; huge ints / decimals round
+    through float64, clipped to the int64 range), which is safe for
+    bucket assignment: any monotone function of the sort key yields
+    correct global ranks — coarsening only merges adjacent buckets."""
     import numpy as np
     import pandas as pd
 
     s = pd.Series(list(values)) if not isinstance(values, pd.Series) else values
+    isnull = (
+        np.asarray(null_mask, dtype=bool)
+        if null_mask is not None
+        else pd.isna(s).to_numpy()
+    )
     flip = np.uint64(1) << np.uint64(63)
     if dtype in ("tinyint", "smallint", "int", "bigint"):
         a = s.fillna(0).to_numpy()
-        a = a.astype(np.int64) if a.dtype.kind in "iu" else np.asarray(a, np.float64).astype(np.int64)
+        if a.dtype.kind in "iu":
+            a = a.astype(np.int64)
+        else:
+            # nulls force a float64 round-trip; clip before the int64
+            # view so values near ±2^63 can't wrap (monotone coarsening)
+            f = np.asarray(a, np.float64)
+            a = np.clip(f, -9.223372036854776e18, 9.223372036854775e18).astype(np.int64)
+        a = np.where(isnull, 0, a)
         block = ((a.view(np.uint64) ^ flip).astype(">u8")).view(np.uint8).reshape(-1, 8)
     elif dtype in ("float", "double") or dtype.startswith("decimal"):
-        v = pd.to_numeric(s, errors="coerce").fillna(0.0).to_numpy(np.float64)
+        v = pd.to_numeric(s, errors="coerce").to_numpy(np.float64)
+        nan = np.isnan(v) & ~isnull  # true NaN values, not SQL NULLs
+        v = np.where(np.isnan(v), 0.0, v)
         bits = v.view(np.uint64)
         u = np.where(bits >> np.uint64(63), ~bits, bits | flip)
+        u = np.where(nan, np.uint64(0xFFFFFFFFFFFFFFFF), u)  # NaN > +Inf
+        u = np.where(isnull, np.uint64(0), u)
         block = u.astype(">u8").view(np.uint8).reshape(-1, 8)
     elif dtype == "boolean":
         block = s.fillna(False).to_numpy(np.uint8).reshape(-1, 1)
@@ -227,6 +298,8 @@ def _enc_block(values, dtype: str, asc: bool):
         block = np.array(raw, dtype=f"S{w}").view(np.uint8).reshape(-1, w)
     else:  # pragma: no cover - guarded by _ENCODABLE_PREFIXES check
         raise TypeError(f"unencodable sort key type: {dtype}")
+    ind = np.where(isnull, 0, 1).astype(np.uint8).reshape(-1, 1)
+    block = np.hstack([ind, np.ascontiguousarray(block)])
     return block if asc else (np.uint8(255) - block)
 
 
@@ -267,31 +340,46 @@ def _bucket_id_searchsorted(
     ascs = [asc for _, asc in specs]
     ncols = len(specs)
     bblocks = [
-        _enc_block([b[i] for b in bounds], dtypes[i], ascs[i]) for i in range(ncols)
+        _enc_block(
+            [b[i] for b in bounds],
+            dtypes[i],
+            ascs[i],
+            null_mask=[b[i] is None for b in bounds],
+        )
+        for i in range(ncols)
     ]
     width = sum(blk.shape[1] for blk in bblocks)
     benc = np.frombuffer(np.hstack(bblocks).tobytes(), dtype=f"S{width}")
     benc = np.sort(benc)  # already sorted by construction; safeguard
+    # float/double keys need an explicit SQL-NULL mask: Arrow collapses
+    # NULL and NaN into NaN, and Spark orders NaN ABOVE all doubles but
+    # NULL first/last — so a companion isnull column rides along
+    float_idx = [i for i, d in enumerate(dtypes) if d in ("float", "double")]
 
     def _pid(*cols):
         import numpy as np
         import pandas as pd
 
-        n = len(cols[0])
-        blocks = [_enc_block(cols[i], dtypes[i], ascs[i]) for i in range(ncols)]
+        masks = {
+            fi: cols[ncols + j].to_numpy(dtype=bool)
+            for j, fi in enumerate(float_idx)
+        }
+        blocks = [
+            _enc_block(cols[i], dtypes[i], ascs[i], null_mask=masks.get(i))
+            for i in range(ncols)
+        ]
         keys = np.frombuffer(
             (np.hstack(blocks) if ncols > 1 else blocks[0]).tobytes(), dtype=f"S{width}"
         )
         out = np.searchsorted(benc, keys, side="right").astype(np.int32)
-        isnull = np.zeros(n, dtype=bool)
-        for c in cols:
-            isnull |= pd.isna(c).to_numpy()
-        out[isnull] = 0  # null keys → bucket 0 (comparator semantics)
         return pd.Series(out)
 
+    in_cols = [c for c, _ in specs] + [
+        F.isnull(specs[i][0]) for i in float_idx
+    ]
     # coalesce: non-nullable result, so joins don't push an
     # isnotnull(__pid) into one plan branch only (breaks exchange reuse)
-    return F.coalesce(pandas_udf(_pid, "int")(*[c for c, _ in specs]), F.lit(0))
+    return F.coalesce(pandas_udf(_pid, "int")(*in_cols), F.lit(0))
 
 
 def _bucket_id_fold(specs: list[tuple[Column, bool]], bounds: list[tuple]) -> Column:

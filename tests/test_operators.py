@@ -524,9 +524,18 @@ def test_bucket_id_searchsorted_all_key_types(spark):
             fast = df.withColumn(
                 "p", S._bucket_id(specs, bounds, [dtype.split("(")[0] if "(" not in dtype else dtype for _ in range(1)])
             ).collect()
-            got_fold = {r.k: r.p for r in fold}
-            got_fast = {r.k: r.p for r in fast}
+            got_fold = {r.k: r.p for r in fold if r.k is not None}
+            got_fast = {r.k: r.p for r in fast if r.k is not None}
             assert got_fold == got_fast, (dtype, asc, got_fold, got_fast)
+            # null placement: the searchsorted path encodes Spark's
+            # exact null ordering (asc → first, desc → LAST bucket);
+            # the fold path approximates desc nulls to bucket 0
+            # (documented in _at_or_after — fold only runs for
+            # exotic key types)
+            null_fast = next(r.p for r in fast if r.k is None)
+            null_fold = next(r.p for r in fold if r.k is None)
+            assert null_fast == (0 if asc else len(bounds)), (dtype, asc, null_fast)
+            assert null_fold == 0, (dtype, asc, null_fold)
 
     # beyond-width strings: the byte encoding truncates to 16 bytes,
     # which may merge adjacent buckets (documented, monotone-safe) —
@@ -539,6 +548,42 @@ def test_bucket_id_searchsorted_all_key_types(spark):
         want = sorted([r[0] for r in long_rows], reverse=not asc)
         assert got == want, (asc, got)
         assert sorted(r.r for r in ranked) == [1, 2, 3, 4, 5]
+
+
+def test_global_rank_nan_null_double_keys(spark):
+    """ADVICE-r3 medium: a double sort key containing NaN and NULL
+    must rank exactly like Spark's own orderBy — NaN above every
+    other value, NULL first on asc / last on desc. (Arrow collapses
+    NULL and NaN into NaN; the companion isnull column keeps them
+    apart in the searchsorted encoder.)"""
+    vals = [1.0, float("nan"), 2.0, None, -1.5, float("inf"), float("-inf"), 0.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id int, v double")
+    for asc in (True, False):
+        ranked = S.global_rank(df, ("v", asc), rank_col="r", num_partitions=4)
+        got = {r.id: r.r for r in ranked.collect()}
+        from pyspark.sql import Window
+
+        want = {
+            r.id: r.r
+            for r in df.withColumn(
+                "r",
+                F.row_number().over(
+                    Window.orderBy(F.col("v").asc() if asc else F.col("v").desc())
+                ),
+            ).collect()
+        }
+        assert got == want, (asc, got, want)
+    # forced boundary case: a NaN-adjacent literal bound — NaN must
+    # land in the last bucket (asc), not bucket 0
+    specs = S._sort_specs(df, ["v"])
+    pid = {
+        r.id: r.p
+        for r in df.withColumn(
+            "p", S._bucket_id(specs, [(1.5,)], ["double"])
+        ).collect()
+    }
+    nan_id, null_id, two_id = 1, 3, 2
+    assert pid[nan_id] == 1 and pid[two_id] == 1 and pid[null_id] == 0, pid
 
 
 def test_global_rank_many_partitions(spark):
@@ -554,6 +599,27 @@ def test_global_rank_many_partitions(spark):
         F.countDistinct("r").alias("d"),
     ).collect()[0]
     assert (stats.n, stats.lo, stats.hi, stats.d) == (50_000, 1, 50_000, 50_000)
+
+
+def test_split_points_degenerate_sample_fallback(spark):
+    """When the spread head-sample comes back with fewer distinct keys
+    than buckets (clustered or low-cardinality input), the seeded
+    reservoir fallback pass runs; ranks must stay exact either way."""
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(1000)], "k int, id int"
+    ).repartition(4)
+    # low-cardinality sort key: the head sample has 3 distinct values
+    # for 8 buckets → the reservoir pass runs (and can't do better, so
+    # the original sample is kept); bounds stay valid either way
+    specs_k = S._sort_specs(df, ["k"])
+    bounds = S._split_points(df, specs_k, 8)
+    assert bounds == sorted(set(bounds)) and len(bounds) <= 3
+    r = S.global_rank(df, "k", "id", rank_col="r", num_partitions=8)
+    stats = r.agg(
+        F.count("*").alias("n"), F.countDistinct("r").alias("d"),
+        F.min("r").alias("lo"), F.max("r").alias("hi"),
+    ).collect()[0]
+    assert (stats.n, stats.d, stats.lo, stats.hi) == (1000, 1000, 1, 1000)
 
 
 def test_grouped_prefix_sum_matches_single_window(spark):
