@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 DEC_CENTROID = "decimal(27,7)"
 
@@ -288,25 +289,78 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (squared L2 via the
-    sequential fold, ties to the smaller cluster id). ``centroids``
-    are driver-held (cluster_id, components) literals — k×dim doubles,
-    tiny by definition of a coarse quantizer, exactly like the
-    split-point literals in sorting.global_rank. Returns the corpus
-    plus a ``cluster`` column; one narrow scan, no shuffle."""
-    best: Column | None = None
-    for cid, comps in centroids:
-        arr = F.array(*[F.lit(float(x)) for x in comps])
-        diff_sq = F.zip_with(
-            vec_col, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        )
-        d2 = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
-        cand = F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cluster"))
-        best = cand if best is None else F.least(best, cand)
-    assert best is not None, "kmeans_assign needs >= 1 centroid"
-    return corpus.withColumn("cluster", best.getField("cluster")).withColumn(
-        "__d2", best.getField("d2")
+    """Assign every vector to its nearest centroid (squared L2, ties
+    to the smaller cluster id). ``centroids`` are driver-held
+    (cluster_id, components) literals — k×dim doubles, tiny by
+    definition of a coarse quantizer, exactly like the split-point
+    literals in sorting.global_rank. Returns the corpus plus
+    ``cluster`` and ``__d2`` columns; one narrow scan, no shuffle.
+
+    The k distances are computed per Arrow batch in ``mapInArrow``
+    with numpy — a zip_with/aggregate fold evaluates INTERPRETED per
+    (row × k × dim), the measured ~6× HOF trap (NOTES.md), which at
+    100 TB IVF-training scale is the whole bill. Arrow-native matters
+    here: a pandas UDF materializes every vector as a Python object
+    (measured SLOWER than the fold at 1M×64), while the list<float>
+    column flattens ZERO-COPY into one contiguous numpy buffer and
+    rides through to the output untouched. The kernel accumulates
+    dimensions SEQUENTIALLY (a Python loop of vectorized row-batch
+    adds, not np.sum's pairwise reduction), so every d2 is
+    bit-identical to the fold and to the DuckDB list_reduce oracle —
+    iterated k-means stays oracle-exact. Requires fixed-dimension,
+    non-null vectors (the embedding-table contract; asserted)."""
+    import numpy as np
+
+    assert centroids, "kmeans_assign needs >= 1 centroid"
+    ordered = sorted(centroids, key=lambda c: int(c[0]))
+    cids = np.array([int(c) for c, _ in ordered], dtype=np.int32)
+    cmat = np.array([comps for _, comps in ordered], dtype=np.float64)
+    in_schema = corpus.schema
+    # fresh StructType: .add on StructType(fields) would append to the
+    # SAME fields list the input DataFrame's schema object holds
+    out_schema = StructType(
+        [
+            *in_schema.fields,
+            StructField("cluster", IntegerType(), False),
+            StructField("__d2", DoubleType(), False),
+        ]
     )
+    vec_idx = in_schema.fieldNames().index(vec_col)
+    dim = cmat.shape[1]
+
+    def _assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            emb = batch.column(vec_idx)
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            assert flat.size == n * dim, (
+                f"kmeans_assign requires fixed dim={dim} non-null vectors"
+            )
+            x = flat.reshape(n, dim).astype(np.float64)
+            best_d2 = None
+            best_c = None
+            for j in range(cmat.shape[0]):
+                sq = x - cmat[j]
+                sq *= sq
+                # dim-sequential accumulation == the fold's FP order
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + sq[:, d]
+                if best_d2 is None:
+                    best_d2, best_c = acc, np.full(n, cids[0], dtype=np.int32)
+                else:
+                    m = acc < best_d2  # strict: ties keep the smaller cid
+                    best_d2 = np.where(m, acc, best_d2)
+                    best_c = np.where(m, cids[j], best_c)
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array(best_c, pa.int32()), pa.array(best_d2)],
+                names=[*batch.schema.names, "cluster", "__d2"],
+            )
+
+    return corpus.mapInArrow(_assign, out_schema)
 
 
 def kmeans_fit(
@@ -323,12 +377,12 @@ def kmeans_fit(
     assignment ties break to the smaller cluster id, and centroid
     recomputation uses DECIMAL-exact component sums (ivf_centroids),
     so the result is independent of partitioning and cluster size.
-    Per iteration: one narrow assignment scan (k fold-L2s per row
-    against literal centroids) + one per-dimension aggregate; the
-    k×dim centroid table is collected to the driver each round — the
-    same loop structure as MLlib's KMeans and the reference's
-    iterative drivers. At 100 TB the assignment fold would move to a
-    BLAS pandas_udf; the loop shape is already the scalable one.
+    Per iteration: one narrow assignment scan (a single vectorized
+    numpy pandas UDF computing all k L2 distances per Arrow batch,
+    bit-identical to the sequential fold — see kmeans_assign) + one
+    per-dimension aggregate; the k×dim centroid table is collected to
+    the driver each round — the same loop structure as MLlib's KMeans
+    and the reference's iterative drivers.
 
     Returns (assignments DataFrame with ``cluster``, centroids list).
     """

@@ -1010,29 +1010,23 @@ _SQ_L2 = (
     "connected_components' frontier loop.",
 )
 def kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
+    from hadoop_main_spark.operators.similarity import kmeans_assign
 
-    e = t(spark, sf, "embeddings")
-    seeds = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cluster"), F.col("embedding").alias("__seed")
-    )
-    diff_sq = F.zip_with(
-        "embedding",
-        "__seed",
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    d2 = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
-    assigned = e.crossJoin(broadcast(seeds)).select(
-        "vec_id",
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    ]
+    # vectorized nearest-seed assignment (numpy batch kernel,
+    # bit-identical to the sequential fold / list_reduce oracle —
+    # see operators/similarity.kmeans_assign); no crossJoin + window:
+    # one narrow scan, then the per-cluster aggregate
+    best = kmeans_assign(e, seeds, "vec_id", "embedding").select(
         "cluster",
-        d2.alias("d2"),
+        F.col("__d2").alias("d2"),
         F.element_at("embedding", 1).cast("double").alias("e0"),
         F.element_at("embedding", 2).cast("double").alias("e1"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
-    best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return best.groupBy("cluster").agg(
         F.count("*").alias("n_assigned"),
         _qsum("e0", 10**7).alias("c0_sum"),
