@@ -28,13 +28,56 @@ def read_sequencefile(
     return rdd.toDF([key, value])
 
 
-def write_sequencefile(df: DataFrame, path: str) -> None:
+#: short names for the public Hadoop codec classes shipped with Spark
+_CODECS = {
+    "default": "org.apache.hadoop.io.compress.DefaultCodec",
+    "deflate": "org.apache.hadoop.io.compress.DefaultCodec",
+    "gzip": "org.apache.hadoop.io.compress.GzipCodec",
+    "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+    "snappy": "org.apache.hadoop.io.compress.SnappyCodec",
+    "lz4": "org.apache.hadoop.io.compress.Lz4Codec",
+    "zstd": "org.apache.hadoop.io.compress.ZStandardCodec",
+}
+
+
+def write_sequencefile(
+    df: DataFrame,
+    path: str,
+    compression: str | None = None,
+    block_compress: bool | None = None,
+) -> None:
     """Write a 2-column DataFrame as a SequenceFile (first column =
     key, second = value; Writable types inferred). Reference:
-    MRC/mapreduce/lib/output/SequenceFileOutputFormat.java:1."""
+    MRC/mapreduce/lib/output/SequenceFileOutputFormat.java:1.
+
+    ``compression`` selects the codec — a short name from
+    ``_CODECS`` ('gzip', 'bzip2', ...) or a fully-qualified Hadoop
+    codec class; None writes uncompressed (reference layout NONE,
+    IO/SequenceFile.java:222). RECORD vs BLOCK layout is the
+    Hadoop-side ``io.seqfile.compression.type`` job config exactly as
+    in the reference; ``block_compress=True/False`` pins BLOCK/RECORD
+    for this write, None leaves the cluster default (RECORD)."""
     if len(df.columns) != 2:
         raise ValueError("SequenceFile sink needs exactly (key, value) columns")
-    df.rdd.map(tuple).saveAsSequenceFile(path)
+    codec = _CODECS.get(compression.lower(), compression) if compression else None
+    rdd = df.rdd.map(tuple)
+    if block_compress is None:
+        rdd.saveAsSequenceFile(path, codec)
+        return
+    # pin RECORD/BLOCK via the Hadoop conf the reference reads
+    # (SequenceFile.Writer honors io.seqfile.compression.type); scope
+    # the change to this write by restoring the prior value after
+    sc = df.sparkSession.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    prev = hconf.get("io.seqfile.compression.type")
+    hconf.set("io.seqfile.compression.type", "BLOCK" if block_compress else "RECORD")
+    try:
+        rdd.saveAsSequenceFile(path, codec)
+    finally:
+        if prev is None:
+            hconf.unset("io.seqfile.compression.type")
+        else:
+            hconf.set("io.seqfile.compression.type", prev)
 
 
 def sequencefile_to_parquet(

@@ -57,6 +57,34 @@ def test_partial_aggregation_present(spark, sf_dir):
     assert "partial_count" in plan or "partial_" in plan
 
 
+def test_quantile_histogram_plan_shape(spark, sf_dir):
+    """The mergeable-histogram quantile query (long outside the driver
+    window in r2/r3) must keep its scale shape: the orders scan
+    aggregates partially BEFORE any shuffle (histogram rows, not raw
+    orders, move), and every window over data is partitioned by grp —
+    no single-task funnel."""
+    plan = _plan(spark, "quantile_histogram", sf_dir)
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln and "grp" not in ln and (
+            "o_orderpriority" not in ln
+        ):
+            pytest.fail(f"unpartitioned window: {ln.strip()[:160]}")
+
+
+def test_json_event_stats_plan_shape(spark, sf_dir):
+    """JSON extraction must stay JVM-side (no Python eval in the plan)
+    with partial aggregation below the event_type shuffle, and the
+    events scan must prune to the two consumed columns."""
+    plan = _plan(spark, "json_event_stats", sf_dir)
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+    assert "get_json_object" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" in read and "event_type" in read
+    assert "user_id" not in read and "value" not in read
+
+
 def test_ivf_cells_partition_prune(spark, tmp_path):
     """The IVF scale path: cells written partitionBy(cell) must prune
     non-probed cells at the file level (PartitionFilters in the scan,
