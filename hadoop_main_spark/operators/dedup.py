@@ -510,18 +510,22 @@ def connected_components(
     """
     jsc = pairs.sparkSession.sparkContext._jsc
 
-    def _persistent_ids() -> set[int]:
-        return {int(i) for i in jsc.getPersistentRDDs().keySet()}
+    def _ckpt_rdd_id(df: DataFrame) -> int:
+        # the id of THIS DataFrame's checkpointed RDD, read off its
+        # LogicalRDD plan node — never a before/after diff of the
+        # session-global persistent-RDD map, which would misattribute
+        # (and later unpersist) blocks persisted by CONCURRENT jobs in
+        # the same SparkSession
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
 
-    def _unpersist(ids: set[int]) -> None:
+    def _unpersist(rid: int) -> None:
         # free a superseded frontier's localCheckpoint blocks — they
         # are dead weight once the next frontier is materialized, and
         # would otherwise pin one cached RDD per iteration per query
         # for the whole session
         m = jsc.getPersistentRDDs()
-        for rid in ids:
-            if m.containsKey(rid):
-                m.get(rid).unpersist()
+        if m.containsKey(rid):
+            m.get(rid).unpersist()
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = (
@@ -529,14 +533,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    mark = _persistent_ids()
     labels = (
         und.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    prev_ids = _persistent_ids() - mark  # the current frontier's blocks
+    prev_id = _ckpt_rdd_id(labels)  # the current frontier's blocks
     for _ in range(max_iter):
         neigh = und.join(
             labels.select(F.col("id").alias("dst"), "component"), "dst"
@@ -549,20 +552,19 @@ def connected_components(
         # O(log diameter) instead of O(diameter) — deep chains stay in
         # a handful of shuffles.
         jump = prop.select(F.col("component").alias("id"), F.col("id").alias("src_id"))
-        mark = _persistent_ids()
         new_labels = (
             jump.join(prop.select(F.col("id"), F.col("component").alias("cc")), "id")
             .select(F.col("src_id").alias("id"), F.col("cc").alias("component"))
         ).localCheckpoint()
-        created = _persistent_ids() - mark
+        created = _ckpt_rdd_id(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        _unpersist(prev_ids)
-        prev_ids = created
+        _unpersist(prev_id)
+        prev_id = created
         labels = new_labels
         if changed == 0:
             break

@@ -219,11 +219,15 @@ def _recover_replaced_dir(spark, path: str) -> None:
     for st in statuses:
         name = st.getPath().toString()
         try:
-            cands.append((int(name.rsplit("__old_batch", 1)[1]), name))
+            bid = int(name.rsplit("__old_batch", 1)[1])
         except ValueError:
             continue
+        # newest by MODIFICATION TIME, not batch id: after a checkpoint
+        # reset batch ids restart at 0, so a stale high-numbered aside
+        # must not win over the newer state (batch id only tiebreaks)
+        cands.append((st.getModificationTime(), bid, name))
     if cands:
-        _, newest = max(cands)
+        *_, newest = max(cands)
         fs.rename(_jpath(spark, newest), _jpath(spark, path))
 
 
@@ -243,7 +247,14 @@ def _replace_dir_safely(spark, df: DataFrame, path: str, batch_id: int) -> None:
     if fs.exists(_jpath(spark, path)):
         fs.rename(_jpath(spark, path), _jpath(spark, aside))
     fs.rename(_jpath(spark, tmp), _jpath(spark, path))
-    fs.delete(_jpath(spark, aside), True)
+    # sweep ALL aside copies, not just this batch's: a crash between a
+    # previous swap and its aside delete leaves a stale __old_batch*
+    # that would otherwise leak forever — and after a checkpoint reset
+    # (batch ids restart at 0) could even be restored over newer
+    # accumulated state. Once the swap above succeeded the live dir is
+    # authoritative, so every aside is garbage.
+    for st in fs.globStatus(_jpath(spark, path + "__old_batch*")) or []:
+        fs.delete(st.getPath(), True)
     # sweep tmp dirs left by crashed earlier batches
     for st in fs.globStatus(_jpath(spark, path + "__tmp_batch*")) or []:
         fs.delete(st.getPath(), True)

@@ -493,6 +493,45 @@ def test_upsert_sink_recovers_from_crash_mid_swap(spark, tmp_path):
     assert not os.path.exists(out + "__old_batch7")
 
 
+def test_upsert_sink_sweeps_stale_asides_and_recovers_by_mtime(spark, tmp_path):
+    """ADVICE-r3: (a) an aside left by a crash between a PREVIOUS
+    batch's swap and its aside-delete must be swept by the next
+    successful swap (not leak forever); (b) after a checkpoint reset
+    (batch ids restart at 0) recovery must restore the NEWEST aside by
+    modification time, not the highest batch id."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "up")
+    src = str(tmp_path / "src1")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(src)
+    stream = spark.readStream.schema("k int, v string").parquet(src)
+    W.upsert_stream_parquet(stream, out, str(tmp_path / "ck1"), key="k").awaitTermination(120)
+
+    # (a) stale aside from an earlier crashed batch, live dir intact
+    shutil.copytree(out, out + "__old_batch5")
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([(2, "b")], "k int, v string").write.parquet(src2)
+    stream2 = spark.readStream.schema("k int, v string").parquet(src2)
+    W.upsert_stream_parquet(stream2, out, str(tmp_path / "ck2"), key="k").awaitTermination(120)
+    assert {r.k: r.v for r in spark.read.parquet(out).collect()} == {1: "a", 2: "b"}
+    assert not any("__old_batch" in p for p in os.listdir(tmp_path)), os.listdir(tmp_path)
+
+    # (b) crash window + checkpoint reset: two asides, the OLD state
+    # under a HIGH batch id (backdated mtime), the NEW state under
+    # batch id 0 — recovery must pick the newer mtime
+    shutil.copytree(out, out + "__old_batch0")
+    os.makedirs(out + "__old_batch9")
+    spark.createDataFrame([(9, "stale")], "k int, v string").write.mode(
+        "overwrite"
+    ).parquet(out + "__old_batch9")
+    past = 1_000_000_000
+    os.utime(out + "__old_batch9", (past, past))
+    shutil.rmtree(out)
+    W._recover_replaced_dir(spark, out)
+    assert {r.k: r.v for r in spark.read.parquet(out).collect()} == {1: "a", 2: "b"}
+
+
 def test_hll_sink_recovers_from_crash_mid_swap(spark, sf_dir, tmp_path):
     """Same crash window for the HLL register sink: registers
     accumulated before the crash must survive via the aside copy."""
