@@ -178,6 +178,44 @@ def test_hll_merge_invariant_under_any_split_model(spark, rows):
     assert whole == merged
 
 
+#: adversarial strings for the 16-byte-truncating encoder: long shared
+#: prefixes at and around the cut, multi-byte UTF-8 straddling it,
+#: empty strings, and near-tie suffixes
+_advers_str = st.one_of(
+    st.builds(
+        lambda pre, suf: pre + suf,
+        st.sampled_from(["", "z" * 15, "z" * 16, "z" * 17, "é" * 8, "aa"]),
+        st.text("abzé", min_size=0, max_size=4),
+    ),
+    st.text("az", min_size=0, max_size=20),
+)
+
+
+@_slow
+@given(st.lists(_advers_str, min_size=1, max_size=30, unique=True))
+def test_enc_block_truncation_monotone_and_rank_exact(spark, strs):
+    """VERDICT-r3 optional: the 16-byte string encoding may COARSEN
+    ties but must stay MONOTONE — sorting rows by the true Spark
+    order must yield non-decreasing bucket ids for any bound set —
+    and global_rank built on it must return the exact total order
+    even when keys collide beyond the truncation width."""
+    from pyspark.sql import functions as F
+
+    rows = [(s,) for s in strs]
+    df = spark.createDataFrame(rows, "k string")
+    bounds = sorted((s,) for s in strs[::3])  # every 3rd value as a bound
+    for asc in (True, False):
+        specs = S._sort_specs(df, [("k", asc)])
+        bnds = sorted(bounds, reverse=not asc)
+        got = df.withColumn("p", S._bucket_id(specs, bnds, ["string"])).collect()
+        by_order = sorted(got, key=lambda r: r.k, reverse=not asc)
+        pids = [r.p for r in by_order]
+        assert pids == sorted(pids), (asc, [(r.k, r.p) for r in by_order])
+        ranked = S.global_rank(df, ("k", asc), rank_col="r", num_partitions=4).collect()
+        want = sorted(strs, reverse=not asc)
+        assert [r.k for r in sorted(ranked, key=lambda r: r.r)] == want, asc
+
+
 @_slow
 @given(
     st.lists(
