@@ -1175,3 +1175,193 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id", "source", F.coalesce("__hit", F.lit(False)).alias("contaminated")
         )
     )
+
+
+@query(
+    "bigram_topk",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+         bg AS (SELECT unnest(list_transform(
+                  generate_series(1, greatest(len(tk) - 1, 0)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bigram
+                FROM toks)
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+    doc="Corpus bigram top-k — the second-order collocation count "
+    "(classic chained-MR shape: tokenize -> pair -> count -> top-k). "
+    "Partial aggregation combines map-side and the limit plans as "
+    "TakeOrderedAndProject (per-partition top-20 + 20-row merge), so "
+    "neither the full bigram table nor a global sort ever "
+    "materializes. Tie-break on the bigram makes top-k deterministic.",
+)
+def bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    bg = d.select(F.explode(D.word_shingles("text", 2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+#: PII regexes shared verbatim by the Spark build and the oracle —
+#: conservative RE2-compatible subset so Java regex and DuckDB agree
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_IP = "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS body
+      FROM documents),
+    red AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(body, '{_PII_PHONE}')) AS n_phone,
+             len(regexp_extract_all(body, '{_PII_IP}')) AS n_ip,
+             regexp_replace(regexp_replace(regexp_replace(body,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS scrubbed
+      FROM aug)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+           CAST(SUM(n_ip) AS BIGINT) AS ips_redacted,
+           CAST(SUM({hash64_sql('scrubbed')} % 1000003) AS BIGINT) AS scrub_check
+    FROM red GROUP BY source
+    """,
+    doc="PII redaction — the privacy scrub every training corpus "
+    "runs before tokenization: emails, phone numbers and IPs are "
+    "regex-redacted to typed placeholders in ONE projection pass "
+    "(no shuffle until the per-source count aggregate; the text "
+    "itself never shuffles). The synthetic corpus carries no real "
+    "PII, so deterministic doc_id-derived PII is appended first and "
+    "the scrubbed text is checksummed per source, proving the exact "
+    "replacement output, not just match counts. Patterns stay in the "
+    "RE2-compatible subset so Java regex and the oracle agree.",
+)
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+
+    d = t(spark, sf, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    aug = d.select("doc_id", "source", body.alias("body"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("body"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    red = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("body", F.lit(_PII_EMAIL), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all("body", F.lit(_PII_PHONE), F.lit(0))).alias("n_phone"),
+        F.size(F.regexp_extract_all("body", F.lit(_PII_IP), F.lit(0))).alias("n_ip"),
+        scrubbed.alias("scrubbed"),
+    )
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("emails_redacted"),
+        F.sum("n_phone").alias("phones_redacted"),
+        F.sum("n_ip").alias("ips_redacted"),
+        F.sum(hash64("scrubbed") % 1000003).alias("scrub_check"),
+    )
+
+
+@query(
+    "url_canonicalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.COM/path/'
+               || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=x&id='
+               || CAST(doc_id % 7 AS VARCHAR) || '&ref=abc#frag' AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(lower(url),
+                 '#.*$', ''),
+                 '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+                 '[?&]+$', ''),
+                 '^https://www\\.', 'https://'),
+                 '/+$', '') AS canonical_url
+      FROM u)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_doc
+    FROM canon GROUP BY canonical_url
+    """,
+    doc="URL canonicalization + dedup — the web-crawl ingest step "
+    "that collapses scheme/case/www/fragment/tracking-param variants "
+    "before content dedup ever runs (same variants, one fetch): "
+    "lowercase, strip fragment, drop utm_*/ref params, normalize "
+    "www + trailing slash, then group by the canonical form with the "
+    "min doc_id as the canonical representative. Synthetic URLs are "
+    "derived from doc_id/source since the corpus has none; the "
+    "regexp_replace chain is the operator under test and runs "
+    "verbatim in both engines. One projection + one count shuffle on "
+    "the canonical key.",
+)
+def url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/path/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=x&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=abc#frag"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(url), "#.*$", ""),
+                    "(utm_[a-z]+|ref)=[^&]*&?",
+                    "",
+                ),
+                "[?&]+$",
+                "",
+            ),
+            "^https://www\\.",
+            "https://",
+        ),
+        "/+$",
+        "",
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
