@@ -116,6 +116,84 @@ def distcp(
     )
 
 
+SYNC_REPORT_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("action", StringType()),
+        StructField("size", LongType()),
+        StructField("ok", LongType()),
+    ]
+)
+
+
+def distcp_sync(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    tasks: int | None = None,
+) -> DataFrame:
+    """Incremental sync: DistCp ``-update -delete`` semantics
+    (hadoop-tools/hadoop-distcp DistCpSync.java:1 computes the same
+    copy/delete plan from snapshot diffs; here the diff comes from a
+    full-outer join of the two listings — no snapshots on a plain FS,
+    identical resulting sync actions):
+
+    - source-only or size-changed files → ``copy``
+    - same-size files → ``skip`` (size equality, like :func:`distcp`
+      ``update=True``; the reference optionally adds checksums)
+    - destination-only files → ``delete``
+
+    The action plan is a DataFrame join, the execution a mapInPandas
+    fleet like distcp's copy mappers. Returns (path, action, size,
+    ok) per file; empty directories left behind by deletes are not
+    pruned (the reference keeps them too unless -prune)."""
+    src = build_listing(spark, src_dir, dst_dir).select(
+        F.col("dst").alias("path"), F.col("src"), F.col("size").alias("src_size")
+    )
+    dst = build_listing(spark, dst_dir, dst_dir).select(
+        F.col("src").alias("path"), F.col("size").alias("dst_size")
+    )
+    plan = (
+        src.join(dst, "path", "full_outer")
+        .select(
+            "path",
+            "src",
+            F.coalesce("src_size", F.lit(0)).alias("size"),
+            F.when(F.col("src").isNull(), "delete")
+            .when(
+                F.col("dst_size").isNull() | (F.col("dst_size") != F.col("src_size")),
+                "copy",
+            )
+            .otherwise("skip")
+            .alias("action"),
+        )
+    )
+    n = tasks or spark.sparkContext.defaultParallelism
+
+    def apply_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import shutil
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    if r.action == "copy":
+                        os.makedirs(os.path.dirname(r.path), exist_ok=True)
+                        shutil.copyfile(r.src, r.path)
+                        ok = int(os.path.getsize(r.path) == r.size)
+                    elif r.action == "delete":
+                        os.remove(r.path)
+                        ok = 1
+                    else:
+                        ok = 1
+                    out.append((r.path, r.action, r.size, ok))
+                except OSError:
+                    out.append((r.path, r.action, r.size, 0))
+            yield pd.DataFrame(out, columns=[f.name for f in SYNC_REPORT_SCHEMA.fields])
+
+    return plan.repartition(n).mapInPandas(apply_batch, SYNC_REPORT_SCHEMA)
+
+
 def distch(
     spark: SparkSession,
     target_dir: str,

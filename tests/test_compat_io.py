@@ -192,6 +192,40 @@ def test_distcp_update_skips_current(spark, tmp_path):
     assert (dst / "x.txt").stat().st_mtime_ns == mtime
 
 
+def test_distcp_sync_update_delete(spark, tmp_path):
+    """distcp_sync = DistCp -update -delete: new and size-changed
+    files copy, same-size files skip (not rewritten), destination-only
+    files are removed — the dst tree converges to the src tree."""
+    from hadoop_main_spark.sources.distcp import distcp_sync
+
+    src, dst = tmp_path / "s", tmp_path / "d"
+    src.mkdir()
+    (src / "keep.txt").write_text("same")
+    (src / "change.txt").write_text("v1")
+    (src / "sub").mkdir()
+    (src / "sub" / "nested.txt").write_text("n1")
+    distcp(spark, str(src), str(dst)).collect()
+
+    (src / "change.txt").write_text("v2 longer")   # size change → copy
+    (src / "new.txt").write_text("brand new")      # src only → copy
+    (src / "sub" / "nested.txt").unlink()          # dst only → delete
+    keep_mtime = (dst / "keep.txt").stat().st_mtime_ns
+
+    report = {r.path: (r.action, r.ok) for r in distcp_sync(spark, str(src), str(dst)).collect()}
+    assert report[str(dst / "keep.txt")] == ("skip", 1)
+    assert report[str(dst / "change.txt")] == ("copy", 1)
+    assert report[str(dst / "new.txt")] == ("copy", 1)
+    assert report[str(dst / "sub" / "nested.txt")] == ("delete", 1)
+    assert (dst / "change.txt").read_text() == "v2 longer"
+    assert (dst / "new.txt").read_text() == "brand new"
+    assert not (dst / "sub" / "nested.txt").exists()
+    # skipped file untouched
+    assert (dst / "keep.txt").stat().st_mtime_ns == keep_mtime
+    # idempotent: a second sync is all skips
+    again = {r.action for r in distcp_sync(spark, str(src), str(dst)).collect()}
+    assert again == {"skip"}
+
+
 def test_compression_codecs_roundtrip(spark, tmp_path):
     """§2.1 codec row: gzip text and zstd/snappy parquet round-trips —
     codec handling is native to every Spark file source."""
