@@ -4,18 +4,27 @@ North-star extension: brute-force cosine top-k as the exact
 baseline, and an IVF (inverted-file) variant as the scale path —
 probe only the nearest centroid cells instead of the full corpus.
 
-All arithmetic is JVM-side Catalyst higher-order functions
-(zip_with/aggregate = sequential left fold — bit-identical to a
-DuckDB list_reduce fold, which is what the oracles use; verified:
-DuckDB's builtin list_dot_product sums in a different order and
-does NOT match). Centroids are computed with DECIMAL-exact
-per-dimension sums so they are independent of partitioning.
+Float semantics are defined by the sequential left fold
+(zip_with/aggregate — bit-identical to a DuckDB list_reduce fold,
+which is what the oracles use; verified: DuckDB's builtin
+list_dot_product sums in a different order and does NOT match).
+The HOT paths (brute-force scoring, k-means assignment) compute
+the same folds in mapInArrow numpy kernels — dimensions accumulate
+SEQUENTIALLY, a Python loop of vectorized row-batch ops, so every
+value stays bit-identical while running ~7× faster than the
+interpreted HOF expressions (NOTES.md round-4 smokes). Cold paths
+(IVF probe scoring on pruned cells, pairwise candidate verify) keep
+the Catalyst fold expressions. Centroids are computed with
+DECIMAL-exact per-dimension sums so they are independent of
+partitioning.
 
-Scale notes: queries are broadcast (they are the small side by
-construction); the corpus is never shuffled for brute force — one
-narrow pass + a top-k aggregation. IVF turns that into a pruned
-join on cell id. For 100 TB, IVF cells should be written
-partitioned-by-cell so probes prune at the file level.
+Scale notes: queries/centroids are driver-held or broadcast (they
+are the small side by construction); the corpus is never shuffled
+for brute force — one narrow pass emitting per-batch partial top-k
+(a combiner: #batches × k rows per query reach the final window).
+IVF turns that into a pruned join on cell id. For 100 TB, IVF cells
+should be written partitioned-by-cell so probes prune at the file
+level.
 """
 
 from __future__ import annotations
@@ -63,20 +72,102 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    queries: (query_id, vec_col) — broadcast; corpus scanned once,
-    no shuffle until the final per-query top-k (tiny). Self-matches
-    (query_id == corpus id) excluded. Ties broken by neighbor id.
-    """
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
-        .join(broadcast(q), F.col("neighbor_id") != F.col(query_id))
-        .select(
-            query_id,
-            "neighbor_id",
-            cosine(vec_col, "__qv").alias("cosine"),
+    The query vectors (small by construction — the same bound that
+    made them broadcastable) are collected to the driver and closed
+    over by a ``mapInArrow`` numpy kernel, exactly the kmeans_assign
+    pattern: the corpus list<float> column flattens zero-copy, every
+    per-pair cosine is computed with DIM-SEQUENTIAL accumulation (the
+    folds' FP order, bit-identical to the DuckDB list_reduce oracle),
+    and each batch emits only its LOCAL top-k rows per query — a
+    combiner, so the per-query shuffle input is #batches × k rows,
+    never #corpus × #queries. Zero-norm vectors yield NULL cosine
+    (never NaN — see :func:`cosine`), ordered last like the
+    expression form. Self-matches excluded; ties break on neighbor
+    id. Requires fixed-dimension, non-null vectors (asserted)."""
+    import numpy as np
+
+    q_rows = queries.select(F.col(query_id), F.col(vec_col)).collect()
+    if not q_rows:
+        empty = corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, neighbor_id long, rank int, cosine double"
         )
+        return empty
+    qids = [r[0] for r in q_rows]
+    qmat = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    dim = qmat.shape[1]
+    # per-query norms, sequential-fold order (scalar Python loop —
+    # a handful of queries by contract)
+    qnorm = np.empty(len(qids))
+    for j in range(len(qids)):
+        acc = 0.0
+        for d in range(dim):
+            acc = acc + qmat[j, d] * qmat[j, d]
+        qnorm[j] = np.sqrt(acc)
+
+    narrow = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_id} {qid_type}, neighbor_id {id_type}, cosine double"
     )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa_t = to_arrow_type(queries.schema[query_id].dataType)
+    id_pa_t = to_arrow_type(corpus.schema[id_col].dataType)
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            assert flat.size == n * dim, (
+                f"brute_force_topk requires fixed dim={dim} non-null vectors"
+            )
+            x = flat.reshape(n, dim).astype(np.float64)
+            # row norms, dim-sequential (== fnorm's fold order)
+            nacc = np.zeros(n)
+            for d in range(dim):
+                nacc = nacc + x[:, d] * x[:, d]
+            rnorm = np.sqrt(nacc)
+            out_q, out_i, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                acc = np.zeros(n)
+                for d in range(dim):
+                    acc = acc + x[:, d] * qmat[j, d]
+                denom = rnorm * qnorm[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / denom
+                isnull = denom == 0.0
+                valid = ids != qid  # self-match exclusion
+                # local top-k by (cosine DESC NULLS LAST, neighbor ASC):
+                # stable argsort on neighbor id, then by null flag and
+                # negated cosine — the final window applies the same
+                # order globally, so keeping k per batch loses nothing
+                sel = np.flatnonzero(valid)
+                if sel.size == 0:
+                    continue
+                order = sel[
+                    np.lexsort((ids[sel], -np.where(isnull[sel], -np.inf, cos[sel]),
+                                isnull[sel]))
+                ][:k]
+                out_q.extend([qid] * len(order))
+                out_i.extend(ids[order].tolist())
+                out_c.extend(
+                    [None if isnull[i] else float(cos[i]) for i in order]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, qid_pa_t),
+                    pa.array(out_i, id_pa_t),
+                    pa.array(out_c, pa.float64()),
+                ],
+                names=[query_id, "neighbor_id", "cosine"],
+            )
+
+    scored = narrow.mapInArrow(_score, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
