@@ -62,6 +62,48 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return fdot(a, b) / F.nullif(fnorm(a) * fnorm(b), F.lit(0.0))
 
 
+def _seq_sq_norms(x):
+    """Row 2-norms with DIM-SEQUENTIAL accumulation (fnorm's fold
+    order) over an (n, dim) float64 matrix."""
+    import numpy as np
+
+    acc = np.zeros(x.shape[0])
+    for d in range(x.shape[1]):
+        acc = acc + x[:, d] * x[:, d]
+    return np.sqrt(acc)
+
+
+def _local_topk(ids, x, rnorm, qid, qvec, qnorm, k):
+    """Batch-local exact top-k for ONE query over (ids, x) rows:
+    cosine via dim-sequential accumulation (bit-identical to the
+    fdot/fnorm folds and the DuckDB list_reduce oracle), zero-norm →
+    NULL ordered last, self-match excluded, ties on neighbor id.
+    Returns (neighbor_ids, cosines[None-able]) of length ≤ k — the
+    combiner rows the final global window merges losslessly (it
+    applies the same total order)."""
+    import numpy as np
+
+    acc = np.zeros(x.shape[0])
+    for d in range(x.shape[1]):
+        acc = acc + x[:, d] * qvec[d]
+    denom = rnorm * qnorm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = acc / denom
+    isnull = denom == 0.0
+    sel = np.flatnonzero(ids != qid)
+    if sel.size == 0:
+        return [], []
+    order = sel[
+        np.lexsort(
+            (ids[sel], -np.where(isnull[sel], -np.inf, cos[sel]), isnull[sel])
+        )
+    ][:k]
+    return (
+        ids[order].tolist(),
+        [None if isnull[i] else float(cos[i]) for i in order],
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,37 +169,13 @@ def brute_force_topk(
                 f"brute_force_topk requires fixed dim={dim} non-null vectors"
             )
             x = flat.reshape(n, dim).astype(np.float64)
-            # row norms, dim-sequential (== fnorm's fold order)
-            nacc = np.zeros(n)
-            for d in range(dim):
-                nacc = nacc + x[:, d] * x[:, d]
-            rnorm = np.sqrt(nacc)
+            rnorm = _seq_sq_norms(x)
             out_q, out_i, out_c = [], [], []
             for j, qid in enumerate(qids):
-                acc = np.zeros(n)
-                for d in range(dim):
-                    acc = acc + x[:, d] * qmat[j, d]
-                denom = rnorm * qnorm[j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = acc / denom
-                isnull = denom == 0.0
-                valid = ids != qid  # self-match exclusion
-                # local top-k by (cosine DESC NULLS LAST, neighbor ASC):
-                # stable argsort on neighbor id, then by null flag and
-                # negated cosine — the final window applies the same
-                # order globally, so keeping k per batch loses nothing
-                sel = np.flatnonzero(valid)
-                if sel.size == 0:
-                    continue
-                order = sel[
-                    np.lexsort((ids[sel], -np.where(isnull[sel], -np.inf, cos[sel]),
-                                isnull[sel]))
-                ][:k]
-                out_q.extend([qid] * len(order))
-                out_i.extend(ids[order].tolist())
-                out_c.extend(
-                    [None if isnull[i] else float(cos[i]) for i in order]
-                )
+                nbr, cos = _local_topk(ids, x, rnorm, qid, qmat[j], qnorm[j], k)
+                out_q.extend([qid] * len(nbr))
+                out_i.extend(nbr)
+                out_c.extend(cos)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_q, qid_pa_t),
@@ -227,6 +245,13 @@ def ivf_topk(
         .filter(F.col("crank") <= nprobe)
         .select(query_id, "cell", "__qv")
     )
+    # probe-cell pairs are bounded (~nprobe/ncells of the corpus); the
+    # JVM-side fold keeps every vector out of Python here — MEASURED
+    # (round 4): an Arrow pairwise-cosine kernel over the joined rows
+    # was 2× SLOWER because the broadcast join duplicates the query
+    # vector into every pair row and the whole pair stream then pays
+    # Arrow transfer; kernels only win when they REDUCE (see
+    # ivf_topk_indexed / brute_force_topk partial top-k)
     scored = (
         corpus.select(
             F.col(cell_col).alias("cell"),
@@ -309,6 +334,13 @@ def ivf_topk_indexed(
     probed = sorted({r.cell for r in rank_rows})
     cell_rank = spark.createDataFrame(rank_rows, cell_rank.schema)
     vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probed))
+    # scoring stays a JVM-side fold ON PURPOSE — MEASURED (round 4,
+    # 1M×64, 10 queries, nprobe 5): both an Arrow pairwise kernel over
+    # the joined pairs AND a brute_force_topk-style per-cell kernel
+    # were ~2× SLOWER here, because each probed vector is scored
+    # against ~1 query — no per-row work multiplier to amortize the
+    # Arrow transfer. Kernels win at multiplier ≥ ~8 (kmeans k=8:
+    # 7.4×; brute force ×10 queries: 7×); at ×1 the fold wins.
     scored = (
         vectors.select("cell", F.col(id_col).alias("neighbor_id"), F.col(vec_col))
         .join(broadcast(cell_rank), "cell")
