@@ -402,9 +402,8 @@ def test_zorder_auto_bits_wide_keys(spark, tmp_path):
 def test_har_scheme_passthrough(spark, tmp_path):
     """Hadoop Archive passthrough (hadoop-tools/hadoop-archives;
     HarFileSystem.java:57 VERSION=3): Spark reads `har://` paths
-    through the bundled HarFileSystem with no engine code — only the
-    archive-CREATION tool is out of scope (it is a MapReduce job; the
-    write path here is any parquet/text sink). The fixture handcrafts
+    through the bundled HarFileSystem with no engine code (archive
+    CREATION is sources/har.py, tested below). The fixture handcrafts
     a minimal v3 archive: _masterindex (version line + one hash-range
     store covering the whole int range), _index (dir + file entries,
     HarFileSystem.HarStatus format :583), and a part-0 payload."""
@@ -426,3 +425,37 @@ def test_har_scheme_passthrough(spark, tmp_path):
     )
     got = [r.value for r in spark.read.text(f"har://{har}/data.txt").collect()]
     assert got == ["hello har", "line two"]
+
+
+def test_har_create_and_read_back(spark, tmp_path):
+    """HAR CREATION (hadoop-tools/hadoop-archives HadoopArchives.java:1)
+    closes the archive round trip: a nested tree archived with
+    create_har must read back byte-exact through the bundled
+    HarFileSystem — including a file that is not first in its part
+    (non-zero start offset) and a nested directory."""
+    from hadoop_main_spark.sources.har import create_har
+
+    src = tmp_path / "tree"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("alpha one\nalpha two\n")
+    (src / "b.txt").write_text("beta\n")
+    (src / "sub" / "c.txt").write_text("gamma nested\n")
+    har = str(tmp_path / "out.har")
+    report = {r.rel: (r.part, r.start, r.length) for r in create_har(
+        spark, str(src), har, parts=2
+    ).collect()}
+    assert set(report) == {"a.txt", "b.txt", "sub/c.txt"}
+    import os
+    parts = {p for p, _, _ in report.values()}
+    assert parts  # at least one part written
+    for p in parts:
+        assert os.path.getsize(os.path.join(har, p)) > 0
+    # some file must sit at a non-zero offset when parts < files
+    assert any(start > 0 for _, start, _ in report.values())
+    for rel, want in (
+        ("a.txt", ["alpha one", "alpha two"]),
+        ("b.txt", ["beta"]),
+        ("sub/c.txt", ["gamma nested"]),
+    ):
+        got = [r.value for r in spark.read.text(f"har://{har}/{rel}").collect()]
+        assert got == want, rel
