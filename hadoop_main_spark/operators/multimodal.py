@@ -3,10 +3,13 @@
 Images/audio/video are opaque ``binary`` payload columns with a
 typed metadata struct. The Spark-side machinery — schema,
 partition-friendly layout, Arrow-batched UDF signatures, batch
-shapes — is real and tested; the actual media decode is stubbed
-behind ``decoder='stub'`` (decode libraries are not in this
-container) with a clearly-marked NotImplementedError for real
-decoders and a deterministic fake for tests.
+shapes — is real and tested. Decoders: ``'ppm'`` is a REAL pure-
+numpy pipeline for uncompressed P6 images (header parse, pixel
+reshape, nearest-neighbor resize, re-encode, band features);
+``'stub'`` is a deterministic fake for arbitrary blobs; codec
+formats (JPEG/PNG/opus/...) raise a clearly-marked
+NotImplementedError because their libraries are not in this
+container — plug one into the same mapInPandas signature.
 
 Scale notes: payloads dominate row size — keep them in their own
 column (Parquet stores them contiguously), never in the shuffle key,
@@ -68,6 +71,73 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- real decoder for the uncompressed PPM (P6) image format -----------------
+# Pure numpy — no media libraries needed, so this path is REAL, not a
+# stub: header parse, pixel-buffer reshape, nearest-neighbor resample,
+# re-encode. Codec formats (JPEG/PNG/...) still raise NotImplementedError.
+
+
+def _ppm_decode(p: bytes):
+    """Parse a binary P6 PPM (maxval ≤ 255) into an (h, w, 3) uint8
+    array. Header = 'P6', width, height, maxval tokens separated by
+    whitespace, with '#' comments allowed between tokens."""
+    import numpy as np
+
+    if not p.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    toks, i, n = [], 2, len(p)
+    while len(toks) < 3:
+        while i < n and p[i : i + 1].isspace():
+            i += 1
+        if i < n and p[i : i + 1] == b"#":
+            while i < n and p[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not p[j : j + 1].isspace():
+            j += 1
+        toks.append(int(p[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pix = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=i)
+    return pix.reshape(h, w, 3)
+
+
+def _ppm_encode(arr) -> bytes:
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _ppm_resize(p: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample (index-mapped, the same policy as the
+    stub byte resample and the audio sample mapper)."""
+    import numpy as np
+
+    arr = _ppm_decode(p)
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return _ppm_encode(np.ascontiguousarray(arr[rows][:, cols]))
+
+
+def _ppm_features(p: bytes, dim: int) -> list[float]:
+    """Real pixel features: the image is split into ``dim`` horizontal
+    bands and each band contributes its mean gray level in [0, 1]."""
+    import numpy as np
+
+    arr = _ppm_decode(p).astype(np.float64)
+    h = arr.shape[0]
+    out = []
+    for b in range(dim):
+        lo, hi = (b * h) // dim, max(((b + 1) * h) // dim, (b * h) // dim + 1)
+        band = arr[min(lo, h - 1) : min(hi, h)]
+        out.append(float(band.mean()) / 255.0 if band.size else 0.0)
+    return out
+
+
 def _stub_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic fake 'embedding' from the payload bytes: md5-seeded
     values in [0,1). Stands in for a real decode→model pipeline."""
@@ -84,12 +154,18 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract each payload via Arrow-batched
     mapInPandas. ``decoder='stub'`` produces deterministic fake
-    features; any other name requires the real decode libraries.
+    features; ``decoder='ppm'`` REALLY decodes binary P6 payloads
+    (pure numpy, see _ppm_decode) and emits per-band gray means; any
+    other name requires decode libraries absent here.
     """
-    if decoder != "stub":
+    if decoder == "stub":
+        feat = _stub_features
+    elif decoder == "ppm":
+        feat = _ppm_features
+    else:
         raise NotImplementedError(
             f"decoder '{decoder}' needs media libraries not present in this "
-            "environment; the stub decoder exercises the full Spark plumbing"
+            "environment; 'ppm' is the real no-library path, 'stub' the fake"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,7 +178,7 @@ def extract_features(
                     "media_id": b["media_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "digest": payloads.map(lambda p: hashlib.md5(p).hexdigest()),
-                    "features": payloads.map(lambda p: _stub_features(bytes(p), dim)),
+                    "features": payloads.map(lambda p: feat(bytes(p), dim)),
                 }
             )
 
@@ -112,17 +188,13 @@ def extract_features(
 def resize(media: DataFrame, width: int, height: int, decoder: str = "stub") -> DataFrame:
     """Resize as a real Arrow-batched pass: decode -> resample ->
     re-encode per payload inside mapInPandas (batch shape and schema
-    are the production ones; the codec itself is stubbed as a
-    deterministic byte resample — a real decoder drops into
-    ``_resize_payload``)."""
-    if decoder != "stub":
-        raise NotImplementedError(
-            "real media codecs are not available in this environment; "
-            "plug one in here (same mapInPandas signature)"
-        )
+    are the production ones). ``decoder='ppm'`` is a REAL pipeline
+    for binary P6 payloads (numpy header parse + nearest-neighbor
+    resample + re-encode); ``decoder='stub'`` keeps the deterministic
+    byte resample for arbitrary blobs; codec formats raise."""
     target = width * height
 
-    def _resize_payload(p: bytes) -> bytes:
+    def _stub_resize(p: bytes) -> bytes:
         # deterministic fake resample: stretch/shrink bytes to the
         # target pixel count by index mapping (stands in for a codec)
         if not p:
@@ -130,12 +202,22 @@ def resize(media: DataFrame, width: int, height: int, decoder: str = "stub") -> 
         n = len(p)
         return bytes(p[(i * n) // target] for i in range(target))
 
+    if decoder == "stub":
+        payload_fn = _stub_resize
+    elif decoder == "ppm":
+        payload_fn = lambda p: _ppm_resize(p, width, height)  # noqa: E731
+    else:
+        raise NotImplementedError(
+            "real media codecs are not available in this environment; "
+            "'ppm' is the real no-library path, 'stub' the fake"
+        )
+
     out_schema = media.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             b = b.copy()
-            b["payload"] = b["payload"].map(lambda p: _resize_payload(bytes(p)))
+            b["payload"] = b["payload"].map(lambda p: payload_fn(bytes(p)))
             b["meta_width"] = width
             b["meta_height"] = height
             yield b

@@ -179,3 +179,41 @@ def test_big_shuffle_stress(spark):
     agg = df.groupBy("k").agg(F.count("*").alias("c"), F.max("pad").alias("m"))
     assert agg.count() == 2_000_000
     assert agg.agg(F.sum("c")).collect()[0][0] == n
+
+
+def test_ppm_real_decode_resize_features(spark):
+    """The 'ppm' decoder is REAL (pure numpy, no media libs): a binary
+    P6 image round-trips decode -> nearest-neighbor resize ->
+    re-encode with exact expected pixels, and band features are the
+    actual gray means."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    imgs = {i: rng.randint(0, 256, (12, 10, 3), dtype=np.uint8) for i in range(3)}
+
+    def enc(a):
+        return b"P6\n# comment\n%d %d\n255\n" % (a.shape[1], a.shape[0]) + a.tobytes()
+
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(enc(a)), "image/x-portable-pixmap", 10, 12)
+         for i, a in imgs.items()],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: bytes(r.payload) for r in MM.resize(media, 5, 6, decoder="ppm").collect()}
+    for i, a in imgs.items():
+        rows = (np.arange(6) * 12) // 6
+        cols = (np.arange(5) * 10) // 5
+        want = a[rows][:, cols]
+        got = MM._ppm_decode(out[i])
+        assert got.shape == (6, 5, 3)
+        assert np.array_equal(got, want), i
+    feats = {r.media_id: r.features for r in MM.extract_features(media, decoder="ppm", dim=4).collect()}
+    for i, a in imgs.items():
+        want = [float(a[(b * 12) // 4:((b + 1) * 12) // 4].mean()) / 255.0 for b in range(4)]
+        assert feats[i] == pytest.approx(want, abs=1e-12), i
+
+
+def test_ppm_decoder_rejects_codec_formats(spark, sf_dir):
+    media = MM.media_table_from_documents(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError):
+        MM.resize(media, 4, 4, decoder="jpeg")
