@@ -93,11 +93,14 @@ def _local_topk(ids, x, rnorm, qid, qvec, qnorm, k):
     sel = np.flatnonzero(ids != qid)
     if sel.size == 0:
         return [], []
-    order = sel[
-        np.lexsort(
-            (ids[sel], -np.where(isnull[sel], -np.inf, cos[sel]), isnull[sel])
-        )
-    ][:k]
+    # sort key must mirror the global window's F.desc(cosine) order:
+    # NaN above every real double (Spark semantics — a NaN component
+    # in a vector yields cosine NaN with denom != 0), NULLs last;
+    # otherwise the combiner would prune rows the window ranks first
+    # and results would depend on Arrow batch boundaries
+    key = np.where(isnull[sel], -np.inf, cos[sel])
+    key = np.where(np.isnan(key), np.inf, key)
+    order = sel[np.lexsort((ids[sel], -key, isnull[sel]))][:k]
     return (
         ids[order].tolist(),
         [None if isnull[i] else float(cos[i]) for i in order],
@@ -128,12 +131,15 @@ def brute_force_topk(
     id. Requires fixed-dimension, non-null vectors (asserted)."""
     import numpy as np
 
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
     q_rows = queries.select(F.col(query_id), F.col(vec_col)).collect()
     if not q_rows:
-        empty = corpus.sparkSession.createDataFrame(
-            [], f"{query_id} long, neighbor_id long, rank int, cosine double"
+        # same column types as the non-empty path, so callers can
+        # union/compare results regardless of which branch ran
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} {qid_type}, neighbor_id {id_type}, rank int, cosine double"
         )
-        return empty
     qids = [r[0] for r in q_rows]
     qmat = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
     dim = qmat.shape[1]
@@ -147,8 +153,6 @@ def brute_force_topk(
         qnorm[j] = np.sqrt(acc)
 
     narrow = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
-    qid_type = queries.schema[query_id].dataType.simpleString()
-    id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = (
         f"{query_id} {qid_type}, neighbor_id {id_type}, cosine double"
     )

@@ -123,16 +123,27 @@ def _split_points(
     k = max(-(-target // nparts), 20)
 
     def first_k(batches):
-        taken = 0
-        per_batch = max(-(-k // 8), 1)  # spread over ≥8 batches
-        for pdf in batches:
-            if taken >= k:
+        import pandas as pd
+
+        # strided k-sample from EACH of the first ≤8 Arrow batches,
+        # then a strided downselect to k — a single-batch partition
+        # still yields the full k (a fixed per-batch cap of k/8 under-
+        # sampled 8× whenever partitions materialize as one batch),
+        # while multi-batch partitions spread their k across ≥8
+        # batches' key ranges; the read stays a bounded prefix
+        buf = []
+        for bi, pdf in enumerate(batches):
+            if bi >= 8:
                 break  # early-exit: the columnar read stops here
-            want = min(k - taken, per_batch)
+            want = min(k, len(pdf))
+            if want == 0:
+                continue
             step = max(len(pdf) // want, 1)
-            chunk = pdf.iloc[::step].iloc[:want]
-            taken += len(chunk)
-            yield chunk
+            buf.append(pdf.iloc[::step].iloc[:want])
+        if buf:
+            cat = pd.concat(buf, ignore_index=True)
+            step = max(len(cat) // k, 1)
+            yield cat.iloc[::step].iloc[:k]
 
     def reservoir_k(batches):
         import numpy as np

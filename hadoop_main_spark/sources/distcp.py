@@ -48,6 +48,11 @@ def build_listing(spark: SparkSession, src_dir: str, dst_dir: str) -> DataFrame:
     ~800k rows)."""
     rows = []
     src_dir = os.path.abspath(src_dir)
+    # dst paths must be canonical too: the copy runs in executor
+    # processes (cwd may differ from the driver's) and distcp_sync
+    # full-outer-joins these paths against a dst-side walk of
+    # abspath(dst_dir) — a relative dst_dir would never match
+    dst_dir = os.path.abspath(dst_dir)
     for root, _dirs, files in os.walk(src_dir):
         for f in files:
             sp = os.path.join(root, f)
@@ -191,7 +196,13 @@ def distcp_sync(
                     out.append((r.path, r.action, r.size, 0))
             yield pd.DataFrame(out, columns=[f.name for f in SYNC_REPORT_SCHEMA.fields])
 
-    return plan.repartition(n).mapInPandas(apply_batch, SYNC_REPORT_SCHEMA)
+    # execute ONCE and return the collected report: deletes are not
+    # idempotent, so re-executing the lazy side-effecting plan (a
+    # second action on the returned frame, or a task retry after the
+    # os.remove landed) would re-delete and misreport ok=0 on files
+    # that synced correctly — same reasoning as har.create_har
+    rows = plan.repartition(n).mapInPandas(apply_batch, SYNC_REPORT_SCHEMA).collect()
+    return spark.createDataFrame(rows, SYNC_REPORT_SCHEMA)
 
 
 def distch(

@@ -55,6 +55,10 @@ def create_har(
     correct, just unpartitioned metadata). Returns the per-file entry
     report (rel, part, start, length)."""
     src_dir = os.path.abspath(src_dir)
+    # part files are opened in executor processes whose cwd can differ
+    # from the driver's (which writes _index/_masterindex) — a
+    # relative har_path would split the archive across two locations
+    har_path = os.path.abspath(har_path)
     os.makedirs(har_path, exist_ok=True)
     listing = build_listing(spark, src_dir, src_dir).select(
         "src", "size", F.expr(f"substring(src, {len(src_dir) + 2})").alias("rel")

@@ -53,31 +53,35 @@ def write_sequencefile(
     ``compression`` selects the codec — a short name from
     ``_CODECS`` ('gzip', 'bzip2', ...) or a fully-qualified Hadoop
     codec class; None writes uncompressed (reference layout NONE,
-    IO/SequenceFile.java:222). RECORD vs BLOCK layout is the
-    Hadoop-side ``io.seqfile.compression.type`` job config exactly as
-    in the reference; ``block_compress=True/False`` pins BLOCK/RECORD
-    for this write, None leaves the cluster default (RECORD)."""
+    IO/SequenceFile.java:222). ``block_compress`` pins the layout:
+    True → BLOCK, False → RECORD, None → Hadoop's default (RECORD).
+
+    Compressed writes go through ``saveAsHadoopFile`` with an
+    explicit per-job ``mapreduce.output.fileoutputformat.compress.*``
+    conf: ``saveAsSequenceFile(path, codec)`` HARDCODES BLOCK layout
+    whenever a codec is given (PairRDDFunctions sets compress.type =
+    BLOCK), and neither path ever reads ``io.seqfile.compression.
+    type`` — a cluster-conf pin is a silent no-op (measured: the
+    header's blockCompressed flag stayed 1; the round-trip test now
+    asserts the flag)."""
     if len(df.columns) != 2:
         raise ValueError("SequenceFile sink needs exactly (key, value) columns")
     codec = _CODECS.get(compression.lower(), compression) if compression else None
     rdd = df.rdd.map(tuple)
-    if block_compress is None:
-        rdd.saveAsSequenceFile(path, codec)
+    if codec is None:
+        rdd.saveAsSequenceFile(path)
         return
-    # pin RECORD/BLOCK via the Hadoop conf the reference reads
-    # (SequenceFile.Writer honors io.seqfile.compression.type); scope
-    # the change to this write by restoring the prior value after
-    sc = df.sparkSession.sparkContext
-    hconf = sc._jsc.hadoopConfiguration()
-    prev = hconf.get("io.seqfile.compression.type")
-    hconf.set("io.seqfile.compression.type", "BLOCK" if block_compress else "RECORD")
-    try:
-        rdd.saveAsSequenceFile(path, codec)
-    finally:
-        if prev is None:
-            hconf.unset("io.seqfile.compression.type")
-        else:
-            hconf.set("io.seqfile.compression.type", prev)
+    conf = {
+        "mapreduce.output.fileoutputformat.compress": "true",
+        "mapreduce.output.fileoutputformat.compress.codec": codec,
+    }
+    if block_compress is not None:
+        conf["mapreduce.output.fileoutputformat.compress.type"] = (
+            "BLOCK" if block_compress else "RECORD"
+        )
+    rdd.saveAsHadoopFile(
+        path, "org.apache.hadoop.mapred.SequenceFileOutputFormat", conf=conf
+    )
 
 
 def sequencefile_to_parquet(

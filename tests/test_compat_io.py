@@ -30,15 +30,32 @@ def test_sequencefile_roundtrip(spark, tmp_path):
     assert spark.read.parquet(pq).count() == 3
 
 
+def _seq_header_flags(header: bytes) -> tuple[int, int]:
+    """(compressed, blockCompressed) flag bytes from a SequenceFile
+    header: SEQ magic + version byte, two vint-length-prefixed class
+    names (short names → single-byte vint), then the two booleans
+    (IO/SequenceFile.java header layout)."""
+    assert header[:3] == b"SEQ"
+    i = 4
+    for _ in range(2):
+        i += 1 + header[i]
+    return header[i], header[i + 1]
+
+
 def test_sequencefile_compressed_roundtrip(spark, tmp_path):
     """Codec/layout parity (reference IO/SequenceFile.java:222 NONE |
-    RECORD | BLOCK): compressed writes must round-trip exactly and the
-    file header must name the codec (bytes 'SEQ' magic + class names),
-    proving compression actually engaged rather than silently falling
-    back to NONE."""
+    RECORD | BLOCK): compressed writes must round-trip exactly, the
+    header must name the codec, and the blockCompressed header FLAG
+    must match the requested layout — saveAsSequenceFile hardcodes
+    BLOCK whenever a codec is given, so an un-asserted flag hides a
+    silent RECORD no-op (review-r4 finding)."""
     rows = [(f"k{i}", f"v{i}" * 20) for i in range(50)]
     df = spark.createDataFrame(rows, ["key", "value"])
-    for name, layout in (("gzip", True), ("bzip2", False), ("default", None)):
+    for name, layout, want_block in (
+        ("gzip", True, 1),
+        ("bzip2", False, 0),
+        ("default", None, 0),  # Hadoop default layout is RECORD
+    ):
         path = str(tmp_path / f"seq_{name}_{layout}")
         write_sequencefile(df, path, compression=name, block_compress=layout)
         back = read_sequencefile(spark, path)
@@ -47,15 +64,20 @@ def test_sequencefile_compressed_roundtrip(spark, tmp_path):
             p for p in os.listdir(path) if p.startswith("part-") and ".crc" not in p
         )
         header = open(os.path.join(path, part), "rb").read(300)
-        assert header[:3] == b"SEQ"
         codec_cls = {
             "gzip": b"GzipCodec", "bzip2": b"BZip2Codec", "default": b"DefaultCodec"
         }[name]
         assert codec_cls in header, (name, header)
-    # the scoped BLOCK override must not leak into later writes
-    assert spark.sparkContext._jsc.hadoopConfiguration().get(
-        "io.seqfile.compression.type"
-    ) is None
+        compressed, block = _seq_header_flags(header)
+        assert compressed == 1, name
+        assert block == want_block, (name, layout, block)
+    # uncompressed path: both flags clear
+    plain = str(tmp_path / "seq_plain")
+    write_sequencefile(df, plain)
+    part = next(
+        p for p in os.listdir(plain) if p.startswith("part-") and ".crc" not in p
+    )
+    assert _seq_header_flags(open(os.path.join(plain, part), "rb").read(300)) == (0, 0)
 
 
 def test_sequencefile_int_values(spark, tmp_path):

@@ -353,6 +353,28 @@ def test_cosine_zero_vector_never_ranks(spark):
     assert got[0].neighbor_id == 2  # not the zero vector
 
 
+def test_brute_force_topk_nan_component_batch_invariant(spark):
+    """Review-r4: a vector containing a NaN component yields cosine
+    NaN (denom != 0), which Spark's F.desc ranks ABOVE every real
+    double — the kernel's batch-local top-k must keep it, or results
+    would vary with Arrow batch boundaries / partitioning."""
+    from hadoop_main_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, [0.5 + i / 100.0, 0.5]) for i in range(2, 40)]
+    rows.append((99, [float("nan"), 1.0]))
+    df = (
+        spark.createDataFrame(rows, ["vid", "v"])
+        .select("vid", F.col("v").cast("array<float>").alias("v"))
+        .repartition(4)
+    )
+    q = spark.createDataFrame([(1, [1.0, 0.0])], ["query_id", "v"]).select(
+        "query_id", F.col("v").cast("array<float>").alias("v")
+    )
+    got = brute_force_topk(df, q, "vid", "v", k=1).collect()
+    # Spark semantics: NaN sorts above every real cosine
+    assert got[0].neighbor_id == 99, got
+
+
 def test_asof_join_value_col_shadowed_by_left(spark):
     """Regression: when left and right share a value column name, the
     left row's own value must NOT win the carry-forward."""
