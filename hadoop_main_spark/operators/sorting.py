@@ -283,6 +283,10 @@ def _enc_block(values, dtype: str, asc: bool, null_mask=None):
         v = pd.to_numeric(s, errors="coerce").to_numpy(np.float64)
         nan = np.isnan(v) & ~isnull  # true NaN values, not SQL NULLs
         v = np.where(np.isnan(v), 0.0, v)
+        # Spark normalizes -0.0 == 0.0 in sort order (SPARK-26021);
+        # the raw bit patterns differ, which would split the tie
+        # across buckets and misorder its id tiebreak
+        v = np.where(v == 0.0, 0.0, v)
         bits = v.view(np.uint64)
         u = np.where(bits >> np.uint64(63), ~bits, bits | flip)
         u = np.where(nan, np.uint64(0xFFFFFFFFFFFFFFFF), u)  # NaN > +Inf

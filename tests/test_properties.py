@@ -178,6 +178,45 @@ def test_hll_merge_invariant_under_any_split_model(spark, rows):
     assert whole == merged
 
 
+_specials = [float("nan"), float("inf"), float("-inf"), 0.0, -0.0, None]
+_doubles = st.one_of(
+    st.sampled_from(_specials),
+    st.floats(min_value=-1e12, max_value=1e12, allow_nan=False),
+)
+
+
+@_slow
+@given(st.lists(_doubles, min_size=1, max_size=25))
+def test_global_rank_double_specials_model(spark, vals):
+    """Round-4 encoder guard: global_rank over doubles mixing NaN /
+    ±inf / -0.0 / NULL must equal Spark's own Window.orderBy row
+    numbering in BOTH directions (NaN above all reals, NULLs first on
+    asc / last on desc)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators import sorting as S
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, v double"
+    )
+    for asc in (True, False):
+        order = F.col("v").asc() if asc else F.col("v").desc()
+        want = {
+            r.id: r.r
+            for r in df.withColumn(
+                "r", F.row_number().over(Window.orderBy(order, F.asc("id")))
+            ).collect()
+        }
+        got = {
+            r.id: r.r
+            for r in S.global_rank(
+                df, ("v", asc), "id", rank_col="r", num_partitions=4
+            ).collect()
+        }
+        assert got == want, (asc, vals, got, want)
+
+
 #: adversarial strings for the 16-byte-truncating encoder: long shared
 #: prefixes at and around the cut, multi-byte UTF-8 straddling it,
 #: empty strings, and near-tie suffixes
