@@ -82,6 +82,23 @@ def main() -> None:
     )
     out["curation_s"] = round(time.time() - t0, 1)
 
+    # round-4 text-ops anchors: materialize the duplicated corpus as a
+    # synthetic sf dir and run the REAL registry builders against it
+    import shutil
+    import tempfile
+
+    from hadoop_main_spark.plans.registry import REGISTRY
+
+    big_dir = tempfile.mkdtemp(prefix="smoke_sf_")
+    big.write.mode("overwrite").parquet(os.path.join(big_dir, "documents.parquet"))
+    try:
+        for name in ("bigram_topk", "pii_scrub", "url_canonicalize"):
+            t0 = time.time()
+            out[f"{name}_rows"] = REGISTRY[name].build(spark, big_dir).count()
+            out[f"{name}_s"] = round(time.time() - t0, 1)
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+
     print(json.dumps(out))
     spark.stop()
 
