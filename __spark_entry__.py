@@ -47,6 +47,8 @@ def _last_green_round() -> dict[str, int]:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(data, dict):
+            continue  # malformed sidecar must not break the contract
         for name, row in data.items():
             green = (
                 isinstance(row, dict)

@@ -168,9 +168,18 @@ def brute_force_topk(
         for batch in batches:
             n = batch.num_rows
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            emb = batch.column(1)
+            flat_arr = emb.flatten()
+            # a null ELEMENT inside a list flattens to NaN with the
+            # size preserved — it would score cosine=NaN and rank #1
+            # (the poisoned-neighbor failure cosine() guards against),
+            # so the size assert alone cannot catch it
+            assert emb.null_count == 0 and flat_arr.null_count == 0, (
+                "brute_force_topk requires non-null vectors and elements"
+            )
+            flat = flat_arr.to_numpy(zero_copy_only=False)
             assert flat.size == n * dim, (
-                f"brute_force_topk requires fixed dim={dim} non-null vectors"
+                f"brute_force_topk requires fixed dim={dim} vectors"
             )
             x = flat.reshape(n, dim).astype(np.float64)
             rnorm = _seq_sq_norms(x)
@@ -462,9 +471,15 @@ def kmeans_assign(
         for batch in batches:
             n = batch.num_rows
             emb = batch.column(vec_idx)
-            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            flat_arr = emb.flatten()
+            # null elements flatten to NaN (size preserved): NaN d2
+            # would silently stick rows to the first centroid — refuse
+            assert emb.null_count == 0 and flat_arr.null_count == 0, (
+                "kmeans_assign requires non-null vectors and elements"
+            )
+            flat = flat_arr.to_numpy(zero_copy_only=False)
             assert flat.size == n * dim, (
-                f"kmeans_assign requires fixed dim={dim} non-null vectors"
+                f"kmeans_assign requires fixed dim={dim} vectors"
             )
             x = flat.reshape(n, dim).astype(np.float64)
             best_d2 = None

@@ -31,19 +31,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def total_order_sort(df: DataFrame, *cols: str | Column, ranked: str | None = None) -> DataFrame:
+def total_order_sort(
+    df: DataFrame,
+    *cols: str | Column,
+    ranked: str | None = None,
+    ordered: bool = False,
+) -> DataFrame:
     """Globally sort (TeraSort / EX/Sort.java:98 equivalent).
 
-    If ``ranked`` is given, also emit a 1-based global rank column —
-    this makes total order verifiable under order-insensitive
-    comparison (the driver hashes sorted rows).
+    If ``ranked`` is given, a 1-based global rank column is emitted
+    and — deliberately — row order is NOT materialized: the rank
+    column IS the total order (this is what makes the result
+    verifiable under order-insensitive comparison; the driver hashes
+    sorted rows), and skipping the final sort avoids one extra
+    exchange. Pass ``ordered=True`` to additionally sort the output
+    by the rank (e.g. before writing order-sensitive files).
     """
     if ranked:
-        return global_rank(df, *cols, rank_col=ranked)
+        out = global_rank(df, *cols, rank_col=ranked)
+        return out.orderBy(ranked) if ordered else out
     return df.orderBy(*cols)
-
-
-SortArg = "str | Column | tuple[str | Column, bool]"
 
 
 def _sort_specs(df: DataFrame, cols: Sequence) -> list[tuple[Column, bool]]:
@@ -74,7 +81,10 @@ def _sort_specs(df: DataFrame, cols: Sequence) -> list[tuple[Column, bool]]:
             node = c._jc.node()
             is_sort_order = node.getClass().getSimpleName() == "SortOrder"
         except Exception as exc:  # Connect / future-version fallback
-            if "desc" in repr(c).lower():
+            # only explicit direction/null-order tokens (uppercase, as
+            # SortOrder reprs print them) — a plain column NAMED
+            # 'description' must not trip this
+            if re.search(r"\b(ASC|DESC)\b|\bNULLS (FIRST|LAST)\b", repr(c)):
                 raise ValueError(
                     "cannot introspect sort direction on this Spark backend; "
                     "pass (column, ascending) tuples instead of F.desc(...)"
@@ -84,6 +94,20 @@ def _sort_specs(df: DataFrame, cols: Sequence) -> list[tuple[Column, bool]]:
         if is_sort_order:
             child = _CCol(jvm.org.apache.spark.sql.Column(node.child()))
             asc = "Descending" not in node.sortDirection().getClass().getSimpleName()
+            # specs carry only (col, asc): a NON-default null ordering
+            # (asc_nulls_last / desc_nulls_first) would be silently
+            # dropped — every consumer (window order, encoder
+            # indicator byte, fold) assumes the default — so refuse
+            # loudly instead of mis-ranking nulls
+            null_ord = node.nullOrdering().getClass().getSimpleName()
+            default = "NullsFirst" if asc else "NullsLast"
+            if not null_ord.startswith(default):
+                raise ValueError(
+                    f"non-default null ordering ({null_ord.rstrip('$')}) is not "
+                    "supported by the range-bucketed sort machinery; use the "
+                    "default (asc=nulls first, desc=nulls last) or pre-filter "
+                    "nulls"
+                )
             specs.append((child, asc))
         else:
             specs.append((c, True))
@@ -218,20 +242,23 @@ def _at_or_after(specs: list[tuple[Column, bool]], bound: Sequence) -> Column:
 #: truncation only coarsens ties (see _enc_block), never misorders
 _ENC_STR_WIDTH = 16
 
-_ENCODABLE_PREFIXES = (
-    "tinyint",
-    "smallint",
-    "int",
-    "bigint",
-    "float",
-    "double",
-    "decimal",
-    "string",
-    "binary",
-    "boolean",
-    "date",
-    "timestamp",
+_ENCODABLE_EXACT = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double",
+     "string", "binary", "boolean", "date"}
 )
+
+
+def _encodable(dtype: str) -> bool:
+    """Whether _enc_block supports this Spark simpleString dtype.
+    Exact names for primitives — a prefix test on 'int' would also
+    match 'interval day to second' and crash instead of falling back
+    to the fold path — plus the parameterized decimal/timestamp
+    families."""
+    return (
+        dtype in _ENCODABLE_EXACT
+        or dtype.startswith("decimal")
+        or dtype.startswith("timestamp")
+    )
 
 
 def _enc_block(values, dtype: str, asc: bool, null_mask=None):
@@ -295,13 +322,26 @@ def _enc_block(values, dtype: str, asc: bool, null_mask=None):
     elif dtype == "boolean":
         block = s.fillna(False).to_numpy(np.uint8).reshape(-1, 1)
     elif dtype == "date" or dtype.startswith("timestamp"):
-        dt = pd.to_datetime(s, errors="coerce")
-        try:
-            dt = dt.dt.tz_localize(None)
-        except (TypeError, AttributeError):
-            pass
-        a = dt.to_numpy("datetime64[ns]").astype("datetime64[us]").astype(np.int64)
-        a = np.where(pd.isna(dt).to_numpy(), 0, a)
+        # convert at datetime64[us] resolution (±290k years) — NOT via
+        # pandas' ns path, whose range is only 1677-2262: out-of-range
+        # values would coerce to NaT → encode as epoch 0, a
+        # NON-monotone corruption (a 1500-01-01 key would bucket after
+        # 1969-01-01), violating the monotone-coarsening safety rule
+        vals = s.to_numpy()
+        if vals.dtype.kind == "M":
+            nat = np.isnat(vals)
+            a = vals.astype("datetime64[us]").astype(np.int64)
+        else:
+            a = np.zeros(len(s), dtype=np.int64)
+            nat = np.zeros(len(s), dtype=bool)
+            for i, x in enumerate(vals):
+                if x is None or pd.isna(x):
+                    nat[i] = True
+                    continue
+                if getattr(x, "tzinfo", None) is not None:
+                    x = x.replace(tzinfo=None)
+                a[i] = np.datetime64(x, "us").astype(np.int64)
+        a = np.where(nat | isnull, 0, a)
         block = ((a.view(np.uint64) ^ flip).astype(">u8")).view(np.uint8).reshape(-1, 8)
     elif dtype in ("string", "binary"):
         w = _ENC_STR_WIDTH
@@ -311,7 +351,7 @@ def _enc_block(values, dtype: str, asc: bool, null_mask=None):
             for x in s.tolist()
         ]
         block = np.array(raw, dtype=f"S{w}").view(np.uint8).reshape(-1, w)
-    else:  # pragma: no cover - guarded by _ENCODABLE_PREFIXES check
+    else:  # pragma: no cover - guarded by the _encodable() check
         raise TypeError(f"unencodable sort key type: {dtype}")
     ind = np.where(isnull, 0, 1).astype(np.uint8).reshape(-1, 1)
     block = np.hstack([ind, np.ascontiguousarray(block)])
@@ -338,9 +378,7 @@ def _bucket_id(
     search steps carrying (lo, hi) and probing a literal sorted
     array<struct> with element_at — same O(log P) comparisons, no
     Python."""
-    if dtypes is not None and len(bounds) > 0 and all(
-        any(d == p or d.startswith(p) for p in _ENCODABLE_PREFIXES) for d in dtypes
-    ):
+    if dtypes is not None and len(bounds) > 0 and all(_encodable(d) for d in dtypes):
         return _bucket_id_searchsorted(specs, bounds, dtypes)
     return _bucket_id_fold(specs, bounds)
 
@@ -576,10 +614,25 @@ def grouped_prefix_sum(
         F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
     )
     val = F.coalesce(F.col(value_col), F.lit(0)) if exclusive else F.lit(0)
+    # NULL-SAFE group-key equality: a plain string-list join compiles
+    # to EqualTo, where null == null is false — every row whose group
+    # key is NULL would silently vanish (the keyed-Window form this
+    # function replaces keeps null groups; groupBy aggregates them)
+    off = offsets.select(
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(gcols)],
+        F.col("__pid").alias("__opid"),
+        "__off",
+    )
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(gcols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
     return (
-        local.join(F.broadcast(offsets), [*gcols, "__pid"])
+        local.join(F.broadcast(off), cond)
         .withColumn(out_col, F.col("__off") + F.col("__incl") - val)
-        .drop("__pid", "__incl", "__off")
+        .drop(
+            "__pid", "__incl", "__off", "__opid",
+            *[f"__og_{i}" for i in range(len(gcols))],
+        )
     )
 
 
@@ -654,12 +707,33 @@ def parse_sort_spec(spec: str) -> list[KeySpec]:
 
 def compile_sort_spec(spec: str, line: Column | str, sep: str = "\t") -> list[Column]:
     """Compile a `sort -k` spec into Spark sort expressions over a
-    delimited text column."""
+    delimited text column.
+
+    A bare ``-kN`` (no ``,M`` end) keys on field N THROUGH THE END OF
+    THE LINE — KeyFieldBasedComparator / GNU sort semantics (pos2
+    omitted → key extends to end of line), compiled as the
+    sep-joined tail; with ``n`` the leading number of that tail is
+    compared. ``sep`` is a LITERAL separator (regex-escaped before
+    split — '|' must not become regex alternation)."""
     c = F.col(line) if isinstance(line, str) else line
-    arr = F.split(c, F.lit(sep).cast("string"))
+    arr = F.split(c, re.escape(sep))
     cols: list[Column] = []
     for ks in parse_sort_spec(spec):
-        end = ks.end or ks.start
+        if ks.end is None:
+            # open-ended: one key = fields start.. joined by sep
+            tail = F.array_join(
+                F.slice(arr, ks.start, F.greatest(F.size(arr) - ks.start + 1, F.lit(0))),
+                sep,
+            )
+            if ks.start_char > 1:
+                tail = F.substring(tail, ks.start_char, 2_000_000_000)
+            if ks.numeric:
+                tail = F.regexp_extract(tail, r"^[-+]?[0-9]*\.?[0-9]+", 0).try_cast(
+                    "double"
+                )
+            cols.append(tail.desc() if ks.reverse else tail.asc())
+            continue
+        end = ks.end
         for idx in range(ks.start, end + 1):
             field = F.element_at(arr, idx)
             # char-offset addressing applies to the range's edge fields

@@ -756,3 +756,90 @@ def test_kmeans_fit_converges_and_is_deterministic(spark):
         for r in e.filter(F.col("vec_id") < 8).collect()
     ]
     assert inertia(cents1) <= inertia(seeds)
+
+
+def test_global_rank_dates_outside_pandas_ns_range(spark):
+    """Review-r4: dates before 1677 / after 2262 overflow pandas'
+    ns-resolution path; coerced-to-NaT keys encoded as epoch 0 would
+    bucket 1500-01-01 AFTER 1969-01-01 (non-monotone). The encoder
+    now converts at us resolution."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    days = [
+        dt.date(1500, 6, 1), dt.date(1969, 6, 1), dt.date(2020, 1, 1),
+        dt.date(2400, 12, 31), dt.date(1677, 9, 20), dt.date(2262, 4, 12),
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(days)], "id int, d date")
+    for asc in (True, False):
+        got = {
+            r.id: r.r
+            for r in S.global_rank(df, ("d", asc), rank_col="r", num_partitions=3).collect()
+        }
+        want = {
+            r.id: r.r
+            for r in df.withColumn(
+                "r",
+                F.row_number().over(
+                    Window.orderBy(F.col("d").asc() if asc else F.col("d").desc())
+                ),
+            ).collect()
+        }
+        assert got == want, (asc, got, want)
+
+
+def test_grouped_prefix_sum_null_group_kept(spark):
+    """Review-r4: rows whose group key is NULL must not vanish — the
+    offsets join is null-safe now (plain equi-join drops null==null)."""
+    rows = [("a", 1, 10), ("a", 2, 20), (None, 1, 5), (None, 2, 7), ("b", 1, 3)]
+    df = spark.createDataFrame(rows, "g string, seq int, v int")
+    got = {
+        (r.g, r.seq): r.prefix
+        for r in S.grouped_prefix_sum(
+            df, ["g"], ["seq"], "v", exclusive=True, num_partitions=4
+        ).collect()
+    }
+    assert got == {
+        ("a", 1): 0, ("a", 2): 10, (None, 1): 0, (None, 2): 5, ("b", 1): 0,
+    }, got
+
+
+def test_sort_spec_open_ended_and_literal_sep(spark):
+    """Review-r4: bare -kN keys on field N through END OF LINE
+    (KeyFieldBasedComparator pos2-omitted semantics), and sep is a
+    literal ('|' must not become regex alternation)."""
+    df = spark.createDataFrame(
+        [("x\t10\tb",), ("x\t10\ta",), ("y\t2\tz",)], ["line"]
+    )
+    out = [r.line for r in S.sort_by_spec(df, "line", "-k2").collect()]
+    # field-2-through-end string order: "10\ta" < "10\tb" < "2\tz"
+    assert out == ["x\t10\ta", "x\t10\tb", "y\t2\tz"], out
+    # numeric open-ended: leading number of the tail
+    out_n = [r.line for r in S.sort_by_spec(df, "line", "-k2n").collect()]
+    assert [l.split("\t")[1] for l in out_n] == ["2", "10", "10"], out_n
+    dfp = spark.createDataFrame([("a|2",), ("b|10",)], ["line"])
+    out_p = [r.line for r in S.sort_by_spec(dfp, "line", "-k2,2n", sep="|").collect()]
+    assert out_p == ["a|2", "b|10"], out_p
+
+
+def test_bucket_id_interval_dtype_routes_to_fold(spark):
+    """Review-r4: 'interval day to second'.startswith('int') must NOT
+    route interval keys to the byte encoder (which would raise) — the
+    fold fallback handles them."""
+    df = spark.range(6).select(
+        "id", F.expr("make_dt_interval(0, 0, 0, id * 10)").alias("iv")
+    )
+    r = S.global_rank(df, "iv", rank_col="r", num_partitions=3)
+    got = {x.id: x.r for x in r.collect()}
+    assert got == {i: i + 1 for i in range(6)}, got
+
+
+def test_sort_specs_rejects_non_default_null_ordering(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="null ordering"):
+        S._sort_specs(df, [F.asc_nulls_last("k")])
+    # defaults still introspect fine
+    assert S._sort_specs(df, [F.desc("k")])[0][1] is False
