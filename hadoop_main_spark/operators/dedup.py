@@ -137,21 +137,27 @@ def minhash_signature(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_structs() -> list[Column]:
+    """The (band, band_sig) struct list shared by BOTH banding paths
+    (from-scratch and from-persisted-signatures) — one definition so
+    a change to BANDS / the salt / the separator cannot silently make
+    the two paths generate different candidate sets."""
+    structs = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_sig = hash64(F.concat_ws("_", *[c.cast("string") for c in cols]), f"band{b}")
+        structs.append(F.struct(F.lit(b).alias("band"), band_sig.alias("band_sig")))
+    return structs
+
+
 def lsh_band_signatures(sig: DataFrame, id_col: str) -> DataFrame:
     """Banded LSH: (doc, band, band_sig) rows; equal band_sig within a
     band → candidate pair. band_sig re-hashes the band's minhashes.
     One explode pass emits all bands (a union of per-band selects
     would rescan the signature table B times)."""
-    structs = []
-    for b in range(BANDS):
-        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        band_sig = hash64(F.concat_ws("_", *[c.cast("string") for c in cols]), f"band{b}")
-        structs.append(
-            F.struct(F.lit(b).alias("band"), band_sig.alias("band_sig"))
-        )
-    return sig.select(F.col(id_col), F.explode(F.array(*structs)).alias("__bb")).select(
-        id_col, "__bb.band", "__bb.band_sig"
-    )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*_band_structs())).alias("__bb")
+    ).select(id_col, "__bb.band", "__bb.band_sig")
 
 
 def minhash_lsh_pairs(
@@ -229,13 +235,8 @@ def lsh_pairs_from_signatures(
     # the threshold filter sits BEFORE distinct: equivalent result,
     # smaller dedup set.
     mh_cols = [f"mh{j}" for j in range(NUM_HASHES)]
-    structs = []
-    for b in range(BANDS):
-        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        band_sig = hash64(F.concat_ws("_", *[c.cast("string") for c in cols]), f"band{b}")
-        structs.append(F.struct(F.lit(b).alias("band"), band_sig.alias("band_sig")))
     bands = sig.select(
-        F.col(id_col), *mh_cols, F.explode(F.array(*structs)).alias("__bb")
+        F.col(id_col), *mh_cols, F.explode(F.array(*_band_structs())).alias("__bb")
     ).select(id_col, *mh_cols, "__bb.band", "__bb.band_sig")
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
@@ -268,18 +269,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     bit_k(doc) = sign of Σ_tokens (±1 by bit k of hash64(token));
     ties (sum == 0) resolve to bit 0 — same rule in the oracle SQL.
+    Zero-token documents get the sentinel signature 0 (explode_outer
+    keeps them; a plain explode silently dropped them from the
+    signature table, inconsistent with minhash_signature's empty-doc
+    sentinel — two empty docs ARE exact duplicates and must pair).
     """
     from hadoop_main_spark.operators.transforms import tokenize
 
     from hadoop_main_spark.operators.partitioning import fan_out
 
     tok = fan_out(df.select(id_col, text_col), [id_col]).select(
-        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+        F.col(id_col), F.explode_outer(tokenize(text_col)).alias("token")
     )
     tok = tok.select(id_col, hash64("token").alias("h"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.col("h").isNull(), 0)  # empty doc → all sums 0 → simhash 0
+            .when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
         ).alias(f"s{k}")
         for k in range(SIMHASH_BITS)
     ]
@@ -335,6 +342,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_band_bucket: int = 1000,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams, computed only for
     MinHash-LSH candidate pairs (never all-pairs): the standard
@@ -350,7 +358,7 @@ def ngram_jaccard_pairs(
     if min_jaccard <= 0:
         raise ValueError("min_jaccard must be > 0 (jaccard==0 pairs are never emitted)")
     sig = minhash_signature(df, id_col, text_col, n)
-    cand = lsh_candidate_pairs(sig, id_col)
+    cand = lsh_candidate_pairs(sig, id_col, max_band_bucket=max_band_bucket)
     from hadoop_main_spark.operators.partitioning import fan_out
 
     grams = fan_out(df.select(id_col, text_col), [id_col]).select(
@@ -400,7 +408,17 @@ def embedding_quantize_dedup(
     q = F.transform(
         vec, lambda x: F.floor(x.cast("double") / F.lit(grid)).cast("bigint")
     )
-    qs = F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))
+    # NULL components encode as an explicit marker — concat_ws SKIPS
+    # nulls, so [2, NULL, 4] and [2, 4] would otherwise collide into
+    # the same qhash and be reported as duplicates; a NULL vector
+    # keeps a NULL qhash (window PARTITION BY groups nulls together,
+    # identically in Spark and the SQL oracle)
+    qs = F.when(
+        vec.isNotNull(),
+        F.concat_ws(
+            ",", F.transform(q, lambda v: F.coalesce(v.cast("string"), F.lit("n")))
+        ),
+    )
     grouped = df.select(F.col(id_col), hash64(qs).alias("qhash"))
     w = Window.partitionBy("qhash")
     return (
@@ -568,7 +586,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    # `und` (and the final frontier) stay pinned only until the caller
-    # consumes the result; und cannot be dropped here because the
-    # returned frame no longer references it yet a retry might
+    # `und` CAN be released here: the returned frame's lineage is
+    # truncated at its own (eager) localCheckpoint, so no recompute
+    # path reaches the edge set — holding it would pin an RDD copy of
+    # all edges for the whole session. The FINAL frontier necessarily
+    # stays persisted (it IS the returned data); it is the single
+    # bounded block set a long-lived session retains per call.
+    _unpersist(_ckpt_rdd_id(und))
     return labels

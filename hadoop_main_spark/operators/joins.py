@@ -57,16 +57,28 @@ def composite_join(
             out = out.join(right, on=key, how=how)
         return out
     if op == "override":
-        vcol = (value_cols or [next(c for c in dfs[0].columns if c != key)])[0]
+        if value_cols:
+            vcol = value_cols[0]
+        else:
+            cands = [c for c in dfs[0].columns if c != key]
+            if not cands:
+                raise ValueError(
+                    "override join needs a value column; dfs[0] has only the key"
+                )
+            vcol = cands[0]
+        # wrap each source's value in a PRESENCE struct: coalescing the
+        # raw values would let a NULL value fall through to an earlier
+        # source, but OverrideRecordReader semantics are 'rightmost
+        # source CONTAINING THE KEY wins' — even when its value is NULL
         renamed = [
-            df.select(F.col(key), F.col(vcol).alias(f"__v{i}")) for i, df in enumerate(dfs)
+            df.select(F.col(key), F.struct(F.col(vcol).alias("v")).alias(f"__s{i}"))
+            for i, df in enumerate(dfs)
         ]
         out = renamed[0]
         for right in renamed[1:]:
             out = out.join(right, on=key, how="full_outer")
-        # rightmost source that has the key wins
-        prefer = [F.col(f"__v{i}") for i in range(len(dfs) - 1, -1, -1)]
-        return out.select(F.col(key), F.coalesce(*prefer).alias(vcol))
+        prefer = [F.col(f"__s{i}") for i in range(len(dfs) - 1, -1, -1)]
+        return out.select(F.col(key), F.coalesce(*prefer).getField("v").alias(vcol))
     raise ValueError(f"unknown composite join op: {op}")
 
 
@@ -141,9 +153,15 @@ def tagged_join(
         for i, (tag, d) in enumerate(zip(tags, tagged)):
             vcol = f"{tag}_{value_col}"
             w = Window.partitionBy(key).orderBy(vcol)
+            # NULL-SAFE allowance join: groupBy/Window above both keep
+            # a NULL-key group, but a plain equi-join here would drop
+            # it — enabling the cap must not change WHICH rows exist
+            al = allow.filter(F.col("__tag") == i).select(
+                F.col(key).alias("__ak"), "__allow"
+            )
             capped.append(
                 d.withColumn("__rn", F.row_number().over(w))
-                .join(allow.filter(F.col("__tag") == i).select(key, "__allow"), key)
+                .join(al, F.col(key).eqNullSafe(F.col("__ak")))
                 .filter(F.col("__rn") <= F.col("__allow"))
                 .select(F.col(key), F.col(vcol))
             )
@@ -201,23 +219,32 @@ def asof_join(
     from pyspark.sql import Window
 
     vcols = list(value_cols) or [c for c in right.columns if c not in (on, right_ts)]
-    l_tag = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    # the right side's value columns ride in ONE struct: carrying each
+    # column independently with last(ignorenulls) would skip a
+    # legitimately-NULL value and mix columns from DIFFERENT right
+    # rows ("frankenstein" output) — the struct is null only for
+    # left-side rows, so last(ignorenulls) lands exactly on the
+    # latest right ROW, preserving its internal NULLs
     r_tag = right.select(
         F.col(on),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in vcols],
+        F.struct(*[F.col(c) for c in vcols]).alias("__rv"),
     )
-    for c in left.columns:
-        if c not in r_tag.columns:
-            r_tag = r_tag.withColumn(c, F.lit(None))
+    # a left column sharing a value column's name is REPLACED by the
+    # as-of right value (documented; previously guarded by nulling)
+    l_tag = left
     for c in vcols:
-        # ALWAYS null the left side's value columns — a left column
-        # sharing a value column's name would otherwise win the
-        # carry-forward at its own row (last() sees it at currentRow)
-        # and silently return the left's value instead of the as-of
-        # right value
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(r_tag.dtypes)[c]))
+        if c in l_tag.columns:
+            l_tag = l_tag.drop(c)
+    l_tag = (
+        l_tag.withColumn("__t", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__rv", F.lit(None).cast(dict(r_tag.dtypes)["__rv"]))
+    )
+    for c in l_tag.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(l_tag.dtypes)[c]))
     u = l_tag.select(*r_tag.columns).unionByName(r_tag.select(*r_tag.columns))
     # right rows sort before left rows at equal timestamps → inclusive <=
     w = (
@@ -225,11 +252,14 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        *[c for c in u.columns if c not in vcols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in vcols],
+    carried = u.withColumn("__c", F.last("__rv", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *[c for c in u.columns if c not in ("__rv", "__side", "__t")],
+            *[F.col("__c").getField(c).alias(c) for c in vcols],
+        )
     )
-    return carried.filter(F.col("__side") == 1).drop("__side", "__t")
 
 
 def range_count_join(
@@ -239,11 +269,16 @@ def range_count_join(
     id_col: str = "event_id",
     window_us: int = 3_600_000_000,
 ) -> DataFrame:
-    """For each row, count same-key rows in (ts, ts + window] — an
-    interval self-join (equi on the key + range predicate). Spark
-    plans equi+range as a sort-merge join with the range as a
+    """Count same-key rows in (ts, ts + window] per row — an interval
+    self-join (equi on the key + range predicate). Spark plans
+    equi+range as a sort-merge join with the range as a
     post-condition; the equi component keeps the shuffle bounded by
     the key cardinality.
+
+    CONTRACT: rows with ZERO followers are absent from the output
+    (inner-join shape, pinned by the range_join oracle) — left-join
+    the result back to the input and coalesce to 0 if every row must
+    appear.
     """
     # distinct column names on the two sides: a self-join condition
     # written as a[key] == b[key] relies on Spark's plan-id

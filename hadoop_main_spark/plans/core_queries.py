@@ -407,13 +407,17 @@ def outer_join(spark: SparkSession, sf: str) -> DataFrame:
          s2 AS (SELECT c_nationkey AS k, MAX(c_name) AS v FROM customer GROUP BY c_nationkey),
          s3 AS (SELECT s_nationkey AS k, MAX(s_name) AS v FROM supplier GROUP BY s_nationkey)
     SELECT COALESCE(s1.k, s2.k, s3.k) AS k,
-           COALESCE(s3.v, s2.v, s1.v) AS v
+           CASE WHEN s3.k IS NOT NULL THEN s3.v
+                WHEN s2.k IS NOT NULL THEN s2.v
+                ELSE s1.v END AS v
     FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k
             FULL OUTER JOIN s3 ON COALESCE(s1.k, s2.k) = s3.k
     """,
     doc="'override' composite join: value from the RIGHTMOST source "
-    "containing the key wins (MRC/mapreduce/lib/join/"
-    "OverrideRecordReader.java:1) — full-outer chain + coalesce.",
+    "containing the KEY wins — even when that value is NULL "
+    "(MRC/mapreduce/lib/join/OverrideRecordReader.java:1) — "
+    "full-outer chain + presence-guarded pick (a raw value coalesce "
+    "would let a NULL value fall through to an earlier source).",
 )
 def override_join(spark: SparkSession, sf: str) -> DataFrame:
     s1 = t(spark, sf, "nation").select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("v"))

@@ -127,8 +127,12 @@ _SIMHASH_VAL = " + ".join(
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
          th AS (SELECT doc_id, {hash64_sql('token')} AS h FROM tok),
-         bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM th GROUP BY doc_id)
-    SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits
+         bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM th GROUP BY doc_id),
+         sh AS (SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits)
+    -- zero-token docs never reach tok (unnest of an empty list):
+    -- reattach them with the sentinel signature 0 (engine parity)
+    SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN sh USING (doc_id)
     """,
     doc="32-bit SimHash per document over unigram tokens (with "
     "multiplicity); sign-of-sum per bit position.",
@@ -143,7 +147,9 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
          th AS (SELECT doc_id, {hash64_sql('token')} AS h FROM tok),
          bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM th GROUP BY doc_id),
-         sh AS (SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits),
+         sh0 AS (SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits),
+         sh AS (SELECT d.doc_id, COALESCE(sh0.simhash, 0) AS simhash
+                FROM documents d LEFT JOIN sh0 USING (doc_id)),
          bands AS (
            SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS band_val
            FROM sh CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
@@ -198,7 +204,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id,
-             {hash64_sql("array_to_string(list_transform(embedding[1:8], x -> CAST(CAST(floor(CAST(x AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR)), ',')")} AS qhash
+             {hash64_sql("array_to_string(list_transform(embedding[1:8], x -> COALESCE(CAST(CAST(floor(CAST(x AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR), 'n')), ',')")} AS qhash
       FROM embeddings)
     SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qhash) AS canonical_id,
            COUNT(*) OVER (PARTITION BY qhash) AS group_size
@@ -758,7 +764,7 @@ def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id,
-             {hash64_sql("array_to_string(list_transform(embedding[1:8], x -> CAST(CAST(floor(CAST(x AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR)), ',')")} AS qhash
+             {hash64_sql("array_to_string(list_transform(embedding[1:8], x -> COALESCE(CAST(CAST(floor(CAST(x AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR), 'n')), ',')")} AS qhash
       FROM embeddings),
     g AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qhash) AS canon FROM q),
     pairs AS (SELECT canon AS id_a, vec_id AS id_b FROM g WHERE vec_id <> canon),

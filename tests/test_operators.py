@@ -843,3 +843,88 @@ def test_sort_specs_rejects_non_default_null_ordering(spark):
         S._sort_specs(df, [F.asc_nulls_last("k")])
     # defaults still introspect fine
     assert S._sort_specs(df, [F.desc("k")])[0][1] is False
+
+
+def test_override_join_null_value_wins(spark):
+    """Review-r4: OverrideRecordReader semantics — the rightmost
+    source CONTAINING THE KEY wins even when its value is NULL (a raw
+    value coalesce silently resurrected the earlier source)."""
+    s1 = spark.createDataFrame([(1, "a"), (2, "x")], ["k", "v"])
+    s2 = spark.createDataFrame([(1, None), (3, "c")], "k int, v string")
+    out = {r.k: r.v for r in J.composite_join([s1, s2], "k", "override").collect()}
+    assert out == {1: None, 2: "x", 3: "c"}, out
+
+
+def test_tagged_join_cap_keeps_null_keys(spark):
+    """Review-r4: enabling max_values_per_group must not change WHICH
+    keys exist — the allowance join is null-safe now."""
+    s1 = spark.createDataFrame([(None, 1), (7, 2)], "k int, val int")
+    s2 = spark.createDataFrame([(None, 9), (7, 8)], "k int, val int")
+    srcs = {"a": s1, "b": s2}
+    key_fn = lambda t: tuple((x is None, x) for x in t)
+    plain = sorted(
+        (tuple(r) for r in J.tagged_join(srcs, "k", "val", how="outer").collect()),
+        key=key_fn,
+    )
+    capped = sorted(
+        (
+            tuple(r)
+            for r in J.tagged_join(
+                srcs, "k", "val", how="outer", max_values_per_group=10
+            ).collect()
+        ),
+        key=key_fn,
+    )
+    assert capped == plain and any(t[0] is None for t in capped), (plain, capped)
+
+
+def test_asof_join_carries_whole_row_not_per_column(spark):
+    """Review-r4: the carry must be the latest right ROW, preserving
+    its internal NULLs — per-column last(ignorenulls) built rows
+    mixing values from different right rows."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1, 0)
+    left = spark.createDataFrame([(1, T0 + dt.timedelta(hours=3))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [
+            (1, T0 + dt.timedelta(hours=1), 10, 1),
+            (1, T0 + dt.timedelta(hours=2), None, 2),
+        ],
+        "k int, ts timestamp, v1 int, v2 int",
+    )
+    row = J.asof_join(left, right, "k").collect()[0]
+    # the t=2 row wins wholesale: v1 must be NULL (not 10 from t=1)
+    assert (row.v1, row.v2) == (None, 2), row
+
+
+def test_simhash_keeps_empty_docs_with_sentinel(spark):
+    """Review-r4: zero-token docs get signature 0 and two empty docs
+    pair at hamming 0 (a plain explode dropped them entirely)."""
+    from hadoop_main_spark.operators.dedup import simhash, simhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   "), (4, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert set(sigs) == {1, 2, 3, 4}
+    assert sigs[2] == 0 and sigs[3] == 0
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(df, "doc_id", "text").collect()
+    }
+    assert pairs[(2, 3)] == 0 and pairs[(1, 4)] == 0
+
+
+def test_embedding_quantize_null_component_no_collision(spark):
+    """Review-r4: [1.0, NULL, 2.0] must not collide with [1.0, 2.0]
+    (concat_ws skips nulls)."""
+    from hadoop_main_spark.operators.dedup import embedding_quantize_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 2.0]), (2, [1.0, 2.0]), (3, [1.0, 2.0])],
+        "vid int, v array<double>",
+    )
+    out = {r.vid for r in embedding_quantize_dedup(df, "vid", "v", grid=0.5).collect()}
+    assert out == {2, 3}, out
