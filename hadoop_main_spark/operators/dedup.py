@@ -333,7 +333,49 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     )
 
 
-# --- exact n-gram Jaccard over LSH candidates --------------------------------
+# --- exact n-gram overlap scores over LSH candidates -------------------------
+
+
+def _ngram_overlap_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_band_bucket: int = 1000,
+) -> DataFrame:
+    """Shared verify core for the exact n-gram similarity scores:
+    MinHash-LSH candidate pairs joined against the distinct-shingle
+    explosion, yielding one row per candidate pair with the
+    intersection count and both set sizes —
+    (id_a, id_b, inter, sz_a, sz_b). Pairs with an EMPTY
+    intersection never appear (the intersection join is inner), so
+    callers must only emit score filters that a zero intersection
+    cannot pass; that keeps the LSH band subtree appearing exactly
+    once in the plan (plan-audited in test_plan_quality)."""
+    sig = minhash_signature(df, id_col, text_col, n)
+    cand = lsh_candidate_pairs(sig, id_col, max_band_bucket=max_band_bucket)
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    grams = fan_out(df.select(id_col, text_col), [id_col]).select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g")
+    )
+    # per-doc gram counts as a narrow projection (no explode/shuffle) —
+    # recomputing the exploded grams frame for this would double the
+    # shingle pass
+    sizes = df.select(
+        F.col(id_col), F.size(F.array_distinct(word_shingles(text_col, n))).alias("sz")
+    )
+    inter = (
+        cand.join(grams.select(F.col(id_col).alias("id_a"), "g"), "id_a")
+        .join(grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("g2")), "id_b")
+        .filter(F.col("g") == F.col("g2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -357,39 +399,51 @@ def ngram_jaccard_pairs(
     """
     if min_jaccard <= 0:
         raise ValueError("min_jaccard must be > 0 (jaccard==0 pairs are never emitted)")
-    sig = minhash_signature(df, id_col, text_col, n)
-    cand = lsh_candidate_pairs(sig, id_col, max_band_bucket=max_band_bucket)
-    from hadoop_main_spark.operators.partitioning import fan_out
-
-    grams = fan_out(df.select(id_col, text_col), [id_col]).select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g")
-    )
-    # per-doc gram counts as a narrow projection (no explode/shuffle) —
-    # recomputing the exploded grams frame for this would double the
-    # shingle pass
-    sizes = df.select(
-        F.col(id_col), F.size(F.array_distinct(word_shingles(text_col, n))).alias("sz")
-    )
-    inter = (
-        cand.join(grams.select(F.col(id_col).alias("id_a"), "g"), "id_a")
-        .join(grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("g2")), "id_b")
-        .filter(F.col("g") == F.col("g2"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
+    out = _ngram_overlap_counts(df, id_col, text_col, n, max_band_bucket).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_band_bucket: int = 1000,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT over MinHash-LSH candidate pairs:
+    ``inter / min(|A|, |B|)`` — the asymmetric overlap score that
+    catches document-inside-document duplication (boilerplate
+    wrapping, quote inclusion, page-of-a-book) which symmetric
+    Jaccard dilutes: a 50-gram doc fully contained in a 5000-gram
+    doc has jaccard ~= 0.01 but containment 1.0. Same
+    candidate-then-verify shape as :func:`ngram_jaccard_pairs`
+    (shared core, never all-pairs); LSH recall for asymmetric pairs
+    is lower than for symmetric near-dups (MinHash estimates
+    Jaccard), which is the standard trade — at 100 TB the candidate
+    generator must stay probabilistic. Output:
+    (id_a, id_b, containment). Requires ``min_containment > 0``
+    (zero-intersection pairs are never emitted; see shared core)."""
+    if min_containment <= 0:
+        raise ValueError(
+            "min_containment must be > 0 (containment==0 pairs are never emitted)"
+        )
+    out = _ngram_overlap_counts(df, id_col, text_col, n, max_band_bucket).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter").cast("double")
+            / F.least("sz_a", "sz_b").cast("double")
+        ).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= min_containment)
 
 
 # --- quantized-embedding dedup ----------------------------------------------

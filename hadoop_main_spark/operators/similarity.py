@@ -552,3 +552,50 @@ def kmeans_fit(
             break
         cents = new_cents
     return kmeans_assign(corpus, cents, id_col, vec_col).drop("__d2"), cents
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    k-means quantizer, then compute EXACT cosine only WITHIN each
+    cluster — pairwise work drops from O(n^2) to O(sum n_c^2), and at
+    100 TB k is chosen so clusters stay bounded (k ~ n / target
+    cluster size; the paper uses ~50k clusters for LAION-scale).
+    Output: (cluster, id_a, id_b, cosine) for within-cluster pairs
+    with cosine >= ``min_cosine`` (id_a < id_b).
+
+    Shape: one vectorized assignment scan (kmeans_assign's mapInArrow
+    kernel), a self-join ON THE CLUSTER ID (an equi-join — shuffles
+    both sides by cluster, never a cartesian product), exact
+    sequential-fold cosine on the joined pairs only. Degenerate
+    clusters larger than ``max_cluster`` are dropped from pair
+    generation entirely (the same skew guard as the LSH band buckets:
+    a runaway cluster means k is too small for the corpus — fix k,
+    don't quadratically explode one reducer).
+
+    Complements the other embedding dedups: quantize (O(n) exact-
+    bucket), RHP-LSH (probabilistic candidates), and this —
+    cluster-bounded exhaustive verify, the highest-recall of the
+    three within a cluster.
+    """
+    assigned = kmeans_assign(corpus, centroids, id_col, vec_col).drop("__d2")
+    sized = assigned.withColumn(
+        "__cn", F.count("*").over(Window.partitionBy("cluster"))
+    ).filter(F.col("__cn") <= max_cluster)
+    a = sized.select(
+        F.col("cluster"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = sized.select(
+        F.col("cluster"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "cluster", "id_a", "id_b", cosine("__va", "__vb").alias("cosine")
+    ).filter(F.col("cosine") >= min_cosine)

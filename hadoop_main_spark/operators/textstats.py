@@ -125,3 +125,75 @@ def fingerprint(text: Column | str) -> Column:
     return F.aggregate(
         hs, F.lit(0).cast("bigint"), lambda acc, h: (acc * FP_MULT + h) % FP_P
     )
+
+
+#: the Gopher quality-rule stopword set (Rae et al. 2021,
+#: arXiv:2112.11446 §A1.1) — distinct from LANG_PROFILES (that is the
+#: language-ID heuristic; this is the published filter rule).
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags_cols(text_col: str) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as reusable boolean Columns, one narrow
+    projection, INTEGER-ONLY comparisons (every ratio threshold is
+    cross-multiplied, e.g. mean word length in [3,10] becomes
+    ``3*n <= sum_len <= 10*n``) so the flags are bit-portable to the
+    SQL oracle with zero float divisions:
+
+    - ``ok_token_count``: 50 <= #tokens <= 100000
+    - ``ok_word_length``: mean token length in [3, 10]
+    - ``ok_symbol_ratio``: (#'#' + #'...') / #tokens <= 0.1
+    - ``ok_bullet_lines``: <= 90% of lines start with a bullet
+    - ``ok_ellipsis_lines``: <= 30% of lines end with '...'
+    - ``ok_alpha_words``: >= 80% of tokens contain a letter
+    - ``ok_stopwords``: >= 2 distinct Gopher stopwords present
+    - ``pass_gopher``: all of the above
+
+    NULL text is treated as the empty document (flags evaluate on
+    '' — deterministic booleans, never NULL flags).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokenize(c)
+    n_tok = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* "))
+    ).cast("bigint")
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("bigint")
+    n_hash = (F.length(c) - F.length(F.regexp_replace(c, "#", ""))).cast("bigint")
+    # each non-overlapping '...' occurrence removes exactly 3 chars
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("bigint")
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_distinct = F.size(
+        F.array_intersect(F.transform(toks, F.lower), stop_arr)
+    ).cast("bigint")
+    flags = {
+        "n_tokens": n_tok,
+        "ok_token_count": (n_tok >= 50) & (n_tok <= 100_000),
+        "ok_word_length": (3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok),
+        "ok_symbol_ratio": 10 * (n_hash + n_ellipsis) <= n_tok,
+        "ok_bullet_lines": 10 * bullet_lines <= 9 * n_lines,
+        "ok_ellipsis_lines": 10 * ellipsis_lines <= 3 * n_lines,
+        "ok_alpha_words": 5 * alpha_words >= 4 * n_tok,
+        "ok_stopwords": stop_distinct >= 2,
+    }
+    flags["pass_gopher"] = (
+        flags["ok_token_count"]
+        & flags["ok_word_length"]
+        & flags["ok_symbol_ratio"]
+        & flags["ok_bullet_lines"]
+        & flags["ok_ellipsis_lines"]
+        & flags["ok_alpha_words"]
+        & flags["ok_stopwords"]
+    )
+    return flags

@@ -1371,3 +1371,296 @@ def url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc"),
         )
     )
+
+
+# --- round-4 extensions: containment, SemDeDup, quality rules, mixing --------
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=_MINHASH_PREFIX
+    + """,
+    grams AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+              FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS ic
+              FROM cand c JOIN grams ga ON ga.doc_id = c.id_a
+                          JOIN grams gb ON gb.doc_id = c.id_b AND ga.g = gb.g
+              GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           CAST(ic AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(ic AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.6
+    """,
+    doc="Exact n-gram CONTAINMENT (inter / min set size) on MinHash-LSH "
+    "candidate pairs — the asymmetric doc-inside-doc overlap score "
+    "that symmetric Jaccard dilutes (a page fully contained in a book "
+    "has jaccard ~0 but containment 1). Shared candidate+verify core "
+    "with dedup_ngram_jaccard; never an all-pairs product.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_containment_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", min_containment=0.6
+    )
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH seeds AS (SELECT vec_id AS cluster,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS seed
+                   FROM embeddings WHERE vec_id < 8),
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT orig_id + 1000000 AS vec_id, v FROM (
+        SELECT vec_id AS orig_id,
+             list_transform(list_zip(embedding, generate_series(1, len(embedding))),
+               p -> CAST(p[1] AS DOUBLE)
+                    + ((CAST({_PERT_HASH} % 1000 AS DOUBLE) / 1000.0 - 0.5) * 0.05)) AS v
+        FROM embeddings)
+    ),
+    d AS (SELECT c.vec_id, s.cluster, {_SQ_L2.format(a='c.v', b='s.seed')} AS d2
+          FROM corpus c CROSS JOIN seeds s),
+    best AS (SELECT vec_id, cluster FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+               FROM d) WHERE rn = 1),
+    sized AS (SELECT *, COUNT(*) OVER (PARTITION BY cluster) AS cn FROM best),
+    cand AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+             FROM sized a JOIN sized b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             WHERE a.cn <= 10000)
+    SELECT cluster, id_a, id_b, cosine FROM (
+      SELECT cluster, id_a, id_b,
+             ({_FOLD_DOT.format(a="va.v", b="vb.v")}
+              / nullif(sqrt({_FOLD_DOT.format(a="va.v", b="va.v")})
+                       * sqrt({_FOLD_DOT.format(a="vb.v", b="vb.v")}), 0.0)) AS cosine
+      FROM cand JOIN corpus va ON va.vec_id = id_a JOIN corpus vb ON vb.vec_id = id_b)
+    WHERE cosine >= 0.95
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means "
+    "coarse clustering of the embedding space (8 deterministic seed "
+    "vectors, the ann_ivf/kmeans_step quantizer), then EXACT "
+    "sequential-fold cosine only WITHIN each cluster — pairwise work "
+    "drops from O(n^2) to O(sum n_c^2) and at 100 TB k scales with "
+    "the corpus so clusters stay bounded (max_cluster skew guard "
+    "mirrors the LSH band-bucket cap). One perturbed copy per "
+    "embedding is planted (deterministic hash noise, the "
+    "dedup_embedding_cosine corpus) so the fixture corpus contains "
+    "true semantic dups. Assignment is the vectorized mapInArrow "
+    "kernel; the within-cluster pair join is an equi-join on the "
+    "cluster id, never a cartesian product.",
+)
+def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+
+    e = t(spark, sf, "embeddings")
+    orig = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # two-step select: see dedup_embedding_cosine (alias capture)
+    pert = e.select(
+        F.col("vec_id").alias("orig_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + (
+                (
+                    hash64(
+                        F.concat(
+                            F.col("vec_id").cast("string"), F.lit("-"), i.cast("string")
+                        ),
+                        "pert",
+                    )
+                    % 1000
+                ).cast("double")
+                / 1000.0
+                - 0.5
+            )
+            * 0.05,
+        ).alias("v"),
+    ).select((F.col("orig_id") + 1000000).alias("vec_id"), "v")
+    corpus = orig.unionByName(pert)
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    ]
+    return SIM.semantic_dedup_pairs(
+        corpus, seeds, "vec_id", "v", min_cosine=0.95, max_cluster=10_000
+    )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             {_TOKS} AS tk,
+             string_split(text, chr(10)) AS ls,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell
+      FROM documents),
+    agg AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tok,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS ell_lines,
+             CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+             CAST(len(list_intersect(list_transform(tk, t -> lower(t)),
+               {list(TS.GOPHER_STOPWORDS)})) AS BIGINT) AS stop_d,
+             n_hash, n_ell
+      FROM feat)
+    SELECT doc_id,
+           n_tok AS n_tokens,
+           (n_tok >= 50 AND n_tok <= 100000) AS ok_token_count,
+           (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok) AS ok_word_length,
+           (10 * (n_hash + n_ell) <= n_tok) AS ok_symbol_ratio,
+           (10 * bullet_lines <= 9 * n_lines) AS ok_bullet_lines,
+           (10 * ell_lines <= 3 * n_lines) AS ok_ellipsis_lines,
+           (5 * alpha_words >= 4 * n_tok) AS ok_alpha_words,
+           (stop_d >= 2) AS ok_stopwords,
+           ((n_tok >= 50 AND n_tok <= 100000)
+            AND (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok)
+            AND (10 * (n_hash + n_ell) <= n_tok)
+            AND (10 * bullet_lines <= 9 * n_lines)
+            AND (10 * ell_lines <= 3 * n_lines)
+            AND (5 * alpha_words >= 4 * n_tok)
+            AND (stop_d >= 2)) AS pass_gopher
+    FROM agg
+    """,
+    doc="Gopher document-quality rules (Rae et al. 2021, "
+    "arXiv:2112.11446 §A1.1) as per-doc boolean flags + the combined "
+    "gate: token-count bounds, mean word length in [3,10], "
+    "symbol-to-word ratio, bullet/ellipsis line fractions, "
+    "alphabetic-word fraction, >= 2 distinct stopwords. Every ratio "
+    "threshold is CROSS-MULTIPLIED to an integer comparison — zero "
+    "float divisions, bit-portable. One narrow projection pass, no "
+    "shuffle (the pre-dedup quality gate of every LLM data pipeline).",
+)
+def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    flags = TS.gopher_flags_cols("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+
+
+@query(
+    "token_rarity_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+                 FROM documents),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+    scored AS (SELECT doc_id, n_total // c AS r
+               FROM tok JOIN cnt USING (term) CROSS JOIN tot),
+    pd AS (SELECT doc_id, CAST(SUM(r) AS BIGINT) AS rarity_sum,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(rarity_sum, 0) AS rarity_sum,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           CASE WHEN COALESCE(n_tokens, 0) > 0
+                THEN CAST(rarity_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS mean_rarity
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    doc="Corpus-statistics rarity score (the libm-free analog of a "
+    "unigram-LM perplexity filter, CCNet-style): every token scores "
+    "floor(N / corpus_count(token)) — an exact BIGINT, large for rare "
+    "tokens, 1-ish for stopwords — summed per document, plus the "
+    "mean as an exact-integer ratio. Two aggregates (term counts, "
+    "per-doc sum) + one join on the term key; the term-count table "
+    "is the only broadcast-sized side at 100 TB if the vocabulary is "
+    "bounded, else it shuffle-joins on term (both engines identical: "
+    "no log(), no float accumulation).",
+)
+def token_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.partitioning import fan_out
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    tok = fan_out(d.select("doc_id", "text"), ["doc_id"]).select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n_total"))
+    scored = tok.join(cnt, "term").crossJoin(F.broadcast(tot)).select(
+        "doc_id", F.expr("n_total div c").alias("r")
+    )
+    pd = scored.groupBy("doc_id").agg(
+        F.sum("r").cast("bigint").alias("rarity_sum"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+    return d.select("doc_id").join(pd, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("rarity_sum", F.lit(0)).alias("rarity_sum"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.col("rarity_sum").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_rarity"),
+    )
+
+
+@query(
+    "domain_mix_weights",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             COALESCE(CAST(substr(source, 4) AS BIGINT) % 4 + 1, 1) AS weight
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   CAST(SUM(weight) AS BIGINT) AS w_total
+            FROM src)
+    SELECT source, n_docs, weight,
+           (weight * n_total) // w_total AS target_docs,
+           least(n_docs, (weight * n_total) // w_total) AS kept_docs,
+           CAST(least(n_docs, (weight * n_total) // w_total) AS DOUBLE)
+             / CAST(n_docs AS DOUBLE) AS keep_rate
+    FROM src CROSS JOIN tot
+    """,
+    doc="Training-mixture resampling math (the Pile / DoReMi-style "
+    "domain reweighting, statically targeted): each source gets a "
+    "deterministic integer target weight, the per-source document "
+    "budget is the exact integer share (w * N) div W, the keep rate "
+    "is the exact ratio of the capped budget to the source size. "
+    "Downstream, train_split_assign's deterministic hash sampling "
+    "applies keep_rate per source. One groupBy + a broadcast of the "
+    "one-row totals — the per-source table is tiny by definition at "
+    "any corpus scale.",
+)
+def domain_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    src = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs")).select(
+        "source",
+        "n_docs",
+        F.coalesce(
+            F.expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1, F.lit(1)
+        ).alias("weight"),
+    )
+    tot = src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("weight").cast("bigint").alias("w_total"),
+    )
+    out = src.crossJoin(F.broadcast(tot))
+    target = F.expr("(weight * n_total) div w_total")
+    kept = F.least(F.col("n_docs"), target)
+    return out.select(
+        "source",
+        "n_docs",
+        "weight",
+        target.alias("target_docs"),
+        kept.alias("kept_docs"),
+        (kept.cast("double") / F.col("n_docs").cast("double")).alias("keep_rate"),
+    )

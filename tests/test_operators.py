@@ -928,3 +928,100 @@ def test_embedding_quantize_null_component_no_collision(spark):
     )
     out = {r.vid for r in embedding_quantize_dedup(df, "vid", "v", grid=0.5).collect()}
     assert out == {2, 3}, out
+
+
+def test_ngram_containment_doc_inside_doc(spark):
+    """A short doc fully contained in a long doc scores containment
+    1.0 even though jaccard is far below any dedup threshold; the
+    pair must still surface via the LSH candidate path (shared
+    shingles -> high minhash agreement is NOT required — containment
+    uses the same candidate generator, so we plant docs similar
+    enough to band-collide)."""
+    from hadoop_main_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    long_doc = base + " eleven"  # 9 shingles, 8 shared -> bands collide
+    df = spark.createDataFrame(
+        [(1, base), (2, long_doc), (3, "totally different words entirely here")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", min_containment=0.5
+        ).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0, cont
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", min_jaccard=0.01).collect()
+    }
+    # same candidate pair, but the symmetric score is diluted
+    assert jac[(1, 2)] < cont[(1, 2)]
+
+
+def test_ngram_containment_rejects_nonpositive_threshold(spark):
+    import pytest as _pytest
+
+    from hadoop_main_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        ngram_containment_pairs(df, "doc_id", "text", min_containment=0.0)
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    """Two tight groups around opposite corners: near-dup pairs are
+    found inside each cluster, no cross-cluster pair is ever scored,
+    and the max_cluster guard drops oversized clusters entirely."""
+    from hadoop_main_spark.operators.similarity import semantic_dedup_pairs
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 0.0, 1.0]
+    rows = [
+        (0, a),
+        (1, [0.999, 0.001, 0.0, 0.0]),
+        (10, b),
+        (11, [0.001, 0.0, 0.001, 0.999]),
+        (12, [0.0, 0.9, 0.9, 0.0]),  # its own region, assigned to one seed
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    cents = [(0, a), (1, b)]
+    out = semantic_dedup_pairs(df, cents, "vec_id", "v", min_cosine=0.99).collect()
+    got = {(r.id_a, r.id_b): r.cluster for r in out}
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert (10, 11) in got and got[(10, 11)] == 1
+    assert all(not (ia < 10 <= ib) for ia, ib in got), got
+    # guard: cap below cluster size -> no pairs at all
+    none = semantic_dedup_pairs(
+        df, cents, "vec_id", "v", min_cosine=0.99, max_cluster=1
+    ).collect()
+    assert none == []
+
+
+def test_gopher_flags_null_and_empty_text(spark):
+    """NULL text == empty doc: every flag is a real boolean (never
+    NULL), the combined gate fails, and a healthy 60-token doc with
+    stopwords passes every rule."""
+    from hadoop_main_spark.operators.textstats import gopher_flags_cols
+
+    healthy = " ".join(
+        ["the quick brown foxes jumped over the lazy dogs with"] * 6
+    )
+    bullets = "\n".join(["- item one", "- item two", "- item three"])
+    df = spark.createDataFrame(
+        [(1, healthy), (2, None), (3, ""), (4, bullets)],
+        "doc_id int, text string",
+    )
+    flags = gopher_flags_cols("text")
+    out = {r.doc_id: r.asDict() for r in df.select("doc_id", *[c.alias(n) for n, c in flags.items()]).collect()}
+    for did in (1, 2, 3, 4):
+        for k, v in out[did].items():
+            assert v is not None, (did, k)
+    assert out[1]["pass_gopher"] is True
+    assert out[2]["pass_gopher"] is False and out[2]["n_tokens"] == 0
+    assert out[3]["pass_gopher"] is False
+    assert out[4]["ok_bullet_lines"] is False  # 100% bullet lines
