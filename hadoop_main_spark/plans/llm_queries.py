@@ -407,16 +407,12 @@ _FOLD_DOT = (
     "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
 )
 
-
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH wts AS (
-      SELECT j, list(CASE WHEN {_RHP_W_HASH} % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wl
-      FROM range(0, 16) t(j) CROSS JOIN range(0, 64) u(d)
-      GROUP BY j
-    ),
-    corpus AS (
+#: planted-duplicate corpus: the raw embeddings plus ONE perturbed
+#: copy each (deterministic hash noise, ids shifted by 1e6) — shared
+#: by dedup_embedding_cosine and semantic_dedup so the fixture corpus
+#: contains true near-dups. The SQL fragment and :func:`_perturbed_corpus`
+#: are the single source of truth; edit them TOGETHER.
+_PERT_CORPUS_CTE = f"""corpus AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
       UNION ALL
@@ -426,7 +422,53 @@ _FOLD_DOT = (
                p -> CAST(p[1] AS DOUBLE)
                     + ((CAST({_PERT_HASH} % 1000 AS DOUBLE) / 1000.0 - 0.5) * 0.05)) AS v
         FROM embeddings)
+    )"""
+
+
+def _perturbed_corpus(e: DataFrame) -> DataFrame:
+    """Spark builder of :data:`_PERT_CORPUS_CTE`: embeddings as
+    (vec_id, v double[]) plus one perturbed copy per vector."""
+    from hadoop_main_spark.functions.hashing import hash64
+
+    orig = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # two-step select: computing the +1000000 alias in the same select
+    # as the lambda would lateral-capture the NEW vec_id inside the
+    # perturbation hash (Spark resolves the alias, DuckDB the column)
+    pert = e.select(
+        F.col("vec_id").alias("orig_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + (
+                (
+                    hash64(
+                        F.concat(
+                            F.col("vec_id").cast("string"), F.lit("-"), i.cast("string")
+                        ),
+                        "pert",
+                    )
+                    % 1000
+                ).cast("double")
+                / 1000.0
+                - 0.5
+            )
+            * 0.05,
+        ).alias("v"),
+    ).select((F.col("orig_id") + 1000000).alias("vec_id"), "v")
+    return orig.unionByName(pert)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH wts AS (
+      SELECT j, list(CASE WHEN {_RHP_W_HASH} % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wl
+      FROM range(0, 16) t(j) CROSS JOIN range(0, 64) u(d)
+      GROUP BY j
     ),
+    {_PERT_CORPUS_CTE},
     bits AS (
       SELECT c.vec_id, w.j,
              CASE WHEN {_FOLD_DOT.format(a="c.v", b="w.wl")} >= 0 THEN 1 ELSE 0 END AS bit
@@ -457,37 +499,7 @@ _FOLD_DOT = (
     "(exact / minhash / simhash / ngram / quantized / cosine).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    from hadoop_main_spark.functions.hashing import hash64
-
-    e = t(spark, sf, "embeddings")
-    orig = e.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    # two-step select: computing the +1000000 alias in the same select
-    # as the lambda would lateral-capture the NEW vec_id inside the
-    # perturbation hash (Spark resolves the alias, DuckDB the column)
-    pert = e.select(
-        F.col("vec_id").alias("orig_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x.cast("double")
-            + (
-                (
-                    hash64(
-                        F.concat(
-                            F.col("vec_id").cast("string"), F.lit("-"), i.cast("string")
-                        ),
-                        "pert",
-                    )
-                    % 1000
-                ).cast("double")
-                / 1000.0
-                - 0.5
-            )
-            * 0.05,
-        ).alias("v"),
-    ).select((F.col("orig_id") + 1000000).alias("vec_id"), "v")
-    corpus = orig.unionByName(pert)
+    corpus = _perturbed_corpus(t(spark, sf, "embeddings"))
     return D.rhp_cosine_pairs(corpus, "vec_id", "v", dim=64, min_cosine=0.95)
 
 
@@ -1413,17 +1425,7 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     WITH seeds AS (SELECT vec_id AS cluster,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS seed
                    FROM embeddings WHERE vec_id < 8),
-    corpus AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-      UNION ALL
-      SELECT orig_id + 1000000 AS vec_id, v FROM (
-        SELECT vec_id AS orig_id,
-             list_transform(list_zip(embedding, generate_series(1, len(embedding))),
-               p -> CAST(p[1] AS DOUBLE)
-                    + ((CAST({_PERT_HASH} % 1000 AS DOUBLE) / 1000.0 - 0.5) * 0.05)) AS v
-        FROM embeddings)
-    ),
+    {_PERT_CORPUS_CTE},
     d AS (SELECT c.vec_id, s.cluster, {_SQ_L2.format(a='c.v', b='s.seed')} AS d2
           FROM corpus c CROSS JOIN seeds s),
     best AS (SELECT vec_id, cluster FROM (
@@ -1457,35 +1459,8 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     "cluster id, never a cartesian product.",
 )
 def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    from hadoop_main_spark.functions.hashing import hash64
-
     e = t(spark, sf, "embeddings")
-    orig = e.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    # two-step select: see dedup_embedding_cosine (alias capture)
-    pert = e.select(
-        F.col("vec_id").alias("orig_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x.cast("double")
-            + (
-                (
-                    hash64(
-                        F.concat(
-                            F.col("vec_id").cast("string"), F.lit("-"), i.cast("string")
-                        ),
-                        "pert",
-                    )
-                    % 1000
-                ).cast("double")
-                / 1000.0
-                - 0.5
-            )
-            * 0.05,
-        ).alias("v"),
-    ).select((F.col("orig_id") + 1000000).alias("vec_id"), "v")
-    corpus = orig.unionByName(pert)
+    corpus = _perturbed_corpus(e)
     seeds = [
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in e.filter(F.col("vec_id") < 8).collect()
@@ -1498,13 +1473,14 @@ def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "gopher_quality_flags",
     oracle=f"""
-    WITH feat AS (
+    WITH nn AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    feat AS (
       SELECT doc_id,
              {_TOKS} AS tk,
              string_split(text, chr(10)) AS ls,
              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
              CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell
-      FROM documents),
+      FROM nn),
     agg AS (
       SELECT doc_id,
              CAST(len(tk) AS BIGINT) AS n_tok,
@@ -1558,7 +1534,8 @@ def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
                         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
                  FROM documents),
     cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
-    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+    tot AS (SELECT CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS n_total
+            FROM documents),
     scored AS (SELECT doc_id, n_total // c AS r
                FROM tok JOIN cnt USING (term) CROSS JOIN tot),
     pd AS (SELECT doc_id, CAST(SUM(r) AS BIGINT) AS rarity_sum,
@@ -1591,7 +1568,11 @@ def token_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(tokenize("text")).alias("term")
     )
     cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
-    tot = cnt.agg(F.sum("c").cast("bigint").alias("n_total"))
+    # corpus total from a NARROW projection (sum of per-doc token
+    # counts) — deriving it from cnt would run the tokenize+explode
+    # subtree a third time (no exchange reuse across the aggregate);
+    # the explode is the dominant cost at scale
+    tot = d.agg(F.sum(F.size(tokenize("text"))).cast("bigint").alias("n_total"))
     scored = tok.join(cnt, "term").crossJoin(F.broadcast(tot)).select(
         "doc_id", F.expr("n_total div c").alias("r")
     )
@@ -1618,7 +1599,7 @@ def token_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
     WITH src AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             COALESCE(CAST(substr(source, 4) AS BIGINT) % 4 + 1, 1) AS weight
+             COALESCE(TRY_CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT) % 4 + 1, 1) AS weight
       FROM documents GROUP BY source),
     tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
                    CAST(SUM(weight) AS BIGINT) AS w_total
@@ -1646,7 +1627,12 @@ def domain_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         "n_docs",
         F.coalesce(
-            F.expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1, F.lit(1)
+            # try_cast: a source not matching 'src<digits>' must fall
+            # back to weight 1, not crash the ANSI cast (both engines)
+            F.expr(r"try_cast(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT)")
+            % 4
+            + 1,
+            F.lit(1),
         ).alias("weight"),
     )
     tot = src.agg(

@@ -248,12 +248,14 @@ def test_gap_fill_windows_are_keyed(spark, sf_dir):
             assert "user_id" in ln, f"unkeyed window: {ln.strip()[:160]}"
 
 
-def test_ngram_jaccard_single_lsh_subtree(spark, sf_dir):
+@pytest.mark.parametrize("query_name", ["dedup_ngram_jaccard", "dedup_ngram_containment"])
+def test_ngram_verify_single_lsh_subtree(spark, sf_dir, query_name):
     """The LSH candidate subtree (band bucket-size window over
-    band_sig) must appear exactly ONCE in the ngram-verify plan: the
-    join-back shape computed the whole shingle→band→self-join
-    pipeline twice — doubling the dominant stage at 100 TB."""
-    df = REGISTRY["dedup_ngram_jaccard"].build(spark, sf_dir)
+    band_sig) must appear exactly ONCE in the ngram-verify plan
+    (both scores share _ngram_overlap_counts): the join-back shape
+    computed the whole shingle→band→self-join pipeline twice —
+    doubling the dominant stage at 100 TB."""
+    df = REGISTRY[query_name].build(spark, sf_dir)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     windows = [
         ln
@@ -350,3 +352,35 @@ def test_lsh_queries_pin_no_storage_and_reuse_exchange(spark, sf_dir):
         if i.id() not in before
     ]
     assert not new, new
+
+
+def test_semantic_dedup_equijoin_not_cartesian(spark, sf_dir):
+    """SemDeDup's within-cluster pairing must compile to an equi-join
+    on the cluster id — never a cartesian product / unconditioned
+    BroadcastNestedLoopJoin (the O(n^2) shape it exists to avoid).
+    The only BNLJ-free requirement is on the PAIR join; broadcast of
+    the one-row totals elsewhere is fine."""
+    plan = _plan(spark, "semantic_dedup", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    # the pair join keys on the cluster column
+    assert "cluster" in plan
+
+
+def test_gopher_flags_single_pass_no_shuffle(spark, sf_dir):
+    """The quality gate is one narrow projection over documents: no
+    Exchange (shuffle) anywhere in the plan, and the scan must prune
+    to the two used columns."""
+    plan = _plan(spark, "gopher_quality_flags", sf_dir)
+    assert "Exchange" not in plan, plan[:2000]
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read and "text" in read and "source" not in read
+
+
+def test_token_rarity_partial_agg_and_broadcast_total(spark, sf_dir):
+    """Term counting must plan map-side partial aggregation, and the
+    one-row corpus total joins via broadcast, not shuffle."""
+    plan = _plan(spark, "token_rarity_score", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan or "BroadcastExchange" in plan

@@ -37,3 +37,45 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert r["rows_match"], f"{name}: rows {r['rows']} vs oracle {r['oracle_rows']}"
     assert r["cols_match"], f"{name}: column mismatch"
     assert r["values_exact"], f"{name}: max_abs_diff={r['max_abs_diff']}"
+
+
+def test_domain_mix_weights_non_srcn_source_fallback(spark, tmp_path):
+    """Review-r4b: a source not matching 'src<digits>' must take the
+    weight-1 fallback on BOTH engines, not crash the ANSI cast — and
+    the Spark result must still match the oracle on such data."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    docs = _pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b", "c d", "e f", "g h"],
+            "lang": ["en"] * 4,
+            "source": ["web", "src3", None, "wiki-en"],
+            "n_chars": [3, 3, 3, 3],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        d + "/documents.parquet"
+    )
+    got = (
+        REGISTRY["domain_mix_weights"]
+        .build(spark, d)
+        .toPandas()
+        .sort_values("n_docs", ignore_index=True)
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(REGISTRY["domain_mix_weights"].oracle)
+        .df()
+        .sort_values("n_docs", ignore_index=True)
+    )
+    weights = dict(zip(got["source"], got["weight"]))
+    assert weights["web"] == 1 and weights["wiki-en"] == 1 and weights["src3"] == 4
+    got2 = got.sort_values(list(got.columns), ignore_index=True, key=lambda s: s.astype(str))
+    want2 = want[got.columns].sort_values(list(got.columns), ignore_index=True, key=lambda s: s.astype(str))
+    assert (got2.astype(str) == want2.astype(str)).all().all()

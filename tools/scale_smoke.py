@@ -92,12 +92,51 @@ def main() -> None:
     big_dir = tempfile.mkdtemp(prefix="smoke_sf_")
     big.write.mode("overwrite").parquet(os.path.join(big_dir, "documents.parquet"))
     try:
-        for name in ("bigram_topk", "pii_scrub", "url_canonicalize"):
+        for name in (
+            "bigram_topk",
+            "pii_scrub",
+            "url_canonicalize",
+            "gopher_quality_flags",
+            "token_rarity_score",
+        ):
             t0 = time.time()
             out[f"{name}_rows"] = REGISTRY[name].build(spark, big_dir).count()
             out[f"{name}_s"] = round(time.time() - t0, 1)
     finally:
         shutil.rmtree(big_dir, ignore_errors=True)
+
+    t0 = time.time()
+    out["ngram_containment_pairs"] = D.ngram_containment_pairs(
+        big, "doc_id", "text", min_containment=0.6
+    ).count()
+    out["ngram_containment_s"] = round(time.time() - t0, 1)
+
+    # SemDeDup at 10x: k SCALES with the corpus (the paper's contract —
+    # cluster-bounded pairwise work). 20k vectors / k=64 seeds keeps
+    # clusters ~300 and pair counts ~3M; the registry query pins k=8
+    # only for the fixed-seed oracle.
+    from hadoop_main_spark.operators.similarity import semantic_dedup_pairs
+
+    e = tables.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bige = reduce(
+        DataFrame.unionByName,
+        [
+            e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            for i in range(copies)
+        ],
+    )
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.v])
+        for r in e.filter(F.col("vec_id") < 64).collect()
+    ]
+    t0 = time.time()
+    out["semantic_dedup_pairs"] = semantic_dedup_pairs(
+        bige, seeds, "vec_id", "v", min_cosine=0.95
+    ).count()
+    out["semantic_dedup_s"] = round(time.time() - t0, 1)
+    out["n_vectors"] = bige.count()
 
     print(json.dumps(out))
     spark.stop()
