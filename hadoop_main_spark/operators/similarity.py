@@ -572,19 +572,114 @@ def semantic_dedup_pairs(
     with cosine >= ``min_cosine`` (id_a < id_b).
 
     Shape: one vectorized assignment scan (kmeans_assign's mapInArrow
-    kernel), a self-join ON THE CLUSTER ID (an equi-join — shuffles
-    both sides by cluster, never a cartesian product), exact
-    sequential-fold cosine on the joined pairs only. Degenerate
-    clusters larger than ``max_cluster`` are dropped from pair
-    generation entirely (the same skew guard as the LSH band buckets:
-    a runaway cluster means k is too small for the corpus — fix k,
-    don't quadratically explode one reducer).
+    kernel), then a GROUPED Arrow kernel (``applyInPandas`` per
+    cluster) that computes the within-cluster pair matrix in numpy.
+    This beats the self-join-on-cluster form on BOTH axes that matter
+    at scale: shuffle volume (each vector moves once per CLUSTER —
+    dim doubles per row — where the pair join moves 2×dim doubles per
+    PAIR, a ~cluster_size× inflation), and compute (the m×m Gram
+    accumulation is a vectorized outer-product loop, not an
+    interpreted per-pair fold — the NOTES.md HOF trap; multiplier per
+    row is cluster_size×dim, far past the measured ~8× Arrow
+    crossover). Accumulation is DIM-SEQUENTIAL (a Python loop of
+    rank-1 updates), so every cosine is bit-identical to the
+    fdot/fnorm fold and the DuckDB list_reduce oracle; the
+    fold-expression form is kept as ``_semantic_dedup_pairs_fold``
+    and a property test pins kernel == fold.
+
+    Degenerate clusters larger than ``max_cluster`` emit no pairs
+    (the same skew guard as the LSH band buckets: a runaway cluster
+    means k is too small for the corpus — fix k, don't quadratically
+    explode one reducer); the cap also bounds kernel memory, with the
+    Gram matrix additionally blocked in 1024-row strips.
+
+    Spark-semantics edge cases mirrored from the fold form: zero-norm
+    vectors yield NULL cosine (never a pair); a NaN component yields
+    NaN cosine, which Spark's ``>=`` treats as greater than any
+    number — so NaN pairs ARE emitted, exactly like the fold filter.
 
     Complements the other embedding dedups: quantize (O(n) exact-
     bucket), RHP-LSH (probabilistic candidates), and this —
     cluster-bounded exhaustive verify, the highest-recall of the
     three within a cluster.
     """
+    import numpy as np
+    import pandas as pd
+
+    assigned = kmeans_assign(corpus, centroids, id_col, vec_col).drop("__d2")
+    id_type = assigned.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("cluster", IntegerType(), False),
+            StructField("id_a", id_type, False),
+            StructField("id_b", id_type, False),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    empty = pd.DataFrame({"cluster": [], "id_a": [], "id_b": [], "cosine": []})
+
+    def _pairs(key, pdf):
+        m = len(pdf)
+        if m < 2 or m > max_cluster:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        x = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        dim = x.shape[1]
+        # dim-sequential Gram accumulation == the fdot fold's FP order
+        # (rank-1 updates in dimension order); diagonal == fnorm² fold
+        sq = np.zeros(m, dtype=np.float64)
+        rows_a, rows_b, cos_out = [], [], []
+        block = 1024
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            g = np.zeros((hi - lo, m), dtype=np.float64)
+            for d in range(dim):
+                g += x[lo:hi, d][:, None] * x[None, :, d]
+            # norms from the gram diagonal (identical accumulation)
+            sq[lo:hi] = g[np.arange(hi - lo), np.arange(lo, hi)]
+            rows_a.append(g)
+        norm = np.sqrt(sq)
+        for bi, lo in enumerate(range(0, m, block)):
+            hi = min(lo + block, m)
+            g = rows_a[bi]
+            denom = norm[lo:hi][:, None] * norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / denom
+            # ids sorted ascending -> i<j in index space == id_a<id_b
+            ii, jj = np.nonzero(
+                (np.arange(lo, hi)[:, None] < np.arange(m)[None, :])
+                & (denom > 0.0)
+                & (np.isnan(cos) | (cos >= min_cosine))
+            )
+            rows_b.append((ids[ii + lo], ids[jj], cos[ii, jj]))
+        ida = np.concatenate([r[0] for r in rows_b]) if rows_b else []
+        idb = np.concatenate([r[1] for r in rows_b]) if rows_b else []
+        cs = np.concatenate([r[2] for r in rows_b]) if rows_b else []
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(ida), key[0], dtype=np.int32),
+                "id_a": ida,
+                "id_b": idb,
+                "cosine": cs,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(_pairs, out_schema)
+
+
+def _semantic_dedup_pairs_fold(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """The Catalyst fold-expression form of :func:`semantic_dedup_pairs`
+    (self-join on cluster + sequential-fold cosine per pair) — kept as
+    the reference semantics the grouped Arrow kernel must match
+    bit-for-bit (property-tested); also the shape the SQL oracle uses."""
     assigned = kmeans_assign(corpus, centroids, id_col, vec_col).drop("__d2")
     sized = assigned.withColumn(
         "__cn", F.count("*").over(Window.partitionBy("cluster"))

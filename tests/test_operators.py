@@ -1025,3 +1025,41 @@ def test_gopher_flags_null_and_empty_text(spark):
     assert out[2]["pass_gopher"] is False and out[2]["n_tokens"] == 0
     assert out[3]["pass_gopher"] is False
     assert out[4]["ok_bullet_lines"] is False  # 100% bullet lines
+
+
+def test_semantic_dedup_kernel_matches_fold_bitexact(spark):
+    """The grouped Arrow kernel must reproduce the Catalyst fold
+    form bit-for-bit (same pairs, same cosines to the last ulp) on a
+    hash-generated corpus, including a zero vector (NULL cosine ->
+    no pair) and a low threshold that emits many pairs."""
+    from hadoop_main_spark.functions.hashing import hash64_py
+    from hadoop_main_spark.operators.similarity import (
+        _semantic_dedup_pairs_fold,
+        semantic_dedup_pairs,
+    )
+
+    rows = []
+    for i in range(120):
+        vec = [
+            (hash64_py(f"{i}-{d}", "sem") % 2000) / 1000.0 - 1.0 for d in range(8)
+        ]
+        rows.append((i, vec))
+    rows.append((999, [0.0] * 8))  # zero-norm: NULL cosine, never a pair
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    cents = [(c, [float(c == d) for d in range(8)]) for c in range(4)]
+    kern = {
+        (r.id_a, r.id_b): (r.cluster, r.cosine)
+        for r in semantic_dedup_pairs(df, cents, "vec_id", "v", min_cosine=0.2).collect()
+    }
+    fold = {
+        (r.id_a, r.id_b): (r.cluster, r.cosine)
+        for r in _semantic_dedup_pairs_fold(
+            df, cents, "vec_id", "v", min_cosine=0.2
+        ).collect()
+    }
+    assert kern.keys() == fold.keys()
+    assert len(kern) > 50, len(kern)
+    for k in kern:
+        assert kern[k][0] == fold[k][0], k
+        assert kern[k][1] == fold[k][1], (k, kern[k], fold[k])  # bit-exact
+    assert not any(999 in k for k in kern)
