@@ -217,3 +217,86 @@ def test_ppm_decoder_rejects_codec_formats(spark, sf_dir):
     media = MM.media_table_from_documents(load_table(spark, sf_dir, "documents"))
     with pytest.raises(NotImplementedError):
         MM.resize(media, 4, 4, decoder="jpeg")
+
+
+def test_wav_real_decode_resample_features(spark):
+    """The 'wav' decoder is REAL (pure numpy, no media libs): a
+    RIFF/PCM16 payload with an extra skippable chunk round-trips
+    decode -> nearest-sample rate conversion -> re-encode with exact
+    expected frames through the Spark pass, and window features are
+    the actual mean-|amplitude| values."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    clips = {
+        0: (8000, rng.randint(-32768, 32767, (800, 1), dtype=np.int16)),
+        1: (16000, rng.randint(-32768, 32767, (1601, 2), dtype=np.int16)),
+    }
+
+    def enc_with_extra_chunk(rate, pcm):
+        raw = MM._wav_encode(rate, pcm)
+        # splice a LIST chunk (odd size -> exercises word alignment)
+        # between 'WAVE' and 'fmt ': real files carry such chunks
+        extra = b"LIST\x05\x00\x00\x00INFOx\x00"
+        body = raw[12:]
+        return b"RIFF" + (len(body) + len(extra)).to_bytes(4, "little") + raw[8:12] + extra + body
+
+    media = spark.createDataFrame(
+        [(i, "audio", bytearray(enc_with_extra_chunk(r, p)), "audio/wav", 0, 0)
+         for i, (r, p) in clips.items()],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_id: (r.n_samples_in, r.n_samples_out, r.out_digest)
+        for r in MM.audio_resample(media, dst_rate=4000, decoder="wav").collect()
+    }
+    import hashlib
+
+    for i, (rate, pcm) in clips.items():
+        n_in = pcm.shape[0]
+        n_out = (n_in * 4000) // rate
+        idx = (np.arange(n_out) * n_in) // n_out
+        want = MM._wav_encode(4000, pcm[idx])
+        assert out[i][0] == n_in and out[i][1] == n_out, i
+        assert out[i][2] == hashlib.md5(want).hexdigest(), i
+        # decoded round trip is exactly the index-mapped frames
+        got_rate, got_ch, got = MM._wav_decode(want)
+        assert got_rate == 4000 and got_ch == pcm.shape[1]
+        assert np.array_equal(got, pcm[idx]), i
+    feats = {
+        r.media_id: r.features
+        for r in MM.extract_features(media, decoder="wav", dim=4).collect()
+    }
+    for i, (rate, pcm) in clips.items():
+        x = np.abs(pcm.astype(np.float64)).mean(axis=1)
+        n = x.shape[0]
+        want = [float(x[(b * n) // 4 : ((b + 1) * n) // 4].mean()) / 32768.0 for b in range(4)]
+        assert feats[i] == pytest.approx(want, abs=1e-12), i
+
+
+def test_wav_decoder_bad_records_and_rejects(spark):
+    """Malformed/empty payloads take the zeros bad-record path (one
+    bad row must not kill a 100 TB pass); compressed formats and
+    non-PCM16 WAVs are refused by the parser."""
+    import numpy as np
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"not a wav"), "audio/wav", 0, 0),
+         (2, "audio", None, "audio/wav", 0, 0)],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: (r.n_samples_in, r.n_samples_out)
+           for r in MM.audio_resample(media, dst_rate=4000, decoder="wav").collect()}
+    assert out == {1: (0, 0), 2: (0, 0)}
+    with pytest.raises(NotImplementedError):
+        MM.audio_resample(media, decoder="opus")
+    # mu-law (format 7) refused, as is 8-bit PCM
+    pcm = np.zeros((4, 1), dtype=np.int16)
+    raw = bytearray(MM._wav_encode(8000, pcm))
+    raw[20] = 7  # audio format field inside 'fmt '
+    with pytest.raises(ValueError):
+        MM._wav_decode(bytes(raw))
+    raw = bytearray(MM._wav_encode(8000, pcm))
+    raw[34] = 8  # bits-per-sample field
+    with pytest.raises(ValueError):
+        MM._wav_decode(bytes(raw))
