@@ -648,3 +648,68 @@ def connected_components(
     # bounded block set a long-lived session retains per call.
     _unpersist(_ckpt_rdd_id(und))
     return labels
+
+
+# --- fuzzy key matching (entity resolution) ----------------------------------
+
+
+def fuzzy_key_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_distance: int = 1,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Fuzzy key matching via SYMMETRIC-DELETION candidates (the
+    SymSpell scheme): every key emits itself plus each single-char
+    deletion variant, candidates are pairs sharing a variant, and the
+    verify step is exact Levenshtein. With one deletion per side the
+    candidate set has EXACT RECALL for edit distance <= 1 (a
+    substitution means both sides delete the differing position; an
+    insert/delete means one side deletes it) — unlike q-gram
+    thresholds there is no probabilistic miss. Only
+    ``max_distance=1`` is supported (deeper neighborhoods grow
+    O(L^d); generate them recursively if ever needed).
+
+    Output: (id_a, id_b, distance) with id_a < id_b. NULL keys never
+    match (their variant list is NULL and explodes to nothing).
+
+    Scale shape: keys emit L+1 variants (a bounded fan-out on short
+    entity keys), the candidate join is an equi-join on the variant
+    hash — never an all-pairs product — and hot variants (a shared
+    deletion among thousands of keys, e.g. an all-blank key family)
+    are dropped by ``max_bucket``, the same skew guard as the LSH
+    band buckets. The verify is a per-candidate Levenshtein, JVM-side.
+    """
+    if max_distance != 1:
+        raise ValueError("fuzzy_key_pairs supports max_distance=1 (symmetric delete)")
+    k = key_col
+    variants = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(k).alias("__key"),
+        F.explode(
+            F.expr(
+                f"array_prepend(transform(sequence(1, length({k})), "
+                f"i -> concat(substring({k}, 1, i-1), substring({k}, i+1, length({k})))), {k})"
+            )
+        ).alias("__v"),
+    )
+    sized = variants.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("__v"))
+    ).filter(F.col("__bn") <= max_bucket)
+    a = sized.select(
+        F.col("__id").alias("id_a"), F.col("__key").alias("__key_a"), "__v"
+    )
+    b = sized.select(
+        F.col("__id").alias("id_b"), F.col("__key").alias("__key_b"), "__v"
+    )
+    cand = (
+        a.join(b, "__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__key_a", "__key_b")
+        .distinct()
+    )
+    dist = F.levenshtein("__key_a", "__key_b").cast("bigint")
+    return cand.select("id_a", "id_b", dist.alias("distance")).filter(
+        F.col("distance") <= max_distance
+    )

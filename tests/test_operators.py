@@ -1063,3 +1063,55 @@ def test_semantic_dedup_kernel_matches_fold_bitexact(spark):
         assert kern[k][0] == fold[k][0], k
         assert kern[k][1] == fold[k][1], (k, kern[k], fold[k])  # bit-exact
     assert not any(999 in k for k in kern)
+
+
+def test_fuzzy_key_pairs_exact_recall_vs_bruteforce(spark):
+    """Symmetric-delete candidates must have EXACT recall at edit
+    distance 1: every brute-force Levenshtein<=1 pair (substitution,
+    insertion, deletion, identical) is found; NULL keys never match;
+    a hot variant bucket above the cap emits no pairs from it."""
+    import itertools
+
+    from hadoop_main_spark.operators.dedup import fuzzy_key_pairs
+
+    keys = [
+        (1, "martin"),
+        (2, "martln"),   # substitution
+        (3, "marti"),    # deletion
+        (4, "martini"),  # insertion
+        (5, "marvin"),   # distance 2 from martln, 1 from martin
+        (6, "zzzzzz"),   # far from everything
+        (7, None),       # never matches
+        (8, "martin"),   # exact dup -> distance 0
+    ]
+    df = spark.createDataFrame(keys, "id int, k string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_key_pairs(df, "id", "k", max_distance=1).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j): lev(a, b)
+        for (i, a), (j, b) in itertools.combinations(
+            [(i, s) for i, s in keys if s is not None], 2
+        )
+        if lev(a, b) <= 1
+    }
+    assert got == want, (got, want)
+    assert (1, 8) in got and got[(1, 8)] == 0
+    # hot-bucket guard: cap of 1 suppresses every candidate
+    none = fuzzy_key_pairs(df, "id", "k", max_bucket=1).collect()
+    assert none == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fuzzy_key_pairs(df, "id", "k", max_distance=2)
