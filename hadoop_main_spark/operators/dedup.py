@@ -688,9 +688,15 @@ def fuzzy_key_pairs(
         F.col(id_col).alias("__id"),
         F.col(k).alias("__key"),
         F.explode(
+            # empty-key guard: Spark's sequence(1, 0) counts DOWN
+            # ([1, 0] — the word_shingles trap), which would emit two
+            # phantom '' variants per empty key and diverge from the
+            # oracle's generate_series(1, 0) = []; an empty key has
+            # no deletions, only itself
             F.expr(
-                f"array_prepend(transform(sequence(1, length({k})), "
-                f"i -> concat(substring({k}, 1, i-1), substring({k}, i+1, length({k})))), {k})"
+                f"CASE WHEN length({k}) = 0 THEN array({k}) "
+                f"ELSE array_prepend(transform(sequence(1, length({k})), "
+                f"i -> concat(substring({k}, 1, i-1), substring({k}, i+1, length({k})))), {k}) END"
             )
         ).alias("__v"),
     )

@@ -219,10 +219,15 @@ def _wav_resample_payload(p: bytes, dst_rate: int):
 def _wav_features(p: bytes, dim: int) -> list[float]:
     """Real audio features: ``dim`` time windows, each contributing
     its mean absolute amplitude in [0, 1] (channel-averaged) — the
-    audio analog of the PPM band means."""
+    audio analog of the PPM band means. Malformed payloads take the
+    zeros bad-record path (same policy as audio_resample: one bad
+    row must not kill a 100 TB feature pass)."""
     import numpy as np
 
-    _, _, pcm = _wav_decode(p)
+    try:
+        _, _, pcm = _wav_decode(p)
+    except ValueError:
+        return [0.0] * dim
     x = np.abs(pcm.astype(np.float64)).mean(axis=1) if pcm.size else pcm[:, 0]
     n = x.shape[0]
     out = []
@@ -269,13 +274,15 @@ def extract_features(
         for b in batches:
             if batch_check and len(b) == 0:
                 continue
-            payloads = b["payload"]
+            # NULL payload = bad record: normalize to b'' (zeros
+            # policy) instead of a TypeError killing the task
+            payloads = b["payload"].map(lambda p: bytes(p) if p is not None else b"")
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "digest": payloads.map(lambda p: hashlib.md5(p).hexdigest()),
-                    "features": payloads.map(lambda p: feat(bytes(p), dim)),
+                    "features": payloads.map(lambda p: feat(p, dim)),
                 }
             )
 

@@ -590,13 +590,25 @@ def semantic_dedup_pairs(
     Degenerate clusters larger than ``max_cluster`` emit no pairs
     (the same skew guard as the LSH band buckets: a runaway cluster
     means k is too small for the corpus — fix k, don't quadratically
-    explode one reducer); the cap also bounds kernel memory, with the
-    Gram matrix additionally blocked in 1024-row strips.
+    explode one reducer). The guard is a JVM-side window filter
+    BEFORE the grouped kernel, so an oversized cluster is never even
+    materialized into a Python worker (review-r4b: an in-kernel check
+    fires only after applyInPandas has already loaded the whole
+    group); the window and the groupBy share the cluster partitioning
+    so it costs no extra shuffle. Kernel memory is strip-bounded: one
+    1024×m Gram strip lives at a time (~80 MB at the max_cluster
+    default), never the full m×m matrix.
 
-    Spark-semantics edge cases mirrored from the fold form: zero-norm
-    vectors yield NULL cosine (never a pair); a NaN component yields
-    NaN cosine, which Spark's ``>=`` treats as greater than any
-    number — so NaN pairs ARE emitted, exactly like the fold filter.
+    Degenerate-vector policy (both forms, property-tested equal):
+    zero-norm vectors yield NULL cosine and never pair (the
+    :func:`cosine` guard); NaN-component vectors yield NaN cosine
+    and are EXCLUDED too — under Spark's raw ``>=`` a NaN cosine
+    compares greater than any threshold, so one poisoned vector
+    would otherwise "duplicate" its ENTIRE cluster (m spurious
+    drops), the exact hazard the NULL guard exists for. (NaN also
+    cannot round-trip the grouped kernel: pandas→Arrow folds float
+    NaN into null.) Duplicate ids in a cluster never self-pair (the
+    fold's strict ``id_a < id_b``).
 
     Complements the other embedding dedups: quantize (O(n) exact-
     bucket), RHP-LSH (probabilistic candidates), and this —
@@ -606,7 +618,16 @@ def semantic_dedup_pairs(
     import numpy as np
     import pandas as pd
 
-    assigned = kmeans_assign(corpus, centroids, id_col, vec_col).drop("__d2")
+    # narrow projection BEFORE the group shuffle: only (cluster, id,
+    # vector) move; any payload/text columns riding on the corpus
+    # must not be serialized into every cluster group
+    assigned = (
+        kmeans_assign(corpus, centroids, id_col, vec_col)
+        .select("cluster", id_col, vec_col)
+    )
+    guarded = assigned.withColumn(
+        "__cn", F.count("*").over(Window.partitionBy("cluster"))
+    ).filter(F.col("__cn") <= max_cluster).drop("__cn")
     id_type = assigned.schema[id_col].dataType
     out_schema = StructType(
         [
@@ -620,42 +641,45 @@ def semantic_dedup_pairs(
 
     def _pairs(key, pdf):
         m = len(pdf)
-        if m < 2 or m > max_cluster:
+        if m < 2:
             return empty
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         x = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         dim = x.shape[1]
-        # dim-sequential Gram accumulation == the fdot fold's FP order
-        # (rank-1 updates in dimension order); diagonal == fnorm² fold
+        # squared norms first, with the fold's dim-sequential order
+        # (identical accumulation to the Gram diagonal), so each Gram
+        # strip below can be discarded as soon as its pairs are out
         sq = np.zeros(m, dtype=np.float64)
-        rows_a, rows_b, cos_out = [], [], []
+        for d in range(dim):
+            sq = sq + x[:, d] * x[:, d]
+        norm = np.sqrt(sq)
+        out_tuples = []
         block = 1024
         for lo in range(0, m, block):
             hi = min(lo + block, m)
+            # dim-sequential Gram strip == the fdot fold's FP order
             g = np.zeros((hi - lo, m), dtype=np.float64)
             for d in range(dim):
                 g += x[lo:hi, d][:, None] * x[None, :, d]
-            # norms from the gram diagonal (identical accumulation)
-            sq[lo:hi] = g[np.arange(hi - lo), np.arange(lo, hi)]
-            rows_a.append(g)
-        norm = np.sqrt(sq)
-        for bi, lo in enumerate(range(0, m, block)):
-            hi = min(lo + block, m)
-            g = rows_a[bi]
             denom = norm[lo:hi][:, None] * norm[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = g / denom
-            # ids sorted ascending -> i<j in index space == id_a<id_b
+            # ids sorted ascending -> index i<j plus id inequality ==
+            # the fold's strict id_a < id_b (duplicate ids never
+            # self-pair); denom > 0 drops zero-norm (NULL) pairs and
+            # NaN-denominator pairs alike, and a NaN cosine fails the
+            # numpy >= — the documented degenerate-vector exclusion
             ii, jj = np.nonzero(
                 (np.arange(lo, hi)[:, None] < np.arange(m)[None, :])
+                & (ids[lo:hi, None] != ids[None, :])
                 & (denom > 0.0)
-                & (np.isnan(cos) | (cos >= min_cosine))
+                & (cos >= min_cosine)
             )
-            rows_b.append((ids[ii + lo], ids[jj], cos[ii, jj]))
-        ida = np.concatenate([r[0] for r in rows_b]) if rows_b else []
-        idb = np.concatenate([r[1] for r in rows_b]) if rows_b else []
-        cs = np.concatenate([r[2] for r in rows_b]) if rows_b else []
+            out_tuples.append((ids[ii + lo], ids[jj], cos[ii, jj]))
+        ida = np.concatenate([t[0] for t in out_tuples])
+        idb = np.concatenate([t[1] for t in out_tuples])
+        cs = np.concatenate([t[2] for t in out_tuples])
         return pd.DataFrame(
             {
                 "cluster": np.full(len(ida), key[0], dtype=np.int32),
@@ -665,7 +689,7 @@ def semantic_dedup_pairs(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(_pairs, out_schema)
+    return guarded.groupBy("cluster").applyInPandas(_pairs, out_schema)
 
 
 def _semantic_dedup_pairs_fold(
@@ -691,6 +715,12 @@ def _semantic_dedup_pairs_fold(
         F.col("cluster"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     )
     pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
+    scored = pairs.select(
         "cluster", "id_a", "id_b", cosine("__va", "__vb").alias("cosine")
-    ).filter(F.col("cosine") >= min_cosine)
+    )
+    # NaN exclusion mirrors the kernel's degenerate-vector policy: a
+    # raw >= would pass NaN (Spark orders NaN above all doubles) and
+    # pair a poisoned vector with its whole cluster
+    return scored.filter(
+        (F.col("cosine") >= min_cosine) & ~F.isnan("cosine")
+    )

@@ -1443,7 +1443,7 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
               / nullif(sqrt({_FOLD_DOT.format(a="va.v", b="va.v")})
                        * sqrt({_FOLD_DOT.format(a="vb.v", b="vb.v")}), 0.0)) AS cosine
       FROM cand JOIN corpus va ON va.vec_id = id_a JOIN corpus vb ON vb.vec_id = id_b)
-    WHERE cosine >= 0.95
+    WHERE cosine >= 0.95 AND NOT isnan(cosine)
     """,
     doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means "
     "coarse clustering of the embedding space (8 deterministic seed "

@@ -300,3 +300,18 @@ def test_wav_decoder_bad_records_and_rejects(spark):
     raw[34] = 8  # bits-per-sample field
     with pytest.raises(ValueError):
         MM._wav_decode(bytes(raw))
+
+
+def test_wav_features_bad_record_zeros(spark):
+    """Review-r4b: extract_features('wav') must take the zeros
+    bad-record path for malformed and NULL payloads instead of
+    killing the task."""
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"garbage"), "audio/wav", 0, 0),
+         (2, "audio", None, "audio/wav", 0, 0)],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: (r.n_bytes, r.features)
+           for r in MM.extract_features(media, decoder="wav", dim=4).collect()}
+    assert out[1] == (7, [0.0] * 4)
+    assert out[2] == (0, [0.0] * 4)

@@ -1045,24 +1045,29 @@ def test_semantic_dedup_kernel_matches_fold_bitexact(spark):
         ]
         rows.append((i, vec))
     rows.append((999, [0.0] * 8))  # zero-norm: NULL cosine, never a pair
+    # NaN component: one poisoned vector must NOT pair with its whole
+    # cluster — both forms exclude NaN cosines (degenerate policy)
+    rows.append((500, [float("nan")] + [0.5] * 7))
+    # duplicate id in one cluster: strict id_a < id_b, never (77,77)
+    rows.append((77, [1.0] + [0.0] * 7))
+    rows.append((77, [0.999] + [0.001] * 7))
     df = spark.createDataFrame(rows, "vec_id int, v array<double>")
     cents = [(c, [float(c == d) for d in range(8)]) for c in range(4)]
-    kern = {
-        (r.id_a, r.id_b): (r.cluster, r.cosine)
-        for r in semantic_dedup_pairs(df, cents, "vec_id", "v", min_cosine=0.2).collect()
-    }
-    fold = {
-        (r.id_a, r.id_b): (r.cluster, r.cosine)
-        for r in _semantic_dedup_pairs_fold(
-            df, cents, "vec_id", "v", min_cosine=0.2
-        ).collect()
-    }
-    assert kern.keys() == fold.keys()
+    def rowset(frame):
+        # multiset compare (duplicate ids yield repeated (id_a, id_b)
+        # keys with distinct cosines); values must match bit-for-bit
+        return sorted(
+            (r.id_a, r.id_b, r.cluster, r.cosine) for r in frame.collect()
+        )
+
+    kern = rowset(semantic_dedup_pairs(df, cents, "vec_id", "v", min_cosine=0.2))
+    fold = rowset(_semantic_dedup_pairs_fold(df, cents, "vec_id", "v", min_cosine=0.2))
+    assert kern == fold
     assert len(kern) > 50, len(kern)
-    for k in kern:
-        assert kern[k][0] == fold[k][0], k
-        assert kern[k][1] == fold[k][1], (k, kern[k], fold[k])  # bit-exact
-    assert not any(999 in k for k in kern)
+    assert not any(r[0] == 999 or r[1] == 999 for r in kern)
+    # the poisoned (NaN) vector pairs with NOTHING in either form
+    assert not any(r[0] == 500 or r[1] == 500 for r in kern)
+    assert not any(r[0] == 77 and r[1] == 77 for r in kern)  # no self-pairs
 
 
 def test_fuzzy_key_pairs_exact_recall_vs_bruteforce(spark):
@@ -1108,6 +1113,15 @@ def test_fuzzy_key_pairs_exact_recall_vs_bruteforce(spark):
     }
     assert got == want, (got, want)
     assert (1, 8) in got and got[(1, 8)] == 0
+    # empty keys: exactly ONE '' variant each (Spark sequence(1,0)
+    # counts down — review-r4b would have tripled the '' bucket and
+    # pruned it), so the 3-member '' bucket survives max_bucket=3
+    empties = spark.createDataFrame([(1, ""), (2, ""), (3, "x")], "id int, k string")
+    got_e = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_key_pairs(empties, "id", "k", max_bucket=3).collect()
+    }
+    assert got_e == {(1, 2): 0, (1, 3): 1, (2, 3): 1}, got_e
     # hot-bucket guard: cap of 1 suppresses every candidate
     none = fuzzy_key_pairs(df, "id", "k", max_bucket=1).collect()
     assert none == []

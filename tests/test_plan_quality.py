@@ -354,17 +354,26 @@ def test_lsh_queries_pin_no_storage_and_reuse_exchange(spark, sf_dir):
     assert not new, new
 
 
-def test_semantic_dedup_equijoin_not_cartesian(spark, sf_dir):
-    """SemDeDup's within-cluster pairing must compile to an equi-join
-    on the cluster id — never a cartesian product / unconditioned
-    BroadcastNestedLoopJoin (the O(n^2) shape it exists to avoid).
-    The only BNLJ-free requirement is on the PAIR join; broadcast of
-    the one-row totals elsewhere is fine."""
-    plan = _plan(spark, "semantic_dedup", sf_dir)
-    assert "CartesianProduct" not in plan, plan[:2000]
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
-    # the pair join keys on the cluster column
-    assert "cluster" in plan
+def test_semantic_dedup_grouped_kernel_no_pair_join(spark, sf_dir):
+    """SemDeDup's within-cluster pairing runs as ONE grouped Arrow
+    kernel (FlatMapGroupsInPandas after a single cluster exchange):
+    no join of any kind may appear — a reintroduced pair self-join
+    (the O(pairs)-shuffle shape the kernel replaced) or a cartesian
+    product must fail this audit. The JVM-side max_cluster window
+    must also sit in the plan so oversized clusters are dropped
+    BEFORE the Python worker materializes them."""
+    df = REGISTRY["semantic_dedup"].build(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("FlatMapGroupsInPandas") == 1, optimized[:2000]
+    plan = optimized + "\n" + df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert bad not in plan, bad
+    # the skew-guard window over the cluster key precedes the kernel
+    assert any(
+        "windowspecdefinition" in ln and "cluster" in ln
+        for ln in plan.splitlines()
+    ), "max_cluster guard window missing"
 
 
 def test_gopher_flags_single_pass_no_shuffle(spark, sf_dir):
