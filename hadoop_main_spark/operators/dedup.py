@@ -719,3 +719,51 @@ def fuzzy_key_pairs(
     return cand.select("id_a", "id_b", dist.alias("distance")).filter(
         F.col("distance") <= max_distance
     )
+
+
+# --- cross-document repeated spans (exact substring dedup) -------------------
+
+
+def cross_doc_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-span detection across documents — the
+    distributed analog of suffix-array substring dedup (Lee et al.
+    2022, arXiv:2107.06499 'Deduplicating Training Data Makes
+    Language Models Better'): every ``window``-token rolling span is
+    hashed, and spans occurring in >= ``min_docs`` distinct documents
+    surface as cross-document duplication (boilerplate, licenses,
+    quoted chains). A true distributed suffix array is not
+    Spark-shaped; fixed-window rolling hashes are the standard
+    practical substitute (catching any shared substring of >=
+    2*window-1 tokens at every alignment, and shared substrings of >=
+    window tokens at aligned offsets).
+
+    Output: (span_hash, n_docs, n_occurrences, first_doc).
+
+    Scale shape: identical to the exact-dedup discipline — the span
+    TEXT never shuffles, only its hash64 (the hash carries the
+    grouping semantics, content stays at the scan); explode + partial
+    agg (map-side combine) + one shuffle on the span hash. Documents
+    shorter than ``window`` tokens emit nothing (the word_shingles
+    short-doc guard)."""
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    spans = (
+        fan_out(df.select(id_col, text_col), [id_col])
+        .select(F.col(id_col), F.explode(word_shingles(text_col, window)).alias("__span"))
+        .select(F.col(id_col), hash64("__span").alias("span_hash"))
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1683,3 +1683,30 @@ def domain_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
 def fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer")
     return D.fuzzy_key_pairs(c, "c_custkey", "c_name", max_distance=1)
+
+
+@query(
+    "repeated_spans",
+    oracle=f"""
+    WITH win AS (
+      SELECT doc_id, unnest({D.shingles_sql("text", 20)}) AS span
+      FROM documents),
+    h AS (SELECT doc_id, {hash64_sql("span")} AS span_hash FROM win)
+    SELECT span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM h GROUP BY span_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="Cross-document repeated spans — the distributed analog of "
+    "suffix-array exact-substring dedup (Lee et al. 2022, "
+    "arXiv:2107.06499): 20-token rolling window hashes grouped "
+    "corpus-wide; spans in >= 2 distinct docs are boilerplate/"
+    "quotation duplication that document-level near-dup scoring "
+    "misses. Only the 64-bit span hash ever shuffles (the exact-dedup "
+    "digest discipline — span text stays at the scan); explode + "
+    "map-side partial agg + one shuffle on the hash.",
+)
+def repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    return D.cross_doc_spans(t(spark, sf, "documents"), "doc_id", "text", window=20)

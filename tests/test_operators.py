@@ -1129,3 +1129,29 @@ def test_fuzzy_key_pairs_exact_recall_vs_bruteforce(spark):
 
     with _pytest.raises(ValueError):
         fuzzy_key_pairs(df, "id", "k", max_distance=2)
+
+
+def test_cross_doc_spans_planted_boilerplate(spark):
+    """A 20-token license header shared by three docs surfaces as one
+    span group with n_docs=3; a doc shorter than the window emits
+    nothing; within-doc repetition counts occurrences but not docs."""
+    from hadoop_main_spark.functions.hashing import hash64_py
+    from hadoop_main_spark.operators.dedup import cross_doc_spans
+
+    header = " ".join(f"lic{i}" for i in range(20))
+    docs = [
+        (1, header + " body one alpha"),
+        (2, header + " body two beta"),
+        (3, "prefix " + header),
+        (4, "short doc"),
+        (5, header + " " + header),  # within-doc repeat at aligned offsets
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.span_hash: r for r in cross_doc_spans(df, "doc_id", "text", window=20).collect()}
+    hh = hash64_py(header)
+    assert hh in out
+    r = out[hh]
+    # docs 1,2,3,5 all contain the exact header window
+    assert r.n_docs == 4 and r.first_doc == 1
+    assert r.n_occurrences >= 5  # doc 5 contributes two aligned occurrences
+    assert all(r.n_docs >= 2 for r in out.values())
