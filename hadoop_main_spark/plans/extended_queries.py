@@ -897,3 +897,124 @@ def quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("p95_b") + 1) * F.lit(1000.0)).cast("double").alias("p95_est_upper"),
         "p50_exact",
     )
+
+
+_KMV_K = 256
+_KMV_EST = (
+    "CASE WHEN {ku} < " + str(_KMV_K) + " THEN CAST({ku} AS DOUBLE) "
+    "ELSE CAST({ku} - 1 AS DOUBLE) * " + repr(float(2**60)) + " / CAST({km} AS DOUBLE) END"
+)
+
+
+@query(
+    "kmv_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CASE WHEN COALESCE(TRY_CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT), 0) % 20 < 10
+                  THEN 'a' ELSE 'b' END AS g,
+             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents),
+    terms AS (
+      SELECT g, unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS w
+      FROM toks),
+    hs AS (SELECT DISTINCT g, {hash64_sql('w')} AS h FROM terms),
+    sk AS (SELECT g, h FROM (
+             SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs)
+           WHERE rn <= {_KMV_K}),
+    per_g AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ku, MAX(h) AS km FROM sk GROUP BY g),
+    u AS (SELECT CAST(COUNT(*) AS BIGINT) AS ku, MAX(h) AS km FROM (
+            SELECT DISTINCT h FROM sk ORDER BY h LIMIT {_KMV_K})),
+    wide AS (
+      SELECT (SELECT ku FROM per_g WHERE g = 'a') AS ku_a,
+             (SELECT km FROM per_g WHERE g = 'a') AS km_a,
+             (SELECT ku FROM per_g WHERE g = 'b') AS ku_b,
+             (SELECT km FROM per_g WHERE g = 'b') AS km_b,
+             (SELECT ku FROM u) AS ku_u,
+             (SELECT km FROM u) AS km_u),
+    est AS (
+      SELECT {_KMV_EST.format(ku='ku_a', km='km_a')} AS est_a,
+             {_KMV_EST.format(ku='ku_b', km='km_b')} AS est_b,
+             {_KMV_EST.format(ku='ku_u', km='km_u')} AS est_union
+      FROM wide)
+    SELECT est_a, est_b, est_union,
+           est_a + est_b - est_union AS est_intersection,
+           (est_a + est_b - est_union) / est_union AS jaccard_est
+    FROM est
+    """,
+    doc="Mergeable-sketch SET ALGEBRA: vocabulary overlap between two "
+    "source collections (distinct word 3-grams per side) estimated "
+    "entirely from KMV sketches — union "
+    "by sketch merge (k smallest of the combined hash sets, the "
+    "defining KMV property), intersection by inclusion-exclusion, "
+    "Jaccard as their ratio. The corpus-overlap question every "
+    "mixture decision needs, answered without ever joining the "
+    "corpora: each side is one grouped top-k over distinct term "
+    "hashes (partial top-k map-side, k rows per group shuffle). "
+    "Bit-reproducible end to end (hash64 + deterministic k-min sets), "
+    "so even the ESTIMATES are oracle-exact — same registry family "
+    "as kmv_distinct_sketch.",
+)
+def kmv_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    k = _KMV_K
+    d = t(spark, sf, "documents")
+    grp = F.when(
+        F.coalesce(
+            F.expr(r"try_cast(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT)"),
+            F.lit(0),
+        )
+        % 20
+        < 10,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    from hadoop_main_spark.operators.dedup import word_shingles
+
+    terms = d.select(grp.alias("g"), F.explode(word_shingles("text", 3)).alias("w"))
+    hs = terms.select("g", hash64("w").alias("h")).distinct()
+    sk = (
+        hs.withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+    per_g = sk.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("ku"), F.max("h").alias("km")
+    )
+    u = (
+        sk.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.count("*").cast("bigint").alias("ku_u"), F.max("h").alias("km_u"))
+    )
+    wide = per_g.groupBy().pivot("g", ["a", "b"]).agg(
+        F.max("ku").alias("ku"), F.max("km").alias("km")
+    ).crossJoin(F.broadcast(u))
+
+    def est(ku, km):
+        return (
+            F.when(F.col(ku) < k, F.col(ku).cast("double")).otherwise(
+                (F.col(ku) - 1).cast("double")
+                * F.lit(float(2**60))
+                / F.col(km).cast("double")
+            )
+        )
+
+    scored = wide.select(
+        est("a_ku", "a_km").alias("est_a"),
+        est("b_ku", "b_km").alias("est_b"),
+        est("ku_u", "km_u").alias("est_union"),
+    )
+    return scored.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_intersection"),
+        (
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")) / F.col("est_union")
+        ).alias("jaccard_est"),
+    )
