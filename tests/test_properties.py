@@ -293,3 +293,105 @@ def test_bucket_id_binary_search_model(spark, rows, raw_bounds):
         for r in got:
             want = sum(1 for b in bounds if at_or_after((r.a, r.b), b))
             assert r.pid == want, (r, bounds)
+
+
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=0, max_size=12
+)
+
+
+@_slow
+@given(st.lists(_words, min_size=2, max_size=6))
+def test_containment_dominates_jaccard_model(spark, docs):
+    """For every emitted candidate pair: containment >= jaccard
+    (min-denominator dominance), both in (0, 1], and identical
+    shingle sets score containment exactly 1.0."""
+    from hadoop_main_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(df, "doc_id", "text", min_containment=0.01).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", min_jaccard=0.01).collect()
+    }
+    for k, c in cont.items():
+        assert 0.0 < c <= 1.0
+        if k in jac:
+            assert c >= jac[k], (k, c, jac[k])
+    # identical non-trivial docs -> containment 1.0
+    sets = {i: set(zip(ws, ws[1:], ws[2:])) for i, ws in enumerate(docs)}
+    for (a, b), c in cont.items():
+        if sets[a] and sets[a] == sets[b]:
+            assert c == 1.0
+
+
+_keystr = st.text(alphabet="abc", min_size=0, max_size=5)
+
+
+@_slow
+@given(st.lists(_keystr, min_size=2, max_size=8, unique=True))
+def test_fuzzy_pairs_exact_recall_model(spark, keys):
+    """fuzzy_key_pairs == brute-force Levenshtein<=1 on arbitrary
+    short keys (including '' and 1-char keys) — exact recall AND
+    exact precision, no phantom or missing pairs."""
+    import itertools
+
+    from hadoop_main_spark.operators.dedup import fuzzy_key_pairs
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id int, k string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_key_pairs(df, "id", "k", max_bucket=10_000).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j): lev(a, b)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want, (got, want)
+
+
+@_slow
+@given(st.lists(_words, min_size=1, max_size=6), st.integers(2, 4))
+def test_cross_doc_spans_model(spark, docs, window):
+    """cross_doc_spans == the naive python model: per-doc rolling
+    windows, hash group, n_docs/n_occurrences/first_doc exact."""
+    from collections import defaultdict
+
+    from hadoop_main_spark.functions.hashing import hash64_py
+    from hadoop_main_spark.operators.dedup import cross_doc_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.span_hash: (r.n_docs, r.n_occurrences, r.first_doc)
+        for r in cross_doc_spans(df, "doc_id", "text", window=window).collect()
+    }
+    occ = defaultdict(list)
+    for i, ws in enumerate(docs):
+        for s in range(len(ws) - window + 1):
+            occ[hash64_py(" ".join(ws[s : s + window]))].append(i)
+    want = {
+        h: (len(set(ds)), len(ds), min(ds))
+        for h, ds in occ.items()
+        if len(set(ds)) >= 2
+    }
+    assert got == want, (got, want)
