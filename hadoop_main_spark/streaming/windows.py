@@ -398,3 +398,72 @@ def dedup_stream_minhash(docs_stream: DataFrame, id_col: str, text_col: str) -> 
     return with_sig.dropDuplicates([f"mh{j}" for j in range(NUM_HASHES)]).select(
         id_col, text_col, *[f"mh{j}" for j in range(NUM_HASHES)]
     )
+
+
+def span_counts_stream_parquet(
+    docs_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    checkpoint: str,
+    window: int = 20,
+    trigger_available_now: bool = True,
+):
+    """Streaming cross-document repeated-span accumulation: each
+    micro-batch's rolling-window span hashes aggregate to partial
+    (span_hash, n_docs, n_occurrences, first_doc) rows which merge
+    additively into the parquet sink (sum / sum / min). Because every
+    document arrives ONCE on a document stream, per-batch distinct-doc
+    counts are disjoint and the merged table equals the batch
+    ``cross_doc_spans`` over all data seen with ``min_docs=1``
+    (equivalence-tested); apply the >= min_docs cut at READ time via
+    :func:`read_span_counts` — filtering per batch would lose spans
+    whose duplication straddles batches.
+
+    State = one row per distinct span hash (the dedup_stream caveat:
+    unbounded without a cut; at scale keep the sink on a transactional
+    format and age out singleton spans past a watermark)."""
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.operators.dedup import word_shingles
+
+    spark = docs_stream.sparkSession
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        _recover_replaced_dir(spark, path)
+        spans = batch.select(
+            F.col(id_col), F.explode(word_shingles(text_col, window)).alias("__span")
+        ).select(F.col(id_col), hash64("__span").alias("span_hash"))
+        partial = spans.groupBy("span_hash").agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        if _hadoop_path_exists(spark, path):
+            existing = spark.read.parquet(path)
+            merged = (
+                existing.unionByName(partial)
+                .groupBy("span_hash")
+                .agg(
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.sum("n_occurrences").cast("bigint").alias("n_occurrences"),
+                    F.min("first_doc").alias("first_doc"),
+                )
+            )
+        else:
+            merged = partial
+        _replace_dir_safely(spark, merged, path, batch_id)
+
+    w = (
+        docs_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_span_counts(spark: SparkSession, path: str, min_docs: int = 2) -> DataFrame:
+    """Read the accumulated span-count sink with the cross-document
+    cut applied (>= min_docs distinct documents)."""
+    return spark.read.parquet(path).filter(F.col("n_docs") >= min_docs)

@@ -576,3 +576,37 @@ def test_pipe_binary_null_raises_unless_opted_in(spark):
         pipe_binary(df, ["cat"]).collect()
     got = sorted(bytes(r.value) for r in pipe_binary(df, ["cat"], null_as_empty=True).collect())
     assert got == [b"", b"x"]
+
+
+def test_span_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming repeated-span accumulation == batch cross_doc_spans
+    over all data seen: per-batch partial counts merge additively
+    (documents arrive once, so distinct-doc counts are disjoint), and
+    the >= 2 cut at read time catches spans whose duplication
+    straddles micro-batches."""
+    from hadoop_main_spark.operators.dedup import cross_doc_spans
+    from hadoop_main_spark.tables import load_table
+
+    src = str(tmp_path / "docsrc")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "spans"), str(tmp_path / "spansckpt")
+    q = W.span_counts_stream_parquet(stream, "doc_id", "text", out, ckpt, window=10)
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.span_hash, r.n_docs, r.n_occurrences, r.first_doc)
+        for r in W.read_span_counts(spark, out, min_docs=2).collect()
+    )
+    want = sorted(
+        (r.span_hash, r.n_docs, r.n_occurrences, r.first_doc)
+        for r in cross_doc_spans(docs, "doc_id", "text", window=10).collect()
+    )
+    assert got == want
+    assert len(got) > 0  # the fixture really has cross-doc spans
