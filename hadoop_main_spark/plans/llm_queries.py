@@ -1710,3 +1710,93 @@ def fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
 )
 def repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     return D.cross_doc_spans(t(spark, sf, "documents"), "doc_id", "text", window=20)
+
+
+@query(
+    "domain_mix_apply",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             COALESCE(TRY_CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT) % 4 + 1, 1) AS weight
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   CAST(SUM(weight) AS BIGINT) AS w_total
+            FROM src),
+    budget AS (
+      SELECT source, n_docs,
+             least(n_docs, (weight * n_total) // w_total) AS kept_target
+      FROM src CROSS JOIN tot),
+    ranked AS (
+      SELECT d.doc_id, d.source, b.n_docs, b.kept_target,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY CAST(concat('0x', substr(md5(concat('mix|', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+                        d.doc_id) AS rn
+      FROM documents d JOIN budget b USING (source))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+           MAX(kept_target) AS kept_target,
+           MAX(n_docs) AS n_docs,
+           MIN(doc_id) AS min_sampled_doc
+    FROM ranked WHERE rn <= kept_target
+    GROUP BY source
+    """,
+    doc="Applies domain_mix_weights' budgets as a DETERMINISTIC "
+    "sample: rank each source's documents by a salted hash of doc_id "
+    "(a reproducible shuffle), keep exactly the first kept_target per "
+    "source — the sampled set is EXACTLY the target size, stable "
+    "across runs and partitionings, and recomputable by anyone with "
+    "the doc ids (the train_split_assign discipline applied to "
+    "mixture resampling). One join against the tiny per-source budget "
+    "table + one per-source window; at 100 TB the window partitions "
+    "by source, so parallelism == number of domains — for few huge "
+    "domains switch to the grouped_prefix_sum two-phase rank, same "
+    "contract.",
+)
+def domain_mix_apply(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.functions.hashing import hash64
+
+    d = t(spark, sf, "documents")
+    src = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs")).select(
+        "source",
+        "n_docs",
+        F.coalesce(
+            F.expr(r"try_cast(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT)")
+            % 4
+            + 1,
+            F.lit(1),
+        ).alias("weight"),
+    )
+    tot = src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("weight").cast("bigint").alias("w_total"),
+    )
+    budget = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(F.col("n_docs"), F.expr("(weight * n_total) div w_total")).alias(
+            "kept_target"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(
+        hash64(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(budget), "source")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.col("kept_target"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("sampled_docs"),
+            F.max("kept_target").alias("kept_target"),
+            F.max("n_docs").alias("n_docs"),
+            F.min("doc_id").alias("min_sampled_doc"),
+        )
+    )
