@@ -1800,3 +1800,113 @@ def domain_mix_apply(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("min_sampled_doc"),
         )
     )
+
+
+def _decon_bloom_oracle() -> str:
+    from hadoop_main_spark.functions.sketches import BLOOM_K, BLOOM_M
+
+    bits = "\n      UNION ALL\n      ".join(
+        f"SELECT DISTINCT {j} AS j, {hash64_sql('gh', f'bloom{j}')} % {BLOOM_M} AS bit FROM bg"
+        for j in range(BLOOM_K)
+    )
+    pos = "\n      UNION ALL\n      ".join(
+        f"SELECT gh, {j} AS j, {hash64_sql('gh', f'bloom{j}')} % {BLOOM_M} AS bit FROM tgd"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+         g5 AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(tk) - 4, 0)),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+                FROM toks),
+         gh5 AS (SELECT doc_id, {hash64_sql('g')} AS gh FROM g5),
+         bg AS (SELECT DISTINCT gh FROM gh5 WHERE doc_id % 97 = 0),
+         tg AS (SELECT doc_id, gh FROM gh5 WHERE doc_id % 97 <> 0),
+         tgd AS (SELECT DISTINCT gh FROM tg),
+         bits AS (
+           {bits}
+         ),
+         pos AS (
+           {pos}
+         ),
+         maybe AS (
+           SELECT gh FROM (
+             SELECT u.gh, COUNT(*) AS h FROM (
+               SELECT DISTINCT pos.gh, pos.j FROM pos JOIN bits USING (j, bit)) u
+             GROUP BY u.gh)
+           WHERE h = {BLOOM_K}),
+         bloom_docs AS (SELECT DISTINCT tg.doc_id FROM tg JOIN maybe USING (gh)),
+         exact_docs AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gh))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(CASE WHEN e.doc_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_exact,
+           CAST(COUNT(CASE WHEN bl.doc_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_bloom,
+           CAST(COUNT(CASE WHEN bl.doc_id IS NOT NULL AND e.doc_id IS NULL THEN 1 END) AS BIGINT) AS n_false_positive,
+           CAST(COUNT(CASE WHEN e.doc_id IS NOT NULL AND bl.doc_id IS NULL THEN 1 END) AS BIGINT) AS n_false_negative
+    FROM documents d
+    LEFT JOIN exact_docs e ON e.doc_id = d.doc_id
+    LEFT JOIN bloom_docs bl ON bl.doc_id = d.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=_decon_bloom_oracle(),
+    doc="Decontamination at UNBROADCASTABLE eval-set scale: the eval "
+    "5-gram hashes compress into a Bloom sketch (bounded at k*m rows "
+    "no matter how many grams — the state that still broadcasts when "
+    "the exact gram set no longer does), training grams probe it, and "
+    "a doc is flagged if ANY gram is bloom-maybe. The verdict row "
+    "compares against the exact-join flags: ZERO false negatives "
+    "(guaranteed — nothing contaminated slips through) and a counted "
+    "false-positive overhang (the price of bounded state; rescrub "
+    "flagged docs exactly if it matters). Companion to decontaminate "
+    "(exact broadcast path) and bloom_membership (the sketch's own "
+    "verdict oracle).",
+)
+def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.functions.sketches import bloom_bits, bloom_probe
+
+    d = t(spark, sf, "documents")
+    g5 = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(D.word_shingles("text", 5))).alias("g"),
+    ).select("doc_id", hash64("g").alias("gh"))
+    bench = g5.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    train = g5.filter(F.col("doc_id") % 97 != 0)
+    bits = bloom_bits(bench, "gh")
+    verdict = bloom_probe(bits, train.select("gh").distinct(), "gh")
+    bloom_docs = (
+        train.join(verdict.filter("bloom_maybe"), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__bl", F.lit(True))
+    )
+    exact_docs = (
+        train.join(broadcast(bench), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ex", F.lit(True))
+    )
+    base = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(exact_docs, "doc_id", "left")
+        .join(bloom_docs, "doc_id", "left")
+    )
+    return base.agg(
+        F.count("*").cast("bigint").alias("n_train"),
+        F.count(F.when(F.col("__ex"), 1)).cast("bigint").alias("n_exact"),
+        F.count(F.when(F.col("__bl"), 1)).cast("bigint").alias("n_bloom"),
+        F.count(F.when(F.col("__bl") & F.col("__ex").isNull(), 1))
+        .cast("bigint")
+        .alias("n_false_positive"),
+        F.count(F.when(F.col("__ex") & F.col("__bl").isNull(), 1))
+        .cast("bigint")
+        .alias("n_false_negative"),
+    )
