@@ -1910,3 +1910,75 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_negative"),
     )
+
+
+@query(
+    "semantic_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE seeds AS (SELECT vec_id AS cluster,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS seed
+                   FROM embeddings WHERE vec_id < 8),
+    {_PERT_CORPUS_CTE},
+    d AS (SELECT c.vec_id, s.cluster, {_SQ_L2.format(a='c.v', b='s.seed')} AS d2
+          FROM corpus c CROSS JOIN seeds s),
+    best AS (SELECT vec_id, cluster FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+               FROM d) WHERE rn = 1),
+    sized AS (SELECT *, COUNT(*) OVER (PARTITION BY cluster) AS cn FROM best),
+    cand AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+             FROM sized a JOIN sized b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             WHERE a.cn <= 10000),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               ({_FOLD_DOT.format(a="va.v", b="vb.v")}
+                / nullif(sqrt({_FOLD_DOT.format(a="va.v", b="va.v")})
+                         * sqrt({_FOLD_DOT.format(a="vb.v", b="vb.v")}), 0.0)) AS cosine
+        FROM cand JOIN corpus va ON va.vec_id = id_a JOIN corpus vb ON vb.vec_id = id_b)
+      WHERE cosine >= 0.95 AND NOT isnan(cosine)),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    comp AS (SELECT a AS vec_id, MIN(b) AS canonical_id FROM reach GROUP BY a)
+    SELECT vec_id, canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+    FROM comp
+    """,
+    doc="Semantic duplicate CLUSTERS: SemDeDup within-cluster pairs "
+    "resolved into connected components (pointer-jumping min-label "
+    "propagation, O(log diameter) shuffles) with the canonical (min) "
+    "vec_id per cluster and the cluster size — the keep-one decision "
+    "the pair list feeds. Same iterative operator dedup_clusters "
+    "verifies for MinHash pairs, here verified against a recursive "
+    "CTE over the semantic pair set.",
+)
+def semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.operators.dedup import connected_components
+
+    e = t(spark, sf, "embeddings")
+    corpus = _perturbed_corpus(e)
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    ]
+    pairs = SIM.semantic_dedup_pairs(
+        corpus, seeds, "vec_id", "v", min_cosine=0.95, max_cluster=10_000
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("vec_id"), F.col("component").alias("canonical_id")
+    )
+    return comp.select(
+        "vec_id",
+        "canonical_id",
+        F.count("*")
+        .over(Window.partitionBy("canonical_id"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
