@@ -1419,10 +1419,12 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "semantic_dedup",
-    oracle=f"""
-    WITH seeds AS (SELECT vec_id AS cluster,
+#: the SemDeDup candidate chain (seed assign -> cluster-size guard ->
+#: within-cluster pairs) and its exact-cosine scoring subquery — ONE
+#: definition shared by semantic_dedup (pairs view) and
+#: semantic_dedup_clusters (resolves the SAME pairs), so a threshold
+#: or seed change can never desynchronize the two.
+_SEM_CAND_CTE = f"""seeds AS (SELECT vec_id AS cluster,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS seed
                    FROM embeddings WHERE vec_id < 8),
     {_PERT_CORPUS_CTE},
@@ -1436,13 +1438,35 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     cand AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
              FROM sized a JOIN sized b
                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-             WHERE a.cn <= 10000)
-    SELECT cluster, id_a, id_b, cosine FROM (
+             WHERE a.cn <= 10000)"""
+
+_SEM_SCORED = f"""(
       SELECT cluster, id_a, id_b,
              ({_FOLD_DOT.format(a="va.v", b="vb.v")}
               / nullif(sqrt({_FOLD_DOT.format(a="va.v", b="va.v")})
                        * sqrt({_FOLD_DOT.format(a="vb.v", b="vb.v")}), 0.0)) AS cosine
-      FROM cand JOIN corpus va ON va.vec_id = id_a JOIN corpus vb ON vb.vec_id = id_b)
+      FROM cand JOIN corpus va ON va.vec_id = id_a JOIN corpus vb ON vb.vec_id = id_b)"""
+
+
+def _semantic_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark builder of the shared SemDeDup pair set (the Spark twin
+    of :data:`_SEM_CAND_CTE` + :data:`_SEM_SCORED` + the 0.95 cut)."""
+    e = t(spark, sf, "embeddings")
+    corpus = _perturbed_corpus(e)
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    ]
+    return SIM.semantic_dedup_pairs(
+        corpus, seeds, "vec_id", "v", min_cosine=0.95, max_cluster=10_000
+    )
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH {_SEM_CAND_CTE}
+    SELECT cluster, id_a, id_b, cosine FROM {_SEM_SCORED}
     WHERE cosine >= 0.95 AND NOT isnan(cosine)
     """,
     doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means "
@@ -1459,15 +1483,7 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     "cluster id, never a cartesian product.",
 )
 def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    e = t(spark, sf, "embeddings")
-    corpus = _perturbed_corpus(e)
-    seeds = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in e.filter(F.col("vec_id") < 8).collect()
-    ]
-    return SIM.semantic_dedup_pairs(
-        corpus, seeds, "vec_id", "v", min_cosine=0.95, max_cluster=10_000
-    )
+    return _semantic_pairs(spark, sf)
 
 
 @query(
@@ -1593,17 +1609,48 @@ def token_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "domain_mix_weights",
-    oracle="""
-    WITH src AS (
+#: per-source budget math shared by domain_mix_weights (publishes it)
+#: and domain_mix_apply (samples by it) — ONE definition each side, so
+#: the applied sample can never disagree with the published budgets
+#: (the _band_structs discipline). Weight: 'src<digits>' sources get
+#: (idx % 4) + 1, anything else falls back to 1 via try_cast.
+_MIX_SRC_CTE = """src AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              COALESCE(TRY_CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT) % 4 + 1, 1) AS weight
       FROM documents GROUP BY source),
     tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
                    CAST(SUM(weight) AS BIGINT) AS w_total
-            FROM src)
+            FROM src)"""
+
+
+def _domain_budgets(d: DataFrame) -> DataFrame:
+    """Spark builder of :data:`_MIX_SRC_CTE` joined to its totals:
+    (source, n_docs, weight, n_total, w_total), one row per source
+    with the one-row totals broadcast on."""
+    src = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs")).select(
+        "source",
+        "n_docs",
+        F.coalesce(
+            # try_cast: a source not matching 'src<digits>' must fall
+            # back to weight 1, not crash the ANSI cast (both engines)
+            F.expr(r"try_cast(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT)")
+            % 4
+            + 1,
+            F.lit(1),
+        ).alias("weight"),
+    )
+    tot = src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("weight").cast("bigint").alias("w_total"),
+    )
+    return src.crossJoin(F.broadcast(tot))
+
+
+@query(
+    "domain_mix_weights",
+    oracle=f"""
+    WITH {_MIX_SRC_CTE}
     SELECT source, n_docs, weight,
            (weight * n_total) // w_total AS target_docs,
            least(n_docs, (weight * n_total) // w_total) AS kept_docs,
@@ -1622,24 +1669,7 @@ def token_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
     "any corpus scale.",
 )
 def domain_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents")
-    src = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs")).select(
-        "source",
-        "n_docs",
-        F.coalesce(
-            # try_cast: a source not matching 'src<digits>' must fall
-            # back to weight 1, not crash the ANSI cast (both engines)
-            F.expr(r"try_cast(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT)")
-            % 4
-            + 1,
-            F.lit(1),
-        ).alias("weight"),
-    )
-    tot = src.agg(
-        F.sum("n_docs").cast("bigint").alias("n_total"),
-        F.sum("weight").cast("bigint").alias("w_total"),
-    )
-    out = src.crossJoin(F.broadcast(tot))
+    out = _domain_budgets(t(spark, sf, "documents"))
     target = F.expr("(weight * n_total) div w_total")
     kept = F.least(F.col("n_docs"), target)
     return out.select(
@@ -1714,15 +1744,8 @@ def repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "domain_mix_apply",
-    oracle="""
-    WITH src AS (
-      SELECT source,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             COALESCE(TRY_CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT) % 4 + 1, 1) AS weight
-      FROM documents GROUP BY source),
-    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
-                   CAST(SUM(weight) AS BIGINT) AS w_total
-            FROM src),
+    oracle=f"""
+    WITH {_MIX_SRC_CTE},
     budget AS (
       SELECT source, n_docs,
              least(n_docs, (weight * n_total) // w_total) AS kept_target
@@ -1731,7 +1754,7 @@ def repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
       SELECT d.doc_id, d.source, b.n_docs, b.kept_target,
              ROW_NUMBER() OVER (
                PARTITION BY d.source
-               ORDER BY CAST(concat('0x', substr(md5(concat('mix|', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+               ORDER BY {hash64_sql('d.doc_id', 'mix')},
                         d.doc_id) AS rn
       FROM documents d JOIN budget b USING (source))
     SELECT source,
@@ -1760,21 +1783,7 @@ def domain_mix_apply(spark: SparkSession, sf: str) -> DataFrame:
     from hadoop_main_spark.functions.hashing import hash64
 
     d = t(spark, sf, "documents")
-    src = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs")).select(
-        "source",
-        "n_docs",
-        F.coalesce(
-            F.expr(r"try_cast(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT)")
-            % 4
-            + 1,
-            F.lit(1),
-        ).alias("weight"),
-    )
-    tot = src.agg(
-        F.sum("n_docs").cast("bigint").alias("n_total"),
-        F.sum("weight").cast("bigint").alias("w_total"),
-    )
-    budget = src.crossJoin(F.broadcast(tot)).select(
+    budget = _domain_budgets(d).select(
         "source",
         "n_docs",
         F.least(F.col("n_docs"), F.expr("(weight * n_total) div w_total")).alias(
@@ -1782,8 +1791,7 @@ def domain_mix_apply(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("source").orderBy(
-        hash64(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
-        F.col("doc_id"),
+        hash64("doc_id", "mix"), F.col("doc_id")
     )
     ranked = (
         d.select("doc_id", "source")
@@ -1867,8 +1875,6 @@ def _decon_bloom_oracle() -> str:
     "verdict oracle).",
 )
 def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
-
     from hadoop_main_spark.functions.hashing import hash64
     from hadoop_main_spark.functions.sketches import bloom_bits, bloom_probe
 
@@ -1881,29 +1887,36 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     train = g5.filter(F.col("doc_id") % 97 != 0)
     bits = bloom_bits(bench, "gh")
     verdict = bloom_probe(bits, train.select("gh").distinct(), "gh")
-    bloom_docs = (
-        train.join(verdict.filter("bloom_maybe"), "gh", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__bl", F.lit(True))
+    # exact verify runs ONLY on bloom-maybe grams (no-false-negative
+    # property: exact grams are a subset of maybe grams) — the dominant
+    # train-side shingle subtree is evaluated twice (probe + doc join),
+    # not three times, and the exact join touches the small maybe set.
+    # The ORACLE computes exact containment from the FULL independent
+    # join, so a bloom false negative would surface as a value mismatch.
+    # no broadcast() hints here: the query's premise is an eval set too
+    # big to broadcast, and a saturated sketch can make the maybe set
+    # as large as the train grams — AQE picks the strategy per scale
+    gram_flags = (
+        verdict.filter("bloom_maybe")
+        .join(bench.withColumn("__in_bench", F.lit(True)), "gh", "left")
+        .select("gh", F.coalesce("__in_bench", F.lit(False)).alias("is_exact"))
     )
-    exact_docs = (
-        train.join(broadcast(bench), "gh", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__ex", F.lit(True))
+    doc_flags = (
+        train.join(gram_flags, "gh")
+        .groupBy("doc_id")
+        .agg(F.max("is_exact").alias("__ex"))
+        .withColumn("__bl", F.lit(True))
     )
     base = (
         d.filter(F.col("doc_id") % 97 != 0)
         .select("doc_id")
-        .join(exact_docs, "doc_id", "left")
-        .join(bloom_docs, "doc_id", "left")
+        .join(doc_flags, "doc_id", "left")
     )
     return base.agg(
         F.count("*").cast("bigint").alias("n_train"),
         F.count(F.when(F.col("__ex"), 1)).cast("bigint").alias("n_exact"),
         F.count(F.when(F.col("__bl"), 1)).cast("bigint").alias("n_bloom"),
-        F.count(F.when(F.col("__bl") & F.col("__ex").isNull(), 1))
+        F.count(F.when(F.col("__bl") & ~F.col("__ex"), 1))
         .cast("bigint")
         .alias("n_false_positive"),
         F.count(F.when(F.col("__ex") & F.col("__bl").isNull(), 1))
@@ -1915,28 +1928,9 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "semantic_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE seeds AS (SELECT vec_id AS cluster,
-                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS seed
-                   FROM embeddings WHERE vec_id < 8),
-    {_PERT_CORPUS_CTE},
-    d AS (SELECT c.vec_id, s.cluster, {_SQ_L2.format(a='c.v', b='s.seed')} AS d2
-          FROM corpus c CROSS JOIN seeds s),
-    best AS (SELECT vec_id, cluster FROM (
-               SELECT *, ROW_NUMBER() OVER (
-                 PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-               FROM d) WHERE rn = 1),
-    sized AS (SELECT *, COUNT(*) OVER (PARTITION BY cluster) AS cn FROM best),
-    cand AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
-             FROM sized a JOIN sized b
-               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-             WHERE a.cn <= 10000),
+    WITH RECURSIVE {_SEM_CAND_CTE},
     pairs AS (
-      SELECT id_a, id_b FROM (
-        SELECT id_a, id_b,
-               ({_FOLD_DOT.format(a="va.v", b="vb.v")}
-                / nullif(sqrt({_FOLD_DOT.format(a="va.v", b="va.v")})
-                         * sqrt({_FOLD_DOT.format(a="vb.v", b="vb.v")}), 0.0)) AS cosine
-        FROM cand JOIN corpus va ON va.vec_id = id_a JOIN corpus vb ON vb.vec_id = id_b)
+      SELECT id_a, id_b FROM {_SEM_SCORED}
       WHERE cosine >= 0.95 AND NOT isnan(cosine)),
     und AS (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
@@ -1953,24 +1947,18 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     "resolved into connected components (pointer-jumping min-label "
     "propagation, O(log diameter) shuffles) with the canonical (min) "
     "vec_id per cluster and the cluster size — the keep-one decision "
-    "the pair list feeds. Same iterative operator dedup_clusters "
-    "verifies for MinHash pairs, here verified against a recursive "
-    "CTE over the semantic pair set.",
+    "the pair list feeds. Pair semantics come from the SAME shared "
+    "fragment/builder as semantic_dedup, so the clusters view can "
+    "never disagree with the pairs view it resolves. Same iterative "
+    "operator dedup_clusters verifies for MinHash pairs, here "
+    "verified against a recursive CTE over the semantic pair set.",
 )
 def semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     from hadoop_main_spark.operators.dedup import connected_components
 
-    e = t(spark, sf, "embeddings")
-    corpus = _perturbed_corpus(e)
-    seeds = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in e.filter(F.col("vec_id") < 8).collect()
-    ]
-    pairs = SIM.semantic_dedup_pairs(
-        corpus, seeds, "vec_id", "v", min_cosine=0.95, max_cluster=10_000
-    ).select("id_a", "id_b")
+    pairs = _semantic_pairs(spark, sf).select("id_a", "id_b")
     comp = connected_components(pairs).select(
         F.col("id").alias("vec_id"), F.col("component").alias("canonical_id")
     )

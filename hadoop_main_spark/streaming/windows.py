@@ -422,7 +422,16 @@ def span_counts_stream_parquet(
 
     State = one row per distinct span hash (the dedup_stream caveat:
     unbounded without a cut; at scale keep the sink on a transactional
-    format and age out singleton spans past a watermark)."""
+    format and age out singleton spans past a watermark).
+
+    Replay safety: a SUM merge is NOT naturally idempotent (unlike the
+    keyed upsert and the HLL max-merge, whose docstrings
+    _replace_dir_safely's retry contract cites), so every sink row
+    carries ``last_batch`` — the high-water batch id merged in. A
+    re-delivered batch (crash after the swap, before the checkpoint
+    commit) sees ``max(last_batch) >= batch_id`` and skips: the sink
+    already reflects it, and structured streaming serializes batches
+    so a high-water mark is sufficient."""
     from hadoop_main_spark.functions.hashing import hash64
     from hadoop_main_spark.operators.dedup import word_shingles
 
@@ -440,8 +449,12 @@ def span_counts_stream_parquet(
         )
         if _hadoop_path_exists(spark, path):
             existing = spark.read.parquet(path)
+            applied = existing.agg(F.max("last_batch")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: already merged, sum would double-count
             merged = (
-                existing.unionByName(partial)
+                existing.drop("last_batch")
+                .unionByName(partial)
                 .groupBy("span_hash")
                 .agg(
                     F.sum("n_docs").cast("bigint").alias("n_docs"),
@@ -451,7 +464,9 @@ def span_counts_stream_parquet(
             )
         else:
             merged = partial
-        _replace_dir_safely(spark, merged, path, batch_id)
+        _replace_dir_safely(
+            spark, merged.withColumn("last_batch", F.lit(batch_id)), path, batch_id
+        )
 
     w = (
         docs_stream.writeStream.foreachBatch(merge)
@@ -465,5 +480,12 @@ def span_counts_stream_parquet(
 
 def read_span_counts(spark: SparkSession, path: str, min_docs: int = 2) -> DataFrame:
     """Read the accumulated span-count sink with the cross-document
-    cut applied (>= min_docs distinct documents)."""
-    return spark.read.parquet(path).filter(F.col("n_docs") >= min_docs)
+    cut applied (>= min_docs distinct documents). Recovers a crashed
+    mid-swap write first — the designated read path must see the
+    aside copy, exactly like the writer-side callers do."""
+    _recover_replaced_dir(spark, path)
+    return (
+        spark.read.parquet(path)
+        .drop("last_batch")
+        .filter(F.col("n_docs") >= min_docs)
+    )

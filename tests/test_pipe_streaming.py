@@ -598,15 +598,34 @@ def test_span_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     )
     out, ckpt = str(tmp_path / "spans"), str(tmp_path / "spansckpt")
     q = W.span_counts_stream_parquet(stream, "doc_id", "text", out, ckpt, window=10)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in time"
 
-    got = sorted(
-        (r.span_hash, r.n_docs, r.n_occurrences, r.first_doc)
-        for r in W.read_span_counts(spark, out, min_docs=2).collect()
-    )
+    def snapshot():
+        return sorted(
+            (r.span_hash, r.n_docs, r.n_occurrences, r.first_doc)
+            for r in W.read_span_counts(spark, out, min_docs=2).collect()
+        )
+
+    got = snapshot()
     want = sorted(
         (r.span_hash, r.n_docs, r.n_occurrences, r.first_doc)
         for r in cross_doc_spans(docs, "doc_id", "text", window=10).collect()
     )
     assert got == want
     assert len(got) > 0  # the fixture really has cross-doc spans
+
+    # replay safety: re-delivering every batch (fresh checkpoint, same
+    # sink — batch ids restart at 0) must NOT double the sums; the
+    # last_batch high-water mark skips already-merged batches
+    q2 = W.span_counts_stream_parquet(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "doc_id",
+        "text",
+        out,
+        str(tmp_path / "spansckpt2"),
+        window=10,
+    )
+    assert q2.awaitTermination(300), "replay stream did not finish in time"
+    assert snapshot() == want
