@@ -111,6 +111,26 @@ def main() -> None:
     ).count()
     out["ngram_containment_s"] = round(time.time() - t0, 1)
 
+    t0 = time.time()
+    out["repeated_spans"] = D.cross_doc_spans(big, "doc_id", "text", window=20).count()
+    out["repeated_spans_s"] = round(time.time() - t0, 1)
+
+    cust = tables.load_table(spark, sf_dir, "customer")
+    bigc = reduce(
+        DataFrame.unionByName,
+        [
+            cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000))
+            .withColumn(
+                "c_name",
+                F.concat(F.lit(f"x{i}" if i else ""), F.col("c_name")),
+            )
+            for i in range(copies)
+        ],
+    )
+    t0 = time.time()
+    out["fuzzy_pairs"] = D.fuzzy_key_pairs(bigc, "c_custkey", "c_name").count()
+    out["fuzzy_s"] = round(time.time() - t0, 1)
+
     # SemDeDup at 10x: k SCALES with the corpus (the paper's contract —
     # cluster-bounded pairwise work). 20k vectors / k=64 seeds keeps
     # clusters ~300 and pair counts ~3M; the registry query pins k=8
