@@ -36,8 +36,12 @@ def count_matching(df: DataFrame, **predicates: Column) -> dict[str, int]:
     """Declarative counter pass: one narrow aggregation computing all
     named predicate counts at once (the DataFrame-native way to get
     'counter' semantics without accumulator plumbing)."""
+    # coalesce: F.sum over ZERO rows is NULL, which would break the
+    # dict[str, int] contract on an empty frame (review-r4b)
     aggs = [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias(name)
         for name, pred in predicates.items()
     ]
     row = df.agg(*aggs).collect()[0]

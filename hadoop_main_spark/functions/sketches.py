@@ -31,8 +31,12 @@ def kmv_distinct(df: DataFrame, col: Column | str, k: int = 256) -> DataFrame:
     Returns one row: (k_used, kth_min, est_distinct). For fewer than
     ``k`` distinct hashes the estimate is the exact distinct count.
     """
+    # NULL values hash to NULL; drop them BEFORE the top-k or the
+    # ascending order puts NULL first, burning a min slot that F.max
+    # then skips — k_used and kth_min would come from different row
+    # sets (review-r4b). COUNT(DISTINCT col) ignores NULLs; so do we.
     h = hash64(col)
-    mins = df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    mins = df.select(h.alias("h")).where(F.col("h").isNotNull()).distinct().orderBy("h").limit(k)
     agg = mins.agg(
         F.count("*").alias("k_used"), F.max("h").alias("kth_min")
     )
@@ -73,6 +77,9 @@ def hll_registers(df: DataFrame, col: Column | str, group_cols: Sequence[str] = 
     partitioning, shard, or stream batch yields the global sketch —
     the property that makes HLL the 100 TB distinct-counter.
     """
+    # NULL inputs would create a (bucket=NULL, reg=NULL) register row
+    # that inflates n_buckets_used while contributing nothing to the
+    # harmonic sum (review-r4b) — distinct counting ignores NULLs
     h = hash64(col)
     w = F.shiftright(h, 8)
     rank = F.when(w == 0, F.lit(HLL_MAX_RANK)).otherwise(
@@ -80,7 +87,7 @@ def hll_registers(df: DataFrame, col: Column | str, group_cols: Sequence[str] = 
     )
     rows = df.select(
         *group_cols, h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"), rank.alias("rank")
-    )
+    ).where(F.col("bucket").isNotNull())
     return rows.groupBy(*group_cols, "bucket").agg(F.max("rank").alias("reg"))
 
 

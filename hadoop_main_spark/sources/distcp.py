@@ -61,6 +61,29 @@ def build_listing(spark: SparkSession, src_dir: str, dst_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, LISTING_SCHEMA)
 
 
+def size_balanced_buckets(listing, n: int):
+    """Assign each listed file a bucket 0..n-1 by size-descending
+    round-robin — balanced task byte-loads (adjacent large files in
+    one directory would otherwise land in the same task). Shared by
+    distcp and create_har (one definition). Route the result through
+    ``repartitionByRange(n, "bucket")``: a hash repartition on the
+    bucket id collides distinct buckets into one task and leaves
+    others empty (pmod(murmur3) is not a bijection on 0..n-1 —
+    review-r4b), defeating the balancing this ranking computes.
+
+    The single-partition window over the FILE LISTING (≤ #files rows)
+    is intentional; the non-foldable constant key suppresses the
+    misleading WindowExec single-partition warning."""
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(F.pmod(F.length("src"), F.lit(1))).orderBy(
+            F.desc("size"), F.asc("src")
+        )
+    )
+    return listing.withColumn("bucket", (rank - 1) % n)
+
+
 def distcp(
     spark: SparkSession,
     src_dir: str,
@@ -77,20 +100,7 @@ def distcp(
     the incremental-sync mode DistCpSync builds on."""
     listing = build_listing(spark, src_dir, dst_dir)
     n = tasks or spark.sparkContext.defaultParallelism
-    # order by size desc then round-robin → balanced task byte-loads
-    # (monotonically_increasing_id over the raw listing would keep a
-    # directory's adjacent large files in the same bucket)
-    from pyspark.sql import Window
-
-    # single-partition window over the FILE LISTING (≤ #files rows) is
-    # intentional; the non-foldable constant key suppresses the
-    # misleading WindowExec single-partition warning
-    rank = F.row_number().over(
-        Window.partitionBy(F.pmod(F.length("src"), F.lit(1))).orderBy(
-            F.desc("size"), F.asc("src")
-        )
-    )
-    ranked = listing.withColumn("bucket", (rank - 1) % n)
+    ranked = size_balanced_buckets(listing, n)
 
     def copy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import shutil
@@ -115,7 +125,7 @@ def distcp(
             yield pd.DataFrame(out, columns=[f.name for f in REPORT_SCHEMA.fields])
 
     return (
-        ranked.repartition(n, "bucket")
+        ranked.repartitionByRange(n, "bucket")
         .drop("bucket")
         .mapInPandas(copy_batch, REPORT_SCHEMA)
     )

@@ -92,14 +92,20 @@ def validate_sorted(df: DataFrame, key: str = "key") -> dict:
     the authority here.
     """
     try:
+        # ONLY the _metadata resolution decides file-backed vs not —
+        # this select is lazy (analysis-time error for non-file
+        # frames). A bare except around the whole distributed
+        # validation would silently reroute transient executor
+        # failures into the partition-order fallback, which on
+        # read-back data reports bogus misorder counts (review-r4b).
         meta = df.select(
             F.col(key).alias("__k"),
             F.col("_metadata.file_path").alias("__f"),
             F.col("_metadata.row_index").alias("__i"),
         )
-        return _validate_sorted_files(meta)
     except Exception:
         return _validate_sorted_partitions(df, key)
+    return _validate_sorted_files(meta)
 
 
 def _validate_sorted_files(meta: DataFrame) -> dict:

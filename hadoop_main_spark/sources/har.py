@@ -64,14 +64,9 @@ def create_har(
         "src", "size", F.expr(f"substring(src, {len(src_dir) + 2})").alias("rel")
     )
     n = parts or spark.sparkContext.defaultParallelism
-    from pyspark.sql import Window
+    from hadoop_main_spark.sources.distcp import size_balanced_buckets
 
-    rank = F.row_number().over(
-        Window.partitionBy(F.pmod(F.length("src"), F.lit(1))).orderBy(
-            F.desc("size"), F.asc("src")
-        )
-    )
-    ranked = listing.withColumn("bucket", (rank - 1) % n)
+    ranked = size_balanced_buckets(listing, n)
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -95,7 +90,7 @@ def create_har(
         yield pd.DataFrame(out, columns=[f.name for f in ENTRY_SCHEMA.fields])
 
     entries = (
-        ranked.repartition(n, "bucket")
+        ranked.repartitionByRange(n, "bucket")
         .drop("bucket")
         .mapInPandas(write_part, ENTRY_SCHEMA)
     )
@@ -116,7 +111,11 @@ def create_har(
 
     lines = []
     for d in sorted(children):
-        kids = " ".join(sorted(children[d]))
+        # each child is URL-encoded like the reference's encodeName
+        # (HadoopArchives.java:679) — HarFileSystem splits the children
+        # field on spaces and decodeFileName()s each token, so a raw
+        # name containing ' ', '+' or '%' would corrupt the listing
+        kids = " ".join(quote_plus(c) for c in sorted(children[d]))
         enc = quote_plus(d)
         lines.append(f"{enc} dir {_PROPS} 0 0 {kids}".rstrip())
     for r in sorted(rows, key=lambda r: r.rel):

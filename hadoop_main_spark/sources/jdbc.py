@@ -95,6 +95,12 @@ def text_splits(lo: str, hi: str, n: int) -> list[tuple[str, str]]:
     lowercase-ascii alphabet (the reference maps UTF-16 code units)."""
     if n <= 0:
         return []
+    # out-of-alphabet chars (uppercase, digits) all map to slot 0 —
+    # normalize case, and if the mapped endpoints collapse or invert,
+    # return ONE full-range split instead of a degenerate/empty set
+    # (a single correct partition beats silently scanning nothing;
+    # review-r4b)
+    lo, hi = lo.lower(), hi.lower()
 
     def to_num(s: str, digits: int) -> int:
         v = 0
@@ -111,5 +117,8 @@ def text_splits(lo: str, hi: str, n: int) -> list[tuple[str, str]]:
         return "".join(reversed(out)).rstrip(_ALPHABET[0]) or _ALPHABET[0]
 
     digits = max(len(lo), len(hi), 1)
-    ranges = integer_splits(to_num(lo, digits), to_num(hi, digits), n)
+    lo_n, hi_n = to_num(lo, digits), to_num(hi, digits)
+    if hi_n <= lo_n:
+        return [(min(lo, hi), max(lo, hi))]
+    ranges = integer_splits(lo_n, hi_n, n)
     return [(to_str(a, digits), to_str(b, digits)) for a, b in ranges]

@@ -90,7 +90,17 @@ def write_zordered(
         mx = df.agg(
             F.max(F.col(col_a).cast("bigint")).alias("a"),
             F.max(F.col(col_b).cast("bigint")).alias("b"),
+            F.min(F.col(col_a).cast("bigint")).alias("mna"),
+            F.min(F.col(col_b).cast("bigint")).alias("mnb"),
         ).collect()[0]
+        if min(int(mx.mna or 0), int(mx.mnb or 0)) < 0:
+            # two's-complement bits of a negative value interleave to
+            # maximal z-values unrelated to position — the same silent
+            # scramble the >31-bit guard refuses (review-r4b)
+            raise ValueError(
+                "z-order keys must be non-negative; shift or bucket the "
+                "columns before clustering"
+            )
         need = max(int(mx.a or 0), int(mx.b or 0)).bit_length()
         if need > 31:
             # silently interleaving only the low bits would SCRAMBLE

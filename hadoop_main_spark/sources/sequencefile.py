@@ -67,6 +67,13 @@ def write_sequencefile(
     if len(df.columns) != 2:
         raise ValueError("SequenceFile sink needs exactly (key, value) columns")
     codec = _CODECS.get(compression.lower(), compression) if compression else None
+    if codec is None and block_compress is not None:
+        # a layout pin without a codec would be the same silent no-op
+        # this docstring criticizes cluster-conf pins for (review-r4b)
+        raise ValueError(
+            "block_compress requires a compression codec (RECORD/BLOCK "
+            "are layouts of COMPRESSED SequenceFiles)"
+        )
     rdd = df.rdd.map(tuple)
     if codec is None:
         rdd.saveAsSequenceFile(path)

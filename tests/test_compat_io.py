@@ -4,6 +4,8 @@ precondition)."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hadoop_main_spark.sources.distcp import distcp
@@ -481,3 +483,108 @@ def test_har_create_and_read_back(spark, tmp_path):
     ):
         got = [r.value for r in spark.read.text(f"har://{har}/{rel}").collect()]
         assert got == want, rel
+
+
+def test_har_create_special_chars_in_names(spark, tmp_path):
+    """Review-r4b: dir-entry children must be encodeName()d like the
+    reference (HadoopArchives.java:679) — a file name containing a
+    space or '+' must survive the archive listing AND read back
+    byte-exact (HarFileSystem splits the children field on spaces and
+    decodes each token)."""
+    from hadoop_main_spark.sources.har import create_har
+
+    src = tmp_path / "tree2"
+    src.mkdir()
+    (src / "my file.txt").write_text("has space\n")
+    (src / "a+b.txt").write_text("has plus\n")
+    har = str(tmp_path / "special.har")
+    report = {r.rel for r in create_har(spark, str(src), har, parts=1).collect()}
+    assert report == {"my file.txt", "a+b.txt"}
+    # raw names in the har:// path (Hadoop Path takes them literally;
+    # only the INDEX stores them encoded)
+    for rel, want in (("my file.txt", ["has space"]), ("a+b.txt", ["has plus"])):
+        got = [r.value for r in spark.read.text(f"har://{har}/{rel}").collect()]
+        assert got == want, rel
+
+
+def test_sketches_ignore_nulls(spark):
+    """Review-r4b: NULL values must not occupy a KMV min slot or an
+    HLL register row — COUNT(DISTINCT col) semantics ignore NULLs."""
+    from hadoop_main_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+        kmv_distinct,
+    )
+
+    vals = [(f"v{i}",) for i in range(40)] + [(None,)] * 5
+    df = spark.createDataFrame(vals, "u string")
+    clean = spark.createDataFrame(vals[:40], "u string")
+    r = kmv_distinct(df, "u", k=64).collect()[0]
+    rc = kmv_distinct(clean, "u", k=64).collect()[0]
+    assert (r.k_used, r.kth_min, r.est_distinct) == (rc.k_used, rc.kth_min, rc.est_distinct)
+    assert r.est_distinct == 40.0  # exact below k, null NOT counted
+    hr = sorted((x.bucket, x.reg) for x in hll_registers(df, "u").collect())
+    hrc = sorted((x.bucket, x.reg) for x in hll_registers(clean, "u").collect())
+    assert hr == hrc
+    assert hll_estimate(hll_registers(df, "u")).collect()[0].est_distinct == (
+        hll_estimate(hll_registers(clean, "u")).collect()[0].est_distinct
+    )
+
+
+def test_count_matching_empty_frame(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.functions.counters import count_matching
+
+    empty = spark.createDataFrame([], "x int")
+    assert count_matching(empty, neg=F.col("x") < 0) == {"neg": 0}
+
+
+def test_zorder_rejects_negative_keys(spark, tmp_path):
+    from hadoop_main_spark.sources.layouts import write_zordered
+
+    df = spark.createDataFrame([(-1, 5), (3, 4)], "a int, b int")
+    with pytest.raises(ValueError, match="non-negative"):
+        write_zordered(df, str(tmp_path / "z"), "a", "b")
+
+
+def test_sequencefile_layout_pin_requires_codec(spark, tmp_path):
+    from hadoop_main_spark.sources.sequencefile import write_sequencefile
+
+    df = spark.createDataFrame([("k", "v")], "k string, v string")
+    with pytest.raises(ValueError, match="codec"):
+        write_sequencefile(df, str(tmp_path / "sf"), compression=None, block_compress=True)
+
+
+def test_text_splits_degenerate_inputs():
+    from hadoop_main_spark.sources.jdbc import text_splits
+
+    # uppercase endpoints normalize instead of collapsing to slot 0
+    got = text_splits("AAA", "ZZZ", 4)
+    assert len(got) == 4 and got[0][0] == "a"
+    # inverted/collapsed mapping returns ONE full range, never []
+    assert text_splits("b", "B9", 4) == [("b", "b9")]
+
+
+def test_balanced_buckets_fill_all_tasks(spark, tmp_path):
+    """Review-r4b: hash repartition on the bucket id collided distinct
+    buckets into one task (pmod(murmur3) is not a bijection);
+    repartitionByRange must land every bucket in its own task."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.sources.distcp import size_balanced_buckets
+
+    n = 8
+    listing = spark.createDataFrame(
+        [(f"/f{i:03d}", (i * 37) % 1000 + 1) for i in range(64)], "src string, size long"
+    )
+    ranked = size_balanced_buckets(listing, n)
+    parts = (
+        ranked.repartitionByRange(n, "bucket")
+        .select(F.spark_partition_id().alias("p"), "bucket")
+        .groupBy("p")
+        .agg(F.countDistinct("bucket").alias("nb"), F.count("*").alias("rows"))
+        .collect()
+    )
+    assert len(parts) == n, parts  # no empty tasks, no collided tasks
+    assert all(r.nb == 1 for r in parts), parts
