@@ -125,10 +125,15 @@ def _ppm_resize(p: bytes, width: int, height: int) -> bytes:
 
 def _ppm_features(p: bytes, dim: int) -> list[float]:
     """Real pixel features: the image is split into ``dim`` horizontal
-    bands and each band contributes its mean gray level in [0, 1]."""
+    bands and each band contributes its mean gray level in [0, 1].
+    Malformed payloads take the zeros bad-record path (same policy as
+    _wav_features: one bad row must not kill a 100 TB feature pass)."""
     import numpy as np
 
-    arr = _ppm_decode(p).astype(np.float64)
+    try:
+        arr = _ppm_decode(p).astype(np.float64)
+    except ValueError:
+        return [0.0] * dim
     h = arr.shape[0]
     out = []
     for b in range(dim):
@@ -318,10 +323,21 @@ def resize(media: DataFrame, width: int, height: int, decoder: str = "stub") -> 
 
     out_schema = media.schema
 
+    def _safe(p) -> bytes:
+        # NULL payload = bad record -> empty payload out; a malformed
+        # payload under a REAL decoder likewise must not kill the task
+        # (the extract_features/audio_resample zeros policy)
+        if p is None:
+            return b""
+        try:
+            return payload_fn(bytes(p))
+        except ValueError:
+            return b""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             b = b.copy()
-            b["payload"] = b["payload"].map(lambda p: payload_fn(bytes(p)))
+            b["payload"] = b["payload"].map(_safe)
             b["meta_width"] = width
             b["meta_height"] = height
             yield b

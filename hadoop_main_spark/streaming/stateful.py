@@ -33,26 +33,46 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _update_running(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+def _update_running_for(key_name: str):
+    """Kernel factory closed over the OUTPUT key column name — the
+    key/value parameters of running_totals are real (review-r4b: a
+    hard-coded pdf["value"] / "user_id" output crashed any non-default
+    call); the value column is canonicalized to __value upstream."""
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (k,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["__value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_name: [k], "n_events": [n], "total_value": [total]}
+        )
+
+    return _update
 
 
 def running_totals(events, key: str = "user_id", value: str = "value"):
     """Per-key running (count, sum) maintained across micro-batches —
     emits the updated totals for every key seen in each batch.
-    Works on a streaming DataFrame grouped by ``key``."""
+    Works on a streaming DataFrame grouped by ``key``; the output key
+    column keeps the input name and type."""
+    from pyspark.sql import functions as F
+
+    out_schema = StructType(
+        [
+            StructField(key, events.schema[key].dataType),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
     return (
-        events.select(key, value)
+        events.select(F.col(key), F.col(value).alias("__value"))
         .groupBy(key)
         .applyInPandasWithState(
-            _update_running,
-            outputStructType=RUNNING_SCHEMA,
+            _update_running_for(key),
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

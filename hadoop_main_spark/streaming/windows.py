@@ -152,9 +152,17 @@ def sessionize(
 
 def dedup_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-id stream dedup within the watermark horizon
-    (the streaming form of exact_dedup)."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return src.dropDuplicates([id_col])
+    (the streaming form of exact_dedup). Uses
+    ``dropDuplicatesWithinWatermark`` so the dedup state is actually
+    EVICTED as the watermark advances — plain ``dropDuplicates`` on
+    [id] alone never clears state (the watermark column must be part
+    of the subset), which grows one entry per id forever
+    (review-r4b)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            [id_col]
+        )
+    return events.dropDuplicates([id_col])
 
 
 def run_to_memory(
@@ -228,7 +236,16 @@ def _recover_replaced_dir(spark, path: str) -> None:
         cands.append((st.getModificationTime(), bid, name))
     if cands:
         *_, newest = max(cands)
-        fs.rename(_jpath(spark, newest), _jpath(spark, path))
+        _rename_or_raise(fs, _jpath(spark, newest), _jpath(spark, path))
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename signals failure by RETURNING FALSE —
+    an unchecked rename treats a failed swap as success and the
+    subsequent tmp sweep deletes the only copy of the merged batch
+    (review-r4b). Fail the batch instead; the commit log retries."""
+    if not fs.rename(src, dst):
+        raise RuntimeError(f"rename failed: {src} -> {dst}")
 
 
 def _replace_dir_safely(spark, df: DataFrame, path: str, batch_id: int) -> None:
@@ -237,16 +254,18 @@ def _replace_dir_safely(spark, df: DataFrame, path: str, batch_id: int) -> None:
     delete it first), swap the new dir in, then drop the aside copy.
     A crash at any step leaves either the old or the new contents
     restorable; callers run :func:`_recover_replaced_dir` on entry.
-    Retrying a batch after a completed swap is safe because both sink
-    merges (keyed upsert, HLL max-merge) are idempotent per batch."""
+    Retrying a batch after a completed swap is safe because every
+    caller's merge is idempotent per batch: the keyed upsert and the
+    HLL max-merge naturally, the span-count SUM via its
+    (ckpt_id, last_batch) high-water guard."""
     fs = _jpath(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
     tmp, aside = f"{path}__tmp_batch{batch_id}", f"{path}__old_batch{batch_id}"
     df.write.mode("overwrite").parquet(tmp)
     if fs.exists(_jpath(spark, aside)):  # stale aside from a crashed retry
         fs.delete(_jpath(spark, aside), True)
     if fs.exists(_jpath(spark, path)):
-        fs.rename(_jpath(spark, path), _jpath(spark, aside))
-    fs.rename(_jpath(spark, tmp), _jpath(spark, path))
+        _rename_or_raise(fs, _jpath(spark, path), _jpath(spark, aside))
+    _rename_or_raise(fs, _jpath(spark, tmp), _jpath(spark, path))
     # sweep ALL aside copies, not just this batch's: a crash between a
     # previous swap and its aside delete leaves a stale __old_batch*
     # that would otherwise leak forever — and after a checkpoint reset
@@ -285,8 +304,13 @@ def upsert_stream_parquet(
         batch = batch.dropDuplicates([key])
         if _hadoop_path_exists(spark, path):
             existing = spark.read.parquet(path)
-            merged = existing.join(
-                batch.select(key), key, "left_anti"
+            # eqNullSafe: a plain key anti-join never matches NULL keys,
+            # so the sink would accumulate one NULL-key row per batch
+            # instead of replacing it (review-r4b)
+            merged = existing.alias("e").join(
+                batch.select(key).alias("b"),
+                F.col(f"e.{key}").eqNullSafe(F.col(f"b.{key}")),
+                "left_anti",
             ).unionByName(batch)
         else:
             merged = batch
@@ -425,13 +449,19 @@ def span_counts_stream_parquet(
     format and age out singleton spans past a watermark).
 
     Replay safety: a SUM merge is NOT naturally idempotent (unlike the
-    keyed upsert and the HLL max-merge, whose docstrings
-    _replace_dir_safely's retry contract cites), so every sink row
-    carries ``last_batch`` — the high-water batch id merged in. A
+    keyed upsert and the HLL max-merge), so every sink row carries
+    ``last_batch`` — the high-water batch id merged in — plus
+    ``ckpt_id``, the checkpoint location it was produced under. A
     re-delivered batch (crash after the swap, before the checkpoint
-    commit) sees ``max(last_batch) >= batch_id`` and skips: the sink
-    already reflects it, and structured streaming serializes batches
-    so a high-water mark is sufficient."""
+    commit) sees ``max(last_batch) >= batch_id`` FOR THE SAME
+    checkpoint and skips: the sink already reflects it, and structured
+    streaming serializes batches so a high-water mark is sufficient.
+    The ckpt_id scoping matters because batch ids RESTART at 0 under a
+    new checkpoint lineage: without it, genuinely new batches of a
+    resumed pipeline would be silently dropped as "replays"
+    (review-r4b). A wiped-and-reused checkpoint DIR is
+    indistinguishable from replay — use a fresh checkpoint location
+    per lineage, the standard structured-streaming contract."""
     from hadoop_main_spark.functions.hashing import hash64
     from hadoop_main_spark.operators.dedup import word_shingles
 
@@ -449,11 +479,15 @@ def span_counts_stream_parquet(
         )
         if _hadoop_path_exists(spark, path):
             existing = spark.read.parquet(path)
-            applied = existing.agg(F.max("last_batch")).collect()[0][0]
+            applied = (
+                existing.filter(F.col("ckpt_id") == checkpoint)
+                .agg(F.max("last_batch"))
+                .collect()[0][0]
+            )
             if applied is not None and applied >= batch_id:
                 return  # replayed batch: already merged, sum would double-count
             merged = (
-                existing.drop("last_batch")
+                existing.drop("last_batch", "ckpt_id")
                 .unionByName(partial)
                 .groupBy("span_hash")
                 .agg(
@@ -465,7 +499,12 @@ def span_counts_stream_parquet(
         else:
             merged = partial
         _replace_dir_safely(
-            spark, merged.withColumn("last_batch", F.lit(batch_id)), path, batch_id
+            spark,
+            merged.withColumn("last_batch", F.lit(batch_id)).withColumn(
+                "ckpt_id", F.lit(checkpoint)
+            ),
+            path,
+            batch_id,
         )
 
     w = (
@@ -486,6 +525,6 @@ def read_span_counts(spark: SparkSession, path: str, min_docs: int = 2) -> DataF
     _recover_replaced_dir(spark, path)
     return (
         spark.read.parquet(path)
-        .drop("last_batch")
+        .drop("last_batch", "ckpt_id")
         .filter(F.col("n_docs") >= min_docs)
     )

@@ -315,3 +315,18 @@ def test_wav_features_bad_record_zeros(spark):
            for r in MM.extract_features(media, decoder="wav", dim=4).collect()}
     assert out[1] == (7, [0.0] * 4)
     assert out[2] == (0, [0.0] * 4)
+
+
+def test_resize_and_ppm_features_bad_records(spark):
+    """Review-r4b: NULL/malformed payloads must take the bad-record
+    path in resize (empty payload out) and ppm feature extraction
+    (zeros), never kill the task."""
+    media = spark.createDataFrame(
+        [(1, "image", None, "x", 4, 4),
+         (2, "image", bytearray(b"not a ppm"), "x", 4, 4)],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: bytes(r.payload) for r in MM.resize(media, 2, 2, decoder="ppm").collect()}
+    assert out == {1: b"", 2: b""}
+    feats = {r.media_id: r.features for r in MM.extract_features(media, decoder="ppm", dim=3).collect()}
+    assert feats == {1: [0.0] * 3, 2: [0.0] * 3}

@@ -599,6 +599,7 @@ def test_span_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     out, ckpt = str(tmp_path / "spans"), str(tmp_path / "spansckpt")
     q = W.span_counts_stream_parquet(stream, "doc_id", "text", out, ckpt, window=10)
     assert q.awaitTermination(300), "stream did not finish in time"
+    q.stop()  # release the checkpoint before the same-lineage restart
 
     def snapshot():
         return sorted(
@@ -614,9 +615,16 @@ def test_span_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
     assert len(got) > 0  # the fixture really has cross-doc spans
 
-    # replay safety: re-delivering every batch (fresh checkpoint, same
-    # sink — batch ids restart at 0) must NOT double the sums; the
-    # last_batch high-water mark skips already-merged batches
+    # REPLAY (same lineage): re-delivering already-merged batch ids
+    # under the SAME ckpt_id must be skipped, not double-SUMmed. This
+    # Spark build refuses to restart a query on a used checkpoint dir
+    # within one session, so the replay is simulated by retagging the
+    # sink rows with the checkpoint the second stream will use — its
+    # batches then carry exactly the already-applied ids 0..N
+    ckpt2 = str(tmp_path / "spansckpt2")
+    retagged = spark.read.parquet(out).withColumn("ckpt_id", F.lit(ckpt2)).collect()
+    sink_schema = spark.read.parquet(out).schema
+    spark.createDataFrame(retagged, sink_schema).write.mode("overwrite").parquet(out)
     q2 = W.span_counts_stream_parquet(
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -624,8 +632,34 @@ def test_span_counts_stream_equals_batch(spark, sf_dir, tmp_path):
         "doc_id",
         "text",
         out,
-        str(tmp_path / "spansckpt2"),
+        ckpt2,
         window=10,
     )
     assert q2.awaitTermination(300), "replay stream did not finish in time"
     assert snapshot() == want
+
+    # NEW checkpoint lineage over NEW data (batch ids restart at 0):
+    # the guard must scope to the checkpoint id and MERGE these
+    # batches, not drop them as replays (review-r4b)
+    extra_src = str(tmp_path / "docsrc2")
+    extra = docs.limit(20).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    extra.repartition(2).write.mode("overwrite").parquet(extra_src)
+    q3 = W.span_counts_stream_parquet(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(extra_src),
+        "doc_id",
+        "text",
+        out,
+        str(tmp_path / "spansckpt3"),
+        window=10,
+    )
+    assert q3.awaitTermination(300), "lineage-2 stream did not finish in time"
+    combined = docs.unionByName(spark.read.parquet(extra_src))
+    want2 = sorted(
+        (r.span_hash, r.n_docs, r.n_occurrences, r.first_doc)
+        for r in cross_doc_spans(combined, "doc_id", "text", window=10).collect()
+    )
+    assert snapshot() == want2
