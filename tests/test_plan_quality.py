@@ -393,3 +393,36 @@ def test_token_rarity_partial_agg_and_broadcast_total(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan
     assert "BroadcastNestedLoopJoin BuildRight" in plan or "BroadcastExchange" in plan
+
+
+def test_repeated_spans_partial_agg_no_window(spark, sf_dir):
+    """The span detector must plan map-side partial aggregation over
+    the exploded window hashes (one shuffle on the hash) and contain
+    no window operator at all — the digest-only groupBy shape."""
+    plan = _plan(spark, "repeated_spans", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_fuzzy_match_variant_equijoin(spark, sf_dir):
+    """Fuzzy matching must pair via an equi-join on the deletion
+    variant — never a cartesian product — with the bucket-size window
+    keyed on the variant (the skew guard)."""
+    plan = _plan(spark, "fuzzy_name_match", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        "windowspecdefinition" in ln and "__v" in ln for ln in plan.splitlines()
+    ), "variant bucket guard window missing"
+
+
+def test_domain_mix_apply_broadcast_budget(spark, sf_dir):
+    """The per-source budget table joins by broadcast (it is tiny by
+    definition), and the rank window partitions by source — never an
+    unpartitioned window over the documents."""
+    plan = _plan(spark, "domain_mix_apply", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "source" not in ln:
+            pytest.fail(f"window not keyed by source: {ln.strip()[:160]}")
