@@ -143,8 +143,13 @@ def value_histogram(
         F.expr("percentile(item_count, 0.5)").alias("median_count"),
         F.max("item_count").alias("max_count"),
         (s.cast("double") / n).alias("mean_count"),
+        # clamp: double round-off can land E[x^2]-E[x]^2 at -1 ulp for
+        # near-zero variance, and sqrt(negative) is NaN (review-r4b)
         F.sqrt(
-            s2.cast("double") / n - (s.cast("double") / n) * (s.cast("double") / n)
+            F.greatest(
+                s2.cast("double") / n - (s.cast("double") / n) * (s.cast("double") / n),
+                F.lit(0.0),
+            )
         ).alias("stddev_count"),
     )
 
@@ -172,9 +177,12 @@ def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         n.cast("bigint").alias("word_count"),
         (s.cast("double") / n).alias("mean_len"),
         F.expr("percentile(len, 0.5)").alias("median_len"),
-        F.sqrt(s2.cast("double") / n - (s.cast("double") / n) * (s.cast("double") / n)).alias(
-            "stddev_len"
-        ),
+        F.sqrt(
+            F.greatest(
+                s2.cast("double") / n - (s.cast("double") / n) * (s.cast("double") / n),
+                F.lit(0.0),
+            )
+        ).alias("stddev_len"),
     )
 
 
@@ -228,12 +236,31 @@ def aggregate_descriptor_records(df: DataFrame, record_col: str = "record") -> D
     Supported types: LongValueSum, LongValueMax, LongValueMin,
     ValueCount, UniqValueCount. Output: (agg_type, id, result).
     """
-    c = F.col(record_col)
-    head = F.substring_index(c, "\t", 1)
-    parsed = df.select(
-        F.substring_index(head, ":", 1).alias("agg_type"),
-        F.substring_index(head, ":", -1).alias("id"),
-        F.substring_index(c, "\t", -1).alias("value"),
+    # FIRST-separator semantics, matching the reference's
+    # generateEntry (first ':' splits type from id, first tab splits
+    # head from value) — a LAST-separator substring_index mis-parses
+    # ids containing ':' (URLs) and values containing tabs
+    # (review-r4b)
+    parsed = (
+        df.select(
+            F.col(record_col).alias("__rec"),
+            F.substring_index(F.col(record_col), "\t", 1).alias("__head"),
+        )
+        .select(
+            "__rec",
+            "__head",
+            F.substring_index(F.col("__head"), ":", 1).alias("agg_type"),
+        )
+        .select(
+            F.col("agg_type"),
+            F.expr("substring(__head, length(agg_type) + 2)").alias("id"),
+            F.when(
+                F.length("__rec") > F.length("__head"),
+                F.expr("substring(__rec, length(__head) + 2)"),
+            )
+            .otherwise(F.lit(""))
+            .alias("value"),
+        )
     )
     # UniqValueCount values may be non-numeric; numeric aggs see NULL
     v = F.col("value").try_cast("bigint")

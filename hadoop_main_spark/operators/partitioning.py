@@ -37,8 +37,14 @@ def key_field_partition(
     """Partition on a subset of delimited key fields — reference:
     KeyFieldBasedPartitioner (MRC/mapreduce/lib/partition/
     KeyFieldBasedPartitioner.java:85). ``fields`` are 1-based."""
-    arr = F.split(F.col(line_col), F.lit(sep).cast("string"))
-    return df.repartition(n, *[F.element_at(arr, i) for i in fields])
+    import re as _re
+
+    # escaped separator (F.split takes a REGEX) and try_element_at:
+    # under ANSI mode a short line would otherwise raise
+    # INVALID_ARRAY_INDEX instead of partitioning on a NULL field —
+    # the reference partitioner tolerates short keys (review-r4b)
+    arr = F.split(F.col(line_col), _re.escape(sep))
+    return df.repartition(n, *[F.try_element_at(arr, F.lit(i)) for i in fields])
 
 
 def binary_prefix_partition(
@@ -72,7 +78,13 @@ def fan_out(df: DataFrame, cols: Sequence[str | Column] | None = None, min_parti
     partitions (the 100 TB case — never add a shuffle there).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect has no RDD API — fan out unconditionally (the
+        # extra narrow shuffle is the safe default there)
+        current = 0
+    if current >= target:
         return df
     if cols:
         return df.repartition(target, *[F.col(c) if isinstance(c, str) else c for c in cols])

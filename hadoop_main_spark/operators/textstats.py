@@ -55,10 +55,40 @@ def stopword_score(text: Column | str, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, F.lower(t))))
 
 
+#: languages whose text is UNSEGMENTED (no whitespace tokens): their
+#: profiles score by substring OCCURRENCE counts, not token equality —
+#: a token-equality zh profile could never fire on real Chinese text
+#: (review-r4b: '我有他的书' is ONE whitespace token).
+CHAR_PROFILE_LANGS: frozenset[str] = frozenset({"zh"})
+
+
+def char_profile_score(text: Column | str, chars: tuple[str, ...]) -> Column:
+    """Total occurrence count of the profile characters in the raw
+    text (each profile entry is a single char, so length deltas count
+    occurrences exactly)."""
+    c = F.col(text) if isinstance(text, str) else text
+    score = F.lit(0)
+    for ch in chars:
+        score = score + (F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit(""))))
+    return score
+
+
+def _profile_score(text: Column | str, lang: str, words: tuple[str, ...]) -> Column:
+    if lang in CHAR_PROFILE_LANGS:
+        return char_profile_score(text, words)
+    return stopword_score(text, words)
+
+
 def lang_id(text: Column | str) -> Column:
-    """argmax-of-stopword-hits language guess; deterministic
-    tie-break = profile declaration order; no hits at all → 'und'."""
-    scores = [(lang, stopword_score(text, words)) for lang, words in LANG_PROFILES.items()]
+    """argmax-of-profile-hits language guess; deterministic
+    tie-break = profile declaration order; no hits at all → 'und'.
+    Whitespace-tokenized languages score by stopword-token hits;
+    unsegmented languages (CHAR_PROFILE_LANGS) by profile-character
+    occurrence counts."""
+    scores = [
+        (lang, _profile_score(text, lang, words))
+        for lang, words in LANG_PROFILES.items()
+    ]
     best = F.lit("und")
     best_score = F.lit(0)
     # iterate in reverse so that earlier languages win ties
@@ -86,16 +116,22 @@ def token_quality_cols(text_col: str) -> dict[str, Column]:
 
 
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document quality features + a composite score in [0,1]:
-    length, token stats, stopword ratio, punctuation ratio, unique
-    token ratio — the usual cheap pre-filter signals."""
-    toks = tokenize(text_col)
-    n_tok = F.size(toks).cast("bigint")
+    """Per-document quality feature COUNTS AND RATIOS: length, token
+    stats, stopword ratio, punctuation ratio, unique token ratio —
+    the usual cheap pre-filter signals (compose them downstream; no
+    opinionated composite score is emitted). Token-derived columns
+    share :func:`token_quality_cols`' definitions, so the gate
+    semantics cannot diverge between the feature table and the fused
+    curation pipeline."""
+    qcols = token_quality_cols(text_col)
+    n_tok = qcols["n_tokens"]
     n_chars = F.length(text_col).cast("bigint")
     n_stop = stopword_score(text_col, LANG_PROFILES["en"]).cast("bigint")
-    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    n_uniq = qcols["n_unique_tokens"]
+    # Column-based regexp (never interpolate the column name into SQL
+    # text — the transforms.py regex_matches rule)
     n_punct = F.size(
-        F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0)")
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
     ).cast("bigint")
     out = df.select(
         F.col(id_col),

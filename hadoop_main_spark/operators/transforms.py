@@ -62,7 +62,7 @@ def grep(df: DataFrame, col: str, pattern: str, k: int | None = None) -> DataFra
         F.count("*").alias("cnt")
     )
     ranked = counted.orderBy(F.desc("cnt"), F.asc("match"))
-    return ranked.limit(k) if k else ranked
+    return ranked.limit(k) if k is not None else ranked
 
 
 def inverse(df: DataFrame, key: str = "key", value: str = "value") -> DataFrame:
@@ -139,8 +139,12 @@ def field_select_expr(col: Column | str, spec: str, sep: str = "\t") -> Column:
     re-joined with ``sep`` — the FieldSelectionMapper value side
     (reference: MRC/mapreduce/lib/fieldsel/FieldSelectionMapper.java:1).
     """
+    import re as _re
+
     c = F.col(col) if isinstance(col, str) else col
-    arr = F.split(c, F.lit(sep).cast("string"))
+    # F.split takes a REGEX — escape the separator (the kv_split rule;
+    # a raw '|' or '.' would split on every character, review-r4b)
+    arr = F.split(c, _re.escape(sep))
     pieces: list[Column] = []
     for start, end in parse_field_spec(spec):
         if end is None:

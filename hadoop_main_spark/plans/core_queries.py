@@ -130,8 +130,8 @@ def grep_count(spark: SparkSession, sf: str) -> DataFrame:
     SELECT COUNT(*) AS word_count,
            CAST(SUM(len) AS DOUBLE) / COUNT(*) AS mean_len,
            CAST(quantile_cont(len, 0.5) AS DOUBLE) AS median_len,
-           sqrt(CAST(SUM(len*len) AS DOUBLE) / COUNT(*)
-                - (CAST(SUM(len) AS DOUBLE)/COUNT(*)) * (CAST(SUM(len) AS DOUBLE)/COUNT(*))) AS stddev_len
+           sqrt(greatest(CAST(SUM(len*len) AS DOUBLE) / COUNT(*)
+                - (CAST(SUM(len) AS DOUBLE)/COUNT(*)) * (CAST(SUM(len) AS DOUBLE)/COUNT(*)), 0.0)) AS stddev_len
     FROM (SELECT length(word)::BIGINT AS len
           FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
           WHERE word <> '')
@@ -203,8 +203,8 @@ def uniq_value_count(spark: SparkSession, sf: str) -> DataFrame:
            CAST(quantile_cont(item_count, 0.5) AS DOUBLE) AS median_count,
            MAX(item_count) AS max_count,
            CAST(SUM(item_count) AS DOUBLE) / COUNT(*) AS mean_count,
-           sqrt(CAST(SUM(item_count*item_count) AS DOUBLE)/COUNT(*)
-                - (CAST(SUM(item_count) AS DOUBLE)/COUNT(*))*(CAST(SUM(item_count) AS DOUBLE)/COUNT(*))) AS stddev_count
+           sqrt(greatest(CAST(SUM(item_count*item_count) AS DOUBLE)/COUNT(*)
+                - (CAST(SUM(item_count) AS DOUBLE)/COUNT(*))*(CAST(SUM(item_count) AS DOUBLE)/COUNT(*)), 0.0)) AS stddev_count
     FROM (SELECT event_type, user_id, COUNT(*) AS item_count
           FROM events GROUP BY event_type, user_id)
     GROUP BY event_type

@@ -332,8 +332,22 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     return TS.quality_features(t(spark, sf, "documents"), "doc_id", "text")
 
 
+def _char_profile_sql(chars: tuple[str, ...]) -> str:
+    """SQL twin of textstats.char_profile_score (occurrence counts)."""
+    return "(" + " + ".join(
+        f"(length(text) - length(replace(text, '{ch}', '')))" for ch in chars
+    ) + ")"
+
+
 def _langid_sql() -> str:
-    score_cols = {lang: _stop_sql(words) for lang, words in TS.LANG_PROFILES.items()}
+    score_cols = {
+        lang: (
+            _char_profile_sql(words)
+            if lang in TS.CHAR_PROFILE_LANGS
+            else _stop_sql(words)
+        )
+        for lang, words in TS.LANG_PROFILES.items()
+    }
     langs = list(TS.LANG_PROFILES)
     cases = []
     for i, lang in enumerate(langs):

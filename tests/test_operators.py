@@ -1155,3 +1155,56 @@ def test_cross_doc_spans_planted_boilerplate(spark):
     assert r.n_docs == 4 and r.first_doc == 1
     assert r.n_occurrences >= 5  # doc 5 contributes two aligned occurrences
     assert all(r.n_docs >= 2 for r in out.values())
+
+
+def test_descriptor_first_separator_semantics(spark):
+    """Review-r4b: type:id splits at the FIRST ':' (ids may be URLs)
+    and head/value at the FIRST tab (values may contain tabs) — the
+    reference generateEntry contract."""
+    from hadoop_main_spark.operators.aggregate import aggregate_descriptor_records
+
+    recs = [
+        ("LongValueSum:url:http://x\t5",),
+        ("LongValueSum:url:http://x\t7",),
+        ("UniqValueCount:k\ta\tb",),  # value 'a\tb' (contains a tab)
+        ("UniqValueCount:k\ta\tc",),
+        ("ValueCount:plain\t1",),
+    ]
+    df = spark.createDataFrame(recs, "record string")
+    out = {(r.agg_type, r.id): r.result for r in aggregate_descriptor_records(df).collect()}
+    assert out[("LongValueSum", "url:http://x")] == 12
+    assert out[("UniqValueCount", "k")] == 2  # 'a\tb' != 'a\tc'
+    assert out[("ValueCount", "plain")] == 1
+
+
+def test_field_selection_regex_separator(spark):
+    """Review-r4b: a regex-special separator ('|', '.') must be
+    treated literally, and a short line must not crash the
+    key-field partitioner under ANSI mode."""
+    from hadoop_main_spark.operators.partitioning import key_field_partition
+
+    df = spark.createDataFrame([("a|b|c|d",), ("x|y",)], ["line"])
+    row = T.field_selection(df, "line", "0", "2-", sep="|").collect()[0]
+    assert (row.key, row.value) == ("a", "c|d")
+    # fields beyond the short line partition on NULL, never raise
+    parts = key_field_partition(df, 4, "line", [1, 3], sep="|")
+    assert parts.count() == 2
+
+
+def test_grep_top_zero(spark):
+    df = spark.createDataFrame([("aa bb aa",)], ["line"])
+    assert T.grep(df, "line", "[a-z]+", k=0).count() == 0
+    assert T.grep(df, "line", "[a-z]+").count() == 2
+
+
+def test_lang_id_detects_unsegmented_chinese(spark):
+    """Review-r4b: real Chinese text is ONE whitespace token, so the
+    zh profile scores by character occurrence, not token equality."""
+    from hadoop_main_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "我有他的书在这里了"), (2, "the cat sat on the mat"), (3, "???")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.g for r in df.select("doc_id", lang_id("text").alias("g")).collect()}
+    assert got == {1: "zh", 2: "en", 3: "und"}, got
