@@ -767,3 +767,53 @@ def cross_doc_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def lsh_pairs_across(
+    sig_new: DataFrame,
+    sig_corpus: DataFrame,
+    id_col: str,
+    min_est_jaccard: float = 0.5,
+    max_band_bucket: int = 1000,
+) -> DataFrame:
+    """INCREMENTAL dedup: near-dup pairs BETWEEN an arriving batch's
+    signature table and the persisted corpus signatures — the
+    production ingest shape. The corpus side is never re-shingled
+    (its signatures were materialized at ingest,
+    sources/layouts.materialize_minhash_signatures); per batch the
+    work is the batch's own signature pass plus one banded equi-join
+    whose corpus side is pruned to colliding band buckets. Output:
+    (id_new, id_corpus, est_jaccard) — every batch id keeps ALL its
+    corpus matches (no ``id_a < id_b`` ordering: the sides are
+    distinct tables; the caller decides drop-new vs supersede-old).
+
+    Skew guard: bucket sizes are counted on EACH side (a hot band
+    signature must not quadratically explode either against the
+    other), the same ``max_band_bucket`` contract as the self-join
+    form. Batch-internal duplicates are a separate
+    :func:`lsh_pairs_from_signatures` pass over the batch alone."""
+    mh_cols = [f"mh{j}" for j in range(NUM_HASHES)]
+
+    def banded(sig: DataFrame) -> DataFrame:
+        bands = sig.select(
+            F.col(id_col), *mh_cols, F.explode(F.array(*_band_structs())).alias("__bb")
+        ).select(id_col, *mh_cols, "__bb.band", "__bb.band_sig")
+        return bands.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
+        ).filter(F.col("bucket_n") <= max_band_bucket)
+
+    a, b = banded(sig_new).alias("__new"), banded(sig_corpus).alias("__cor")
+    agree = sum(
+        F.when(F.col(f"__new.mh{j}") == F.col(f"__cor.mh{j}"), 1).otherwise(0)
+        for j in range(NUM_HASHES)
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .select(
+            F.col(f"__new.{id_col}").alias("id_new"),
+            F.col(f"__cor.{id_col}").alias("id_corpus"),
+            (agree.cast("double") / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .distinct()
+    )

@@ -1984,3 +1984,59 @@ def semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("cluster_size"),
     )
+
+
+def _incremental_oracle() -> str:
+    bands_side = lambda side, pred: (
+        "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS band_sig FROM sig WHERE {pred}"
+            for b in range(B)
+        )
+    )
+    return (
+        "WITH"
+        + _SHINGLE_CTE
+        + ","
+        + _SIG_CTE
+        + f""",
+    bn AS (
+      {bands_side('new', 'doc_id % 10 = 0')}
+    ),
+    bc AS (
+      {bands_side('cor', 'doc_id % 10 <> 0')}
+    ),
+    sn AS (SELECT *, COUNT(*) OVER (PARTITION BY band, band_sig) AS bucket_n FROM bn),
+    sc AS (SELECT *, COUNT(*) OVER (PARTITION BY band, band_sig) AS bucket_n FROM bc),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_corpus
+      FROM sn n JOIN sc c ON n.band = c.band AND n.band_sig = c.band_sig
+      WHERE n.bucket_n <= 1000 AND c.bucket_n <= 1000)
+    SELECT id_new, id_corpus,
+           CAST(({_AGREE}) AS DOUBLE) / {float(J)} AS est_jaccard
+    FROM cand JOIN sig a ON a.doc_id = id_new JOIN sig b ON b.doc_id = id_corpus
+    WHERE CAST(({_AGREE}) AS DOUBLE) / {float(J)} >= 0.5
+    """
+    )
+
+
+@query(
+    "incremental_dedup",
+    oracle=_incremental_oracle(),
+    doc="INCREMENTAL ingest dedup: the arriving batch (doc_id % 10 == "
+    "0 plays the new snapshot) signature-joins against the persisted "
+    "corpus signatures — the corpus is NEVER re-shingled (its "
+    "signatures were materialized at ingest; "
+    "materialize_minhash_signatures is the write side), so per-batch "
+    "cost is the batch's own signature pass plus one banded equi-join "
+    "with per-side hot-bucket guards. Emits every (new, corpus) "
+    "near-dup pair so the caller chooses drop-new vs supersede-old. "
+    "The production companion to dedup_minhash_lsh's full-corpus "
+    "self-join.",
+)
+def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    sig_new = D.minhash_signature(new, "doc_id", "text")
+    sig_cor = D.minhash_signature(corpus, "doc_id", "text")
+    return D.lsh_pairs_across(sig_new, sig_cor, "doc_id", min_est_jaccard=0.5)

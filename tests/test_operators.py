@@ -1208,3 +1208,47 @@ def test_lang_id_detects_unsegmented_chinese(spark):
     )
     got = {r.doc_id: r.g for r in df.select("doc_id", lang_id("text").alias("g")).collect()}
     assert got == {1: "zh", 2: "en", 3: "und"}, got
+
+
+def test_lsh_pairs_across_matches_full_self_join(spark):
+    """Incremental dedup consistency: for a corpus split into
+    batch/corpus sides, lsh_pairs_across must find exactly the
+    cross-side subset of the full self-join's pairs (same bands, same
+    estimates) — the contract that lets ingest dedup incrementally
+    without re-scanning the corpus."""
+    from hadoop_main_spark.operators.dedup import (
+        lsh_pairs_across,
+        lsh_pairs_from_signatures,
+        minhash_signature,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # near-dup of 0
+        "one two three four five six seven eight nine",
+        "one two three four five six seven eight ten",    # near-dup of 2
+        "completely different content with other words here",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sig = minhash_signature(df, "doc_id", "text")
+    full = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in lsh_pairs_from_signatures(sig, "doc_id", min_est_jaccard=0.3).collect()
+    }
+    new_ids = {0, 2}
+    got = {
+        (r.id_new, r.id_corpus): r.est_jaccard
+        for r in lsh_pairs_across(
+            sig.filter(F.col("doc_id").isin(*new_ids)),
+            sig.filter(~F.col("doc_id").isin(*new_ids)),
+            "doc_id",
+            min_est_jaccard=0.3,
+        ).collect()
+    }
+    want = {
+        (a, b) if a in new_ids else (b, a): est
+        for (a, b), est in full.items()
+        if (a in new_ids) != (b in new_ids)
+    }
+    assert got == want and len(got) >= 2, (got, want)
