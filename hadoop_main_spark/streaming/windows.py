@@ -528,3 +528,88 @@ def read_span_counts(spark: SparkSession, path: str, min_docs: int = 2) -> DataF
         .drop("last_batch", "ckpt_id")
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    sig_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    min_est_jaccard: float = 0.5,
+    trigger_available_now: bool = True,
+):
+    """The FULL production ingest-dedup loop as one stream: every
+    micro-batch (a) computes its MinHash signatures, (b) finds
+    within-batch near-dup pairs, (c) finds pairs against ALL
+    previously ingested signatures via the incremental banded join
+    (:func:`~hadoop_main_spark.operators.dedup.lsh_pairs_across` —
+    the corpus is never re-shingled), then (d) appends its signatures
+    to the corpus store so later batches dedup against it.
+
+    Both sinks write per-batch SUBDIRECTORIES with overwrite
+    (``.../batch=<id>/``), so a replayed batch rewrites its own
+    partition — naturally idempotent, no high-water bookkeeping.
+    Pairs are normalized to (id_a, id_b) = (least, greatest), so for
+    ANY partition of the corpus into batches the union over batch
+    partitions equals the one-shot self-join pair set
+    (``minhash_lsh_pairs``) — each unordered pair surfaces exactly
+    once: in its batch (within) or at the LATER doc's batch (cross).
+    (Caveat shared with all capped LSH: per-side hot-bucket guards
+    see per-batch counts, so a bucket crossing ``max_band_bucket``
+    only globally is dropped by the batch form but kept here.)
+
+    Read the accumulated pair set with ``spark.read.parquet(pairs_path)``.
+    """
+    from hadoop_main_spark.operators.dedup import (
+        lsh_pairs_across,
+        lsh_pairs_from_signatures,
+        minhash_signature,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sig = minhash_signature(batch.select(id_col, text_col), id_col, text_col)
+        # the signature table is consumed three times in this batch
+        # (within-join x2 sides + cross-join probe + the store write);
+        # localCheckpoint materializes the shingle pass once per batch
+        sig = sig.localCheckpoint(eager=True)
+        try:
+            within = lsh_pairs_from_signatures(
+                sig, id_col, min_est_jaccard=min_est_jaccard
+            ).select(
+                F.col("id_a").cast("long"), F.col("id_b").cast("long"), "est_jaccard"
+            )
+            pairs = within
+            if _hadoop_path_exists(spark, sig_path):
+                corpus = spark.read.parquet(sig_path)
+                cross = lsh_pairs_across(
+                    sig, corpus, id_col, min_est_jaccard=min_est_jaccard
+                ).select(
+                    F.least(F.col("id_new"), F.col("id_corpus")).cast("long").alias("id_a"),
+                    F.greatest(F.col("id_new"), F.col("id_corpus")).cast("long").alias("id_b"),
+                    "est_jaccard",
+                )
+                pairs = within.unionByName(cross)
+            pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+            sig.write.mode("overwrite").parquet(f"{sig_path}/batch={batch_id}")
+        finally:
+            # release THIS batch's checkpoint blocks (read the rdd id
+            # off the plan, never a global persistent-RDD diff — the
+            # connected_components discipline); a long-running stream
+            # would otherwise pin one cached RDD per micro-batch
+            rid = int(sig._jdf.queryExecution().analyzed().rdd().id())
+            m = spark.sparkContext._jsc.getPersistentRDDs()
+            if m.containsKey(rid):
+                m.get(rid).unpersist()
+
+    w = (
+        docs_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -663,3 +663,68 @@ def test_span_counts_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in cross_doc_spans(combined, "doc_id", "text", window=10).collect()
     )
     assert snapshot() == want2
+
+
+def test_dedup_ingest_stream_equals_batch_self_join(spark, sf_dir, tmp_path):
+    """The streaming ingest-dedup loop (within-batch pairs + cross
+    pairs against all previously ingested signatures) must produce,
+    over ANY batching of the corpus, exactly the one-shot self-join
+    pair set — each unordered pair exactly once, same estimates."""
+    from hadoop_main_spark.operators.dedup import minhash_lsh_pairs
+    from hadoop_main_spark.tables import load_table
+
+    src = str(tmp_path / "docsrc")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(5).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sig_p, pairs_p = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    q = W.dedup_ingest_stream(
+        stream, "doc_id", "text", sig_p, pairs_p, str(tmp_path / "ick")
+    )
+    assert q.awaitTermination(300), "ingest stream did not finish"
+
+    got = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in spark.read.parquet(pairs_p).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", min_est_jaccard=0.5).collect()
+    )
+    assert got == want and len(got) > 0
+    # the signature store holds every ingested doc exactly once
+    assert spark.read.parquet(sig_p).count() == docs.count()
+
+
+def test_dedup_ingest_stream_releases_checkpoints(spark, sf_dir, tmp_path):
+    """The per-batch signature localCheckpoint must be released after
+    each batch — a long-running ingest stream must not pin one cached
+    RDD per micro-batch (the connected_components discipline)."""
+    from hadoop_main_spark.tables import load_table
+
+    before = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    src = str(tmp_path / "src")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    q = W.dedup_ingest_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "doc_id",
+        "text",
+        str(tmp_path / "s"),
+        str(tmp_path / "p"),
+        str(tmp_path / "c"),
+    )
+    assert q.awaitTermination(300)
+    after = [
+        i.id()
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before
+    ]
+    assert not after, f"leaked checkpoint blocks: {after}"
