@@ -115,6 +115,18 @@ def main() -> None:
     out["repeated_spans"] = D.cross_doc_spans(big, "doc_id", "text", window=20).count()
     out["repeated_spans_s"] = round(time.time() - t0, 1)
 
+    # incremental ingest shape: a 10%-of-corpus batch vs the rest,
+    # corpus side from persisted-signature reuse (no re-shingle)
+    sig_all = D.minhash_signature(big, "doc_id", "text")
+    t0 = time.time()
+    out["incremental_pairs"] = D.lsh_pairs_across(
+        sig_all.filter(F.col("doc_id") % 10 == 0),
+        sig_all.filter(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        min_est_jaccard=0.5,
+    ).count()
+    out["incremental_s"] = round(time.time() - t0, 1)
+
     cust = tables.load_table(spark, sf_dir, "customer")
     bigc = reduce(
         DataFrame.unionByName,
