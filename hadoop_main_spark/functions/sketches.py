@@ -25,6 +25,18 @@ from hadoop_main_spark.functions.hashing import hash64
 HASH_SPACE = float(2**60)
 
 
+def kmv_estimate_col(k_used: Column | str, kth_min: Column | str, k: int) -> Column:
+    """The KMV estimator as a Column — (k-1) * 2^60 / kth_min, or the
+    exact count below ``k`` — shared by kmv_distinct and the
+    set-algebra query so the formula exists ONCE (its SQL twin embeds
+    the same HASH_SPACE literal)."""
+    ku = F.col(k_used) if isinstance(k_used, str) else k_used
+    km = F.col(kth_min) if isinstance(kth_min, str) else kth_min
+    return F.when(ku < k, ku.cast("double")).otherwise(
+        (ku - 1).cast("double") * F.lit(HASH_SPACE) / km.cast("double")
+    )
+
+
 def kmv_distinct(df: DataFrame, col: Column | str, k: int = 256) -> DataFrame:
     """KMV distinct-count estimate of ``col``.
 
@@ -43,13 +55,7 @@ def kmv_distinct(df: DataFrame, col: Column | str, k: int = 256) -> DataFrame:
     return agg.select(
         "k_used",
         "kth_min",
-        F.when(
-            F.col("k_used") < k, F.col("k_used").cast("double")
-        )
-        .otherwise(
-            (F.col("k_used") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min").cast("double")
-        )
-        .alias("est_distinct"),
+        kmv_estimate_col("k_used", "kth_min", k).alias("est_distinct"),
     )
 
 

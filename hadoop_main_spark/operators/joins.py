@@ -215,9 +215,16 @@ def asof_join(
     the same key.
 
     ``right`` must be unique per (on, right_ts); pre-aggregate if not.
+
+    SQL-ASOF NULL semantics (review-r4b): a right row with a NULL
+    timestamp or NULL key can never satisfy ``right_ts <= left_ts AND
+    key = key`` and is dropped from the match side (it would otherwise
+    sort FIRST in the carry-forward window and match everything);
+    left rows with NULL key/ts still come out, unmatched.
     """
     from pyspark.sql import Window
 
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     vcols = list(value_cols) or [c for c in right.columns if c not in (on, right_ts)]
     # the right side's value columns ride in ONE struct: carrying each
     # column independently with last(ignorenulls) would skip a

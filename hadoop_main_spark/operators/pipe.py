@@ -98,6 +98,15 @@ def _piped(
     except BaseException:
         proc.kill()  # unblock the writer if it's stuck on a full pipe
         writer.join()
+        # reap the killed child and close its read end — an unreaped
+        # Popen lingers as a zombie with open fds until GC
+        # (review-r4b); repeated task errors on a long-lived executor
+        # would otherwise accumulate them between GC cycles
+        proc.wait()
+        try:
+            proc.stdout.close()
+        except OSError:
+            pass
         raise
     writer.join()
     if feed_exc:

@@ -514,7 +514,10 @@ def broadcast_join_agg(spark: SparkSession, sf: str) -> DataFrame:
       WHERE c_custkey IN (SELECT o_custkey FROM orders)
     UNION ALL
     SELECT 'without_orders' AS bucket, COUNT(*) AS cnt FROM customer
-      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      -- NOT EXISTS, not NOT IN: one NULL o_custkey would make every
+      -- NOT IN verdict NULL (zero rows) while left_anti keeps the
+      -- unmatched customers (review-r4b)
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     doc="Semi/anti joins — absent in the reference (SURVEY §2.7), free "
     "Spark capability ('left_semi' / 'left_anti').",

@@ -613,7 +613,11 @@ def _hll_oracle() -> str:
         f"ELSE {HLL_MAX_RANK} - length(bin(h >> 8)) END"
     )
     return f"""
-    WITH h AS (SELECT o_orderpriority AS grp, {h} AS h FROM orders),
+    -- null-priority rows are excluded on BOTH sides (the Spark build
+    -- filters them so its two register subtrees share one exchange;
+    -- without the same filter here the 'ALL' row diverges, review-r4b)
+    WITH h AS (SELECT o_orderpriority AS grp, {h} AS h FROM orders
+               WHERE o_orderpriority IS NOT NULL),
     r AS (SELECT grp, h & {HLL_M - 1} AS bucket, MAX({rank}) AS reg
           FROM h GROUP BY grp, bucket),
     rall AS (SELECT 'ALL' AS grp, bucket, MAX(reg) AS reg FROM r GROUP BY bucket),
@@ -622,9 +626,10 @@ def _hll_oracle() -> str:
                  SUM(1::BIGINT << ({HLL_MAX_RANK} - reg)) AS s_present
           FROM allr GROUP BY grp),
     ex AS (SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey) AS exact_distinct
-           FROM orders GROUP BY grp
+           FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY grp
            UNION ALL
-           SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders)
+           SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders
+           WHERE o_orderpriority IS NOT NULL)
     SELECT s.grp, n_buckets_used,
            CAST('{HLL_NUMER!r}' AS DOUBLE)
              / CAST(s_present + ({HLL_M} - n_buckets_used) * (1::BIGINT << {HLL_MAX_RANK}) AS DOUBLE)
@@ -663,11 +668,12 @@ def hll_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
     merged = hll_merge(regs.drop("o_orderpriority")).withColumn("grp", F.lit("ALL"))
     per_grp = regs.withColumnRenamed("o_orderpriority", "grp")
     est = hll_estimate(per_grp.unionByName(merged), ["grp"])
+    onn = o.filter(F.col("o_orderpriority").isNotNull())
     exact = (
-        o.groupBy(F.col("o_orderpriority").alias("grp"))
+        onn.groupBy(F.col("o_orderpriority").alias("grp"))
         .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
         .unionByName(
-            o.agg(F.countDistinct("o_custkey").alias("exact_distinct")).withColumn(
+            onn.agg(F.countDistinct("o_custkey").alias("exact_distinct")).withColumn(
                 "grp", F.lit("ALL")
             )
         )
@@ -900,9 +906,13 @@ def quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _KMV_K = 256
+# SQL twin of sketches.kmv_estimate_col — same HASH_SPACE literal, one
+# Python-side source for the formula (review-r4b dedup)
+from hadoop_main_spark.functions.sketches import HASH_SPACE as _KMV_SPACE  # noqa: E402
+
 _KMV_EST = (
     "CASE WHEN {ku} < " + str(_KMV_K) + " THEN CAST({ku} AS DOUBLE) "
-    "ELSE CAST({ku} - 1 AS DOUBLE) * " + repr(float(2**60)) + " / CAST({km} AS DOUBLE) END"
+    "ELSE CAST({ku} - 1 AS DOUBLE) * " + repr(_KMV_SPACE) + " / CAST({km} AS DOUBLE) END"
 )
 
 
@@ -995,14 +1005,10 @@ def kmv_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
         F.max("ku").alias("ku"), F.max("km").alias("km")
     ).crossJoin(F.broadcast(u))
 
+    from hadoop_main_spark.functions.sketches import kmv_estimate_col
+
     def est(ku, km):
-        return (
-            F.when(F.col(ku) < k, F.col(ku).cast("double")).otherwise(
-                (F.col(ku) - 1).cast("double")
-                * F.lit(float(2**60))
-                / F.col(km).cast("double")
-            )
-        )
+        return kmv_estimate_col(ku, km, k)
 
     scored = wide.select(
         est("a_ku", "a_km").alias("est_a"),

@@ -655,18 +655,26 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     from hadoop_main_spark.operators.transforms import tokenize
 
     d = t(spark, sf, "documents")
-    n_docs = d.count()
+    # n_docs as a LAZY one-row broadcast (the token_rarity_score
+    # shape), not an eager d.count() — the driver action added a whole
+    # extra documents scan before the main plan ran (review-r4b)
+    n_docs = d.agg(F.count("*").alias("__n_docs"))
     tok = fan_out(d.select("doc_id", "text"), ["doc_id"]).select(
         "doc_id", F.explode(tokenize("text")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df").cast("double")).alias(
-            "score"
-        ),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") * F.col("__n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (

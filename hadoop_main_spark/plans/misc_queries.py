@@ -30,7 +30,14 @@ from hadoop_main_spark.plans.registry import query, t
     "oracle reproduces the subprocess's effect with lower().",
 )
 def pipe_wordcount(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents").select("doc_id", "text")
+    # newline normalization BEFORE the line-framed pipe: a text
+    # containing '\n' would split into multiple physical lines and
+    # the continuation tokens would silently vanish (no tab -> empty
+    # value); as whitespace, '\n' and ' ' tokenize identically, so
+    # the oracle is unaffected (review-r4b)
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.regexp_replace("text", "[\r\n]", " ").alias("text")
+    )
     piped = PIPE.pipe(d, "tr 'A-Z' 'a-z'")
     from hadoop_main_spark.operators.transforms import tokenize
 
@@ -149,7 +156,10 @@ _AWK_SUM = (
 @query(
     "pipe_reduce_sum",
     oracle="""
-    SELECT user_id, CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    SELECT user_id,
+           -- COALESCE: the awk reducer sums an all-NULL group's empty
+           -- strings to 0, SQL SUM would yield NULL (review-r4b)
+           CAST(COALESCE(SUM(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS total_cents
     FROM events GROUP BY user_id
     """,
     doc="Hadoop-Streaming subprocess REDUCER (ST/PipeMapRed.java:1 "

@@ -1252,3 +1252,24 @@ def test_lsh_pairs_across_matches_full_self_join(spark):
         if (a in new_ids) != (b in new_ids)
     }
     assert got == want and len(got) >= 2, (got, want)
+
+
+def test_asof_join_null_ts_and_key_never_match(spark):
+    """Review-r4b: a right row with NULL ts or NULL key can never
+    satisfy 'right_ts <= left_ts AND key = key' — it must not be
+    carried forward; NULL-key left rows come out unmatched."""
+    import datetime as dt
+
+    from hadoop_main_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    left = spark.createDataFrame(
+        [(1, t1), (None, t1)], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, t0, 7), (None, t0, 42)],
+        "k int, ts timestamp, v int",
+    )
+    out = {r.k: r.v for r in asof_join(left, right, "k").collect()}
+    assert out == {1: 7, None: None}, out
