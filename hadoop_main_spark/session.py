@@ -73,6 +73,17 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     tune(spark)
+    # re-apply CALLER choices after tune(): tune unconditionally sets
+    # the runtime confs and the shuffle size, silently clobbering an
+    # explicit shuffle_partitions= or an overlapping extra_conf key
+    # (review-r4b)
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     return spark
 
 

@@ -143,7 +143,13 @@ def write_mapfile(df, path: str, key: str, n_buckets: int = 16) -> None:
     (
         df.withColumn("__bucket", b)
         .repartition(n_buckets, "__bucket")
-        .sortWithinPartitions(key)
+        # sort by (__bucket, key): partitionBy requires __bucket
+        # ordering, and if only `key` were sorted Spark would insert
+        # its OWN SortExec(__bucket) above — an unstable sort that
+        # can interleave the key order across spill files
+        # (review-r4b); satisfying the requirement here makes the
+        # inserted sort a no-op
+        .sortWithinPartitions("__bucket", key)
         .write.mode("overwrite")
         .partitionBy("__bucket")
         .parquet(path)

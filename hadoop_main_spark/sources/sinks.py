@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 def write_kv_text(df: DataFrame, path: str, sep: str = "\t", mode: str = "overwrite") -> None:
     """TextOutputFormat: ``key<sep>value`` lines (all columns joined).
     Reference: MRC/mapreduce/lib/output/TextOutputFormat.java:1."""
-    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+    # coalesce each column: concat_ws SKIPS nulls, which would drop
+    # the separator slot and shift every later field (review-r4b) —
+    # a null writes an EMPTY field, exactly what kv_split reads back
+    line = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    )
     df.select(line.alias("value")).write.mode(mode).text(path)
 
 
@@ -100,10 +105,13 @@ def compact_small_files(
     files = df.inputFiles()
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    total = 0
-    for f in files:
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    # ONE getContentSummary RPC for the whole tree — a per-file
+    # getFileStatus loop is O(n) sequential driver round trips on
+    # exactly the many-small-files workload this targets (review-r4b)
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    total = int(
+        root.getFileSystem(conf).getContentSummary(root).getLength()
+    )
     n_out = max(1, math.ceil(total / target_file_bytes))
     dest = out_path or (path.rstrip("/") + "_compacted")
     df.coalesce(n_out).write.mode("overwrite").parquet(dest)

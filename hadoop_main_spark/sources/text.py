@@ -45,6 +45,10 @@ def read_fixed_width(
     FixedLengthInputFormat.java:47 (binary records there; the text
     form covers the same layout for splittable data)."""
     names = list(names or [f"f{i}" for i in range(len(widths))])
+    if len(names) != len(widths):
+        # zip would silently truncate to the shorter list, dropping
+        # trailing fields with no error (review-r4b)
+        raise ValueError(f"{len(widths)} widths but {len(names)} names")
     df = read_text(spark, path)
     cols = []
     off = 1
@@ -70,6 +74,8 @@ def multiple_inputs(
 ) -> DataFrame:
     """MultipleInputs: per-source transform ("per-path Mapper"), then
     union by name. Reference: MRC/mapreduce/lib/input/MultipleInputs.java:40."""
+    if not sources:
+        raise ValueError("multiple_inputs needs at least one source")
     outs = [(fn(df) if fn else df) for df, fn in sources]
     result = outs[0]
     for o in outs[1:]:
@@ -101,8 +107,14 @@ def read_xml_records(
     row per file) then split by pattern — matching the reference's
     begin/end-mark scan. For huge single XML files prefer converting
     upstream; for many-file corpora this parallelizes per file."""
+    import re as _re
+
     whole = spark.read.text(path, wholetext=True)
-    pat = f"(?s)<{tag}[\\s>].*?</{tag}>"
+    # escape the tag: XML names may contain regex metacharacters
+    # ('.', '-') and an unescaped '.' would match wrong elements
+    # (review-r4b)
+    etag = _re.escape(tag)
+    pat = f"(?s)<{etag}[\\s>].*?</{etag}>"
     return whole.select(
         F.explode(F.regexp_extract_all("value", F.lit(pat), F.lit(0))).alias(col)
     )

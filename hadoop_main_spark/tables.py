@@ -41,7 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # unix_micros()/window arithmetic downstream keeps working.
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # FLOOR division: `div` truncates toward zero, rounding
+            # pre-epoch nanos UP a microsecond (review-r4b); exact
+            # integer floor keeps negatives correct too
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+            )
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df

@@ -155,3 +155,48 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     back = {(r.id, r.day) for r in spark.read.parquet(p).collect()}
     assert back == {(1, "d1"), (99, "d2")}  # d1 untouched, d2 replaced
+
+
+def test_kv_text_null_fields_keep_alignment(spark, tmp_path):
+    """Review-r4b: a NULL column must write an EMPTY field, not vanish
+    (concat_ws skips nulls and shifts every later field)."""
+    from hadoop_main_spark.sources.sinks import write_kv_text
+
+    df = spark.createDataFrame([("k", None, "v"), ("a", "m", "b")], "x string, y string, z string")
+    out = str(tmp_path / "kv")
+    write_kv_text(df, out)
+    lines = sorted(r.value for r in spark.read.text(out).collect())
+    assert lines == ["a\tm\tb", "k\t\tv"]
+
+
+def test_fixed_width_rejects_mismatched_names():
+    import pytest as _p
+
+    from hadoop_main_spark.sources.text import read_fixed_width
+
+    with _p.raises(ValueError, match="widths"):
+        read_fixed_width(None, "/nope", widths=[3, 2, 4], names=["a", "b"])
+
+
+def test_xml_records_regex_special_tag(spark, tmp_path):
+    """Review-r4b: a tag containing '.' must not wildcard-match other
+    element names."""
+    from hadoop_main_spark.sources.text import read_xml_records
+
+    p = tmp_path / "x.xml"
+    p.write_text("<nsXrec>wrong</nsXrec><ns.rec>right</ns.rec>")
+    rows = [r.record for r in read_xml_records(spark, str(p), "ns.rec").collect()]
+    assert rows == ["<ns.rec>right</ns.rec>"]
+
+
+def test_get_spark_honors_caller_confs(spark):
+    """Review-r4b: tune() must not clobber an explicit
+    shuffle_partitions / extra_conf choice."""
+    from hadoop_main_spark.session import get_spark
+
+    s = get_spark("conf-check", shuffle_partitions=7)
+    assert s.conf.get("spark.sql.shuffle.partitions") == "7"
+    # restore the shared session's tuned value for later tests
+    from hadoop_main_spark.session import tune
+
+    tune(s)
