@@ -188,23 +188,47 @@ def _split_points(
         if buf is not None:
             yield buf.drop(columns="__r")
 
+    # null policy (review-r4b): the searchsorted path encodes null
+    # BOUND components exactly (indicator byte), so when every key
+    # dtype is encodable only LEADING-null rows are dropped — an
+    # all-null tiebreak column must not discard every sample and
+    # funnel the dataset into one bucket. The fold path needs fully
+    # non-null bounds (literal comparisons), so it keeps the strict
+    # filter.
+    dts = [f.dataType.simpleString() for f in keys.schema.fields]
+    fast = all(_encodable(d) for d in dts)
+
+    def _keep(t: tuple) -> bool:
+        return (t[0] is not None) if fast else (None not in t)
+
     rows = [
         tuple(r)
         for r in keys.mapInPandas(first_k, keys.schema).collect()
-        if None not in tuple(r)
+        if _keep(tuple(r))
     ]
     if rows and len(set(rows)) < min(n, len(rows)):
         sampled = [
             tuple(r)
             for r in keys.mapInPandas(reservoir_k, keys.schema).collect()
-            if None not in tuple(r)
+            if _keep(tuple(r))
         ]
         if len(set(sampled)) > len(set(rows)):
             rows = sampled
     if not rows:
         return []
+
+    def _skey(v):
+        # Python-side total order matching Spark's ascending order:
+        # NULL first, values, NaN last (NaN breaks list.sort — all
+        # comparisons false — degrading bound selection; review-r4b)
+        if v is None:
+            return (0, 0)
+        if isinstance(v, float) and v != v:
+            return (2, 0)
+        return (1, v)
+
     for i in reversed(range(len(specs))):
-        rows.sort(key=lambda r, i=i: r[i], reverse=not specs[i][1])
+        rows.sort(key=lambda r, i=i: _skey(r[i]), reverse=not specs[i][1])
     m = len(rows)
     bounds: list[tuple] = []
     seen: set[tuple] = set()
@@ -435,6 +459,19 @@ def _bucket_id_searchsorted(
     return F.coalesce(pandas_udf(_pid, "int")(*in_cols), F.lit(0))
 
 
+def _bound_lit(v) -> Column:
+    """Literal builder that also handles STRUCT bound components —
+    F.lit(Row) raises UNSUPPORTED_FEATURE.LITERAL_TYPE, which crashed
+    ranking on any struct sort key (review-r4b)."""
+    from pyspark.sql import Row as _Row
+
+    if isinstance(v, _Row):
+        return F.struct(
+            *[_bound_lit(x).alias(n) for n, x in zip(v.__fields__, list(v))]
+        )
+    return F.lit(v)
+
+
 def _bucket_id_fold(specs: list[tuple[Column, bool]], bounds: list[tuple]) -> Column:
     p = len(bounds)
     if p == 0:
@@ -442,7 +479,7 @@ def _bucket_id_fold(specs: list[tuple[Column, bool]], bounds: list[tuple]) -> Co
     ncols = len(specs)
     arr = F.array(
         *[
-            F.struct(*[F.lit(b[i]).alias(f"k{i}") for i in range(ncols)])
+            F.struct(*[_bound_lit(b[i]).alias(f"k{i}") for i in range(ncols)])
             for b in bounds
         ]
     )
@@ -719,6 +756,10 @@ def compile_sort_spec(spec: str, line: Column | str, sep: str = "\t") -> list[Co
     arr = F.split(c, re.escape(sep))
     cols: list[Column] = []
     for ks in parse_sort_spec(spec):
+        if ks.end is not None and ks.end < ks.start:
+            # GNU sort rejects an inverted range; silently emitting
+            # zero sort keys left data unsorted (review-r4b)
+            raise ValueError(f"invalid sort spec: end field {ks.end} < start {ks.start}")
         if ks.end is None:
             # open-ended: one key = fields start.. joined by sep
             tail = F.array_join(
@@ -728,14 +769,24 @@ def compile_sort_spec(spec: str, line: Column | str, sep: str = "\t") -> list[Co
             if ks.start_char > 1:
                 tail = F.substring(tail, ks.start_char, 2_000_000_000)
             if ks.numeric:
-                tail = F.regexp_extract(tail, r"^[-+]?[0-9]*\.?[0-9]+", 0).try_cast(
-                    "double"
+                # GNU sort -n: the LEADING number of the key; anything
+                # without one (or an empty key) compares as 0
+                tail = F.coalesce(
+                    F.regexp_extract(tail, r"^[-+]?[0-9]*\.?[0-9]+", 0).try_cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
                 )
             cols.append(tail.desc() if ks.reverse else tail.asc())
             continue
         end = ks.end
         for idx in range(ks.start, end + 1):
-            field = F.element_at(arr, idx)
+            # try_element_at + '' : a line with fewer fields than the
+            # spec references is a MISSING (empty) key in GNU sort /
+            # KeyFieldBasedComparator — under ANSI mode element_at
+            # raised INVALID_ARRAY_INDEX and killed the job on the
+            # first ragged line (review-r4b)
+            field = F.coalesce(F.try_element_at(arr, F.lit(idx)), F.lit(""))
             # char-offset addressing applies to the range's edge fields
             if idx == ks.start and ks.start_char > 1:
                 field = F.substring(field, ks.start_char, 2_000_000_000)
@@ -745,7 +796,15 @@ def compile_sort_spec(spec: str, line: Column | str, sep: str = "\t") -> list[Co
                 keep = ks.end_char - (ks.start_char - 1 if idx == ks.start else 0)
                 field = F.substring(field, 1, max(keep, 0))
             if ks.numeric:
-                field = field.try_cast("double")
+                # leading-number parse, exactly like the open-ended
+                # branch — a bare try_cast ordered '3abc' (NULL) below
+                # '-2' while '-kNn' ordered it between (review-r4b)
+                field = F.coalesce(
+                    F.regexp_extract(field, r"^[-+]?[0-9]*\.?[0-9]+", 0).try_cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                )
             cols.append(field.desc() if ks.reverse else field.asc())
     return cols
 

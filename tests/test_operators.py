@@ -1273,3 +1273,50 @@ def test_asof_join_null_ts_and_key_never_match(spark):
     )
     out = {r.k: r.v for r in asof_join(left, right, "k").collect()}
     assert out == {1: 7, None: None}, out
+
+
+def test_sort_spec_ragged_and_trailing_garbage(spark):
+    """Review-r4b: a line with fewer fields than the spec references
+    must sort with an EMPTY key (ANSI element_at crashed the job);
+    bounded numeric keys parse the LEADING number like the open-ended
+    form ('3abc' between -2 and 10, not null-first)."""
+    df = spark.createDataFrame(
+        [("x\t3abc",), ("x\t-2",), ("x\t10",), ("short",)], ["line"]
+    )
+    rows = [r.line for r in S.sort_by_spec(df, "line", "-k2,2n").collect()]
+    # missing field parses as 0: -2 < 0(short) < 3abc < 10
+    assert rows == ["x\t-2", "short", "x\t3abc", "x\t10"], rows
+    import pytest as _p
+
+    with _p.raises(ValueError, match="end field"):
+        S.compile_sort_spec("-k3,2", "line")
+
+
+def test_global_rank_struct_key(spark):
+    """Review-r4b: struct sort keys route to the fold path, whose
+    bound literals must build via F.struct (F.lit(Row) raises)."""
+    rows = [((i % 5, f"s{i % 7}"), i) for i in range(40)]
+    df = spark.createDataFrame(
+        [(a, b, i) for ((a, b), i) in rows], "a int, b string, id int"
+    ).select(F.struct("a", "b").alias("k"), "id")
+    got = [
+        (r.k.a, r.k.b, r.id)
+        for r in S.global_rank(df, "k", "id", rank_col="rank").orderBy("rank").collect()
+    ]
+    want = sorted(((a, b, i) for ((a, b), i) in rows))
+    assert got == want
+
+
+def test_split_points_null_tiebreak_column(spark):
+    """Review-r4b: an all-null SECONDARY key must not discard every
+    sample (zero bounds -> one bucket -> the single-task funnel);
+    with encodable dtypes only leading-null rows are dropped."""
+    df = spark.createDataFrame(
+        [(i, None) for i in range(5000)], "k1 bigint, k2 string"
+    )
+    specs = S._sort_specs(df, ["k1", "k2"])
+    bounds = S._split_points(df, specs, 8)
+    assert len(bounds) >= 4, bounds
+    ranked = S.global_rank(df, "k1", "k2", rank_col="rank")
+    n_buckets = ranked.select(F.spark_partition_id()).distinct().count()
+    assert ranked.count() == 5000
