@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
-from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 DEC_CENTROID = "decimal(27,7)"
 
@@ -174,13 +174,11 @@ def brute_force_topk(
             # size preserved — it would score cosine=NaN and rank #1
             # (the poisoned-neighbor failure cosine() guards against),
             # so the size assert alone cannot catch it
-            assert emb.null_count == 0 and flat_arr.null_count == 0, (
-                "brute_force_topk requires non-null vectors and elements"
-            )
+            if emb.null_count != 0 or flat_arr.null_count != 0:
+                raise ValueError("brute_force_topk requires non-null vectors and elements")
             flat = flat_arr.to_numpy(zero_copy_only=False)
-            assert flat.size == n * dim, (
-                f"brute_force_topk requires fixed dim={dim} vectors"
-            )
+            if flat.size != n * dim:
+                raise ValueError(f"brute_force_topk requires fixed dim={dim} vectors")
             x = flat.reshape(n, dim).astype(np.float64)
             rnorm = _seq_sq_norms(x)
             out_q, out_i, out_c = [], [], []
@@ -447,9 +445,12 @@ def kmeans_assign(
     non-null vectors (the embedding-table contract; asserted)."""
     import numpy as np
 
-    assert centroids, "kmeans_assign needs >= 1 centroid"
+    if not centroids:
+        raise ValueError("kmeans_assign needs >= 1 centroid")
     ordered = sorted(centroids, key=lambda c: int(c[0]))
-    cids = np.array([int(c) for c, _ in ordered], dtype=np.int32)
+    # int64: cluster ids are vector ids, which are bigint by contract
+    # (hash-derived ids overflow int32 — review-r4b)
+    cids = np.array([int(c) for c, _ in ordered], dtype=np.int64)
     cmat = np.array([comps for _, comps in ordered], dtype=np.float64)
     in_schema = corpus.schema
     # fresh StructType: .add on StructType(fields) would append to the
@@ -457,7 +458,7 @@ def kmeans_assign(
     out_schema = StructType(
         [
             *in_schema.fields,
-            StructField("cluster", IntegerType(), False),
+            StructField("cluster", LongType(), False),
             StructField("__d2", DoubleType(), False),
         ]
     )
@@ -474,13 +475,15 @@ def kmeans_assign(
             flat_arr = emb.flatten()
             # null elements flatten to NaN (size preserved): NaN d2
             # would silently stick rows to the first centroid — refuse
-            assert emb.null_count == 0 and flat_arr.null_count == 0, (
-                "kmeans_assign requires non-null vectors and elements"
-            )
+            # explicit raise, not assert: PYTHONOPTIMIZE on an
+            # executor would strip an assert and let a null element
+            # (NaN after flatten) silently poison the distances
+            # (review-r4b)
+            if emb.null_count != 0 or flat_arr.null_count != 0:
+                raise ValueError("kmeans_assign requires non-null vectors and elements")
             flat = flat_arr.to_numpy(zero_copy_only=False)
-            assert flat.size == n * dim, (
-                f"kmeans_assign requires fixed dim={dim} vectors"
-            )
+            if flat.size != n * dim:
+                raise ValueError(f"kmeans_assign requires fixed dim={dim} vectors")
             x = flat.reshape(n, dim).astype(np.float64)
             best_d2 = None
             best_c = None
@@ -492,13 +495,13 @@ def kmeans_assign(
                 for d in range(dim):
                     acc = acc + sq[:, d]
                 if best_d2 is None:
-                    best_d2, best_c = acc, np.full(n, cids[0], dtype=np.int32)
+                    best_d2, best_c = acc, np.full(n, cids[0], dtype=np.int64)
                 else:
                     m = acc < best_d2  # strict: ties keep the smaller cid
                     best_d2 = np.where(m, acc, best_d2)
                     best_c = np.where(m, cids[j], best_c)
             yield pa.RecordBatch.from_arrays(
-                [*batch.columns, pa.array(best_c, pa.int32()), pa.array(best_d2)],
+                [*batch.columns, pa.array(best_c, pa.int64()), pa.array(best_d2)],
                 names=[*batch.schema.names, "cluster", "__d2"],
             )
 
@@ -545,9 +548,12 @@ def kmeans_fit(
             .orderBy("cluster")
             .collect()
         )
-        new_cents = [
-            (int(r.cluster), [float(x) for x in r.centroid]) for r in new_rows
-        ]
+        # empty clusters (zero assigned vectors — e.g. duplicate seed
+        # embeddings losing every tie) keep their PREVIOUS centroid
+        # instead of silently shrinking k (review-r4b): the caller
+        # asked for k cells and the IVF layout sizes against that
+        new_map = {int(r.cluster): [float(x) for x in r.centroid] for r in new_rows}
+        new_cents = [(cid, new_map.get(cid, comps)) for cid, comps in cents]
         if new_cents == cents:
             break
         cents = new_cents
@@ -631,7 +637,7 @@ def semantic_dedup_pairs(
     id_type = assigned.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("cluster", IntegerType(), False),
+            StructField("cluster", LongType(), False),
             StructField("id_a", id_type, False),
             StructField("id_b", id_type, False),
             StructField("cosine", DoubleType(), True),
@@ -682,7 +688,7 @@ def semantic_dedup_pairs(
         cs = np.concatenate([t[2] for t in out_tuples])
         return pd.DataFrame(
             {
-                "cluster": np.full(len(ida), key[0], dtype=np.int32),
+                "cluster": np.full(len(ida), key[0], dtype=np.int64),
                 "id_a": ida,
                 "id_b": idb,
                 "cosine": cs,

@@ -108,12 +108,27 @@ def validate_sorted(df: DataFrame, key: str = "key") -> dict:
     return _validate_sorted_files(meta)
 
 
+def _gt(a, b) -> bool:
+    """Python twin of Spark's ascending key order for boundary checks:
+    NULL sorts FIRST, so 'a > b' is a violation only when a is
+    non-null and (b is null or a > b) — bare Python comparison raised
+    TypeError on a legitimately-sorted null key (review-r4b)."""
+    if a is None:
+        return False
+    if b is None:
+        return True
+    return a > b
+
+
 def _validate_sorted_files(meta: DataFrame) -> dict:
     left = meta.select("__f", "__i", F.col("__k").alias("__ka"))
     right = meta.select("__f", (F.col("__i") - 1).alias("__i"), F.col("__k").alias("__kb"))
-    misordered = (
-        left.join(right, ["__f", "__i"]).filter(F.col("__ka") > F.col("__kb")).count()
+    # null-consistent order check (NULL sorts first): value-then-NULL
+    # is a violation a bare `>` would silently skip (NULL comparison)
+    violated = (F.col("__ka") > F.col("__kb")) | (
+        F.col("__ka").isNotNull() & F.col("__kb").isNull()
     )
+    misordered = left.join(right, ["__f", "__i"]).filter(violated).count()
     per_file = (
         meta.groupBy("__f")
         .agg(
@@ -125,10 +140,12 @@ def _validate_sorted_files(meta: DataFrame) -> dict:
     )
     per_file.sort(key=lambda r: r["__f"])
     for a, b in zip(per_file, per_file[1:]):
-        if a["last"] > b["first"]:
+        if _gt(a["last"], b["first"]):
             misordered += 1
     checksum = meta.select(
-        F.sum(hash64("__k") % F.lit(2**31 - 1)).alias("c")
+        # decimal(38,0): a BIGINT sum of ~2^31-sized terms wraps past
+        # ~4e9 rows (review-r4b; same fix as teragen_checksum)
+        F.sum((hash64("__k") % F.lit(2**31 - 1)).cast("decimal(38,0)")).alias("c")
     ).collect()[0]["c"]
     return {
         "misordered": misordered,
@@ -144,9 +161,9 @@ def _validate_sorted_partitions(df: DataFrame, key: str) -> dict:
         n = 0
         for r in rows:
             k = r[0]
-            if first is None:
+            if n == 0:
                 first = k
-            elif last is not None and last > k:
+            elif _gt(last, k):
                 mis += 1
             last = k
             n += 1
@@ -159,9 +176,9 @@ def _validate_sorted_partitions(df: DataFrame, key: str) -> dict:
     misordered = sum(s[3] for s in stats)
     rows = sum(s[4] for s in stats)
     for (_, _, prev_last, _, _), (_, nxt_first, _, _, _) in zip(stats, stats[1:]):
-        if prev_last > nxt_first:
+        if _gt(prev_last, nxt_first):
             misordered += 1
     checksum = df.select(
-        F.sum(hash64(key) % F.lit(2**31 - 1)).alias("c")
+        F.sum((hash64(key) % F.lit(2**31 - 1)).cast("decimal(38,0)")).alias("c")
     ).collect()[0]["c"]
     return {"misordered": misordered, "checksum": int(checksum or 0), "rows": rows}

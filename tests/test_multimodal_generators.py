@@ -330,3 +330,50 @@ def test_resize_and_ppm_features_bad_records(spark):
     assert out == {1: b"", 2: b""}
     feats = {r.media_id: r.features for r in MM.extract_features(media, decoder="ppm", dim=3).collect()}
     assert feats == {1: [0.0] * 3, 2: [0.0] * 3}
+
+
+def test_validate_sorted_null_keys(spark, tmp_path):
+    """Review-r4b: NULL keys (which Spark sorts FIRST) must validate
+    without a TypeError, and a value-before-NULL inversion must be
+    flagged."""
+    import pyspark.sql.functions as SF
+
+    ok = spark.createDataFrame(
+        [(None,), (None,), ("a",), ("b",)], "key string"
+    ).coalesce(1)
+    out = str(tmp_path / "nsorted")
+    ok.write.mode("overwrite").parquet(out)
+    rep = validate_sorted(spark.read.parquet(out), "key")
+    assert rep["rows"] == 4 and rep["misordered"] == 0
+
+    bad = spark.createDataFrame([("a",), (None,), ("b",)], "key string").coalesce(1)
+    bad.write.mode("overwrite").parquet(out + "2")
+    rep2 = validate_sorted(spark.read.parquet(out + "2"), "key")
+    assert rep2["misordered"] > 0
+
+
+def test_kmeans_fit_keeps_k_with_duplicate_seeds(spark):
+    """Review-r4b: duplicate seed embeddings empty one cluster on the
+    first iteration; its centroid must carry forward instead of
+    silently shrinking k."""
+    from hadoop_main_spark.operators.similarity import kmeans_fit
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.1, 0.9])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    assigned, cents = kmeans_fit(df, k=3, vec_col="embedding", max_iter=3)
+    assert len(cents) == 3, cents
+    assert assigned.count() == 4
+
+
+def test_kmeans_assign_int64_cluster_ids(spark):
+    """Review-r4b: cluster ids beyond int32 (hash-derived vector ids)
+    must not overflow the kernel's id array."""
+    from hadoop_main_spark.operators.similarity import kmeans_assign
+
+    big = 2**40
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, v array<double>"
+    )
+    cents = [(big, [1.0, 0.0]), (big + 1, [0.0, 1.0])]
+    out = {r.vec_id: r.cluster for r in kmeans_assign(df, cents, "vec_id", "v").collect()}
+    assert out == {1: big, 2: big + 1}
