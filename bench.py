@@ -36,10 +36,15 @@ def main() -> None:
     # by name so bench numbers stay comparable if ordering ever changes
     run_once(spark, "word_count" if "word_count" in names else names[0], sf_dir)
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in names:
-        # min of two runs: the second run reuses warmed file listings
-        # and compiled codegen, so this reports steady-state latency
-        times[name] = round(min(run_once(spark, name, sf_dir) for _ in range(2)), 3)
+        # min of THREE runs (verdict-r4 #2: min-of-2 was too noisy to
+        # attribute ±0.5 s movements): later runs reuse warmed file
+        # listings and compiled codegen, so min reports steady-state
+        # latency; spread = max-min of the runs exposes noise per query
+        runs = sorted(run_once(spark, name, sf_dir) for _ in range(3))
+        times[name] = round(runs[0], 3)
+        spread[name] = round(runs[-1] - runs[0], 3)
     total = round(sum(times.values()), 3)
     # MRBench analog (JT/mapred/MRBench.java:201): tiny-job latency —
     # the scheduling+execution floor for a 1-row map/reduce round trip
@@ -69,6 +74,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
                 "small_job_latency_s": small_job,
                 "io_write_mbps": round(mb / write_s, 1),

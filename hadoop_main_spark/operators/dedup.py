@@ -683,10 +683,16 @@ def fuzzy_key_pairs(
     """
     if max_distance != 1:
         raise ValueError("fuzzy_key_pairs supports max_distance=1 (symmetric delete)")
-    k = key_col
+    # pre-alias the caller's key column to a fixed internal name so the
+    # F.expr below never interpolates an arbitrary identifier (names
+    # with spaces/dots/hyphens/reserved words would mis-parse or
+    # mis-resolve — advice-r4)
+    k = "__key"
     variants = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(k).alias("__key"),
+        F.col(id_col).alias("__id"), F.col(key_col).alias("__key")
+    ).select(
+        "__id",
+        "__key",
         F.explode(
             # empty-key guard: Spark's sequence(1, 0) counts DOWN
             # ([1, 0] — the word_shingles trap), which would emit two

@@ -664,8 +664,14 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # NO broadcast hint on dfreq: it has one row per DISTINCT TERM in
+    # the corpus — a multi-GB driver/executor OOM at 100x vocabulary.
+    # tf and dfreq both derive from the same token explosion keyed on
+    # term, so the shuffle join is co-partitioned and cheap (the
+    # token_rarity_score shape; verdict-r4 #1). Only the one-row
+    # n_docs total is broadcast.
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -18,6 +18,7 @@ on local[N] for tests and on a large cluster unchanged:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -82,8 +83,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — narrowed by message below
+            # only static (non-runtime) confs legitimately fail here;
+            # anything else is a real error the caller must see, and
+            # even the static case deserves a warning: the caller's
+            # value stays clobbered by tune() (advice-r4)
+            if "Cannot modify" in str(e) or "static" in str(e).lower():
+                warnings.warn(
+                    f"extra_conf key {k!r} is a static conf and could not be "
+                    f"re-applied after tune(); the session keeps tune()'s value",
+                    stacklevel=2,
+                )
+            else:
+                raise
     return spark
 
 

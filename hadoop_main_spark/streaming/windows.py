@@ -550,7 +550,10 @@ def dedup_ingest_stream(
 
     Both sinks write per-batch SUBDIRECTORIES with overwrite
     (``.../batch=<id>/``), so a replayed batch rewrites its own
-    partition — naturally idempotent, no high-water bookkeeping.
+    partition, and the corpus probe reads only STRICTLY EARLIER
+    batch partitions — so a replay after a crash between the sig
+    write and the checkpoint commit produces the same pair set as
+    the first attempt (no self-pairs, no duplicated within-pairs).
     Pairs are normalized to (id_a, id_b) = (least, greatest), so for
     ANY partition of the corpus into batches the union over batch
     partitions equals the one-shot self-join pair set
@@ -584,7 +587,17 @@ def dedup_ingest_stream(
             )
             pairs = within
             if _hadoop_path_exists(spark, sig_path):
-                corpus = spark.read.parquet(sig_path)
+                # Replay safety: if the driver crashed after this
+                # batch's sig write but before the checkpoint commit,
+                # the store already holds batch=<id> — reading it back
+                # would pair every doc with its identical corpus copy
+                # (self-pairs + duplicated within-pairs). Restrict the
+                # corpus to STRICTLY EARLIER batches via the partition
+                # column so a replay sees exactly what the first
+                # attempt saw.
+                corpus = spark.read.parquet(sig_path).where(
+                    F.col("batch") < F.lit(batch_id)
+                )
                 cross = lsh_pairs_across(
                     sig, corpus, id_col, min_est_jaccard=min_est_jaccard
                 ).select(
