@@ -6,10 +6,13 @@ partition-friendly layout, Arrow-batched UDF signatures, batch
 shapes — is real and tested. Decoders: ``'ppm'`` is a REAL pure-
 numpy pipeline for uncompressed P6 images (header parse, pixel
 reshape, nearest-neighbor resize, re-encode, band features);
-``'stub'`` is a deterministic fake for arbitrary blobs; codec
-formats (JPEG/PNG/opus/...) raise a clearly-marked
-NotImplementedError because their libraries are not in this
-container — plug one into the same mapInPandas signature.
+``'png'`` is a REAL stdlib-zlib + numpy PNG codec (chunk walk with
+CRC verify, IDAT inflate, all five scanline filters, palette
+expansion — 8-bit non-interlaced); ``'wav'`` the real RIFF/PCM16
+audio path; ``'stub'`` is a deterministic fake for arbitrary blobs;
+codec formats whose libraries are absent here (JPEG/opus/mp3) raise
+a clearly-marked NotImplementedError — plug one into the same
+mapInPandas signature.
 
 Scale notes: payloads dominate row size — keep them in their own
 column (Parquet stores them contiguously), never in the shuffle key,
@@ -123,17 +126,14 @@ def _ppm_resize(p: bytes, width: int, height: int) -> bytes:
     return _ppm_encode(np.ascontiguousarray(arr[rows][:, cols]))
 
 
-def _ppm_features(p: bytes, dim: int) -> list[float]:
-    """Real pixel features: the image is split into ``dim`` horizontal
-    bands and each band contributes its mean gray level in [0, 1].
-    Malformed payloads take the zeros bad-record path (same policy as
-    _wav_features: one bad row must not kill a 100 TB feature pass)."""
+def _image_band_features(arr, dim: int) -> list[float]:
+    """Shared pixel-feature kernel for all REAL image decoders (PPM,
+    PNG): split the image into ``dim`` horizontal bands, each band
+    contributes its mean gray level in [0, 1]. Accepts (h, w) gray or
+    (h, w, ch) arrays."""
     import numpy as np
 
-    try:
-        arr = _ppm_decode(p).astype(np.float64)
-    except ValueError:
-        return [0.0] * dim
+    arr = arr.astype(np.float64)
     h = arr.shape[0]
     out = []
     for b in range(dim):
@@ -141,6 +141,219 @@ def _ppm_features(p: bytes, dim: int) -> list[float]:
         band = arr[min(lo, h - 1) : min(hi, h)]
         out.append(float(band.mean()) / 255.0 if band.size else 0.0)
     return out
+
+
+def _ppm_features(p: bytes, dim: int) -> list[float]:
+    """Real pixel features over P6 payloads (see _image_band_features).
+    Malformed payloads take the zeros bad-record path (same policy as
+    _wav_features: one bad row must not kill a 100 TB feature pass)."""
+    try:
+        arr = _ppm_decode(p)
+    except ValueError:
+        return [0.0] * dim
+    return _image_band_features(arr, dim)
+
+
+# --- real decoder for the PNG image format (stdlib zlib + numpy) -------------
+# PNG is DEFLATE (stdlib zlib) over per-scanline filtered bytes — no
+# external media library needed, so this path is REAL like PPM/WAV:
+# chunk walk with CRC verify, IDAT concat + inflate, per-row defilter
+# (all five filter types 0-4 per the PNG spec §9), palette expansion.
+# 8-bit depth, color types 0/2/3/4/6, non-interlaced. 16-bit and Adam7
+# raise ValueError (bad-record path downstream). JPEG/opus/mp3 remain
+# honestly NotImplementedError (their codecs are not in this container).
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): nearest of left/up/up-left
+    to the linear estimate a + b - c, ties broken left, up, up-left."""
+    pth = a + b - c
+    pa, pb, pc = abs(pth - a), abs(pth - b), abs(pth - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels per pixel (3 = palette, 1 index byte/pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_decode(p: bytes):
+    """Parse an 8-bit non-interlaced PNG into an (h, w, ch) uint8 array
+    (ch = 1 gray, 2 gray+alpha, 3 RGB — palette expanded, 4 RGBA).
+    Chunk CRCs are verified; multiple IDAT chunks are concatenated
+    before one inflate, as the spec requires."""
+    import zlib
+
+    import numpy as np
+
+    if not p.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i, n = len(_PNG_SIG), len(p)
+    w = h = depth = ctype = interlace = None
+    idat, plte = [], None
+    while i + 8 <= n:
+        size = int.from_bytes(p[i : i + 4], "big")
+        cid = p[i + 4 : i + 8]
+        body = p[i + 8 : i + 8 + size]
+        crc = int.from_bytes(p[i + 8 + size : i + 12 + size], "big")
+        if zlib.crc32(cid + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {cid!r} chunk")
+        if cid == b"IHDR":
+            if size != 13:
+                raise ValueError("malformed IHDR")
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype = body[8], body[9]
+            interlace = body[12]
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        i += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    if depth != 8:
+        raise ValueError(f"{depth}-bit PNG not supported (8-bit only)")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette image missing PLTE chunk")
+    ch = _PNG_CHANNELS[ctype]
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # normalize to ValueError so the shared bad-record path catches it
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
+    stride = w * ch + 1  # 1 filter byte + w*ch sample bytes per scanline
+    if raw.size != h * stride:
+        raise ValueError("decompressed size mismatch")
+    lines = raw.reshape(h, stride)
+    recon = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    bpp = ch  # bytes per pixel at 8-bit depth
+    for r in range(h):
+        ft, row = int(lines[r, 0]), lines[r, 1:]
+        if ft == 0:  # None
+            rec = row.copy()
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = row.copy()
+            for off in range(bpp):
+                # uint8 cumsum wraps mod 256 — exactly the spec arithmetic
+                rec[off::bpp] = np.cumsum(row[off::bpp], dtype=np.uint8)
+        elif ft == 2:  # Up
+            rec = row + prev  # uint8 add wraps mod 256
+        elif ft == 3:  # Average: left dependence is inherently sequential
+            rec = np.empty_like(row)
+            for x in range(row.size):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth: sequential per byte
+            rec = np.empty_like(row)
+            for x in range(row.size):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + _png_paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        recon[r] = rec
+        prev = rec
+    if ctype == 3:
+        if int(recon.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return plte[recon.reshape(h, w)]
+    return recon.reshape(h, w, ch)
+
+
+def _png_encode(arr, row_filter: str = "none") -> bytes:
+    """Re-encode an (h, w) gray or (h, w, ch) uint8 array as an 8-bit
+    PNG (color type 0/4/2/6 by channel count). ``row_filter='mixed'``
+    cycles filter types 0-4 across scanlines so a decode of the output
+    exercises every defilter path; ``'none'`` writes filter 0 rows."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = arr.reshape(h, w * ch).astype(np.int64)
+    bpp = ch
+    out_rows = []
+    for r in range(h):
+        cur = flat[r]
+        up = flat[r - 1] if r else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), up[:-bpp]])
+        ft = r % 5 if row_filter == "mixed" else 0
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - up
+        elif ft == 3:
+            filt = cur - (left + up) // 2
+        else:  # Paeth
+            pred = np.array(
+                [_png_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, up, ul)],
+                dtype=np.int64,
+            )
+            filt = cur - pred
+        out_rows.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + (zlib.crc32(cid + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    idat = zlib.compress(b"".join(out_rows))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _png_resize(p: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a PNG payload (same index-mapping
+    policy as _ppm_resize), re-encoded at the same channel count
+    (palette images come back as RGB — the decode already expanded)."""
+    import numpy as np
+
+    arr = _png_decode(p)
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return _png_encode(np.ascontiguousarray(arr[rows][:, cols]))
+
+
+def _png_features(p: bytes, dim: int) -> list[float]:
+    """Real pixel features over PNG payloads: the shared per-band gray
+    means (_image_band_features) over the COLOR channels only — alpha
+    (color types 4/6) is metadata, not luminance, so it is dropped.
+    Malformed payloads take the zeros bad-record path."""
+    try:
+        arr = _png_decode(p)
+    except ValueError:
+        return [0.0] * dim
+    if arr.shape[2] in (2, 4):
+        arr = arr[:, :, : arr.shape[2] - 1]
+    return _image_band_features(arr, dim)
 
 
 # --- real decoder for the uncompressed WAV (RIFF PCM16) audio format ---------
@@ -267,12 +480,15 @@ def extract_features(
         feat = _stub_features
     elif decoder == "ppm":
         feat = _ppm_features
+    elif decoder == "png":
+        feat = _png_features
     elif decoder == "wav":
         feat = _wav_features
     else:
         raise NotImplementedError(
             f"decoder '{decoder}' needs media libraries not present in this "
-            "environment; 'ppm'/'wav' are the real no-library paths, 'stub' the fake"
+            "environment; 'ppm'/'png'/'wav' are the real no-library paths, "
+            "'stub' the fake"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -315,10 +531,12 @@ def resize(media: DataFrame, width: int, height: int, decoder: str = "stub") -> 
         payload_fn = _stub_resize
     elif decoder == "ppm":
         payload_fn = lambda p: _ppm_resize(p, width, height)  # noqa: E731
+    elif decoder == "png":
+        payload_fn = lambda p: _png_resize(p, width, height)  # noqa: E731
     else:
         raise NotImplementedError(
             "real media codecs are not available in this environment; "
-            "'ppm' is the real no-library path, 'stub' the fake"
+            "'ppm'/'png' are the real no-library paths, 'stub' the fake"
         )
 
     out_schema = media.schema

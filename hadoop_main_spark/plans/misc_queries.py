@@ -67,6 +67,59 @@ def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "png_decode_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 12 + 4 AS h FROM documents),
+    b AS (SELECT doc_id, h, unnest(generate_series(0, 3)) AS band FROM p),
+    r AS (SELECT doc_id, band, h,
+            (band * h) // 4 AS lo,
+            greatest(((band + 1) * h) // 4, (band * h) // 4 + 1) AS hi
+          FROM b),
+    rows_ AS (SELECT doc_id, band,
+                unnest(generate_series(least(lo, h - 1), least(hi, h) - 1)) AS rr
+              FROM r)
+    SELECT doc_id AS media_id, CAST(band AS BIGINT) AS band,
+           AVG(CAST((doc_id * 31 + rr) % 256 AS DOUBLE)) / 255.0 AS gray_mean
+    FROM rows_
+    GROUP BY doc_id, band
+    """,
+    doc="REAL PNG decode on the data path: per-doc gray PNGs are "
+    "encoded with MIXED scanline filters (types 0-4 cycling, so the "
+    "decode exercises every defilter path incl. Paeth), then "
+    "extract_features(decoder='png') inflates + defilters each payload "
+    "in an Arrow-batched pass and emits per-band gray means. Pixel "
+    "rows are (doc_id*31 + r) % 256, so the oracle recomputes the "
+    "band means in closed form — the decode itself is what is being "
+    "verified.",
+)
+def png_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = i % 12 + 4, i % 16 + 4
+                col = ((i * 31 + np.arange(h)) % 256).astype(np.uint8)
+                payloads.append(
+                    MM._png_encode(np.repeat(col[:, None], w, axis=1), row_filter="mixed")
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = MM.extract_features(media, decoder="png", dim=4)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("band", "gray_mean")
+    ).select("media_id", F.col("band").cast("long").alias("band"), "gray_mean")
+
+
+@query(
     "rollup_agg",
     oracle="""
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,

@@ -377,3 +377,118 @@ def test_kmeans_assign_int64_cluster_ids(spark):
     cents = [(big, [1.0, 0.0]), (big + 1, [0.0, 1.0])]
     out = {r.vec_id: r.cluster for r in kmeans_assign(df, cents, "vec_id", "v").collect()}
     assert out == {1: big, 2: big + 1}
+
+
+def test_png_codec_roundtrip_all_filters_and_channels():
+    """The 'png' codec is REAL (stdlib zlib + numpy): arrays of every
+    channel count round-trip encode('mixed' filters 0-4 across rows)
+    -> decode with exact pixels, so every defilter path (None, Sub,
+    Up, Average, Paeth) is exercised against the encoder's exact
+    inverse arithmetic."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for ch in (1, 2, 3, 4):
+        shape = (13, 9) if ch == 1 else (13, 9, ch)
+        a = rng.randint(0, 256, shape, dtype=np.uint8)
+        for rf in ("none", "mixed"):
+            got = MM._png_decode(MM._png_encode(a, row_filter=rf))
+            want = a[:, :, None] if ch == 1 else a
+            assert got.shape == want.shape, (ch, rf)
+            assert np.array_equal(got, want), (ch, rf)
+    # encodings with different row filters carry identical pixels
+    a = rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(
+        MM._png_decode(MM._png_encode(a, "none")),
+        MM._png_decode(MM._png_encode(a, "mixed")),
+    )
+
+
+def test_png_palette_split_idat_and_rejects():
+    """Spec corners: palette (color type 3) expands through PLTE; an
+    IDAT stream split across multiple chunks concatenates before
+    inflate; CRC corruption, 16-bit depth, and Adam7 interlace are
+    rejected with ValueError (the bad-record path)."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    # hand-build a 2x2 palette image: indices [[0,1],[2,0]]
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big") + cid + body
+            + (zlib.crc32(cid + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    scan = zlib.compress(bytes([0, 0, 1, 0, 2, 0]))  # 2 rows, filter 0
+    # split the IDAT stream mid-deflate across two chunks
+    png = (
+        MM._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", scan[:5]) + chunk(b"IDAT", scan[5:]) + chunk(b"IEND", b"")
+    )
+    got = MM._png_decode(png)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(got, want)
+    # CRC corruption
+    bad = bytearray(png)
+    bad[len(MM._PNG_SIG) + 8] ^= 0xFF  # flip a byte inside IHDR body
+    with _pt.raises(ValueError, match="CRC"):
+        MM._png_decode(bytes(bad))
+    # 16-bit depth
+    ihdr16 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    with _pt.raises(ValueError, match="16-bit"):
+        MM._png_decode(MM._PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", scan))
+    # Adam7
+    ihdr_i = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
+    with _pt.raises(ValueError, match="interlac"):
+        MM._png_decode(MM._PNG_SIG + chunk(b"IHDR", ihdr_i) + chunk(b"IDAT", scan))
+    # garbage deflate normalizes to ValueError (bad-record path)
+    with _pt.raises(ValueError, match="IDAT"):
+        MM._png_decode(
+            MM._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", b"\x00garbage") + chunk(b"IEND", b"")
+        )
+
+
+def test_png_spark_resize_features_and_bad_records(spark):
+    """End-to-end through the Spark pass: decoder='png' resize gives
+    exact nearest-neighbor pixels, features are the exact band gray
+    means (alpha dropped for RGBA), and malformed/NULL payloads take
+    the zeros/empty bad-record path without killing the task."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (12, 10, 3), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (8, 6, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(MM._png_encode(rgb, "mixed")), "image/png", 10, 12),
+            (1, "image", bytearray(MM._png_encode(rgba, "mixed")), "image/png", 6, 8),
+            (2, "image", bytearray(b"not a png"), "image/png", 4, 4),
+            (3, "image", None, "image/png", 4, 4),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: bytes(r.payload) for r in MM.resize(media, 5, 6, decoder="png").collect()}
+    rows, cols = (np.arange(6) * 12) // 6, (np.arange(5) * 10) // 5
+    assert np.array_equal(MM._png_decode(out[0]), rgb[rows][:, cols])
+    rows, cols = (np.arange(6) * 8) // 6, (np.arange(5) * 6) // 5
+    assert np.array_equal(MM._png_decode(out[1]), rgba[rows][:, cols])
+    assert out[2] == b"" and out[3] == b""
+    feats = {
+        r.media_id: r.features
+        for r in MM.extract_features(media, decoder="png", dim=4).collect()
+    }
+    want0 = [float(rgb[(b * 12) // 4:((b + 1) * 12) // 4].mean()) / 255.0 for b in range(4)]
+    assert feats[0] == pytest.approx(want0, abs=1e-12)
+    want1 = [
+        float(rgba[(b * 8) // 4:max(((b + 1) * 8) // 4, (b * 8) // 4 + 1), :, :3].mean()) / 255.0
+        for b in range(4)
+    ]
+    assert feats[1] == pytest.approx(want1, abs=1e-12)
+    assert feats[2] == [0.0] * 4 and feats[3] == [0.0] * 4
