@@ -227,6 +227,57 @@ def ivf_centroids(
     )
 
 
+def _probe_cells(
+    queries: DataFrame, cents: DataFrame, query_id: str, vec_col: str, nprobe: int
+) -> DataFrame:
+    """Shared IVF probe selection (was duplicated across ivf_topk and
+    ivf_topk_indexed; review-r4 cleanup): rank cells by query-centroid
+    cosine, keep the top ``nprobe`` per query, carry the query vector.
+    Both inputs are tiny by contract (queries × centroids), so both
+    sides broadcast and the cross join never touches the corpus."""
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    return (
+        broadcast(q)
+        .crossJoin(broadcast(cents))
+        .select(query_id, "cell", "__qv", cosine("centroid", "__qv").alias("ccos"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.desc("ccos"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select(query_id, "cell", "__qv")
+    )
+
+
+def _score_probed_cells(
+    vectors: DataFrame, cell_rank: DataFrame, id_col: str, vec_col: str,
+    query_id: str, k: int,
+) -> DataFrame:
+    """Shared IVF scoring tail: join probed (cell, query) pairs to the
+    cell-keyed vectors, exact cosine, per-query top-k. Scoring stays a
+    JVM-side fold ON PURPOSE — MEASURED (round 4, 1M×64, 10 queries,
+    nprobe 5): both an Arrow pairwise kernel over the joined pairs AND
+    a brute_force_topk-style per-cell kernel were ~2× SLOWER, because
+    each probed vector is scored against ~1 query — no per-row work
+    multiplier to amortize the Arrow transfer. Kernels win at
+    multiplier ≥ ~8 (kmeans k=8: 7.4×; brute force ×10 queries: 7×);
+    at ×1 the fold wins."""
+    scored = (
+        vectors.select("cell", F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .join(broadcast(cell_rank), "cell")
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .select(query_id, "neighbor_id", cosine(vec_col, "__qv").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -242,43 +293,11 @@ def ivf_topk(
     neighbor_id, rank, cosine) like brute_force_topk — approximate
     (recall < 1) but scans ~nprobe/ncells of the corpus."""
     cents = ivf_centroids(corpus, cell_col, vec_col)
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    cell_rank = (
-        broadcast(q)
-        .crossJoin(broadcast(cents))
-        .select(query_id, "cell", "__qv", cosine("centroid", "__qv").alias("ccos"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy(F.desc("ccos"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("crank") <= nprobe)
-        .select(query_id, "cell", "__qv")
+    cell_rank = _probe_cells(queries, cents, query_id, vec_col, nprobe)
+    vectors = corpus.select(
+        F.col(cell_col).alias("cell"), F.col(id_col), F.col(vec_col)
     )
-    # probe-cell pairs are bounded (~nprobe/ncells of the corpus); the
-    # JVM-side fold keeps every vector out of Python here — MEASURED
-    # (round 4): an Arrow pairwise-cosine kernel over the joined rows
-    # was 2× SLOWER because the broadcast join duplicates the query
-    # vector into every pair row and the whole pair stream then pays
-    # Arrow transfer; kernels only win when they REDUCE (see
-    # ivf_topk_indexed / brute_force_topk partial top-k)
-    scored = (
-        corpus.select(
-            F.col(cell_col).alias("cell"),
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col),
-        )
-        .join(broadcast(cell_rank), "cell")
-        .filter(F.col("neighbor_id") != F.col(query_id))
-        .select(query_id, "neighbor_id", cosine(vec_col, "__qv").alias("cosine"))
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "neighbor_id", "rank", "cosine")
-    )
+    return _score_probed_cells(vectors, cell_rank, id_col, vec_col, query_id, k)
 
 
 def build_ivf_index(
@@ -321,20 +340,7 @@ def ivf_topk_indexed(
     The cell filter is an IN-list on the partition column, so only
     nprobe cells' files are scanned."""
     cents = spark.read.parquet(f"{path}/centroids")
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    cell_rank = (
-        broadcast(q)
-        .crossJoin(broadcast(cents))
-        .select(query_id, "cell", "__qv", cosine("centroid", "__qv").alias("ccos"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy(F.desc("ccos"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("crank") <= nprobe)
-        .select(query_id, "cell", "__qv")
-    )
+    cell_rank = _probe_cells(queries, cents, query_id, vec_col, nprobe)
     # static partition pruning: the probed-cell set is tiny (≤ queries
     # × nprobe) — collect it once to the driver and push an IN-list to
     # the scan, which prunes files deterministically (runtime DPP
@@ -345,25 +351,7 @@ def ivf_topk_indexed(
     probed = sorted({r.cell for r in rank_rows})
     cell_rank = spark.createDataFrame(rank_rows, cell_rank.schema)
     vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probed))
-    # scoring stays a JVM-side fold ON PURPOSE — MEASURED (round 4,
-    # 1M×64, 10 queries, nprobe 5): both an Arrow pairwise kernel over
-    # the joined pairs AND a brute_force_topk-style per-cell kernel
-    # were ~2× SLOWER here, because each probed vector is scored
-    # against ~1 query — no per-row work multiplier to amortize the
-    # Arrow transfer. Kernels win at multiplier ≥ ~8 (kmeans k=8:
-    # 7.4×; brute force ×10 queries: 7×); at ×1 the fold wins.
-    scored = (
-        vectors.select("cell", F.col(id_col).alias("neighbor_id"), F.col(vec_col))
-        .join(broadcast(cell_rank), "cell")
-        .filter(F.col("neighbor_id") != F.col(query_id))
-        .select(query_id, "neighbor_id", cosine(vec_col, "__qv").alias("cosine"))
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "neighbor_id", "rank", "cosine")
-    )
+    return _score_probed_cells(vectors, cell_rank, id_col, vec_col, query_id, k)
 
 
 # --- k-means (IVF coarse-quantizer training) --------------------------------
@@ -653,13 +641,11 @@ def semantic_dedup_pairs(
         ids = pdf[id_col].to_numpy()[order]
         x = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         dim = x.shape[1]
-        # squared norms first, with the fold's dim-sequential order
-        # (identical accumulation to the Gram diagonal), so each Gram
-        # strip below can be discarded as soon as its pairs are out
-        sq = np.zeros(m, dtype=np.float64)
-        for d in range(dim):
-            sq = sq + x[:, d] * x[:, d]
-        norm = np.sqrt(sq)
+        # norms first, with the fold's dim-sequential order (the shared
+        # _seq_sq_norms kernel — identical accumulation to the Gram
+        # diagonal), so each Gram strip below can be discarded as soon
+        # as its pairs are out
+        norm = _seq_sq_norms(x)
         out_tuples = []
         block = 1024
         for lo in range(0, m, block):

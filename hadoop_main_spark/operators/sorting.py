@@ -118,6 +118,17 @@ def _order_cols(specs: list[tuple[Column, bool]]) -> list[Column]:
     return [c.asc() if asc else c.desc() for c, asc in specs]
 
 
+def _key_frame(df: DataFrame, specs: list[tuple[Column, bool]]) -> DataFrame:
+    """Project the sort-key expressions to fixed internal names — the
+    shared projection behind sampling (_split_points) and the bucket
+    encoder's dtype probe (was triplicated; review-r4 cleanup)."""
+    return df.select([c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)])
+
+
+def _key_dtypes(df: DataFrame, specs: list[tuple[Column, bool]]) -> list[str]:
+    return [f.dataType.simpleString() for f in _key_frame(df, specs).schema.fields]
+
+
 def _split_points(
     df: DataFrame, specs: list[tuple[Column, bool]], n: int, seed: int = 9371
 ) -> list[tuple]:
@@ -141,7 +152,7 @@ def _split_points(
     deduplicated."""
     if n <= 1:
         return []
-    keys = df.select([c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)])
+    keys = _key_frame(df, specs)
     nparts = max(keys.rdd.getNumPartitions(), 1)
     target = max(n * 60, 1000)
     k = max(-(-target // nparts), 20)
@@ -549,13 +560,7 @@ def global_rank(
     specs = _sort_specs(df, cols)
     order = _order_cols(specs)
     bounds = split_points if split_points is not None else _split_points(df, specs, n)
-    dtypes = [
-        f.dataType.simpleString()
-        for f in df.select(
-            [c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)]
-        ).schema.fields
-    ]
-    with_pid = df.withColumn("__pid", _bucket_id(specs, bounds, dtypes))
+    with_pid = df.withColumn("__pid", _bucket_id(specs, bounds, _key_dtypes(df, specs)))
     w_rn = Window.partitionBy("__pid").orderBy(*order)
     with_rn = with_pid.withColumn("__rn", F.row_number().over(w_rn))
     # counts from the RANKED branch (not a second aggregation of the
@@ -614,13 +619,7 @@ def grouped_prefix_sum(
     ocols = list(order_cols)
     specs = _sort_specs(df, [*gcols, *ocols])
     bounds = _split_points(df, specs, n)
-    dtypes = [
-        f.dataType.simpleString()
-        for f in df.select(
-            [c.alias(f"__k{i}") for i, (c, _) in enumerate(specs)]
-        ).schema.fields
-    ]
-    with_pid = df.withColumn("__pid", _bucket_id(specs, bounds, dtypes))
+    with_pid = df.withColumn("__pid", _bucket_id(specs, bounds, _key_dtypes(df, specs)))
     # INCLUSIVE running sum in the window; the exclusive variant is
     # derived by subtracting the row's own value afterwards. Both the
     # output branch and the totals branch then consume the SAME Window

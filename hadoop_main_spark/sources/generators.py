@@ -121,35 +121,53 @@ def _gt(a, b) -> bool:
 
 
 def _validate_sorted_files(meta: DataFrame) -> dict:
-    left = meta.select("__f", "__i", F.col("__k").alias("__ka"))
-    right = meta.select("__f", (F.col("__i") - 1).alias("__i"), F.col("__k").alias("__kb"))
+    """ONE job (was three: a self-join count + a per-file collect + a
+    checksum collect; review-r4 cleanup): a per-file window pairs each
+    row with its successor, then a single per-file aggregate emits the
+    misorder count, first/last keys, row count, and checksum terms.
+    The window partitions by FILE — a bounded unit by construction
+    (~1 GB of rows), so no single-task funnel — and the groupBy keys
+    on the same column, so the exchange is reused."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__f").orderBy("__i")
+    stepped = meta.select(
+        "__f",
+        "__i",
+        "__k",
+        F.lead("__k").over(w).alias("__nxt"),
+        # distinguishes "no successor row" from "successor key is NULL"
+        F.lead(F.lit(1)).over(w).alias("__has_nxt"),
+    )
     # null-consistent order check (NULL sorts first): value-then-NULL
     # is a violation a bare `>` would silently skip (NULL comparison)
-    violated = (F.col("__ka") > F.col("__kb")) | (
-        F.col("__ka").isNotNull() & F.col("__kb").isNull()
+    violated = (F.col("__k") > F.col("__nxt")) | (
+        F.col("__k").isNotNull()
+        & F.col("__nxt").isNull()
+        & F.col("__has_nxt").isNotNull()
     )
-    misordered = left.join(right, ["__f", "__i"]).filter(violated).count()
     per_file = (
-        meta.groupBy("__f")
+        stepped.groupBy("__f")
         .agg(
+            F.sum(F.when(violated, 1).otherwise(0)).alias("mis"),
             F.min_by("__k", "__i").alias("first"),
             F.max_by("__k", "__i").alias("last"),
             F.count("*").alias("n"),
+            # decimal(38,0): a BIGINT sum of ~2^31-sized terms wraps
+            # past ~4e9 rows (review-r4b; same fix as teragen_checksum)
+            F.sum((hash64("__k") % F.lit(2**31 - 1)).cast("decimal(38,0)")).alias("c"),
         )
         .collect()
     )
     per_file.sort(key=lambda r: r["__f"])
+    misordered = sum(int(r["mis"] or 0) for r in per_file)
     for a, b in zip(per_file, per_file[1:]):
         if _gt(a["last"], b["first"]):
             misordered += 1
-    checksum = meta.select(
-        # decimal(38,0): a BIGINT sum of ~2^31-sized terms wraps past
-        # ~4e9 rows (review-r4b; same fix as teragen_checksum)
-        F.sum((hash64("__k") % F.lit(2**31 - 1)).cast("decimal(38,0)")).alias("c")
-    ).collect()[0]["c"]
+    checksum = sum(int(r["c"] or 0) for r in per_file)
     return {
         "misordered": misordered,
-        "checksum": int(checksum or 0),
+        "checksum": checksum,
         "rows": sum(r["n"] for r in per_file),
     }
 

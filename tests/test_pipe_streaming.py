@@ -728,3 +728,63 @@ def test_dedup_ingest_stream_releases_checkpoints(spark, sf_dir, tmp_path):
         if i.id() not in before
     ]
     assert not after, f"leaked checkpoint blocks: {after}"
+
+
+def test_dedup_ingest_stream_replay_after_crash_is_idempotent(spark, sf_dir, tmp_path):
+    """advice-r4 (medium): if the driver crashes AFTER a batch's
+    signatures land in the store but BEFORE the checkpoint commit, the
+    replayed batch must not read its own signatures back as 'corpus' —
+    that would emit id_a==id_b self-pairs (est 1.0) and duplicate every
+    within-batch pair. Simulated by deleting the final checkpoint
+    commit and restarting: the replay must reproduce the exact
+    original pair set."""
+    import glob
+    import os
+
+    from hadoop_main_spark.tables import load_table
+
+    src = str(tmp_path / "docsrc")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    sig_p, pairs_p, ckpt = (
+        str(tmp_path / "sigs"), str(tmp_path / "pairs"), str(tmp_path / "ick")
+    )
+
+    def start():
+        return W.dedup_ingest_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src),
+            "doc_id", "text", sig_p, pairs_p, ckpt,
+        )
+
+    q1 = start()
+    assert q1.awaitTermination(300)
+    q1.stop()  # release the checkpoint registration before the restart
+    want = sorted(
+        (r.id_a, r.id_b, r.est_jaccard) for r in spark.read.parquet(pairs_p).collect()
+    )
+    assert want, "fixture produced no pairs"
+    # crash simulation: the last batch's sig partition EXISTS but its
+    # checkpoint commit does not -> Spark replays that batch on restart
+    commits = sorted(
+        c for c in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if os.path.basename(c).isdigit()
+    )
+    os.remove(commits[-1])
+    # the local FS keeps a hidden checksum sibling; a stale .crc makes
+    # the recommit rename fail, which is not the scenario under test
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = start()
+    assert q2.awaitTermination(300)
+    q2.stop()
+    got = sorted(
+        (r.id_a, r.id_b, r.est_jaccard) for r in spark.read.parquet(pairs_p).collect()
+    )
+    assert all(a != b for a, b, _ in got), "replay paired docs with themselves"
+    assert got == want
+    assert spark.read.parquet(sig_p).count() == docs.count()
