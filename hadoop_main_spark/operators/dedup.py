@@ -235,8 +235,14 @@ def lsh_pairs_from_signatures(
     # the threshold filter sits BEFORE distinct: equivalent result,
     # smaller dedup set.
     mh_cols = [f"mh{j}" for j in range(NUM_HASHES)]
+    # the rode-through minhashes are values mod P = 2^31-1, so they
+    # FIT int32: casting halves their shuffle bytes while keeping
+    # fixed-width columns (the measured reason the array<int> packing
+    # lost — var-width row handling)
     bands = sig.select(
-        F.col(id_col), *mh_cols, F.explode(F.array(*_band_structs())).alias("__bb")
+        F.col(id_col),
+        *[F.col(c).cast("int").alias(c) for c in mh_cols],
+        F.explode(F.array(*_band_structs())).alias("__bb"),
     ).select(id_col, *mh_cols, "__bb.band", "__bb.band_sig")
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
