@@ -588,3 +588,61 @@ def test_balanced_buckets_fill_all_tasks(spark, tmp_path):
     )
     assert len(parts) == n, parts  # no empty tasks, no collided tasks
     assert all(r.nb == 1 for r in parts), parts
+
+
+def test_har_index_escaping_adversarial_names(spark, tmp_path):
+    """Verdict-r4 hardening: the _index encoding must survive names
+    far nastier than space/'+' — literal '%', a '%2F' lookalike (an
+    encoded-slash string that double-decoding would corrupt into a
+    path separator), newline and tab (the index is LINE-based, so an
+    unencoded newline would split an entry), and non-ASCII. Checked
+    three ways: (1) the entry report round-trips every name, (2) each
+    payload extracts byte-exact from its part file at the reported
+    (start, length), (3) decoding the _index lines restores exactly
+    the original names — file entries and the root dir's children."""
+    from urllib.parse import unquote_plus
+
+    from hadoop_main_spark.sources.har import create_har
+
+    names = [
+        "a b.txt", "100%.txt", "a+b=c&d.txt", "%2F.txt",
+        "nl\nname.txt", "tab\tname.txt", "héllo wörld.txt",
+    ]
+    src = tmp_path / "advtree"
+    src.mkdir()
+    contents = {}
+    for n in names:
+        payload = f"payload of {n!r}\n".encode()
+        (src / n).write_bytes(payload)
+        contents[n] = payload
+    har = str(tmp_path / "adv.har")
+    report = {
+        r.rel: (r.part, r.start, r.length)
+        for r in create_har(spark, str(src), har, parts=2).collect()
+    }
+    assert set(report) == set(names)
+    import os
+
+    for n, (part, start, length) in report.items():
+        with open(os.path.join(har, part), "rb") as fh:
+            fh.seek(start)
+            assert fh.read(length) == contents[n], n
+    # parse the index the way HarFileSystem does: line-based, fields
+    # space-separated, names decoded with URL semantics
+    index_lines = open(os.path.join(har, "_index")).read().splitlines()
+    file_names, root_children = set(), None
+    for ln in index_lines:
+        toks = ln.split(" ")
+        if toks[1] == "file":
+            file_names.add(unquote_plus(toks[0]))
+        elif toks[1] == "dir" and unquote_plus(toks[0]) == "/":
+            root_children = {unquote_plus(t) for t in toks[5:]}
+    assert file_names == {"/" + n for n in names}
+    assert root_children == set(names)
+    # names the Hadoop Path/URI parser tolerates also read back
+    # end-to-end through har:// (raw '%'/newline are Path-hostile at
+    # the URI layer — the reference has the same limitation; the
+    # index itself, checked above, is what the escaping protects)
+    for n in ("a b.txt", "a+b=c&d.txt", "héllo wörld.txt"):
+        got = [r.value for r in spark.read.text(f"har://{har}/{n}").collect()]
+        assert got == [f"payload of {n!r}"], n

@@ -788,3 +788,51 @@ def test_dedup_ingest_stream_replay_after_crash_is_idempotent(spark, sf_dir, tmp
     assert all(a != b for a, b, _ in got), "replay paired docs with themselves"
     assert got == want
     assert spark.read.parquet(sig_p).count() == docs.count()
+
+
+def test_span_sink_recovers_from_crash_mid_swap(spark, sf_dir, tmp_path):
+    """Verdict-r4 hardening: the same crash window (live dir moved
+    aside, swap never happened) for the SUM-merged span sink — span
+    counts accumulated before the crash must survive via the aside
+    copy and the merged totals must equal the one-shot batch
+    cross_doc_spans over everything ingested."""
+    import shutil
+
+    from hadoop_main_spark.operators.dedup import cross_doc_spans
+    from hadoop_main_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+    h1 = docs.filter("doc_id % 2 = 0")
+    h2 = docs.filter("doc_id % 2 = 1")
+    out = str(tmp_path / "spans")
+
+    src1 = str(tmp_path / "s1")
+    h1.write.parquet(src1)
+    W.span_counts_stream_parquet(
+        spark.readStream.schema("doc_id long, text string").parquet(src1),
+        "doc_id", "text", out, str(tmp_path / "ck1"), window=10,
+    ).awaitTermination(120)
+    assert spark.read.parquet(out).count() > 0
+
+    # crash state: live dir moved aside, swap never happened
+    shutil.move(out, out + "__old_batch3")
+
+    src2 = str(tmp_path / "s2")
+    h2.write.parquet(src2)
+    W.span_counts_stream_parquet(
+        spark.readStream.schema("doc_id long, text string").parquet(src2),
+        "doc_id", "text", out, str(tmp_path / "ck2"), window=10,
+    ).awaitTermination(120)
+
+    got = sorted(
+        (r.span_hash, r.n_docs, r.n_occurrences, r.first_doc)
+        for r in W.read_span_counts(spark, out, min_docs=1).collect()
+    )
+    want = sorted(
+        (r.span_hash, r.n_docs, r.n_occurrences, r.first_doc)
+        for r in cross_doc_spans(docs, "doc_id", "text", window=10, min_docs=1).collect()
+    )
+    assert got == want and len(got) > 0
+    import os
+
+    assert not os.path.exists(out + "__old_batch3")
