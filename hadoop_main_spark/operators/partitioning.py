@@ -151,3 +151,45 @@ def salted_join(
     )
     out = l_s.join(r_s, [key, "__salt"], "inner").drop("__salt")
     return out
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 10) -> Column:
+    """Morton / Z-order interleaved clustering key over ``len(cols)``
+    non-negative integer dimensions, ``bits`` low bits each.
+
+    Bit layout: dimension d's bit i lands at position ``i*ndims + d``
+    (LSB-first interleave), so sorting by the key gives the classic
+    Z-curve: rows close in EVERY dimension land close in the sort
+    order. The 100 TB use is DATA CLUSTERING before a partitioned/
+    sorted write — one `orderBy(zorder_key(...))` at ingest makes
+    min/max file statistics selective on ALL interleaved columns at
+    once, so later scans filtered on any dimension prune files
+    (the Delta/Iceberg OPTIMIZE ZORDER technique; a single-column
+    sort prunes only its leading column). Pure Catalyst bit
+    arithmetic — codegen'd, no UDF, engine-portable.
+
+    Callers must pre-reduce dimensions into [0, 2**bits) (e.g.
+    ``col % 1024``); values outside the range fold in silently via
+    the masked shifts.
+    """
+    exprs = [F.col(c).cast("bigint") if isinstance(c, str) else c.cast("bigint") for c in cols]
+    nd = len(exprs)
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for d, c in enumerate(exprs):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            out = out + F.shiftleft(bit, i * nd + d)
+    return out
+
+
+def zorder_key_sql(exprs: Sequence[str], bits: int = 10) -> str:
+    """The DuckDB SQL text computing exactly :func:`zorder_key`."""
+    nd = len(exprs)
+    terms = []
+    for i in range(bits):
+        for d, e in enumerate(exprs):
+            # each term fully parenthesized: SQL gives '+' TIGHTER
+            # precedence than '<<', so unparenthesized terms chain the
+            # shifts into a single overflowing expression
+            terms.append(f"(((({e}) >> {i}) & 1) << {i * nd + d})")
+    return " + ".join(terms)

@@ -746,3 +746,150 @@ def nation_inventory_share(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("val").cast("double") / F.col("tot").cast("double")).alias("share"),
         )
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id)
+    SELECT COUNT(t_view) AS n_view,
+           COALESCE(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END), 0) AS n_view_click,
+           COALESCE(SUM(CASE WHEN t_click > t_view AND t_buy > t_click
+                        THEN 1 ELSE 0 END), 0) AS n_view_click_buy
+    FROM per
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase, "
+    "STRICTLY later first-times per stage): one conditional-min "
+    "groupBy per user then one global fold — two partial-aggregated "
+    "shuffles, no self-joins (the naive form joins events to itself "
+    "per stage: S-1 fact-fact joins). NULL stage times fall out of "
+    "the strict comparisons (a user who never clicked contributes "
+    "NULL > NULL = NULL -> 0), no explicit null handling needed.",
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+
+    def first_ts(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    per = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    return per.agg(
+        F.count("t_view").alias("n_view"),
+        F.coalesce(
+            F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_view_click"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("t_click") > F.col("t_view"))
+                    & (F.col("t_buy") > F.col("t_click")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_view_click_buy"),
+    )
+
+
+@query(
+    "user_activity_quartiles",
+    oracle="""
+    WITH per AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank
+    FROM per
+    WINDOW w AS (ORDER BY n_events DESC, user_id)
+    """,
+    doc="Ranking-window coverage (ntile / percent_rank — the analytic "
+    "functions the reference could only emulate with a total-order "
+    "sort job + a second pass): per-user event counts ranked into "
+    "quartiles. The ranking key is an exact INT count with a user_id "
+    "tie-break, so buckets and percent ranks are deterministic and "
+    "engine-identical (percent_rank's (rank-1)/(n-1) divides exact "
+    "ints). The unpartitioned window runs over the per-USER frame "
+    "(one row per user — already reduced), not the raw events; at "
+    "extreme user cardinality switch to global_rank's bucketed rank.",
+)
+def user_activity_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    per = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return per.select(
+        "user_id",
+        "n_events",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+_Z_X = "o_custkey % 1024"
+_Z_DAY = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024"
+
+
+@query(
+    "zorder_cluster",
+    oracle=None,  # set below once the helper can build the SQL text
+    doc="Z-order (Morton) clustering audit over orders on (custkey, "
+    "order day): the interleaved key is computed with pure bit "
+    "arithmetic (operators/partitioning.py:zorder_key), rows are "
+    "bucketed by the key's high bits, and per-bucket min/max of BOTH "
+    "dimensions are reported — tight per-bucket ranges on both axes "
+    "are exactly the file-statistics selectivity a Z-ordered ingest "
+    "write gives every interleaved column (the Delta/Iceberg OPTIMIZE "
+    "ZORDER shape; a plain sort is selective on its leading column "
+    "only). Pure codegen bit math; the oracle recomputes the same "
+    "interleave in SQL.",
+)
+def zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.partitioning import zorder_key
+
+    o = t(spark, sf, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(1024))
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+    )
+    y = F.pmod(day, F.lit(1024))
+    z = zorder_key([x.cast("bigint"), y.cast("bigint")], bits=10)
+    return (
+        o.select(
+            F.col("o_orderkey"),
+            x.cast("bigint").alias("__x"),
+            y.cast("bigint").alias("__y"),
+            (z / F.lit(1024)).cast("bigint").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("__x").alias("min_cust"),
+            F.max("__x").alias("max_cust"),
+            F.min("__y").alias("min_day"),
+            F.max("__y").alias("max_day"),
+        )
+    )
+
+
+from hadoop_main_spark.operators.partitioning import zorder_key_sql as _zk_sql
+from hadoop_main_spark.plans.registry import REGISTRY as _REG
+
+_REG["zorder_cluster"].oracle = f"""
+    WITH dims AS (
+      SELECT o_orderkey, {_Z_X} AS x, {_Z_DAY} AS y FROM orders),
+    z AS (SELECT o_orderkey, x, y, ({_zk_sql(["x", "y"], 10)}) // 1024 AS bucket
+          FROM dims)
+    SELECT bucket, COUNT(*) AS n,
+           MIN(x) AS min_cust, MAX(x) AS max_cust,
+           MIN(y) AS min_day, MAX(y) AS max_day
+    FROM z GROUP BY bucket
+    """

@@ -2054,3 +2054,145 @@ def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     sig_new = D.minhash_signature(new, "doc_id", "text")
     sig_cor = D.minhash_signature(corpus, "doc_id", "text")
     return D.lsh_pairs_across(sig_new, sig_cor, "doc_id", min_est_jaccard=0.5)
+
+
+@query(
+    "dup_ngram_fraction",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({D.shingles_sql("text", 5)}) AS g FROM documents),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams, COUNT(DISTINCT g) AS n_distinct
+      FROM sh GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_ngrams, 0) AS n_ngrams,
+           coalesce(n_distinct, 0) AS n_distinct,
+           CASE WHEN coalesce(n_ngrams, 0) > 0
+                THEN CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams
+                ELSE 0.0 END AS dup_frac
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="WITHIN-document repeated-5-gram fraction (the Gopher "
+    "repetition signals, Rae et al. 2021 arXiv:2112.11446 §A1.1: "
+    "high duplicate-n-gram fraction marks boilerplate/spam). One "
+    "shingle explode + per-doc COUNT vs COUNT DISTINCT — partial "
+    "aggregation on (doc_id) keeps the shuffle at one row per doc; "
+    "the fraction is a single exact-int division (bit-portable). "
+    "Docs shorter than 5 tokens score 0.0 (no n-grams, explode_outer "
+    "keeps the row).",
+)
+def dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    sh = d.select("doc_id", F.explode_outer(D.word_shingles("text", 5)).alias("g"))
+    per = sh.groupBy("doc_id").agg(
+        F.count("g").alias("n_ngrams"),
+        F.count_distinct("g").alias("n_distinct"),
+    )
+    return per.select(
+        "doc_id",
+        "n_ngrams",
+        "n_distinct",
+        F.when(
+            F.col("n_ngrams") > 0,
+            (F.col("n_ngrams") - F.col("n_distinct")).cast("double")
+            / F.col("n_ngrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+@query(
+    "inverted_index",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(tk) AS term,
+             unnest(generate_series(1, len(tk))) - 1 AS pos
+      FROM toks)
+    SELECT term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+    FROM pos GROUP BY term, doc_id
+    """,
+    doc="Inverted-index build (the classic second MapReduce example "
+    "after WordCount: term -> postings with in-document positions): "
+    "posexplode keeps token offsets, one partial-agg groupBy emits "
+    "(term, doc_id, tf, first_pos). At 100 TB this is the shape a "
+    "search/index bulk build uses — the shuffle key is (term, doc) "
+    "so no single term funnels a task, and writing "
+    "partitionBy(prefix) gives the lexicon layout.",
+)
+def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "term")
+    )
+    return pos.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+
+
+@query(
+    "pmi_topk",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    w AS (SELECT unnest(tk) AS w FROM toks),
+    uni AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_tot FROM w),
+    bg AS (SELECT unnest(list_transform(
+             generate_series(1, greatest(len(tk) - 1, 0)),
+             i -> tk[i] || ' ' || tk[i+1])) AS bigram
+           FROM toks),
+    p AS (SELECT bigram, COUNT(*) AS cxy FROM bg
+          GROUP BY bigram HAVING COUNT(*) >= 5)
+    SELECT bigram, cxy,
+           CAST(cxy * n_tot AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS pmi_ratio
+    FROM p CROSS JOIN n
+    JOIN uni u1 ON u1.w = split_part(bigram, ' ', 1)
+    JOIN uni u2 ON u2.w = split_part(bigram, ' ', 2)
+    ORDER BY pmi_ratio DESC, bigram LIMIT 20
+    """,
+    doc="Collocation strength via a PMI RATIO — p(x,y)/(p(x)p(y)) = "
+    "cxy*N/(cx*cy) — kept as one division of exact BIGINT products "
+    "(< 2^53, so the double is engine-identical; no log needed for "
+    "RANKING since log is monotone — the token_rarity libm-free "
+    "discipline). Unigram and bigram counts partial-aggregate from "
+    "the same token stream; the two unigram joins key on the term "
+    "WITHOUT a broadcast hint (vocabulary-sized build side — the "
+    "tfidf_top_terms lesson); only the one-row total broadcasts. "
+    "min-count 5 is the standard collocation support cut.",
+)
+def pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    n_tot = toks.agg(F.count("*").alias("__n"))
+    bg = d.select(F.explode(D.word_shingles("text", 2)).alias("bigram"))
+    pairs = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+        .withColumn("__w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("__w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+    )
+    joined = (
+        pairs.join(uni.select(F.col("w").alias("__w1"), F.col("c").alias("__c1")), "__w1")
+        .join(uni.select(F.col("w").alias("__w2"), F.col("c").alias("__c2")), "__w2")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return (
+        joined.select(
+            "bigram",
+            "cxy",
+            (
+                (F.col("cxy") * F.col("__n")).cast("double")
+                / (F.col("__c1") * F.col("__c2")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), F.asc("bigram"))
+        .limit(20)
+    )

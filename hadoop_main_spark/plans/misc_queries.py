@@ -232,3 +232,58 @@ def pipe_reduce_sum(spark: SparkSession, sf: str) -> DataFrame:
         F.col("key").cast("bigint").alias("user_id"),
         F.col("value").cast("bigint").alias("total_cents"),
     )
+
+
+@query(
+    "media_pixel_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS first_media, COUNT(*) AS n_media
+    FROM documents GROUP BY doc_id % 50
+    """,
+    doc="DECODED-pixel exact dedup for media: per-doc PNGs whose "
+    "pixel content depends only on doc_id % 50 are encoded with "
+    "DIFFERENT scanline-filter strategies per doc (byte-level the "
+    "payloads differ; a payload-digest dedup finds nothing), then the "
+    "REAL PNG decode recovers the pixel buffer and grouping by its "
+    "digest finds the true duplicate classes. This is the multimodal "
+    "twin of exact text dedup: only the (id, pixel-digest) pair "
+    "shuffles — decoded frames never leave the Arrow batch. The "
+    "oracle knows the planted class structure in closed form.",
+)
+def media_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen_and_digest(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            digs = []
+            for i in ids:
+                g = int(i) % 50
+                h, w = g % 12 + 4, g % 16 + 4
+                col = ((g * 31 + np.arange(h)) % 256).astype(np.uint8)
+                arr = np.repeat(col[:, None], w, axis=1)
+                # encode with a doc-dependent filter strategy, then
+                # REALLY decode: equal pixels, different payload bytes
+                payload = MM._png_encode(
+                    arr, row_filter="mixed" if int(i) % 2 else "none"
+                )
+                pix = MM._png_decode(payload)
+                digs.append(
+                    hashlib.md5(
+                        pix.shape[0].to_bytes(4, "big")
+                        + pix.shape[1].to_bytes(4, "big")
+                        + pix.tobytes()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame({"doc_id": ids, "pixel_digest": digs})
+
+    digests = docs.mapInPandas(gen_and_digest, "doc_id long, pixel_digest string")
+    return digests.groupBy("pixel_digest").agg(
+        F.min("doc_id").alias("first_media"), F.count("*").alias("n_media")
+    ).select("first_media", "n_media")
