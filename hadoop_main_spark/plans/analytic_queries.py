@@ -749,7 +749,7 @@ def nation_inventory_share(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "funnel_conversion",
+    "funnel_3stage",
     oracle="""
     WITH per AS (
       SELECT user_id,
@@ -763,15 +763,17 @@ def nation_inventory_share(spark: SparkSession, sf: str) -> DataFrame:
                         THEN 1 ELSE 0 END), 0) AS n_view_click_buy
     FROM per
     """,
-    doc="Ordered funnel conversion (view -> click -> purchase, "
-    "STRICTLY later first-times per stage): one conditional-min "
-    "groupBy per user then one global fold — two partial-aggregated "
-    "shuffles, no self-joins (the naive form joins events to itself "
-    "per stage: S-1 fact-fact joins). NULL stage times fall out of "
-    "the strict comparisons (a user who never clicked contributes "
-    "NULL > NULL = NULL -> 0), no explicit null handling needed.",
+    doc="THREE-stage ordered funnel (view -> click -> purchase, "
+    "STRICTLY later first-times per stage — the N-stage general form "
+    "of funnel_conversion's signup->purchase pair): one "
+    "conditional-min groupBy per user then one global fold — two "
+    "partial-aggregated shuffles, no self-joins (the naive form joins "
+    "events to itself per stage: S-1 fact-fact joins). NULL stage "
+    "times fall out of the strict comparisons (a user who never "
+    "clicked contributes NULL > NULL = NULL -> 0), no explicit null "
+    "handling needed.",
 )
-def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+def funnel_3stage(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events")
 
     def first_ts(et: str):
@@ -837,10 +839,23 @@ def user_activity_quartiles(spark: SparkSession, sf: str) -> DataFrame:
 _Z_X = "o_custkey % 1024"
 _Z_DAY = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024"
 
+from hadoop_main_spark.operators.partitioning import zorder_key_sql as _zk_sql  # noqa: E402
+
+_Z_ORACLE = f"""
+    WITH dims AS (
+      SELECT o_orderkey, {_Z_X} AS x, {_Z_DAY} AS y FROM orders),
+    z AS (SELECT o_orderkey, x, y, ({_zk_sql(["x", "y"], 10)}) // 1024 AS bucket
+          FROM dims)
+    SELECT bucket, COUNT(*) AS n,
+           MIN(x) AS min_cust, MAX(x) AS max_cust,
+           MIN(y) AS min_day, MAX(y) AS max_day
+    FROM z GROUP BY bucket
+    """
+
 
 @query(
     "zorder_cluster",
-    oracle=None,  # set below once the helper can build the SQL text
+    oracle=_Z_ORACLE,
     doc="Z-order (Morton) clustering audit over orders on (custkey, "
     "order day): the interleaved key is computed with pure bit "
     "arithmetic (operators/partitioning.py:zorder_key), rows are "
@@ -878,18 +893,3 @@ def zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
             F.max("__y").alias("max_day"),
         )
     )
-
-
-from hadoop_main_spark.operators.partitioning import zorder_key_sql as _zk_sql
-from hadoop_main_spark.plans.registry import REGISTRY as _REG
-
-_REG["zorder_cluster"].oracle = f"""
-    WITH dims AS (
-      SELECT o_orderkey, {_Z_X} AS x, {_Z_DAY} AS y FROM orders),
-    z AS (SELECT o_orderkey, x, y, ({_zk_sql(["x", "y"], 10)}) // 1024 AS bucket
-          FROM dims)
-    SELECT bucket, COUNT(*) AS n,
-           MIN(x) AS min_cust, MAX(x) AS max_cust,
-           MIN(y) AS min_day, MAX(y) AS max_day
-    FROM z GROUP BY bucket
-    """

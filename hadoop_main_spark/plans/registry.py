@@ -39,6 +39,11 @@ REGISTRY: dict[str, Query] = {}
 
 def query(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a dict assignment would SILENTLY drop the earlier query
+            # from the driver contract (review-r5: a new 3-stage funnel
+            # nearly shadowed the existing funnel_conversion)
+            raise ValueError(f"duplicate registry query name: {name!r}")
         REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), bench)
         return fn
 
