@@ -170,7 +170,10 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 10) -> Column:
 
     Callers must pre-reduce dimensions into [0, 2**bits) (e.g.
     ``col % 1024``); values outside the range fold in silently via
-    the masked shifts.
+    the masked shifts. The ingest-side writer is
+    :func:`hadoop_main_spark.sources.layouts.write_zordered` (whose
+    2-D ``zorder_value`` wraps this function — one interleave
+    definition repo-wide).
     """
     exprs = [F.col(c).cast("bigint") if isinstance(c, str) else c.cast("bigint") for c in cols]
     nd = len(exprs)

@@ -46,23 +46,15 @@ def materialize_bucketed(
 
 
 def zorder_value(col_a, col_b, bits: int = 16):
-    """Z-order (Morton) value of two non-negative integer columns:
-    bit-interleaved so that sorting by it clusters rows that are close
-    in BOTH dimensions. Pure Catalyst shift/mask expressions — JVM-
-    evaluated, codegen-friendly.
-    """
-    from pyspark.sql import functions as F
+    """Z-order (Morton) value of two non-negative integer columns —
+    the 2-D convenience wrapper over the n-dimensional
+    :func:`hadoop_main_spark.operators.partitioning.zorder_key`
+    (ONE interleave definition repo-wide; identical bit layout:
+    dim d's bit i at position i*ndims + d). Pure Catalyst shift/mask
+    expressions — JVM-evaluated, codegen-friendly."""
+    from hadoop_main_spark.operators.partitioning import zorder_key
 
-    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("bigint")
-    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("bigint")
-    terms = []
-    for i in range(bits):
-        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
-        terms.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    return zorder_key([col_a, col_b], bits=bits)
 
 
 def write_zordered(
