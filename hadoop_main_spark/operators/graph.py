@@ -1,0 +1,127 @@
+"""Graph analytics operators (capability extension).
+
+The reference era treated graph algorithms as chained MapReduce jobs
+(triangle counting and PageRank were the canonical examples in the
+MapReduce literature); here each is a declarative join/agg plan.
+Connected components (pointer jumping) lives in
+:mod:`hadoop_main_spark.operators.dedup` next to its dedup consumer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list normalized to (a < b), self-loops dropped,
+    duplicates collapsed — the precondition every edge algorithm below
+    assumes."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    return df.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Total triangle count over an undirected graph, degree-oriented.
+
+    Edges are ORIENTED from the (degree, node)-smaller endpoint to the
+    larger before the wedge join — the standard scale trick (each
+    oriented out-degree is O(sqrt(m)) on any graph, so the wedge set
+    stays near-linear even with hub nodes; id-oriented wedges explode
+    quadratically on a hub). Then triangles = oriented wedges
+    (u->v, u->w) whose closing edge (v->w) exists — two equi-joins,
+    no cartesian anywhere. Deterministic: the orientation tie-breaks
+    on the node key itself, so any engine reproduces it exactly.
+
+    Input: canonical (a, b) edges (see :func:`canonical_edges`).
+    Output: one row, ``n_triangles`` (each triangle counted once).
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient: keep each edge as (lo -> hi) under the (degree, node)
+    # total order. Joins on the node key are vocabulary-sized — no
+    # broadcast hints (the tfidf discipline).
+    e = (
+        edges.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    # each triangle has EXACTLY one wedge: at its orientation-minimum
+    # vertex, with the (v1 < v2) key constraint picking one ordered
+    # pair. The closing probe joins the CANONICAL key-ordered edge
+    # list directly (wedge pairs are key-ordered by construction) —
+    # no second orientation pass.
+    wedges = e.alias("e1").join(
+        e.alias("e2"),
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.w") < F.col("e2.w")),
+    ).select(F.col("e1.w").alias("v1"), F.col("e2.w").alias("v2"))
+    closed = wedges.join(
+        edges.select(F.col("a").alias("v1"), F.col("b").alias("v2")), ["v1", "v2"]
+    )
+    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 2,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank with damping 0.85 in EXACT integer arithmetic: ranks
+    live in BIGINT ``scale``-units and every step is integer division
+    (``div``, truncating — values are non-negative so it equals the
+    oracle's flooring ``//``), so iterated ranks are BIT-IDENTICAL
+    across engines — the kmeans_centroids micro-grid discipline; a
+    float PageRank drifts by ulps per iteration and can flip top-k
+    order. Mass lost to the floors is deterministic and identical in
+    both engines (and vanishes at scale=1e12 relative to rank gaps).
+
+    ``edges``: directed (src, dst), deduplicated, no self-loops.
+    ``nodes``: one ``v`` row per node (dangling nodes keep the base
+    rank; their mass is not redistributed — the standard simplified
+    formulation, stated here so the oracle matches by construction).
+
+    Scale shape: each iteration is one (src-keyed) contribution join +
+    one (dst-keyed) partial-agg shuffle — the textbook distributed
+    PageRank step; node-count and per-iteration tables never collect
+    to the driver (the node total rides as a one-row broadcast).
+    """
+    base_num = 15 * scale // 100
+    ntot = nodes.agg(F.count("*").alias("__n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("__d"))
+    r = nodes.crossJoin(F.broadcast(ntot)).select(
+        "v", F.expr(f"{scale} div __n").alias("__r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(r.select(F.col("v").alias("src"), "__r"), "src")
+            .select(F.col("dst").alias("v"), F.expr("__r div __d").alias("__c"))
+        )
+        summed = contrib.groupBy("v").agg(F.sum("__c").alias("__s"))
+        r = (
+            nodes.join(summed, "v", "left")
+            .crossJoin(F.broadcast(ntot))
+            .select(
+                "v",
+                (
+                    F.expr(f"{base_num} div __n")
+                    + F.expr("(85 * coalesce(__s, 0)) div 100")
+                ).alias("__r"),
+            )
+        )
+    return r.select("v", F.col("__r").alias("rank"))

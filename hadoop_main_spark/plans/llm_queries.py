@@ -2196,3 +2196,99 @@ def pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("pmi_ratio"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "triangle_count",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    bg AS (SELECT unnest(list_transform(
+             generate_series(1, greatest(len(tk) - 1, 0)),
+             i -> [tk[i], tk[i+1]])) AS pr
+           FROM toks),
+    e AS (SELECT DISTINCT least(pr[1], pr[2]) AS a, greatest(pr[1], pr[2]) AS b
+          FROM bg WHERE pr[1] <> pr[2])
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+    doc="Triangle counting over the token co-occurrence graph (nodes "
+    "= tokens, edges = distinct adjacent pairs) — the canonical "
+    "chained-MapReduce graph benchmark as ONE plan. The operator "
+    "orients edges by (degree, node) before the wedge join "
+    "(operators/graph.py:triangle_count) so per-node oriented "
+    "out-degree stays O(sqrt(m)) even on hub tokens — the id-ordered "
+    "form the ORACLE uses is count-equivalent but would wedge-explode "
+    "quadratically on a hub at scale; the count is orientation-"
+    "independent, which is exactly why the cheap oracle can verify "
+    "the scalable plan.",
+)
+def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.graph import canonical_edges, triangle_count as tc
+
+    d = t(spark, sf, "documents")
+    bg = d.select(F.explode(D.word_shingles("text", 2)).alias("bigram")).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    return tc(canonical_edges(bg, "w1", "w2"))
+
+
+_PR_SCALE = 10**12
+_PR_BASE = 15 * _PR_SCALE // 100
+
+
+@query(
+    "pagerank_top20",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    bg AS (SELECT unnest(list_transform(
+             generate_series(1, greatest(len(tk) - 1, 0)),
+             i -> [tk[i], tk[i+1]])) AS pr
+           FROM toks),
+    e AS (SELECT DISTINCT pr[1] AS src, pr[2] AS dst FROM bg WHERE pr[1] <> pr[2]),
+    nodes AS (SELECT DISTINCT unnest(tk) AS v FROM toks),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT v, {_PR_SCALE} // n_nodes AS r FROM nodes CROSS JOIN n),
+    c1 AS (SELECT dst AS v, SUM(r0.r // deg.d) AS s
+           FROM e JOIN deg USING (src) JOIN r0 ON r0.v = e.src GROUP BY dst),
+    r1 AS (SELECT nodes.v,
+                  {_PR_BASE} // n_nodes + (85 * coalesce(s, 0)) // 100 AS r
+           FROM nodes LEFT JOIN c1 USING (v) CROSS JOIN n),
+    c2 AS (SELECT dst AS v, SUM(r1.r // deg.d) AS s
+           FROM e JOIN deg USING (src) JOIN r1 ON r1.v = e.src GROUP BY dst),
+    r2 AS (SELECT nodes.v,
+                  {_PR_BASE} // n_nodes + (85 * coalesce(s, 0)) // 100 AS r
+           FROM nodes LEFT JOIN c2 USING (v) CROSS JOIN n)
+    SELECT v AS token, CAST(r AS BIGINT) AS rank
+    FROM r2 ORDER BY r DESC, v LIMIT 20
+    """,
+    doc="PageRank (2 iterations, damping 0.85) over the DIRECTED "
+    "token-adjacency graph — the second canonical chained-MapReduce "
+    "graph benchmark. Ranks are BIGINT micro-units with every step an "
+    "integer division (operators/graph.py:pagerank_int), so iterated "
+    "values are bit-identical across engines (the kmeans micro-grid "
+    "discipline — float PageRank drifts by ulps per iteration and "
+    "flips top-k order). Each iteration = one src-keyed join + one "
+    "dst-keyed partial-agg shuffle; the node total rides as a one-row "
+    "broadcast, nothing collects to the driver.",
+)
+def pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.graph import pagerank_int
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    bg = d.select(F.explode(D.word_shingles("text", 2)).alias("bigram")).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("src"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("dst"),
+    )
+    edges = bg.filter(F.col("src") != F.col("dst")).distinct()
+    nodes = d.select(F.explode(tokenize("text")).alias("v")).distinct()
+    ranked = pagerank_int(edges, nodes, iterations=2, scale=_PR_SCALE)
+    return (
+        ranked.select(F.col("v").alias("token"), F.col("rank").cast("bigint").alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("token"))
+        .limit(20)
+    )

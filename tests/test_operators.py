@@ -1320,3 +1320,58 @@ def test_split_points_null_tiebreak_column(spark):
     ranked = S.global_rank(df, "k1", "k2", rank_col="rank")
     n_buckets = ranked.select(F.spark_partition_id()).distinct().count()
     assert ranked.count() == 5000
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented triangle counting must equal the brute-force
+    count on adversarial graphs: a hub star (no triangles), a clique
+    (C(k,3)), duplicate/reversed/self-loop raw edges, plus a random
+    graph."""
+    import itertools
+    import random
+
+    from hadoop_main_spark.operators.graph import canonical_edges, triangle_count
+
+    rng = random.Random(7)
+    raw = []
+    # hub star 0-(1..12)
+    raw += [(0, i) for i in range(1, 13)]
+    # clique on 20..25
+    raw += list(itertools.combinations(range(20, 26), 2))
+    # noise: duplicates, reversals, self-loops, random edges
+    raw += [(i, 0) for i in range(1, 6)] + [(3, 3), (21, 21)]
+    raw += [(rng.randrange(30), rng.randrange(30)) for _ in range(60)]
+    df = spark.createDataFrame(raw, "x int, y int")
+    edges = canonical_edges(df, "x", "y")
+    got = triangle_count(edges).collect()[0].n_triangles
+
+    es = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(
+        1
+        for a, b in es
+        for c in adj[a] & adj[b]
+        if a < c and b < c
+    )
+    assert got == want and want >= 20  # the clique alone has C(6,3)=20
+
+
+def test_pagerank_int_conservation_and_order(spark):
+    """Integer PageRank sanity on a hand graph: every rank >= the
+    base floor, total mass stays <= scale (floors only LOSE mass,
+    deterministically), and the sink of a chain outranks its source."""
+    from hadoop_main_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("d", "c")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "v string")
+    scale = 10**12
+    r = {x.v: x.rank for x in pagerank_int(edges, nodes, iterations=2, scale=scale).collect()}
+    base = (15 * scale // 100) // 4
+    assert all(v >= base for v in r.values()), r
+    assert sum(r.values()) <= scale
+    assert r["c"] > r["a"] == r["d"]  # c collects from a, b, d; a and d are symmetric sources
