@@ -445,3 +445,43 @@ def test_domain_mix_apply_broadcast_budget(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln and "source" not in ln:
             pytest.fail(f"window not keyed by source: {ln.strip()[:160]}")
+
+
+def test_pmi_no_vocabulary_broadcast_hint(spark, sf_dir):
+    """pmi_topk joins the vocabulary-sized unigram table TWICE on the
+    term — both joins must be unhinted (the tfidf_top_terms lesson);
+    the only ResolvedHint is the one-row token total."""
+    df = REGISTRY["pmi_topk"].build(spark, sf_dir)
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    hints = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert len(hints) == 1, f"expected 1 broadcast hint, got {len(hints)}"
+    assert "__n" in "\n".join(lines[hints[0] : hints[0] + 4])
+    # and the result is a top-k merge, not a global sort
+    plan = _plan(spark, "pmi_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_graph_queries_no_cartesian_on_data(spark, sf_dir):
+    """Triangle counting and PageRank must plan every join as an
+    equi-join; the only nested-loop joins allowed are the one-row
+    total broadcasts (BroadcastNestedLoopJoin over an Aggregate)."""
+    for q in ("triangle_count", "pagerank_top20"):
+        plan = _plan(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+
+
+def test_inverted_index_partial_agg(spark, sf_dir):
+    """The postings build must partial-aggregate map-side — one
+    shuffle keyed (term, doc), never a term-only hot key."""
+    plan = _plan(spark, "inverted_index", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_funnel_3stage_two_aggregations_no_join(spark, sf_dir):
+    """The strict funnel is two aggregation levels over ONE events
+    scan — no self-joins (the naive per-stage form joins events to
+    itself S-1 times)."""
+    plan = _plan(spark, "funnel_3stage", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
