@@ -893,3 +893,49 @@ def zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
             F.max("__y").alias("max_day"),
         )
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+    base AS (
+      SELECT user_id, CAST(date_trunc('week', t0) AS DATE) AS cohort_week,
+             CAST(date_trunc('week', t0) AS TIMESTAMP) AS w0
+      FROM first_seen)
+    SELECT cohort_week,
+           date_diff('day', w0, CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN base USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="Retention cohort matrix: users cohorted by the ISO week of "
+    "their FIRST event, activity counted per (cohort, week-offset) — "
+    "the standard warehouse retention shape. Offsets are integer "
+    "day-diffs // 7 between week-truncated timestamps (no float "
+    "date math), so the matrix is engine-exact. Two shuffles: the "
+    "per-user first-seen aggregate and the cohort-cell count-distinct; "
+    "the first-seen table joins back keyed on user (co-partitioned "
+    "with the events shuffle at scale, no broadcast hint — user "
+    "cardinality is data-sized).",
+)
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    base = first.select(
+        "user_id",
+        F.date_trunc("week", F.col("t0")).cast("date").alias("cohort_week"),
+        F.date_trunc("week", F.col("t0")).alias("w0"),
+    )
+    j = e.join(base, "user_id")
+    week_offset = F.floor(
+        F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("w0").cast("date"))
+        / F.lit(7)
+    ).cast("bigint")
+    return (
+        j.select("cohort_week", week_offset.alias("week_offset"), "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
