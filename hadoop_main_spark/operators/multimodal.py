@@ -8,10 +8,13 @@ numpy pipeline for uncompressed P6 images (header parse, pixel
 reshape, nearest-neighbor resize, re-encode, band features);
 ``'png'`` is a REAL stdlib-zlib + numpy PNG codec (chunk walk with
 CRC verify, IDAT inflate, all five scanline filters, palette
-expansion — 8-bit non-interlaced); ``'wav'`` the real RIFF/PCM16
-audio path; ``'stub'`` is a deterministic fake for arbitrary blobs;
-codec formats whose libraries are absent here (JPEG/opus/mp3) raise
-a clearly-marked NotImplementedError — plug one into the same
+expansion — 8-bit non-interlaced); ``'jpeg'`` is a REAL baseline
+sequential-DCT JPEG codec (ITU-T T.81: marker walk, Huffman entropy
+coding, exact orthonormal 8x8 DCT, 4:4:4 / 4:2:0, restart markers);
+``'wav'`` the real RIFF/PCM16 audio path; ``'stub'`` is a
+deterministic fake for arbitrary blobs; codec formats whose
+libraries are absent here (opus/mp3/video codecs) raise a
+clearly-marked NotImplementedError — plug one into the same
 mapInPandas signature.
 
 Scale notes: payloads dominate row size — keep them in their own
@@ -356,6 +359,551 @@ def _png_features(p: bytes, dim: int) -> list[float]:
     return _image_band_features(arr, dim)
 
 
+# --- real codec for baseline JPEG (stdlib + numpy) ---------------------------
+# Baseline sequential DCT JPEG (ITU-T T.81): marker walk, Huffman
+# entropy decode (DHT code tables), dequantize + dezigzag, exact
+# orthonormal 8x8 IDCT as one numpy matrix product, chroma upsample,
+# JFIF YCbCr->RGB. The encoder is the exact mirror (FDCT + the public
+# Annex K quantization/Huffman tables with IJG quality scaling), so
+# the pair is self-verifying: constant 8x8 blocks round-trip
+# PIXEL-EXACT at quality 100 (DC-only, all quantizers 1) and smooth
+# images round-trip within a pinned tolerance. Supports grayscale and
+# YCbCr 4:4:4 / 4:2:0, restart intervals on decode. Progressive
+# (SOF2), arithmetic coding, and 12-bit precision raise ValueError
+# (bad-record path). All tables below are published constants from
+# the JPEG spec (T.81 Annex K) — cited, not reverse-engineered.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# T.81 Annex K.1 example quantization tables
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+# T.81 Annex K.3 typical Huffman tables: (BITS counts per code length
+# 1..16, HUFFVAL symbol list)
+_JPEG_HUFF = {
+    ("dc", 0): (
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("dc", 1): (
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("ac", 0): (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+            0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+            0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+            0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+            0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+            0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+            0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+            0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+            0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+            0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+    ("ac", 1): (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+            0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+            0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+            0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+            0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+            0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+            0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+            0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+            0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+            0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+            0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _jpeg_qtable(base: list, quality: int) -> list:
+    """IJG quality scaling (public libjpeg convention, quality 1-100)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(max((v * scale + 50) // 100, 1), 255) for v in base]
+
+
+def _dct8():
+    """The orthonormal 8x8 DCT-II matrix: M[u, x] = c(u)/2 *
+    cos((2x+1)u*pi/16), c(0)=1/sqrt(2) else 1. FDCT = M @ B @ M.T,
+    IDCT = M.T @ C @ M — exact float, no fast-DCT approximations."""
+    import numpy as np
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman code assignment (T.81 C.2): symbol ->
+    (length, code)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, length: int, code: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def byte_align(self) -> None:
+        if self.n:
+            self.put(8 - self.n, 0xFF)  # pad with 1-bits (T.81 F.1.2.3)
+
+    def raw_marker(self, second_byte: int) -> None:
+        """Append a marker (0xFF xx) directly — NOT entropy data, so no
+        byte stuffing. Caller must byte_align() first."""
+        self.buf += bytes([0xFF, second_byte])
+
+    def flush(self) -> bytes:
+        self.byte_align()
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple:
+    """(category, extra bits) per T.81 F.1.2.1: category = bit length
+    of |v|, negative values encoded as v - 1 in category bits."""
+    s, a = 0, abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_encode_block(w: "_JpegBitWriter", coefs, dc_codes, ac_codes, pred: int) -> int:
+    """Huffman-encode one quantized block (zigzag int array); returns
+    the new DC predictor."""
+    dc = int(coefs[0])
+    s, bits = _jpeg_magnitude(dc - pred)
+    ln, code = dc_codes[s]
+    w.put(ln, code)
+    if s:
+        w.put(s, bits)
+    run = 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]  # ZRL
+            w.put(ln, code)
+            run -= 16
+        s, bits = _jpeg_magnitude(v)
+        ln, code = ac_codes[(run << 4) | s]
+        w.put(ln, code)
+        w.put(s, bits)
+        run = 0
+    if run:
+        ln, code = ac_codes[0x00]  # EOB
+        w.put(ln, code)
+    return dc
+
+
+def _jpeg_plane_blocks(plane, q, m):
+    """FDCT + quantize an (H, W) float plane (H, W multiples of 8) into
+    an array of zigzag-ordered int blocks, block-row major."""
+    import numpy as np
+
+    hh, ww = plane.shape
+    shifted = plane - 128.0
+    blocks = shifted.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,rcxy,vy->rcuv", m, blocks, m)
+    flat = coef.reshape(-1, 64)[:, _ZIGZAG]
+    return np.rint(flat / np.asarray(q, dtype=np.float64)[None, :]).astype(np.int64)
+
+
+def _jpeg_encode(
+    arr, quality: int = 90, subsample: bool = False, restart: int = 0
+) -> bytes:
+    """Encode an (h, w) gray or (h, w, 3) RGB uint8 array as baseline
+    JFIF JPEG — 4:4:4, or 4:2:0 when ``subsample`` (chroma = 2x2 box
+    mean); ``restart`` > 0 writes a DRI segment and RSTn markers every
+    that many MCUs. Deterministic: exact orthonormal FDCT + np.rint."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2 or arr.shape[2] == 1
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    h, w = arr.shape[0], arr.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql = _jpeg_qtable(_JPEG_QL, quality)
+    qc = _jpeg_qtable(_JPEG_QC, quality)
+    m = _dct8()
+
+    def pad_to(p, mult):
+        ph = (-p.shape[0]) % mult
+        pw = (-p.shape[1]) % mult
+        return np.pad(p, ((0, ph), (0, pw)), mode="edge")
+
+    if gray:
+        planes = [(pad_to(arr.astype(np.float64), 8), ql, 1, 1)]
+    else:
+        f = arr.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            yp = pad_to(y, 16)
+            # 2x2 box mean, computed on the padded plane
+            cbp = pad_to(cb, 16)
+            crp = pad_to(cr, 16)
+            cbd = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+            crd = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+            planes = [(yp, ql, 2, 2), (cbd, qc, 1, 1), (crd, qc, 1, 1)]
+        else:
+            planes = [
+                (pad_to(y, 8), ql, 1, 1),
+                (pad_to(cb, 8), qc, 1, 1),
+                (pad_to(cr, 8), qc, 1, 1),
+            ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qc))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (_, _, hs, vs) in enumerate(planes):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    used = [("dc", 0), ("ac", 0)] + ([("dc", 1), ("ac", 1)] if not gray else [])
+    for cls, tid in used:
+        bits, vals = _JPEG_HUFF[(cls, tid)]
+        out += seg(0xC4, bytes([((0 if cls == "dc" else 1) << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    codes = {k: _huff_codes(*v) for k, v in _JPEG_HUFF.items()}
+    comp_blocks = [
+        _jpeg_plane_blocks(p, q, m).reshape(p.shape[0] // 8, p.shape[1] // 8, 64)
+        for p, q, _, _ in planes
+    ]
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    writer = _JpegBitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                writer.byte_align()
+                writer.raw_marker(0xD0 + (mcu_count // restart - 1) % 8)
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, (_, _, hs, vs) in enumerate(planes):
+                tid = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = comp_blocks[ci][my * vs + by, mx * hs + bx]
+                        preds[ci] = _jpeg_encode_block(
+                            writer, blk, codes[("dc", tid)], codes[("ac", tid)], preds[ci]
+                        )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 destuffing; RST markers
+    terminate a segment (the decoder resets predictors and continues)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.d[self.i]
+            if b == 0xFF:
+                nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.i += 2
+                else:
+                    raise ValueError("hit marker inside entropy data")
+            else:
+                self.i += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_rst(self) -> None:
+        """Byte-align and consume one RSTn marker (T.81 F.2.1.3.1)."""
+        self.n = 0
+        while self.i + 1 < len(self.d) and not (
+            self.d[self.i] == 0xFF and 0xD0 <= self.d[self.i + 1] <= 0xD7
+        ):
+            self.i += 1
+        if self.i + 1 >= len(self.d):
+            raise ValueError("missing restart marker")
+        self.i += 2
+
+
+def _jpeg_decode_huff(r: "_JpegBitReader", table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits back to a signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode(p: bytes):
+    """Decode a baseline sequential JPEG into an (h, w, ch) uint8 array
+    (ch = 1 gray, 3 RGB). Supports DQT/DHT/SOF0/DRI/SOS with arbitrary
+    sampling factors (4:4:4 and 4:2:0 tested); progressive (SOF2),
+    extended (SOF1+), and arithmetic coding raise ValueError."""
+    import numpy as np
+
+    if len(p) < 2 or p[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i, n = 2, len(p)
+    qtabs, htabs = {}, {}
+    comps = None
+    h = w = None
+    restart = 0
+    m = _dct8()
+    inv_zz = np.argsort(np.asarray(_ZIGZAG))
+    out_planes = None
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = p[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = int.from_bytes(p[i + 2 : i + 4], "big")
+        body = p[i + 4 : i + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential JPEG (SOF0) is supported")
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                prec, tid = body[j] >> 4, body[j] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                qtabs[tid] = np.asarray(list(body[j + 1 : j + 65]), dtype=np.float64)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                cls, tid = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                table = {}
+                code = 0
+                k = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[("dc" if cls == 0 else "ac", tid)] = table
+                j += 17 + nv
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
+        elif marker == 0xDD:
+            restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tids = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(cc for cc in comps if cc["id"] == cid)
+                scan.append((comp, tids >> 4, tids & 0x0F))
+            if ns != len(comps):
+                raise ValueError("partial scans not supported (baseline interleaved only)")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            planes = [
+                np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+                for c in comps
+            ]
+            reader = _JpegBitReader(p, i + 2 + size)
+            preds = [0] * len(comps)
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and mcu_count and mcu_count % restart == 0:
+                        reader.align_to_rst()
+                        preds = [0] * len(comps)
+                    for ci, (comp, dct, act) in enumerate(scan):
+                        dt = htabs.get(("dc", dct))
+                        at = htabs.get(("ac", act))
+                        q = qtabs.get(comp["q"])
+                        if dt is None or at is None or q is None:
+                            raise ValueError("scan references missing table")
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                zz = np.zeros(64, dtype=np.float64)
+                                s = _jpeg_decode_huff(reader, dt)
+                                diff = _jpeg_extend(reader.bits(s), s) if s else 0
+                                preds[ci] += diff
+                                zz[0] = preds[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _jpeg_decode_huff(reader, at)
+                                    run, size_ = rs >> 4, rs & 0x0F
+                                    if size_ == 0:
+                                        if run == 15:
+                                            k += 16  # ZRL
+                                            continue
+                                        break  # EOB
+                                    k += run
+                                    if k > 63:
+                                        raise ValueError("AC run overflows block")
+                                    zz[k] = _jpeg_extend(reader.bits(size_), size_)
+                                    k += 1
+                                coef = (zz * q)[inv_zz].reshape(8, 8)
+                                blk = m.T @ coef @ m + 128.0
+                                y0 = (my * comp["v"] + by) * 8
+                                x0 = (mx * comp["h"] + bx) * 8
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                    mcu_count += 1
+            out_planes = []
+            for ci, comp in enumerate(comps):
+                pl = planes[ci]
+                ry, rx = vmax // comp["v"], hmax // comp["h"]
+                if ry > 1 or rx > 1:
+                    pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+                out_planes.append(pl[:h, :w])
+            i = reader.i
+            continue
+        i += 2 + size
+    if out_planes is None:
+        raise ValueError("no scan data in JPEG payload")
+    if len(out_planes) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_resize(p: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a JPEG payload (the _ppm_resize /
+    _png_resize index-mapping policy), re-encoded at quality 90."""
+    import numpy as np
+
+    arr = _jpeg_decode(p)
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = np.ascontiguousarray(arr[rows][:, cols])
+    return _jpeg_encode(out[:, :, 0] if out.shape[2] == 1 else out)
+
+
+def _jpeg_features(p: bytes, dim: int) -> list[float]:
+    """Real pixel features over baseline JPEG payloads (shared
+    _image_band_features kernel; malformed payloads take the zeros
+    bad-record path like every other real decoder here)."""
+    try:
+        arr = _jpeg_decode(p)
+    except ValueError:
+        return [0.0] * dim
+    return _image_band_features(arr, dim)
+
+
 # --- real decoder for the uncompressed WAV (RIFF PCM16) audio format ---------
 # Pure numpy, same precedent as PPM: chunk walk, int16 frame reshape,
 # nearest-sample rate conversion, re-encode. Compressed codecs
@@ -482,13 +1030,15 @@ def extract_features(
         feat = _ppm_features
     elif decoder == "png":
         feat = _png_features
+    elif decoder == "jpeg":
+        feat = _jpeg_features
     elif decoder == "wav":
         feat = _wav_features
     else:
         raise NotImplementedError(
             f"decoder '{decoder}' needs media libraries not present in this "
-            "environment; 'ppm'/'png'/'wav' are the real no-library paths, "
-            "'stub' the fake"
+            "environment; 'ppm'/'png'/'jpeg'/'wav' are the real no-library "
+            "paths, 'stub' the fake"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -533,10 +1083,12 @@ def resize(media: DataFrame, width: int, height: int, decoder: str = "stub") -> 
         payload_fn = lambda p: _ppm_resize(p, width, height)  # noqa: E731
     elif decoder == "png":
         payload_fn = lambda p: _png_resize(p, width, height)  # noqa: E731
+    elif decoder == "jpeg":
+        payload_fn = lambda p: _jpeg_resize(p, width, height)  # noqa: E731
     else:
         raise NotImplementedError(
             "real media codecs are not available in this environment; "
-            "'ppm'/'png' are the real no-library paths, 'stub' the fake"
+            "'ppm'/'png'/'jpeg' are the real no-library paths, 'stub' the fake"
         )
 
     out_schema = media.schema

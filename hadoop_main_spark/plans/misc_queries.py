@@ -120,6 +120,58 @@ def png_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "jpeg_decode_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS wb FROM documents),
+    b AS (SELECT doc_id, wb, unnest(generate_series(0, 3)) AS band FROM p),
+    c AS (SELECT doc_id, band, unnest(generate_series(0, wb - 1)) AS cc FROM b)
+    SELECT doc_id AS media_id, CAST(band AS BIGINT) AS band,
+           AVG(CAST((doc_id * 37 + band * 11 + cc * 53) % 256 AS DOUBLE)) / 255.0
+             AS gray_mean
+    FROM c GROUP BY doc_id, band
+    """,
+    doc="REAL baseline-JPEG decode on the data path (ITU-T T.81: "
+    "Huffman entropy decode, dequantize, exact 8x8 IDCT): per-doc gray "
+    "JPEGs built from CONSTANT 8x8 blocks at quality 100 (all "
+    "quantizers 1, so the DCT round-trip is pixel-exact — DC-only "
+    "blocks), 4 block-rows x (doc_id%3+1) block-cols, block value "
+    "(doc_id*37 + row*11 + col*53) % 256. extract_features("
+    "decoder='jpeg') entropy-decodes each payload Arrow-batched and "
+    "emits per-band gray means; with dim=4 each band is exactly one "
+    "block-row, so the oracle recomputes the means in closed form — "
+    "the full marker-walk + Huffman + IDCT path is what is verified.",
+)
+def jpeg_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                wb = i % 3 + 1
+                arr = np.zeros((32, 8 * wb), dtype=np.uint8)
+                for r in range(4):
+                    for c in range(wb):
+                        arr[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                            i * 37 + r * 11 + c * 53
+                        ) % 256
+                payloads.append(MM._jpeg_encode(arr, quality=100))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = MM.extract_features(media, decoder="jpeg", dim=4)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("band", "gray_mean")
+    ).select("media_id", F.col("band").cast("long").alias("band"), "gray_mean")
+
+
+@query(
     "rollup_agg",
     oracle="""
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,

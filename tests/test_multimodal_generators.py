@@ -492,3 +492,100 @@ def test_png_spark_resize_features_and_bad_records(spark):
     ]
     assert feats[1] == pytest.approx(want1, abs=1e-12)
     assert feats[2] == [0.0] * 4 and feats[3] == [0.0] * 4
+
+
+def test_jpeg_codec_roundtrips_and_rejects():
+    """The 'jpeg' codec is REAL (baseline sequential DCT per ITU-T
+    T.81, pure numpy + stdlib): constant 8x8 blocks round-trip
+    PIXEL-EXACT at quality 100 (DC-only, all quantizers 1), smooth
+    gradients round-trip within a pinned tolerance at 4:4:4 and
+    4:2:0, restart-marker streams decode to identical pixels, and
+    non-baseline / corrupt payloads reject with ValueError."""
+    import numpy as np
+    import pytest as _pt
+
+    # constant-block gray + color at q100: pixel exact
+    gray = np.zeros((32, 24), dtype=np.uint8)
+    color = np.zeros((32, 24, 3), dtype=np.uint8)
+    for r in range(4):
+        for c in range(3):
+            gray[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = (r * 37 + c * 91) % 256
+            color[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = [
+                (r * 37 + c * 91) % 256, (r * 53 + c * 17) % 256, (r * 11 + c * 71) % 256,
+            ]
+    assert np.array_equal(
+        MM._jpeg_decode(MM._jpeg_encode(gray, quality=100))[:, :, 0], gray
+    )
+    assert np.array_equal(MM._jpeg_decode(MM._jpeg_encode(color, quality=100)), color)
+
+    # smooth gradients: tight bounds, incl. non-multiple-of-8 dims
+    i, j = np.mgrid[0:21, 0:17]
+    g = np.stack([40 + 4 * i + 2 * j, 60 + 3 * i, 80 + 5 * j], 2).clip(0, 255).astype(np.uint8)
+    for q, ss, bound in [(100, False, 2), (95, False, 4), (95, True, 8), (75, False, 8)]:
+        dec = MM._jpeg_decode(MM._jpeg_encode(g, quality=q, subsample=ss))
+        assert dec.shape == (21, 17, 3)
+        assert int(np.abs(dec.astype(int) - g.astype(int)).max()) <= bound, (q, ss)
+
+    # restart markers: byte-aligned RSTn every k MCUs, predictors
+    # reset — pixels identical to the no-restart encode
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    base = MM._jpeg_decode(MM._jpeg_encode(a, quality=95))
+    for rst in (1, 2, 5):
+        enc = MM._jpeg_encode(a, quality=95, restart=rst)
+        assert b"\xff\xdd" in enc  # DRI segment present
+        assert np.array_equal(MM._jpeg_decode(enc), base)
+
+    # noise at 4:4:4 stays bounded (no entropy-coding drift)
+    noise = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    dec = MM._jpeg_decode(MM._jpeg_encode(noise, quality=95))
+    assert int(np.abs(dec.astype(int) - noise.astype(int)).max()) <= 40
+
+    # rejects: non-JPEG, progressive SOF2, truncated entropy stream
+    with _pt.raises(ValueError, match="not a JPEG"):
+        MM._jpeg_decode(b"nope")
+    with _pt.raises(ValueError, match="baseline"):
+        MM._jpeg_decode(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    ok = MM._jpeg_encode(gray, quality=90)
+    with _pt.raises(ValueError):
+        MM._jpeg_decode(ok[: len(ok) // 2])
+
+
+def test_jpeg_spark_resize_features_and_bad_records(spark):
+    """End-to-end through the Spark pass: decoder='jpeg' resize
+    decodes -> nearest-neighbor resamples -> re-encodes per payload
+    (the output is itself a decodable JPEG of the target size),
+    features are the band gray means of the DECODED pixels, and
+    malformed/NULL payloads take the zeros/empty bad-record path."""
+    import numpy as np
+
+    # block-constant source at q100 so decode is pixel-exact and the
+    # expected features are known in closed form
+    src = np.zeros((32, 16), dtype=np.uint8)
+    for r in range(4):
+        for c in range(2):
+            src[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = (r * 50 + c * 100) % 256
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(MM._jpeg_encode(src, quality=100)), "image/jpeg", 16, 32),
+            (1, "image", bytearray(b"not a jpeg"), "image/jpeg", 4, 4),
+            (2, "image", None, "image/jpeg", 4, 4),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: bytes(r.payload) for r in MM.resize(media, 8, 16, decoder="jpeg").collect()}
+    dec = MM._jpeg_decode(out[0])
+    rows, cols = (np.arange(16) * 32) // 16, (np.arange(8) * 16) // 8
+    want = src[rows][:, cols]
+    # re-encode at q90 is lossy on block boundaries; block interiors
+    # of a constant-block image stay within the smooth-image bound
+    assert dec.shape == (16, 8, 1)
+    assert int(np.abs(dec[:, :, 0].astype(int) - want.astype(int)).max()) <= 8
+    assert out[1] == b"" and out[2] == b""
+    feats = {
+        r.media_id: r.features
+        for r in MM.extract_features(media, decoder="jpeg", dim=4).collect()
+    }
+    want0 = [float(src[b * 8:(b + 1) * 8].mean()) / 255.0 for b in range(4)]
+    assert feats[0] == pytest.approx(want0, abs=1e-12)
+    assert feats[1] == [0.0] * 4 and feats[2] == [0.0] * 4
