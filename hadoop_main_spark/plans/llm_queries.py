@@ -2292,3 +2292,50 @@ def pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("token"))
         .limit(20)
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH w AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    p AS (
+      SELECT substr(w.word, CAST(i AS INTEGER), 1) AS left_sym,
+             substr(w.word, CAST(i AS INTEGER) + 1, 1) AS right_sym, w.freq
+      FROM w, LATERAL (SELECT unnest(generate_series(1, length(w.word) - 1)) AS i) t
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM p GROUP BY left_sym, right_sym
+    ORDER BY cnt DESC, left_sym, right_sym LIMIT 20
+    """,
+    doc="BPE tokenizer-training statistic (Sennrich et al., "
+    "arXiv:1508.07909): adjacent-character pair counts weighted by "
+    "word frequency over the whitespace-pretokenized vocabulary — the "
+    "exact inner aggregation of every BPE merge iteration "
+    "(operators/bpe.py:pair_counts; the full iterative trainer "
+    "bpe_train is pinned merge-for-merge against an independent "
+    "pure-Python reference in pytest). The corpus collapses once to "
+    "the (word, freq) table, so pair counting shuffles vocabulary- "
+    "not corpus-sized rows with map-side partial agg; top-20 is a "
+    "1-task TakeOrderedAndProject under the (cnt desc, left, right) "
+    "total order (deterministic at the LIMIT boundary).",
+)
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators import bpe as B
+
+    vocab = B.word_vocab(t(spark, sf, "documents")).select(
+        B.chars_col("word").alias("toks"), "freq"
+    )
+    return (
+        B.pair_counts(vocab)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "left_sym", "right_sym")
+        .limit(20)
+    )

@@ -1375,3 +1375,89 @@ def test_pagerank_int_conservation_and_order(spark):
     assert all(v >= base for v in r.values()), r
     assert sum(r.values()) <= scale
     assert r["c"] > r["a"] == r["d"]  # c collects from a, b, d; a and d are symmetric sources
+
+
+def _ref_bpe_train(words_freq, k):
+    """Independent pure-Python BPE reference (Sennrich-style dict
+    trainer) — same determinism contract: ties break (count desc,
+    left asc, right asc)."""
+    vocab = {tuple(w): f for w, f in words_freq.items()}
+    merges = []
+    for _ in range(k):
+        stats = {}
+        for toks, f in vocab.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                stats[p] = stats.get(p, 0) + f
+        if not stats:
+            break
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r, c))
+        new = {}
+        for toks, f in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer reproduces the reference merge list
+    EXACTLY (pair counts, tie-breaks, greedy overlap handling) on a
+    corpus with planted overlap runs ('aaaa'), ties, and repeats."""
+    from collections import Counter
+
+    from hadoop_main_spark.operators import bpe as B
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "aaaa aaa aa baa aab",
+        "wider wide widest new low",
+        "z zz zzz zzzz z z",
+    ]
+    docs = spark.createDataFrame([(i, t_) for i, t_ in enumerate(texts)], "doc_id long, text string")
+    got = B.bpe_train(docs, 12)
+    wf = Counter(w for t_ in texts for w in t_.split())
+    want = _ref_bpe_train(wf, 12)
+    assert got == want
+    # and the learned merges are non-trivial (overlap run merged)
+    assert any(l == r for l, r, _ in got)
+
+
+def test_bpe_apply_kernel_equals_folds_and_greedy_overlap(spark):
+    """The Arrow-batched encode kernel (bpe_apply) is token-identical
+    to replaying apply_merge Catalyst folds, and overlap runs resolve
+    greedily left-to-right ('aaaa'->[aa,aa], 'aaa'->[aa,a])."""
+    from hadoop_main_spark.operators import bpe as B
+
+    words = ["aaaa", "aaa", "banana", "bandana", "lowlow", "z", "", "aab"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = [("a", "a", 0), ("a", "n", 0), ("an", "an", 0), ("l", "o", 0), ("lo", "w", 0)]
+    kernel = {
+        r.doc_id: r.tokens for r in B.bpe_apply(docs, merges).collect()
+    }
+    # fold path: chars -> iterated apply_merge
+    from pyspark.sql import functions as F
+
+    col = B.chars_col("text")
+    for l, r, _ in merges:
+        col = B.apply_merge(col, l, r)
+    folds = {
+        r.doc_id: r.toks
+        for r in docs.select("doc_id", col.alias("toks")).collect()
+    }
+    assert kernel == folds
+    assert kernel[0] == ["aa", "aa"]
+    assert kernel[1] == ["aa", "a"]
+    assert kernel[2] == ["b", "anan", "a"]
+    assert kernel[6] == []
