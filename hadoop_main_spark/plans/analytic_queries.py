@@ -939,3 +939,204 @@ def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events)
+    SELECT event_type AS prev_type, next_type, COUNT(*) AS cnt,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() within (user_id) ordered by (ts, event_id) — "
+    "the event_id tie-break makes the sequence a total order, so the "
+    "matrix is partitioning- and engine-independent. The window is "
+    "partitioned by user (shuffles once on the same key the groupBy "
+    "needs); transition probabilities divide exact BIGINT counts by "
+    "the per-row-state total (one double division at the output "
+    "boundary — the integer-exact-ratio discipline). The final "
+    "normalizing window runs over the event_type x event_type matrix "
+    "(vocabulary-bounded, 25 rows here), never over data.",
+)
+def markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count("*").alias("cnt"))
+    wn = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wn).cast("double")).alias("p"),
+    )
+
+
+@query(
+    "top_parts_per_nation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name, l_partkey, SUM({_REV_SQL}) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name, l_partkey),
+    ranked AS (
+      SELECT n_name, l_partkey, val,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY val DESC, l_partkey)
+               AS rk
+      FROM rev)
+    SELECT n_name, l_partkey, CAST(val AS DOUBLE) AS revenue, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="Top-k per group (top-3 parts by revenue per supplier nation) "
+    "— the grouped-top-k report shape the reference needs a full "
+    "sort + custom reducer for. Revenue sums in exact DECIMAL, so the "
+    "ranking order (val DESC, l_partkey) is a total order identical "
+    "across engines; dimension joins broadcast; the rank window "
+    "partitions by nation over the ALREADY-AGGREGATED (nation, part) "
+    "table — one row per part per nation, not per lineitem. At "
+    "extreme per-nation part cardinality the same plan two-phases "
+    "naturally under AQE; the filter rk <= 3 keeps the output "
+    "k x nations rows.",
+)
+def top_parts_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(_rev()).alias("val"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("val"), "l_partkey")
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "n_name",
+            "l_partkey",
+            F.col("val").cast("double").alias("revenue"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+@query(
+    "skyline_orders",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders x
+      WHERE (x.o_totalprice > o.o_totalprice
+             AND CAST(x.o_orderdate AS DATE) <= CAST(o.o_orderdate AS DATE))
+         OR (x.o_totalprice >= o.o_totalprice
+             AND CAST(x.o_orderdate AS DATE) < CAST(o.o_orderdate AS DATE))
+    )
+    """,
+    doc="Skyline / Pareto frontier (earliest-and-most-expensive "
+    "orders: no other order is at least as expensive AND at least as "
+    "early with one strict). The oracle is the textbook NOT EXISTS "
+    "self-join (quadratic); the Spark plan is the scalable sweep: "
+    "per-date max price (bounded date spine, ~2.4k rows/7y), running "
+    "max over STRICTLY earlier dates on that spine, then one "
+    "broadcast join back — an order is on the skyline iff it beats "
+    "every earlier date's max and is its own date's max. No "
+    "quadratic pair expansion, no data-sized window; price "
+    "comparisons are raw-value (no arithmetic), so engine-exact.",
+)
+def skyline_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    dmax = o.groupBy("order_date").agg(F.max("o_totalprice").alias("day_max"))
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, -1)
+    spine = dmax.select(
+        "order_date", "day_max", F.max("day_max").over(w).alias("prior_max")
+    )
+    return (
+        o.join(F.broadcast(spine), "order_date")
+        .filter(
+            (F.col("o_totalprice") == F.col("day_max"))
+            & (
+                F.col("prior_max").isNull()
+                | (F.col("o_totalprice") > F.col("prior_max"))
+            )
+        )
+        .select("o_orderkey", "order_date", "o_totalprice")
+    )
+
+
+@query(
+    "concurrent_peak",
+    oracle="""
+    WITH ends AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e
+      FROM lineitem GROUP BY l_orderkey),
+    spans AS (
+      SELECT CAST(o_orderdate AS DATE) AS s, e
+      FROM orders JOIN ends ON o_orderkey = l_orderkey),
+    deltas AS (
+      SELECT d, SUM(v) AS delta FROM (
+        SELECT s AS d, 1 AS v FROM spans
+        UNION ALL
+        SELECT e + 1 AS d, -1 AS v FROM spans) u
+      GROUP BY d),
+    cum AS (SELECT d, SUM(delta) OVER (ORDER BY d) AS c FROM deltas)
+    SELECT d AS peak_date, CAST(c AS BIGINT) AS peak
+    FROM cum ORDER BY c DESC, d LIMIT 1
+    """,
+    doc="Maximum interval overlap (peak number of in-flight orders, "
+    "span = order date .. last lineitem ship date) via the sweep-line "
+    "trick: each span becomes +1/-1 day-boundary deltas, day-"
+    "aggregated FIRST (partial agg collapses data-sized spans to the "
+    "bounded ~2.4k-day spine), then one running sum + deterministic "
+    "argmax (peak DESC, date ASC — earliest date at the peak). The "
+    "only window runs over the day spine, never over data rows; the "
+    "order->last-ship lookup is a fact-fact join on the orderkey both "
+    "sides already shuffle on.",
+)
+def concurrent_peak(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    ends = li.groupBy("l_orderkey").agg(F.max(F.to_date("l_shipdate")).alias("e"))
+    spans = o.join(ends, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.to_date("o_orderdate").alias("s"), "e"
+    )
+    deltas = (
+        spans.select(F.col("s").alias("d"), F.lit(1).alias("v"))
+        .unionAll(spans.select(F.date_add("e", 1).alias("d"), F.lit(-1).alias("v")))
+        .groupBy("d")
+        .agg(F.sum("v").alias("delta"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = deltas.select(F.col("d").alias("peak_date"), F.sum("delta").over(w).alias("peak"))
+    return (
+        cum.orderBy(F.desc("peak"), "peak_date")
+        .limit(1)
+        .select("peak_date", F.col("peak").cast("bigint").alias("peak"))
+    )

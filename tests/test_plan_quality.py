@@ -485,3 +485,41 @@ def test_funnel_3stage_two_aggregations_no_join(spark, sf_dir):
     plan = _plan(spark, "funnel_3stage", sf_dir)
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_skyline_no_quadratic_join(spark, sf_dir):
+    """skyline_orders must compile to the bounded-spine sweep (date
+    groupBy + broadcast join back), NEVER the oracle's quadratic
+    NOT-EXISTS self-join: no nested-loop join, no non-equi join
+    condition on price between data-sized inputs."""
+    plan = _plan(spark, "skyline_orders", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # spine joins back on order_date
+
+
+def test_concurrent_peak_day_aggregated_sweep(spark, sf_dir):
+    """concurrent_peak's running sum must operate on the day-aggregated
+    delta spine: partial aggregation before the window, and the final
+    argmax a 1-row TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "concurrent_peak", sf_dir)
+    assert plan.count("HashAggregate") >= 2  # partial+final day deltas
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_parts_rank_over_aggregated_table(spark, sf_dir):
+    """top_parts_per_nation: dimension joins broadcast; the rank
+    window consumes the (nation, part) AGGREGATE (HashAggregate feeds
+    Window), not raw lineitem rows."""
+    plan = _plan(spark, "top_parts_per_nation", sf_dir)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_bpe_pair_counts_partial_agg_topk(spark, sf_dir):
+    """bpe_pair_counts: vocabulary pair counting partial-aggregates
+    map-side and the top-20 is a TakeOrderedAndProject, never a full
+    sort of the pair table."""
+    plan = _plan(spark, "bpe_pair_counts", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
