@@ -586,24 +586,12 @@ def connected_components(
     Returns (id, component) for every node appearing in ``pairs``,
     component = min node id reachable.
     """
-    jsc = pairs.sparkSession.sparkContext._jsc
-
-    def _ckpt_rdd_id(df: DataFrame) -> int:
-        # the id of THIS DataFrame's checkpointed RDD, read off its
-        # LogicalRDD plan node — never a before/after diff of the
-        # session-global persistent-RDD map, which would misattribute
-        # (and later unpersist) blocks persisted by CONCURRENT jobs in
-        # the same SparkSession
-        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    from hadoop_main_spark.operators.checkpoints import ckpt_rdd_id as _ckpt_rdd_id
 
     def _unpersist(rid: int) -> None:
-        # free a superseded frontier's localCheckpoint blocks — they
-        # are dead weight once the next frontier is materialized, and
-        # would otherwise pin one cached RDD per iteration per query
-        # for the whole session
-        m = jsc.getPersistentRDDs()
-        if m.containsKey(rid):
-            m.get(rid).unpersist()
+        from hadoop_main_spark.operators.checkpoints import unpersist_rdd
+
+        unpersist_rdd(pairs.sparkSession, rid)
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = (

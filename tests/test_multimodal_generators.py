@@ -214,9 +214,11 @@ def test_ppm_real_decode_resize_features(spark):
 
 
 def test_ppm_decoder_rejects_codec_formats(spark, sf_dir):
+    # jpeg/png are REAL paths now; webp's codec is genuinely absent
+    # in this environment and must stay a declared stub
     media = MM.media_table_from_documents(load_table(spark, sf_dir, "documents"))
     with pytest.raises(NotImplementedError):
-        MM.resize(media, 4, 4, decoder="jpeg")
+        MM.resize(media, 4, 4, decoder="webp")
 
 
 def test_wav_real_decode_resample_features(spark):

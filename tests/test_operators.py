@@ -1424,7 +1424,10 @@ def test_bpe_train_matches_reference(spark):
         "z zz zzz zzzz z z",
     ]
     docs = spark.createDataFrame([(i, t_) for i, t_ in enumerate(texts)], "doc_id long, text string")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     got = B.bpe_train(docs, 12)
+    # every per-iteration frontier checkpoint must be released
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
     wf = Counter(w for t_ in texts for w in t_.split())
     want = _ref_bpe_train(wf, 12)
     assert got == want
