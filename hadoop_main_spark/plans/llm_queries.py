@@ -2339,3 +2339,95 @@ def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "left_sym", "right_sym")
         .limit(20)
     )
+
+
+@query(
+    "train_shuffle_order",
+    oracle=f"""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {hash64_sql('doc_id', 'shuffle')}, doc_id) AS shuffle_pos
+    FROM documents
+    """,
+    doc="Deterministic global training-data shuffle: every document "
+    "gets a reproducible epoch position = its global rank under "
+    "(hash64(doc_id, 'shuffle'), doc_id) — the standard "
+    "hash-then-sort shuffle that makes epoch order independent of "
+    "file layout and partition count. The rank is the scalable "
+    "TotalOrderPartitioner path (operators/sorting.py:global_rank — "
+    "literal split points + bucket-local row_number + tiny offset "
+    "broadcast), NEVER a single-task global window; the oracle is the "
+    "one-task ROW_NUMBER the small engine can afford.",
+)
+def train_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.operators.sorting import global_rank
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", hash64("doc_id", "shuffle").alias("__h")
+    )
+    ranked = global_rank(d, "__h", "doc_id", rank_col="shuffle_pos")
+    return ranked.select("doc_id", F.col("shuffle_pos").cast("bigint").alias("shuffle_pos"))
+
+
+@query(
+    "bigram_lm_topk",
+    oracle="""
+    WITH bg AS (
+      SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+             COUNT(*) AS c12
+      FROM (
+        SELECT w[i] || ' ' || w[i+1] AS b FROM (
+          SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+          FROM documents) d,
+        LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t)
+      GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM bg GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1b FROM bg GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS ttypes FROM bg)
+    SELECT w1, w2, c12,
+           (CAST(c12 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / CAST(c1 AS DOUBLE)
+           + ((CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE)) / CAST(c1 AS DOUBLE))
+             * (CAST(n1b AS DOUBLE) / CAST(ttypes AS DOUBLE)) AS p
+    FROM bg JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    ORDER BY p DESC, w1, w2 LIMIT 20
+    """,
+    doc="Count-based bigram language model with interpolated absolute "
+    "discounting (the Kneser-Ney family: discounted bigram ML "
+    "probability backed off to the CONTINUATION unigram — how many "
+    "distinct contexts each word follows): P(w2|w1) = (c12 - d)/c1 + "
+    "d*N1+(w1,.)/c1 * N1+(.,w2)/T with d = 0.75. Every input count "
+    "is an exact BIGINT aggregate and the float expression is the "
+    "IDENTICAL operation tree in both engines (0.75 is binary-exact), "
+    "so probabilities are bit-equal. Scale shape: one bigram "
+    "explosion (partial agg), three derived vocabulary-sized "
+    "aggregates joined UNHINTED on their keys (the tfidf discipline), "
+    "the 1-row type total broadcast; top-20 is a "
+    "TakeOrderedAndProject.",
+)
+def bigram_lm_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    bg = (
+        d.select(F.explode(D.word_shingles("text", 2)).alias("b"))
+        .select(
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"), F.count("*").alias("n1f"))
+    cont = bg.groupBy("w2").agg(F.count("*").alias("n1b"))
+    tot = bg.agg(F.count("*").alias("ttypes"))
+    dd = F.lit(0.75)
+    p = (F.col("c12").cast("double") - dd) / F.col("c1").cast("double") + (
+        (dd * F.col("n1f").cast("double")) / F.col("c1").cast("double")
+    ) * (F.col("n1b").cast("double") / F.col("ttypes").cast("double"))
+    return (
+        bg.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", p.alias("p"))
+        .orderBy(F.desc("p"), "w1", "w2")
+        .limit(20)
+    )

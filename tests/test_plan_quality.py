@@ -523,3 +523,29 @@ def test_bpe_pair_counts_partial_agg_topk(spark, sf_dir):
     plan = _plan(spark, "bpe_pair_counts", sf_dir)
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_lm_no_vocabulary_broadcast_hint(spark, sf_dir):
+    """bigram_lm_topk joins three vocabulary-sized derived aggregates
+    on w1/w2 — each one row per distinct word/bigram, a scale-killer
+    broadcast at 100x vocabulary — so only ONE ResolvedHint may exist
+    and it must cover the one-row bigram-type total (ttypes)."""
+    df = REGISTRY["bigram_lm_topk"].build(spark, sf_dir)
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    hints = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert len(hints) == 1, f"expected 1 broadcast hint, got {len(hints)}"
+    subtree = "\n".join(lines[hints[0] : hints[0] + 4])
+    assert "ttypes" in subtree, subtree
+    # and the top-20 compiles to a bounded TakeOrderedAndProject
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_train_shuffle_order_no_global_window(spark, sf_dir):
+    """train_shuffle_order must use the scalable global_rank path:
+    any unpartitioned window may run only over the per-bucket offset
+    table (__pid rows), never the data."""
+    plan = _plan(spark, "train_shuffle_order", sf_dir)
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln and "__pid" not in ln:
+            pytest.fail(f"suspicious unpartitioned window: {ln.strip()[:160]}")
