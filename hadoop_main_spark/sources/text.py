@@ -96,6 +96,18 @@ def auto_input(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.option("header", "true").option("sep", sep).csv(path)
     if low.endswith(".json") or low.endswith(".jsonl"):
         return spark.read.json(path)
+    if low.endswith(".orc"):
+        return spark.read.orc(path)
+    if low.endswith(".avro"):
+        # Spark's avro reader lives in an external module that may not
+        # be on the classpath; surface a clear error instead of the
+        # ClassNotFound it would otherwise raise mid-job
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "avro requires the spark-avro package on the classpath"
+            ) from e
     return read_text(spark, path)
 
 

@@ -64,6 +64,11 @@ def test_auto_input(spark, tdir):
     txt = f"{tdir}/t.log"
     _write_lines(txt, ["hello"])
     assert TX.auto_input(spark, txt).columns == ["line"]
+    # ORC: full write -> auto-dispatch read roundtrip (Spark-native)
+    orc = f"{tdir}/t.orc"
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "x"]).write.orc(orc)
+    back = TX.auto_input(spark, orc)
+    assert {(r.id, r.x) for r in back.collect()} == {(1, "a"), (2, "b")}
 
 
 def test_write_partitioned_prunes(spark, tdir):
