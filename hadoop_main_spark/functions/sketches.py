@@ -220,19 +220,17 @@ def count_min_table(df: DataFrame, col: Column | str, depth: int = CM_DEPTH, wid
     return rows.groupBy("rb.row", "rb.bucket").agg(F.count("*").alias("cnt"))
 
 
-def count_min_estimate(
-    df: DataFrame,
-    col: Column | str,
+def count_min_probe(
+    sketch: DataFrame,
     items: DataFrame,
     item_col: str,
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
 ) -> DataFrame:
-    """Point-query the sketch for each row of ``items``: estimate =
-    min over hash rows of the item's bucket counter (an upper bound
-    on the true count; exact when no collisions). The sketch table is
-    small (depth × width) and broadcasts."""
-    sketch = count_min_table(df, col, depth, width)
+    """Point-query an EXISTING sketch table (e.g. one accumulated by
+    the streaming sink) for each row of ``items``: estimate = min over
+    hash rows of the item's bucket counter. The sketch is depth x
+    width rows and broadcasts."""
     it = items.select(F.col(item_col).alias("item"))
     probes = it.select(
         "item",
@@ -252,3 +250,18 @@ def count_min_estimate(
         .groupBy("item")
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    col: Column | str,
+    items: DataFrame,
+    item_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build the sketch from ``df`` and point-query it (see
+    :func:`count_min_probe` for probing a persisted/streamed sketch).
+    Estimate is an upper bound on the true count; exact when no
+    collisions."""
+    return count_min_probe(count_min_table(df, col, depth, width), items, item_col, depth, width)

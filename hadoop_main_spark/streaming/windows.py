@@ -626,3 +626,86 @@ def dedup_ingest_stream(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def count_min_stream_parquet(
+    stream_df: DataFrame,
+    col: str,
+    path: str,
+    checkpoint: str,
+    depth: int | None = None,
+    width: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming frequency sketch sink: each micro-batch's count-min
+    table (functions/sketches.py — depth hash rows x width integer
+    buckets) merges ADDITIVELY into a parquet sketch. Count-min is
+    exactly mergeable (counters sum), so the accumulated sketch after
+    any sequence of batches equals the one-shot batch sketch over all
+    data seen — the equivalence the stream==batch test pins — and
+    heavy hitters are read back by probing candidate items with
+    :func:`hadoop_main_spark.functions.sketches.count_min_probe`.
+
+    State is depth x width rows regardless of stream volume (constant
+    merge cost per batch, like the HLL sink). Replay safety: a SUM
+    merge is not idempotent, so the sink carries the same
+    checkpoint-scoped ``last_batch`` high-water mark as
+    :func:`span_counts_stream_parquet` (batch ids restart at 0 under a
+    new checkpoint lineage — the ckpt_id scoping matters,
+    review-r4b)."""
+    from hadoop_main_spark.functions.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        count_min_table,
+    )
+
+    depth = CM_DEPTH if depth is None else depth
+    width = CM_WIDTH if width is None else width
+    spark = stream_df.sparkSession
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        _recover_replaced_dir(spark, path)
+        partial = count_min_table(batch, col, depth, width)
+        if _hadoop_path_exists(spark, path):
+            existing = spark.read.parquet(path)
+            applied = (
+                existing.filter(F.col("ckpt_id") == checkpoint)
+                .agg(F.max("last_batch"))
+                .collect()[0][0]
+            )
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: counters already summed in
+            merged = (
+                existing.drop("last_batch", "ckpt_id")
+                .unionByName(partial)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = partial
+        # the sketch is <= depth*width rows: coalesce(1) like the HLL
+        # registers, then rename-aside swap
+        _replace_dir_safely(
+            spark,
+            merged.withColumn("last_batch", F.lit(batch_id))
+            .withColumn("ckpt_id", F.lit(checkpoint))
+            .coalesce(1),
+            path,
+            batch_id,
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_count_min_sketch(spark: SparkSession, path: str) -> DataFrame:
+    """Read the accumulated count-min sketch (bookkeeping columns
+    dropped), recovering a crashed mid-swap write first."""
+    _recover_replaced_dir(spark, path)
+    return spark.read.parquet(path).select("row", "bucket", "cnt")

@@ -836,3 +836,64 @@ def test_span_sink_recovers_from_crash_mid_swap(spark, sf_dir, tmp_path):
     import os
 
     assert not os.path.exists(out + "__old_batch3")
+
+
+def test_count_min_stream_equals_batch_and_replay(spark, sf_dir, tmp_path):
+    """Streaming count-min accumulation == one-shot batch sketch over
+    all data seen (counters sum exactly), replayed batches under the
+    same checkpoint are skipped (SUM is not idempotent), and probing
+    the accumulated sketch bounds true counts from above with exact
+    hits for the heavy items."""
+    from hadoop_main_spark.functions.sketches import (
+        count_min_probe,
+        count_min_table,
+    )
+    from hadoop_main_spark.tables import load_table
+
+    src = str(tmp_path / "evsrc")
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def mkstream():
+        return (
+            spark.readStream.schema("event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    out, ckpt = str(tmp_path / "cms"), str(tmp_path / "cmsckpt")
+    q = W.count_min_stream_parquet(mkstream(), "event_type", out, ckpt)
+    assert q.awaitTermination(300), "stream did not finish in time"
+    q.stop()
+
+    def snapshot():
+        return sorted(
+            (r.row, r.bucket, r.cnt)
+            for r in W.read_count_min_sketch(spark, out).collect()
+        )
+
+    want = sorted(
+        (r.row, r.bucket, r.cnt)
+        for r in count_min_table(ev, "event_type").collect()
+    )
+    got = snapshot()
+    assert got == want and len(got) > 0
+
+    # probe the ACCUMULATED sketch: estimates upper-bound true counts
+    truth = {r.event_type: r.c for r in ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    items = spark.createDataFrame([(k,) for k in truth], "item string")
+    est = {
+        r.item: r.est_count
+        for r in count_min_probe(W.read_count_min_sketch(spark, out), items, "item").collect()
+    }
+    assert all(est[k] >= truth[k] for k in truth)
+
+    # replay under the same lineage (simulated by retagging ckpt_id,
+    # the span-sink test's mechanism): counters must NOT double
+    ckpt2 = str(tmp_path / "cmsckpt2")
+    retagged = spark.read.parquet(out).withColumn("ckpt_id", F.lit(ckpt2)).collect()
+    sink_schema = spark.read.parquet(out).schema
+    spark.createDataFrame(retagged, sink_schema).write.mode("overwrite").parquet(out)
+    q2 = W.count_min_stream_parquet(mkstream(), "event_type", out, ckpt2)
+    assert q2.awaitTermination(300), "replay stream did not finish in time"
+    assert snapshot() == want
