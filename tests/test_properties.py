@@ -395,3 +395,48 @@ def test_cross_doc_spans_model(spark, docs, window):
         if len(set(ds)) >= 2
     }
     assert got == want, (got, want)
+
+
+@given(
+    st.integers(1, 3),  # block rows
+    st.integers(1, 3),  # block cols
+    st.integers(0, 2),  # 0 gray, 1 rgb 4:4:4, 2 rgb 4:2:0
+    st.integers(0, 3),  # restart interval (0 = none)
+    st.lists(st.integers(0, 255), min_size=9, max_size=9),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_jpeg_constant_blocks_roundtrip_exact_model(br, bc, mode, rst, vals):
+    """PROPERTY: any image of constant 8x8 blocks round-trips the
+    baseline JPEG codec PIXEL-EXACT at quality 100 (all quantizers 1,
+    DC-only blocks), for gray and RGB 4:4:4, any restart interval.
+    4:2:0 is exact too when the constant blocks are 16x16-aligned
+    (chroma box means then average equal values)."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    if mode == 2:
+        br, bc = 2 * ((br + 1) // 2), 2 * ((bc + 1) // 2)  # 16-align
+    h, w = 8 * br, 8 * bc
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    for r in range(br):
+        for c in range(bc):
+            v = vals[(r * bc + c) % len(vals)]
+            if mode == 2:
+                # constant per 16x16 super-block so subsampled chroma
+                # stays constant within each chroma block
+                v = vals[((r // 2) * ((bc + 1) // 2) + c // 2) % len(vals)]
+            arr[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = [
+                v, (v * 3 + 7) % 256, (v * 5 + 11) % 256,
+            ]
+    src = arr[:, :, 0] if mode == 0 else arr
+    enc = MM._jpeg_encode(
+        src, quality=100, subsample=(mode == 2), restart=rst
+    )
+    dec = MM._jpeg_decode(enc)
+    want = arr[:, :, :1] if mode == 0 else arr
+    assert dec.shape == want.shape
+    diff = int(np.abs(dec.astype(int) - want.astype(int)).max())
+    # gray/4:4:4 DC-only blocks are exact; 4:2:0 box-mean + float
+    # color transform may round the last bit
+    assert diff <= (1 if mode == 2 else 0), (mode, rst, diff)
