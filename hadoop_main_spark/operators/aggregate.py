@@ -279,3 +279,73 @@ def aggregate_descriptor_records(df: DataFrame, record_col: str = "record") -> D
         .when(F.col("agg_type") == "UniqValueCount", F.col("__uniq"))
     )
     return agg.select("agg_type", "id", result.alias("result"))
+
+
+def grouped_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """EXACT per-group lower median at scale — the grouped
+    generalization of WordMedian's two-job histogram scheme
+    (EX/WordMedian.java:1: job 1 histograms, the driver walks
+    cumulative counts to the median bucket, job 2 is unnecessary
+    there because word lengths are already the buckets).
+
+    Phase 1 histograms values into ``buckets`` global-range bins per
+    group (partial-agg shuffle of groups x used-bins rows, never raw
+    data) and finds each group's median bin by cumulative count —
+    windows run over the per-group BIN table (<= buckets rows per
+    group). Phase 2 rejoins only the rows in each group's median bin
+    (expected n/buckets of the group) and ranks within. Bucketing
+    only needs ORDER consistency, so float rounding in the bin
+    boundaries cannot affect correctness — cumulative counts are
+    exact integers. NULL values are excluded (SQL median semantics);
+    lower median = value at rank (n+1) DIV 2 — integer-exact, the
+    engine's rank-threshold discipline.
+
+    A pathological distribution (most of a group in one bin) degrades
+    phase 2 toward a per-group sort of that bin; at 100 TB guard by
+    raising ``buckets`` or recursing on the hot bin — both fit this
+    same shape.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    v = F.col(value_col)
+    data = df.filter(v.isNotNull())
+    rng = data.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+    if rng.lo is None:
+        return df.sparkSession.createDataFrame(
+            [], df.select(*g, v.cast("double").alias("median")).schema
+        )
+    lo, hi = float(rng.lo), float(rng.hi)
+    width = (hi - lo) / buckets if hi > lo else 1.0
+    bin_ = F.least(
+        F.greatest(F.floor((v.cast("double") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(buckets - 1),
+    ).cast("int")
+    hist = data.groupBy(*g, bin_.alias("__b")).agg(F.count("*").alias("__c"))
+    w_cum = Window.partitionBy(*g).orderBy("__b")
+    w_all = Window.partitionBy(*g)
+    cum = hist.select(
+        *g,
+        "__b",
+        "__c",
+        (F.sum("__c").over(w_cum) - F.col("__c")).alias("__before"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    target = F.expr("(__n + 1) div 2")
+    med_bucket = cum.filter(
+        (F.col("__before") < target) & ((F.col("__before") + F.col("__c")) >= target)
+    ).select(*g, "__b", "__before", target.alias("__t"))
+    in_bucket = data.select(*g, v.cast("double").alias("__v"), bin_.alias("__b")).join(
+        med_bucket, [*g, "__b"]
+    )
+    w_rank = Window.partitionBy(*g).orderBy("__v")
+    return (
+        in_bucket.withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") == F.col("__t") - F.col("__before"))
+        .select(*g, F.col("__v").alias("median"))
+    )

@@ -1140,3 +1140,30 @@ def concurrent_peak(spark: SparkSession, sf: str) -> DataFrame:
         .limit(1)
         .select("peak_date", F.col("peak").cast("bigint").alias("peak"))
     )
+
+
+@query(
+    "median_price_by_priority",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority, o_totalprice AS median
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+    doc="EXACT per-group median (order price by priority) via the "
+    "scalable two-phase histogram scheme (operators/aggregate.py:"
+    "grouped_median — the grouped generalization of WordMedian's "
+    "histogram walk, EX/WordMedian.java:1): phase 1 shuffles only "
+    "(group, bin) counts, windows run over the per-group bin table, "
+    "phase 2 ranks only the median bin's rows (~n/1024 of the group). "
+    "The oracle is the one-task ROW_NUMBER form the small engine can "
+    "afford; lower median at rank (n+1) DIV 2 — integer-exact.",
+)
+def median_price_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.aggregate import grouped_median
+
+    o = t(spark, sf, "orders")
+    return grouped_median(o, ["o_orderpriority"], "o_totalprice")

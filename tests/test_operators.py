@@ -1514,3 +1514,40 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     r2, r_half = avg_recall(2), avg_recall(max(ncells // 2, 3))
     assert r2 > 0.15, r2
     assert r_half >= r2, (r2, r_half)
+
+
+def test_grouped_median_ties_duplicates_and_degenerate(spark):
+    """grouped_median edge semantics: heavy ties (median value
+    duplicated across the bin boundary region), single-element and
+    all-equal groups, negative values, NULLs excluded — always the
+    value at rank (n+1) DIV 2."""
+    import random
+
+    from hadoop_main_spark.operators.aggregate import grouped_median
+
+    rnd = random.Random(7)
+    rows = []
+    # group a: heavy ties around the median
+    rows += [("a", float(v)) for v in [1, 2, 2, 2, 2, 3, 9]]
+    # group b: even count -> lower median
+    rows += [("b", float(v)) for v in [10, 20, 30, 40]]
+    # group c: all equal (degenerate single hot bin)
+    rows += [("c", 5.0)] * 9
+    # group d: single element, negative
+    rows += [("d", -3.5)]
+    # group e: nulls mixed in
+    rows += [("e", None), ("e", 7.0), ("e", None), ("e", 1.0), ("e", 4.0)]
+    # group f: random larger group, compare vs sorted picker
+    fvals = [rnd.uniform(-100, 100) for _ in range(257)]
+    rows += [("f", v) for v in fvals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r.median for r in grouped_median(df, ["g"], "v", buckets=16).collect()}
+    want = {
+        "a": 2.0,
+        "b": 20.0,
+        "c": 5.0,
+        "d": -3.5,
+        "e": 4.0,
+        "f": sorted(fvals)[(257 + 1) // 2 - 1],
+    }
+    assert got == want
