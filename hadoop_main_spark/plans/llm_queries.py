@@ -2407,26 +2407,49 @@ def train_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
 )
 def bigram_lm_topk(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
+    # the explicit isNotNull filters make every consumer's view of
+    # this subtree canonical-identical (a join would otherwise push
+    # isnotnull(w1) into SOME branches only, breaking ReusedExchange
+    # — the NOTES trap), so the expensive scan+explode+partial-agg
+    # runs ONCE and ctx/cont/tot re-aggregate from the reused shuffle
     bg = (
         d.select(F.explode(D.word_shingles("text", 2)).alias("b"))
         .select(
             F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
             F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
         )
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
     )
-    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"), F.count("*").alias("n1f"))
-    cont = bg.groupBy("w2").agg(F.count("*").alias("n1b"))
+    # context/continuation statistics as WINDOWS over the aggregated
+    # bigram table, not three derived-aggregate self-joins: Catalyst
+    # prunes each join branch's aggregate differently (cont's keeps
+    # functions=[]), so canonical equality — and ReusedExchange — is
+    # unrecoverable in the join form and every branch re-scans and
+    # re-explodes the corpus (measured 61.6s at 50k docs). Windows
+    # partition by w1/w2 over vocabulary-bounded groups of the
+    # ALREADY-AGGREGATED table; only the 1-row type total remains a
+    # second (unavoidable) branch: 4 corpus scans -> 2.
+    from pyspark.sql import Window
+
+    w1win = Window.partitionBy("w1")
+    w2win = Window.partitionBy("w2")
+    scored = bg.select(
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(w1win).alias("c1"),
+        F.count("*").over(w1win).alias("n1f"),
+        F.count("*").over(w2win).alias("n1b"),
+    )
     tot = bg.agg(F.count("*").alias("ttypes"))
     dd = F.lit(0.75)
     p = (F.col("c12").cast("double") - dd) / F.col("c1").cast("double") + (
         (dd * F.col("n1f").cast("double")) / F.col("c1").cast("double")
     ) * (F.col("n1b").cast("double") / F.col("ttypes").cast("double"))
     return (
-        bg.join(ctx, "w1")
-        .join(cont, "w2")
-        .crossJoin(F.broadcast(tot))
+        scored.crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c12", p.alias("p"))
         .orderBy(F.desc("p"), "w1", "w2")
         .limit(20)
