@@ -2232,7 +2232,14 @@ def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    return tc(canonical_edges(bg, "w1", "w2"))
+    # LAZY checkpoint of the (vocabulary-bounded) edge list: the
+    # triangle plan consumes it from 5 join branches with DIFFERENT
+    # pushed filters, so ReusedExchange can never dedupe the
+    # scan+explode+distinct derivation (11 corpus scans measured).
+    # eager=False keeps build() side-effect free — the edges
+    # materialize once at first action and every branch reads the
+    # checkpointed blocks.
+    return tc(canonical_edges(bg, "w1", "w2").localCheckpoint(eager=False))
 
 
 _PR_SCALE = 10**12
@@ -2284,8 +2291,14 @@ def pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("src"),
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("dst"),
     )
-    edges = bg.filter(F.col("src") != F.col("dst")).distinct()
-    nodes = d.select(F.explode(tokenize("text")).alias("v")).distinct()
+    # lazy-checkpointed like triangle_count's edges: the iteration
+    # joins consume edges/nodes from many branches with differing
+    # pushdowns (10 corpus scans measured without it); both tables
+    # are vocabulary-bounded
+    edges = bg.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
+    nodes = d.select(F.explode(tokenize("text")).alias("v")).distinct().localCheckpoint(
+        eager=False
+    )
     ranked = pagerank_int(edges, nodes, iterations=2, scale=_PR_SCALE)
     return (
         ranked.select(F.col("v").alias("token"), F.col("rank").cast("bigint").alias("rank"))
