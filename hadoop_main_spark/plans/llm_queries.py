@@ -2169,8 +2169,14 @@ def pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     toks = d.select(F.explode(tokenize("text")).alias("w"))
-    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
-    n_tot = toks.agg(F.count("*").alias("__n"))
+    # LAZY checkpoint of the vocabulary table: it feeds BOTH unigram
+    # joins (w1 and w2) plus the corpus total, and the branches get
+    # different pushed filters so ReusedExchange never dedupes the
+    # tokenize+explode derivation (4 corpus scans measured). The
+    # total is the exact sum of unigram counts, read from the same
+    # checkpointed blocks: 4 token explosions -> 1 (+ the bigram one).
+    uni = toks.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
+    n_tot = uni.agg(F.sum("c").alias("__n"))
     bg = d.select(F.explode(D.word_shingles("text", 2)).alias("bigram"))
     pairs = (
         bg.groupBy("bigram")
