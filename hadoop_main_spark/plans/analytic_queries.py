@@ -1167,3 +1167,99 @@ def median_price_by_priority(spark: SparkSession, sf: str) -> DataFrame:
 
     o = t(spark, sf, "orders")
     return grouped_median(o, ["o_orderpriority"], "o_totalprice")
+
+
+@query(
+    "linreg_price_vs_qty",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))
+                      * CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))
+                      * CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sxx
+      FROM lineitem)
+    SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           CAST(n AS BIGINT) AS n
+    FROM m
+    """,
+    doc="Distributed least-squares fit (extendedprice ~ quantity) via "
+    "the aggregate-then-solve pattern every closed-form ML trainer at "
+    "scale uses: the five sufficient moments accumulate as EXACT "
+    "DECIMAL sums in one partial-agg pass (order-independent, so any "
+    "partitioning gives identical moments), then the normal-equation "
+    "solve is a fixed double expression on the 1-row moment table — "
+    "bit-identical across engines because both compute the same "
+    "operation tree from the same exact inputs. One scan, one "
+    "shuffle of a single row.",
+)
+def linreg_price_vs_qty(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("decimal(20,2)")
+    y = F.col("l_extendedprice").cast("decimal(20,2)")
+    m = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "pearson_by_flag",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))
+                      * CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))
+                      * CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(20,2))
+                      * CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r,
+           CAST(n AS BIGINT) AS n
+    FROM m
+    """,
+    doc="Per-group Pearson correlation (quantity vs discount by return "
+    "flag) from the six exact-DECIMAL sufficient moments — the same "
+    "aggregate-then-solve shape as linreg_price_vs_qty but grouped. "
+    "sqrt is IEEE correctly-rounded in both engines, so the identical "
+    "expression tree over identical exact moments is bit-equal. The "
+    "moment pass partial-aggregates map-side; the solve runs on "
+    "#groups rows.",
+)
+def pearson_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("decimal(20,2)")
+    y = F.col("l_discount").cast("decimal(20,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("l_returnflag", r.alias("r"), F.col("n").cast("bigint").alias("n"))
