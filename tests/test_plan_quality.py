@@ -549,3 +549,20 @@ def test_train_shuffle_order_no_global_window(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition(" in ln and "__pid" not in ln:
             pytest.fail(f"suspicious unpartitioned window: {ln.strip()[:160]}")
+
+
+def test_multi_consumer_queries_scan_counts(spark, sf_dir):
+    """Re-scan regression guard: queries whose shared derivations are
+    checkpointed or windowed must keep their corpus scan counts down
+    (pmi was 4, bigram_lm 4, triangle 11, pagerank 10 before the
+    round-5 restructures)."""
+    for name, max_scans in (
+        ("pmi_topk", 2),
+        ("bigram_lm_topk", 2),
+        ("triangle_count", 2),
+        ("pagerank_top20", 2),
+    ):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("FileScan")
+        assert n <= max_scans, f"{name}: {n} corpus scans (max {max_scans})"
