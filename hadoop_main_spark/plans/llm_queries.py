@@ -2473,3 +2473,85 @@ def bigram_lm_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("p"), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS r FROM cnt),
+    ag AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                  CAST(COUNT(*) AS BIGINT) AS n_types,
+                  CAST(SUM(CASE WHEN r <= 10 THEN c ELSE 0 END) AS BIGINT) AS k10,
+                  CAST(SUM(CASE WHEN r <= 25 THEN c ELSE 0 END) AS BIGINT) AS k25,
+                  CAST(SUM(CASE WHEN r <= 100 THEN c ELSE 0 END) AS BIGINT) AS k100,
+                  CAST(SUM(CASE WHEN r <= 20000 THEN c ELSE 0 END) AS BIGINT) AS k20000
+           FROM rk)
+    SELECT k, covered_tokens, total_tokens, n_types,
+           CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
+    FROM (
+      SELECT 10 AS k, k10 AS covered_tokens, total AS total_tokens, n_types FROM ag
+      UNION ALL SELECT 25, k25, total, n_types FROM ag
+      UNION ALL SELECT 100, k100, total, n_types FROM ag
+      UNION ALL SELECT 20000, k20000, total, n_types FROM ag)
+    ORDER BY k
+    """,
+    doc="Top-k vocabulary coverage — the tokenizer-design statistic "
+    "(what fraction of corpus TOKENS do the k most frequent TYPES "
+    "cover, k in {10, 25, 100, 20k}): term counts (one token "
+    "explosion, partial agg), an exact global rank of the "
+    "vocabulary-bounded count table via the TotalOrderPartitioner "
+    "machinery (global_rank — never an unpartitioned window, which "
+    "would funnel the whole vocabulary through ONE task), then ONE "
+    "aggregation pass computes the total and every k-threshold "
+    "conditional sum together; the 4-row long format is exploded "
+    "from that single row. Coverage is an exact-BIGINT ratio cast "
+    "to double — bit-identical across engines.",
+)
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.partitioning import fan_out
+    from hadoop_main_spark.operators.sorting import global_rank
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    tok = fan_out(d.select("doc_id", "text"), ["doc_id"]).select(
+        F.explode(tokenize("text")).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
+    ranked = global_rank(cnt, F.desc("c"), F.asc("term"), rank_col="r")
+    ks = [10, 25, 100, 20000]
+    ag = ranked.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_types"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"k{k}")
+            for k in ks
+        ],
+    )
+    rows = ag.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"k{k}").alias("covered_tokens")
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("kv"),
+        F.col("total").alias("total_tokens"),
+        "n_types",
+    )
+    return rows.select(
+        F.col("kv.k").alias("k"),
+        F.col("kv.covered_tokens").alias("covered_tokens"),
+        "total_tokens",
+        "n_types",
+        (
+            F.col("kv.covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    ).orderBy("k")
