@@ -224,13 +224,37 @@ def count_min_probe(
     sketch: DataFrame,
     items: DataFrame,
     item_col: str,
-    depth: int = CM_DEPTH,
-    width: int = CM_WIDTH,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Point-query an EXISTING sketch table (e.g. one accumulated by
     the streaming sink) for each row of ``items``: estimate = min over
     hash rows of the item's bucket counter. The sketch is depth x
-    width rows and broadcasts."""
+    width rows and broadcasts.
+
+    Geometry comes FROM the sketch when it carries depth/width columns
+    (the streaming sink records them): probing with a different width
+    than the sketch was built with hashes items into the wrong bucket
+    space and the min silently UNDER-estimates — the one failure mode
+    count-min excludes — so an explicit mismatching depth/width raises
+    instead. Bare (row, bucket, cnt) sketches fall back to the given
+    or default geometry."""
+    rec = (
+        sketch.select("depth", "width").first()
+        if "depth" in sketch.columns and "width" in sketch.columns
+        else None
+    )
+    if rec is not None:
+        for name, given, recorded in (("depth", depth, rec.depth), ("width", width, rec.width)):
+            if given is not None and given != recorded:
+                raise ValueError(
+                    f"sketch records {name}={recorded} but probe was "
+                    f"called with {name}={given}"
+                )
+        depth, width = rec.depth, rec.width
+        sketch = sketch.select("row", "bucket", "cnt")
+    depth = CM_DEPTH if depth is None else depth
+    width = CM_WIDTH if width is None else width
     it = items.select(F.col(item_col).alias("item"))
     probes = it.select(
         "item",

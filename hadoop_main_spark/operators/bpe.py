@@ -187,13 +187,24 @@ def bpe_apply(
             got = _memo[word] = _encode_uncached(word)
         return got
 
+    # pretokenize with JAVA \s+ semantics ([ \t\n\x0B\f\r]) to match
+    # word_vocab/tokenize exactly — Python str.split() also splits on
+    # U+00A0/U+2000-200A etc., which would segment differently from
+    # the trained vocabulary on Unicode-whitespace text
+    import re
+
+    _java_ws = re.compile("[ \t\n\x0b\f\r]+")
+
     def run(batches):
         import pandas as pd
 
         for b in batches:
             toks = b[text_col].map(
                 lambda t: [
-                    tok for w in (t or "").split() for tok in encode_word(w)
+                    tok
+                    for w in _java_ws.split(t or "")
+                    if w
+                    for tok in encode_word(w)
                 ]
             )
             yield pd.DataFrame({id_col: b[id_col], "tokens": toks})

@@ -30,3 +30,31 @@ def unpersist_rdd(df_or_session, rid: int) -> None:
     m = spark.sparkContext._jsc.getPersistentRDDs()
     if m.containsKey(rid):
         m.get(rid).unpersist()
+
+
+#: tag -> rdd id of the LIVE lazy checkpoint registered under that tag
+_live_by_tag: dict[str, int] = {}
+
+
+def supersede_checkpoint(tag: str, df: DataFrame) -> DataFrame:
+    """Register a LAZY localCheckpoint under a stable tag, releasing
+    whatever the PREVIOUS registration under the same tag pinned.
+
+    Query builders that lazy-checkpoint a shared derivation (pmi's
+    vocabulary table, the graph queries' edge/node tables) cannot
+    release it themselves — the caller executes the returned plan
+    later — so without this, every build()+action pins another
+    vocabulary-sized RDD until spark.stop() (bench runs each query
+    3x). Supersede-on-rebuild bounds the pin to ONE live checkpoint
+    per tag. Contract: a superseded build's DataFrame must not be
+    executed again — localCheckpoint truncates lineage on
+    materialization, so its blocks are gone for good (every consumer
+    here rebuilds from the registry before executing, which is what
+    triggers the supersede in the first place).
+    """
+    rid = ckpt_rdd_id(df)
+    old = _live_by_tag.get(tag)
+    if old is not None and old != rid:
+        unpersist_rdd(df, old)
+    _live_by_tag[tag] = rid
+    return df

@@ -734,7 +734,22 @@ def _jpeg_decode(p: bytes):
     """Decode a baseline sequential JPEG into an (h, w, ch) uint8 array
     (ch = 1 gray, 3 RGB). Supports DQT/DHT/SOF0/DRI/SOS with arbitrary
     sampling factors (4:4:4 and 4:2:0 tested); progressive (SOF2),
-    extended (SOF1+), and arithmetic coding raise ValueError."""
+    extended (SOF1+), and arithmetic coding raise ValueError.
+
+    ALL malformed-payload failures surface as ValueError — truncated
+    tables, zero sampling factors, and corrupt entropy streams
+    otherwise escape as IndexError/ZeroDivisionError/KeyError, which
+    the bad-record handlers (zeros policy) deliberately do NOT catch
+    (the PNG path normalizes zlib.error the same way)."""
+    try:
+        return _jpeg_decode_impl(p)
+    except ValueError:
+        raise
+    except (ZeroDivisionError, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"malformed JPEG ({type(e).__name__}: {e})") from e
+
+
+def _jpeg_decode_impl(p: bytes):
     import numpy as np
 
     if len(p) < 2 or p[0:2] != b"\xff\xd8":

@@ -2175,7 +2175,12 @@ def pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
     # tokenize+explode derivation (4 corpus scans measured). The
     # total is the exact sum of unigram counts, read from the same
     # checkpointed blocks: 4 token explosions -> 1 (+ the bigram one).
-    uni = toks.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+
+    uni = supersede_checkpoint(
+        "pmi_topk.uni",
+        toks.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(eager=False),
+    )
     n_tot = uni.agg(F.sum("c").alias("__n"))
     bg = d.select(F.explode(D.word_shingles("text", 2)).alias("bigram"))
     pairs = (
@@ -2245,7 +2250,14 @@ def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     # eager=False keeps build() side-effect free — the edges
     # materialize once at first action and every branch reads the
     # checkpointed blocks.
-    return tc(canonical_edges(bg, "w1", "w2").localCheckpoint(eager=False))
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+
+    return tc(
+        supersede_checkpoint(
+            "triangle_count.edges",
+            canonical_edges(bg, "w1", "w2").localCheckpoint(eager=False),
+        )
+    )
 
 
 _PR_SCALE = 10**12
@@ -2301,9 +2313,15 @@ def pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
     # joins consume edges/nodes from many branches with differing
     # pushdowns (10 corpus scans measured without it); both tables
     # are vocabulary-bounded
-    edges = bg.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
-    nodes = d.select(F.explode(tokenize("text")).alias("v")).distinct().localCheckpoint(
-        eager=False
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+
+    edges = supersede_checkpoint(
+        "pagerank_top20.edges",
+        bg.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False),
+    )
+    nodes = supersede_checkpoint(
+        "pagerank_top20.nodes",
+        d.select(F.explode(tokenize("text")).alias("v")).distinct().localCheckpoint(eager=False),
     )
     ranked = pagerank_int(edges, nodes, iterations=2, scale=_PR_SCALE)
     return (

@@ -105,9 +105,15 @@ def auto_input(spark: SparkSession, path: str) -> DataFrame:
         try:
             return spark.read.format("avro").load(path)
         except Exception as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "avro requires the spark-avro package on the classpath"
-            ) from e
+            # only rebrand the source-lookup failure — a path error or
+            # schema problem from a WORKING avro reader must surface
+            # as itself, not as a bogus install hint
+            msg = str(e)
+            if "Failed to find data source" in msg or "ClassNotFound" in msg:
+                raise NotImplementedError(
+                    "avro requires the spark-avro package on the classpath"
+                ) from e
+            raise
     return read_text(spark, path)
 
 

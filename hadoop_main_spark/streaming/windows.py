@@ -675,8 +675,15 @@ def count_min_stream_parquet(
             )
             if applied is not None and applied >= batch_id:
                 return  # replayed batch: counters already summed in
+            rec = existing.select("depth", "width").first()
+            if (rec.depth, rec.width) != (depth, width):
+                raise ValueError(
+                    f"sketch at {path} was built with depth={rec.depth} "
+                    f"width={rec.width}; cannot merge depth={depth} "
+                    f"width={width} (bucket spaces differ)"
+                )
             merged = (
-                existing.drop("last_batch", "ckpt_id")
+                existing.drop("last_batch", "ckpt_id", "depth", "width")
                 .unionByName(partial)
                 .groupBy("row", "bucket")
                 .agg(F.sum("cnt").cast("bigint").alias("cnt"))
@@ -689,6 +696,12 @@ def count_min_stream_parquet(
             spark,
             merged.withColumn("last_batch", F.lit(batch_id))
             .withColumn("ckpt_id", F.lit(checkpoint))
+            # geometry rides with the sketch so count_min_probe can
+            # hash into the RIGHT bucket space (a width mismatch makes
+            # the min an UNDER-estimate — the one error count-min
+            # promises not to make)
+            .withColumn("depth", F.lit(depth))
+            .withColumn("width", F.lit(width))
             .coalesce(1),
             path,
             batch_id,
@@ -705,7 +718,10 @@ def count_min_stream_parquet(
 
 
 def read_count_min_sketch(spark: SparkSession, path: str) -> DataFrame:
-    """Read the accumulated count-min sketch (bookkeeping columns
-    dropped), recovering a crashed mid-swap write first."""
+    """Read the accumulated count-min sketch (replay bookkeeping
+    dropped, the recorded depth/width geometry KEPT so
+    :func:`~hadoop_main_spark.functions.sketches.count_min_probe`
+    hashes into the bucket space the sketch was built with),
+    recovering a crashed mid-swap write first."""
     _recover_replaced_dir(spark, path)
-    return spark.read.parquet(path).select("row", "bucket", "cnt")
+    return spark.read.parquet(path).select("row", "bucket", "cnt", "depth", "width")

@@ -591,3 +591,34 @@ def test_jpeg_spark_resize_features_and_bad_records(spark):
     want0 = [float(src[b * 8:(b + 1) * 8].mean()) / 255.0 for b in range(4)]
     assert feats[0] == pytest.approx(want0, abs=1e-12)
     assert feats[1] == [0.0] * 4 and feats[2] == [0.0] * 4
+
+
+def test_jpeg_malformed_payloads_normalize_to_valueerror():
+    """Malformed-payload failure paths that surface as
+    IndexError/ZeroDivisionError inside the decoder (zero sampling
+    factors, truncated tables/bodies) must reach callers as ValueError
+    so the zeros bad-record policy catches them (review-r5)."""
+    import numpy as np
+    import pytest as _pt
+
+    gray = np.full((8, 8), 77, dtype=np.uint8)
+    ok = MM._jpeg_encode(gray, quality=100)
+    # corrupt the SOF0 component sampling byte to 0x00 -> hmax=0 was
+    # a ZeroDivisionError at MCU-count time
+    i = ok.index(b"\xff\xc0")
+    bad_sampling = ok[: i + 11] + b"\x00" + ok[i + 12 :]
+    with _pt.raises(ValueError):
+        MM._jpeg_decode(bad_sampling)
+    adversarial = [
+        bad_sampling,
+        b"\xff\xd8\xff\xc4\x00\x03\x00",      # DHT body shorter than 17
+        b"\xff\xd8\xff\xc0\x00\x03\x08",      # SOF body truncated
+        b"\xff\xd8\xff\xdd\x00\x02",          # DRI with empty body
+        ok[:6],                                # mid-segment truncation
+    ]
+    for p in adversarial:
+        try:
+            MM._jpeg_decode(p)
+        except ValueError:
+            pass  # the ONLY acceptable exception class
+        assert MM._jpeg_features(p, 4) == [0.0] * 4

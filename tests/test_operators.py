@@ -1551,3 +1551,38 @@ def test_grouped_median_ties_duplicates_and_degenerate(spark):
         "f": sorted(fvals)[(257 + 1) // 2 - 1],
     }
     assert got == want
+
+
+def test_bpe_apply_java_whitespace_parity(spark):
+    """bpe_apply pretokenizes with JAVA \\s+ semantics, matching
+    word_vocab/tokenize: U+00A0 (and other Unicode whitespace that
+    Python str.split() treats as separators) is NOT a word boundary,
+    so a word the trainer saw as one unit encodes as one unit
+    (review-r5)."""
+    from hadoop_main_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(0, "a\u00a0b x"), (1, "p\u2003q")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.tokens for r in B.bpe_apply(docs, []).collect()}
+    assert got[0] == ["a", "\u00a0", "b", "x"]
+    assert got[1] == ["p", "\u2003", "q"]
+
+
+def test_iterative_query_checkpoints_superseded(spark, sf_dir):
+    """Rebuilding a lazy-checkpointing query releases the previous
+    build's pinned blocks: after N build+action cycles the session
+    holds at most one live checkpoint RDD per tag, not N
+    (review-r5)."""
+    from hadoop_main_spark.plans.registry import REGISTRY
+
+    def persisted_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    for name, n_tags in (("pmi_topk", 1), ("pagerank_top20", 2)):
+        before = persisted_ids()
+        for _ in range(3):
+            REGISTRY[name].build(spark, sf_dir).count()
+        new = persisted_ids() - before
+        assert len(new) <= n_tags, (name, sorted(new))

@@ -897,3 +897,43 @@ def test_count_min_stream_equals_batch_and_replay(spark, sf_dir, tmp_path):
     q2 = W.count_min_stream_parquet(mkstream(), "event_type", out, ckpt2)
     assert q2.awaitTermination(300), "replay stream did not finish in time"
     assert snapshot() == want
+
+
+def test_count_min_probe_uses_recorded_geometry(spark, tmp_path):
+    """The persisted sketch records its depth/width; probing uses the
+    RECORDED bucket space (a width mismatch would make the min an
+    UNDER-estimate — the failure mode count-min excludes), explicit
+    mismatching args raise, and merging a different geometry into an
+    existing sketch path raises (review-r5)."""
+    import pytest as _pt
+
+    from hadoop_main_spark.functions.sketches import count_min_probe
+
+    src = str(tmp_path / "cmgsrc")
+    data = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 11
+    spark.createDataFrame(data, "k string").repartition(2).write.parquet(src)
+
+    def mkstream():
+        return (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    out, ckpt = str(tmp_path / "cmg"), str(tmp_path / "cmgckpt")
+    q = W.count_min_stream_parquet(mkstream(), "k", out, ckpt, depth=3, width=64)
+    assert q.awaitTermination(300)
+    q.stop()
+
+    sk = W.read_count_min_sketch(spark, out)
+    items = spark.createDataFrame([("a",), ("b",), ("c",)], "item string")
+    # default-args probe must hash into the RECORDED 3x64 space
+    est = {r.item: r.est_count for r in count_min_probe(sk, items, "item").collect()}
+    assert est["a"] >= 7 and est["b"] >= 3 and est["c"] >= 11
+    with _pt.raises(ValueError, match="width=64"):
+        count_min_probe(sk, items, "item", width=256)
+    # a second sink with different geometry must refuse to merge
+    ckpt2 = str(tmp_path / "cmgckpt2")
+    q2 = W.count_min_stream_parquet(mkstream(), "k", out, ckpt2, depth=4, width=128)
+    with _pt.raises(Exception, match="depth=3"):
+        q2.awaitTermination(300)
