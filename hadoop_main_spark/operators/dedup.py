@@ -817,3 +817,100 @@ def lsh_pairs_across(
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .distinct()
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT-threshold Jaccard similarity join via prefix filtering —
+    the AllPairs/PPJoin family (Bayardo et al., WWW'07 "Scaling Up
+    All Pairs Similarity Search"; Xiao et al., WWW'08 PPJoin). Unlike
+    the MinHash-LSH family this has NO false negatives: the output is
+    exactly every pair with Jaccard(distinct n-gram sets) >= t, which
+    is why the driver oracle can be a brute-force all-pairs join.
+
+    The threshold rides as a RATIONAL t = t_num/t_den so every prune
+    is integer arithmetic (engine-portable, the token_rarity
+    discipline): prefix length p = s - ceil(t*s) + 1, the size filter
+    t*max(sa,sb) <= min(sa,sb), and the final verify
+    (t_den + t_num)*inter >= t_num*(sa + sb) are all exact BIGINT
+    comparisons; the reported jaccard double is one division of
+    exact integers.
+
+    Scale shape: tokens are ordered by ascending document frequency
+    (rarest first, token tiebreak) via ONE vocabulary-sized unhinted
+    join; the per-doc prefix is a doc-bounded window (never global);
+    candidate generation is an equi-join on PREFIX tokens only —
+    rare by construction, so buckets stay small without an LSH-style
+    cap (a cap would break the exactness contract). Verify joins
+    candidates back to the distinct-gram explosion, intersection
+    counts shuffle on the pair key.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    grams = fan_out(df.select(id_col, text_col), [id_col]).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count("*").alias("__df"))
+    w_doc = Window.partitionBy("__id")
+    w_ord = w_doc.orderBy(F.asc("__df"), F.asc("g"))
+    ranked = grams.join(freq, "g").select(
+        "__id",
+        "g",
+        F.row_number().over(w_ord).alias("__pos"),
+        F.count("*").over(w_doc).alias("__sz"),
+    )
+    # p = sz - ceil(t*sz) + 1; ceil(a/b) for positive ints = (a+b-1) div b
+    # (integer div, not float-divide-then-cast — exact at any size)
+    p = (
+        F.col("__sz")
+        - F.expr(f"(({t_num} * __sz + {t_den - 1}) div {t_den})")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("__pos") <= p).select("__id", "g", "__sz")
+    cand = (
+        prefix.select(F.col("__id").alias("id_a"), "g", F.col("__sz").alias("sz_a"))
+        .join(
+            prefix.select(F.col("__id").alias("id_b"), "g", F.col("__sz").alias("sz_b")),
+            "g",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size filter: J >= t forces t*max <= min (cross-multiplied)
+        .filter(
+            F.lit(t_num) * F.greatest("sz_a", "sz_b")
+            <= F.lit(t_den) * F.least("sz_a", "sz_b")
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(grams.select(F.col("__id").alias("id_a"), "g"), "id_a")
+        .join(grams.select(F.col("__id").alias("id_b"), F.col("g").alias("g2")), "id_b")
+        .filter(F.col("g") == F.col("g2"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        # J >= t  <=>  (t_den + t_num) * inter >= t_num * (sa + sb)
+        .filter(
+            F.lit(t_den + t_num) * F.col("inter")
+            >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

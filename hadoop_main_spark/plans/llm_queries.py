@@ -2573,3 +2573,42 @@ def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
             / F.col("total_tokens").cast("double")
         ).alias("coverage"),
     ).orderBy("k")
+
+
+@query(
+    "jaccard_prefix_join",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+           FROM toks),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE 3 * i >= 1 * (sa.sz + sb.sz)
+    ORDER BY id_a, id_b
+    """,
+    doc="EXACT-threshold Jaccard similarity join (prefix filtering, "
+    "AllPairs/PPJoin family — operators/dedup.py:prefix_jaccard_pairs)"
+    " at t = 1/2 over distinct word 3-grams. The oracle is a "
+    "BRUTE-FORCE all-pairs join, so a green row PROVES the "
+    "no-false-negatives contract that separates this from the "
+    "MinHash-LSH candidates (which trade recall for scale). Scale "
+    "shape: candidates join only on each doc's rarest-token prefix "
+    "(length s - ceil(t*s) + 1 under the global document-frequency "
+    "order), every prune is integer arithmetic, and the final "
+    "jaccard is one division of exact BIGINTs.",
+)
+def jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return (
+        D.prefix_jaccard_pairs(d, "doc_id", "text", n=3, t_num=1, t_den=2)
+        .orderBy("id_a", "id_b")
+    )

@@ -1586,3 +1586,66 @@ def test_iterative_query_checkpoints_superseded(spark, sf_dir):
             REGISTRY[name].build(spark, sf_dir).count()
         new = persisted_ids() - before
         assert len(new) <= n_tags, (name, sorted(new))
+
+
+def test_prefix_jaccard_join_equals_bruteforce(spark):
+    """The prefix-filter similarity join is EXACT: for random small
+    corpora its output equals the brute-force all-pairs Jaccard join
+    at the same threshold — no false negatives (the contract that
+    separates it from the MinHash-LSH family) and no false
+    positives."""
+    import random
+
+    from hadoop_main_spark.operators import dedup as D2
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(rng.randrange(2, 14))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.5:  # planted near-dup: mutate one token
+            mut = list(base)
+            if len(mut) > 4:
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for t_num, t_den in ((1, 2), (3, 5), (4, 5)):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D2.prefix_jaccard_pairs(
+                df, "doc_id", "text", n=3, t_num=t_num, t_den=t_den
+            ).collect()
+        }
+        grams = df.select(
+            "doc_id", F.explode(F.array_distinct(D2.word_shingles("text", 3))).alias("g")
+        )
+        sz = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        inter = (
+            grams.alias("a")
+            .join(grams.alias("b"), "g")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .agg(F.count("*").alias("i"))
+        )
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in inter.join(
+                sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")), "id_a"
+            )
+            .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+            .filter(
+                F.lit(t_den + t_num) * F.col("i") >= F.lit(t_num) * (F.col("sa") + F.col("sb"))
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i")).cast("double")).alias("jaccard"),
+            )
+            .collect()
+        }
+        assert got == want, (t_num, t_den)
+        assert len(want) > 0 or (t_num, t_den) == (4, 5)
