@@ -875,11 +875,36 @@ def prefix_jaccard_pairs(
         - F.expr(f"(({t_num} * __sz + {t_den - 1}) div {t_den})")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("__pos") <= p).select("__id", "g", "__sz")
+    prefix = ranked.filter(F.col("__pos") <= p).select("__id", "g", "__sz", "__pos")
+    # PPJoin positional filter: let w* be the FIRST (minimum global
+    # order) token the two prefixes share, at 1-based positions
+    # (i*, j*). No common token can precede w* — anything earlier in
+    # both orders would itself be a shared prefix token with smaller
+    # order — so overlap <= 1 + min(sa - i*, sb - j*). The min
+    # aggregates below find (i*, j*) exactly because the global order
+    # is consistent across documents: the min-order shared token has
+    # the min position on BOTH sides. Required overlap for J >= t is
+    # alpha = ceil(t_num*(sa+sb)/(t_num+t_den)). This replaces the
+    # bare .distinct() with a same-shuffle groupBy — on a 50k-doc
+    # 10x-copies smoke it prunes the candidate explosion the verify
+    # join would otherwise pay for.
+    alpha = F.expr(
+        f"(({t_num} * (sz_a + sz_b) + {t_num + t_den - 1}) div {t_num + t_den})"
+    )
     cand = (
-        prefix.select(F.col("__id").alias("id_a"), "g", F.col("__sz").alias("sz_a"))
+        prefix.select(
+            F.col("__id").alias("id_a"),
+            "g",
+            F.col("__sz").alias("sz_a"),
+            F.col("__pos").alias("__pa"),
+        )
         .join(
-            prefix.select(F.col("__id").alias("id_b"), "g", F.col("__sz").alias("sz_b")),
+            prefix.select(
+                F.col("__id").alias("id_b"),
+                "g",
+                F.col("__sz").alias("sz_b"),
+                F.col("__pos").alias("__pb"),
+            ),
             "g",
         )
         .filter(F.col("id_a") < F.col("id_b"))
@@ -888,8 +913,16 @@ def prefix_jaccard_pairs(
             F.lit(t_num) * F.greatest("sz_a", "sz_b")
             <= F.lit(t_den) * F.least("sz_a", "sz_b")
         )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min("__pa").alias("__ia"), F.min("__pb").alias("__jb"))
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - F.col("__ia"), F.col("sz_b") - F.col("__jb")
+            )
+            >= alpha
+        )
         .select("id_a", "id_b", "sz_a", "sz_b")
-        .distinct()
     )
     inter = (
         cand.join(grams.select(F.col("__id").alias("id_a"), "g"), "id_a")

@@ -2612,3 +2612,97 @@ def jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
         D.prefix_jaccard_pairs(d, "doc_id", "text", n=3, t_num=1, t_den=2)
         .orderBy("id_a", "id_b")
     )
+
+
+#: DSIR bucket count and integer ratio scale — shared by the Spark
+#: build and the oracle text
+_DSIR_BUCKETS = 4096
+_DSIR_SCALE = 1_000_000
+_DSIR_TARGET = "src1"
+
+
+@query(
+    "dsir_importance",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+    bgr AS (SELECT doc_id, source,
+                   {hash64_sql('bigram')} % {_DSIR_BUCKETS} AS b
+            FROM (SELECT doc_id, source,
+                         unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                                               i -> tk[i] || ' ' || tk[i+1])) AS bigram
+                  FROM toks)),
+    buck AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw,
+                    CAST(SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+             FROM bgr GROUP BY b),
+    sc AS (SELECT doc_id,
+                  CAST(SUM(({_DSIR_SCALE} * (c_tgt + 1)) // (c_raw + 1)) AS BIGINT) AS score_sum,
+                  CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM bgr JOIN buck USING (b) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(score_sum, 0) AS score_sum,
+           COALESCE(n_grams, 0) AS n_grams,
+           CASE WHEN COALESCE(n_grams, 0) > 0
+                THEN CAST(score_sum AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END AS mean_score
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="DSIR-shaped importance weighting (Data Selection via "
+    "Importance Resampling, arXiv:2302.03169): documents are scored "
+    "by how much their hashed-bigram distribution resembles a TARGET "
+    "domain (source 'src1') relative to the raw corpus. The paper's "
+    "per-feature log-ratio sum is replaced by the libm-free integer "
+    "ratio floor(SCALE*(c_target+1)/(c_raw+1)) per bucket occurrence "
+    "(add-one smoothed, the token_rarity discipline) — exact BIGINTs "
+    "in both engines, same ordering semantics for selection. Scale "
+    "shape: ONE bigram explosion; bucket counts are a "
+    "4096-row conditional aggregate (both target and raw counts in "
+    "one shuffle — the target side is a CASE, not a second scan); "
+    "the score join keys on the bucket id against the bucket table "
+    "broadcast (bounded at 4096 rows BY CONSTRUCTION, unlike the "
+    "unbounded tfidf vocabulary).",
+)
+def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    d = t(spark, sf, "documents")
+    bgr = (
+        fan_out(d.select("doc_id", "source", "text"), ["doc_id"])
+        .select("doc_id", "source", F.explode(D.word_shingles("text", 2)).alias("g"))
+        .select("doc_id", "source", (hash64("g") % _DSIR_BUCKETS).alias("b"))
+    )
+    buck = bgr.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("c_raw"),
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_tgt"),
+    )
+    sc = (
+        bgr.join(F.broadcast(buck), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(f"({_DSIR_SCALE} * (c_tgt + 1)) div (c_raw + 1)")
+            )
+            .cast("bigint")
+            .alias("score_sum"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("score_sum").cast("double") / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_score"),
+        )
+        .orderBy("doc_id")
+    )
