@@ -2667,27 +2667,45 @@ def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     from hadoop_main_spark.operators.partitioning import fan_out
 
     d = t(spark, sf, "documents")
-    bgr = (
-        fan_out(d.select("doc_id", "source", "text"), ["doc_id"])
+    # ONE explosion: compress occurrences to per-(doc, source, bucket)
+    # counts first; both downstream consumers (the 4096-row bucket
+    # aggregate and the score join) then read the SAME shuffle via
+    # ReusedExchange. The explicit isNotNull makes the two branches
+    # canonical-identical (the join would otherwise push isnotnull(b)
+    # into the probe branch only — the NOTES ReusedExchange trap).
+    # NO fan_out here: the groupBy's own exchange — fed by map-side
+    # partial aggregation of the exploded bigrams — is the SHARED
+    # subtree both consumers reuse at runtime, so the explosion + md5
+    # run ONCE and only compressed (doc, source, bucket, count) rows
+    # shuffle. The explicit isNotNull filters mirror the pushdowns
+    # each consumer would otherwise inject into its branch alone
+    # (the NOTES ReusedExchange trap), keeping the subtrees
+    # canonical-identical.
+    pb = (
+        d.select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
         .select("doc_id", "source", F.explode(D.word_shingles("text", 2)).alias("g"))
         .select("doc_id", "source", (hash64("g") % _DSIR_BUCKETS).alias("b"))
+        .filter(F.col("b").isNotNull())
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
-    buck = bgr.groupBy("b").agg(
-        F.count("*").cast("bigint").alias("c_raw"),
-        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0))
+    buck = pb.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("c_raw"),
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("c")).otherwise(0))
         .cast("bigint")
         .alias("c_tgt"),
     )
     sc = (
-        bgr.join(F.broadcast(buck), "b")
+        pb.join(F.broadcast(buck), "b")
         .groupBy("doc_id")
         .agg(
             F.sum(
-                F.expr(f"({_DSIR_SCALE} * (c_tgt + 1)) div (c_raw + 1)")
+                F.col("c") * F.expr(f"({_DSIR_SCALE} * (c_tgt + 1)) div (c_raw + 1)")
             )
             .cast("bigint")
             .alias("score_sum"),
-            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("c").cast("bigint").alias("n_grams"),
         )
     )
     return (

@@ -566,3 +566,19 @@ def test_multi_consumer_queries_scan_counts(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         n = plan.count("FileScan")
         assert n <= max_scans, f"{name}: {n} corpus scans (max {max_scans})"
+
+
+def test_dsir_single_explosion_reused_exchange(spark, sf_dir):
+    """dsir_importance's bigram explosion + md5 must run ONCE: both
+    consumers (bucket aggregate, score join) reuse the per-(doc,
+    source, bucket) partial-agg shuffle at runtime, and the bucket
+    table rides as a bounded broadcast (4096 rows by construction)."""
+    df = REGISTRY["dsir_importance"].build(spark, sf_dir)
+    df.collect()  # AQE stage reuse only shows in the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange [doc_id" in plan
+    # the reused exchange must sit ABOVE the explosion (post-agg
+    # rows), proving the md5 pass is shared, not just the scan
+    reused_line = next(ln for ln in plan.splitlines() if "ReusedExchange" in ln)
+    assert "count" in reused_line
+    assert "BroadcastExchange" in plan
