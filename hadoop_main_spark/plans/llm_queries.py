@@ -659,19 +659,35 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     # shape), not an eager d.count() — the driver action added a whole
     # extra documents scan before the main plan ran (review-r4b)
     n_docs = d.agg(F.count("*").alias("__n_docs"))
-    tok = fan_out(d.select("doc_id", "text"), ["doc_id"]).select(
-        "doc_id", F.explode(tokenize("text")).alias("term")
+    # NO fan_out: tf's own (doc_id, term) exchange — fed by map-side
+    # partial counts of the exploded tokens — is the shared subtree
+    # BOTH consumers (dfreq and the score join) reuse at runtime, so
+    # the explosion runs once (the dsir_importance shape; a fan_out
+    # pre-shuffle would satisfy the grouping and leave no exchange to
+    # reuse). The explicit isNotNull keeps the branches
+    # canonical-identical under the term-join pushdown (NOTES trap).
+    tf = (
+        d.select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    # NO broadcast hint on dfreq: it has one row per DISTINCT TERM in
-    # the corpus — a multi-GB driver/executor OOM at 100x vocabulary.
-    # tf and dfreq both derive from the same token explosion keyed on
-    # term, so the shuffle join is co-partitioned and cheap (the
-    # token_rarity_score shape; verdict-r4 #1). Only the one-row
-    # n_docs total is broadcast.
+    # document frequency = COUNT OVER a term-partitioned window on the
+    # aggregated tf table (tf rows are distinct (doc, term) pairs), not
+    # a tf x dfreq self-join: Catalyst prunes the join's dfreq branch
+    # to functions=[] (count(tf) is rewritten to count(1) via non-null
+    # inference first), so canonical equality — and exchange reuse —
+    # is unrecoverable in the join form and the explosion runs twice
+    # (the bigram_lm_topk lesson). The window partitions by term over
+    # vocabulary-bounded groups of the ALREADY-AGGREGATED table; a
+    # broadcast of the vocabulary table stays banned at 100x
+    # vocabulary (verdict-r4 #1), and only the one-row n_docs total
+    # broadcasts.
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -1608,21 +1624,32 @@ def token_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
     from hadoop_main_spark.operators.transforms import tokenize
 
     d = t(spark, sf, "documents")
-    tok = fan_out(d.select("doc_id", "text"), ["doc_id"]).select(
-        "doc_id", F.explode(tokenize("text")).alias("term")
+    # single explosion via the shared per-(doc, term) partial-agg
+    # exchange (the dsir_importance shape): tc is consumed by the
+    # vocabulary aggregate AND the score join, reused at runtime
+    tc = (
+        d.select("doc_id", "text")
+        # doc_id isNotNull mirrors the final left join's pushdown into
+        # the probe branch (the NOTES ReusedExchange trap)
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tc"))
     )
-    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
+    cnt = tc.groupBy("term").agg(F.sum("tc").cast("bigint").alias("c"))
     # corpus total from a NARROW projection (sum of per-doc token
-    # counts) — deriving it from cnt would run the tokenize+explode
-    # subtree a third time (no exchange reuse across the aggregate);
-    # the explode is the dominant cost at scale
+    # counts) — deriving it from cnt would hang a third consumer off
+    # the shared exchange for a 1-row result; the narrow scan is free
     tot = d.agg(F.sum(F.size(tokenize("text"))).cast("bigint").alias("n_total"))
-    scored = tok.join(cnt, "term").crossJoin(F.broadcast(tot)).select(
-        "doc_id", F.expr("n_total div c").alias("r")
+    scored = tc.join(cnt, "term").crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "tc",
+        (F.col("tc") * F.expr("n_total div c")).alias("r"),
     )
     pd = scored.groupBy("doc_id").agg(
         F.sum("r").cast("bigint").alias("rarity_sum"),
-        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("tc").cast("bigint").alias("n_tokens"),
     )
     return d.select("doc_id").join(pd, "doc_id", "left").select(
         "doc_id",

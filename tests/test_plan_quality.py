@@ -582,3 +582,18 @@ def test_dsir_single_explosion_reused_exchange(spark, sf_dir):
     reused_line = next(ln for ln in plan.splitlines() if "ReusedExchange" in ln)
     assert "count" in reused_line
     assert "BroadcastExchange" in plan
+
+
+def test_tfidf_and_rarity_single_explosion(spark, sf_dir):
+    """The token explosion must be derived ONCE: tfidf computes df as
+    a window over the aggregated tf table (one Generate in the plan);
+    token_rarity's two consumers reuse the per-(doc,term) partial-agg
+    exchange at runtime (round-5 restructure)."""
+    df = REGISTRY["tfidf_top_terms"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan.count("Generate explode")
+
+    df2 = REGISTRY["token_rarity_score"].build(spark, sf_dir)
+    df2.collect()  # AQE stage reuse shows only in the final plan
+    p2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p2
