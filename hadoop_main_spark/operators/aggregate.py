@@ -281,29 +281,32 @@ def aggregate_descriptor_records(df: DataFrame, record_col: str = "record") -> D
     return agg.select("agg_type", "id", result.alias("result"))
 
 
-def grouped_median(
+def grouped_quantile(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
+    quantiles: list[tuple[str, int, int]],
     buckets: int = 1024,
 ) -> DataFrame:
-    """EXACT per-group lower median at scale — the grouped
-    generalization of WordMedian's two-job histogram scheme
-    (EX/WordMedian.java:1: job 1 histograms, the driver walks
-    cumulative counts to the median bucket, job 2 is unnecessary
-    there because word lengths are already the buckets).
+    """EXACT per-group quantiles at scale — the grouped generalization
+    of WordMedian's two-job histogram scheme (EX/WordMedian.java:1),
+    extended from the median to ANY rational quantile list in one
+    histogram pass.
+
+    ``quantiles`` is [(label, num, den), ...]; each emits the value at
+    rank ceil(num*n/den) of the group's ascending order (the lower
+    quantile — integer-exact, the engine's rank-threshold discipline;
+    (label='p50', 1, 2) reproduces the lower median's (n+1) DIV 2).
 
     Phase 1 histograms values into ``buckets`` global-range bins per
     group (partial-agg shuffle of groups x used-bins rows, never raw
-    data) and finds each group's median bin by cumulative count —
-    windows run over the per-group BIN table (<= buckets rows per
-    group). Phase 2 rejoins only the rows in each group's median bin
-    (expected n/buckets of the group) and ranks within. Bucketing
-    only needs ORDER consistency, so float rounding in the bin
-    boundaries cannot affect correctness — cumulative counts are
-    exact integers. NULL values are excluded (SQL median semantics);
-    lower median = value at rank (n+1) DIV 2 — integer-exact, the
-    engine's rank-threshold discipline.
+    data); each quantile's target bin comes from the SAME cumulative
+    bin table — q quantiles cost one extra tiny union, not q histogram
+    passes. Phase 2 rejoins only rows in the selected bins (expected
+    n/buckets per group per quantile) and ranks within. Bucketing only
+    needs ORDER consistency, so float rounding in bin boundaries
+    cannot affect correctness — cumulative counts are exact integers.
+    NULLs are excluded (SQL quantile semantics).
 
     A pathological distribution (most of a group in one bin) degrades
     phase 2 toward a per-group sort of that bin; at 100 TB guard by
@@ -312,14 +315,18 @@ def grouped_median(
     """
     from pyspark.sql import Window
 
+    for label, num, den in quantiles:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {label}: need 0 < num <= den, got {num}/{den}")
     g = list(group_cols)
     v = F.col(value_col)
     data = df.filter(v.isNotNull())
     rng = data.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+    out_schema = df.select(
+        *g, F.lit("q").alias("q"), v.cast("double").alias("value")
+    ).schema
     if rng.lo is None:
-        return df.sparkSession.createDataFrame(
-            [], df.select(*g, v.cast("double").alias("median")).schema
-        )
+        return df.sparkSession.createDataFrame([], out_schema)
     lo, hi = float(rng.lo), float(rng.hi)
     width = (hi - lo) / buckets if hi > lo else 1.0
     bin_ = F.least(
@@ -336,16 +343,41 @@ def grouped_median(
         (F.sum("__c").over(w_cum) - F.col("__c")).alias("__before"),
         F.sum("__c").over(w_all).alias("__n"),
     )
-    target = F.expr("(__n + 1) div 2")
-    med_bucket = cum.filter(
-        (F.col("__before") < target) & ((F.col("__before") + F.col("__c")) >= target)
-    ).select(*g, "__b", "__before", target.alias("__t"))
+    per_q = []
+    for label, num, den in quantiles:
+        target = F.expr(f"({num} * __n + {den - 1}) div {den}")
+        per_q.append(
+            cum.filter(
+                (F.col("__before") < target)
+                & ((F.col("__before") + F.col("__c")) >= target)
+            ).select(
+                *g, "__b", "__before", target.alias("__t"), F.lit(label).alias("q")
+            )
+        )
+    qbuckets = per_q[0]
+    for nxt in per_q[1:]:
+        qbuckets = qbuckets.unionByName(nxt)
     in_bucket = data.select(*g, v.cast("double").alias("__v"), bin_.alias("__b")).join(
-        med_bucket, [*g, "__b"]
+        qbuckets, [*g, "__b"]
     )
-    w_rank = Window.partitionBy(*g).orderBy("__v")
+    w_rank = Window.partitionBy(*g, "q").orderBy("__v")
     return (
         in_bucket.withColumn("__r", F.row_number().over(w_rank))
         .filter(F.col("__r") == F.col("__t") - F.col("__before"))
-        .select(*g, F.col("__v").alias("median"))
+        .select(*g, "q", F.col("__v").alias("value"))
     )
+
+
+def grouped_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """EXACT per-group lower median — :func:`grouped_quantile` at
+    q = 1/2 (ceil(n/2) == the lower median's (n+1) DIV 2), kept as
+    the WordMedian-parity surface (EX/WordMedian.java:1)."""
+    g = list(group_cols)
+    return grouped_quantile(
+        df, g, value_col, [("median", 1, 2)], buckets=buckets
+    ).select(*g, F.col("value").alias("median"))

@@ -1263,3 +1263,40 @@ def pearson_by_flag(spark: SparkSession, sf: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select("l_returnflag", r.alias("r"), F.col("n").cast("bigint").alias("n"))
+
+
+@query(
+    "price_quantiles_by_priority",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority, q, value FROM (
+      SELECT o_orderpriority, 'p25' AS q, o_totalprice AS value
+      FROM r WHERE rn = (1 * n + 3) // 4
+      UNION ALL
+      SELECT o_orderpriority, 'p50', o_totalprice FROM r WHERE rn = (1 * n + 1) // 2
+      UNION ALL
+      SELECT o_orderpriority, 'p90', o_totalprice FROM r WHERE rn = (9 * n + 9) // 10)
+    ORDER BY o_orderpriority, q
+    """,
+    doc="EXACT per-group quantile SET (p25/p50/p90 of order price by "
+    "priority) via the scalable two-phase histogram scheme "
+    "(operators/aggregate.py:grouped_quantile, the WordMedian "
+    "generalization): all three quantiles read ONE histogram pass — "
+    "each target bin comes from the same cumulative bin table, and "
+    "phase 2 ranks only the selected bins' rows. Rank thresholds are "
+    "ceil(num*n/den) exact-integer comparisons in both engines.",
+)
+def price_quantiles_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.aggregate import grouped_quantile
+
+    o = t(spark, sf, "orders")
+    return grouped_quantile(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)],
+    ).orderBy("o_orderpriority", "q")

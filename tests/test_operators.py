@@ -1649,3 +1649,29 @@ def test_prefix_jaccard_join_equals_bruteforce(spark):
         }
         assert got == want, (t_num, t_den)
         assert len(want) > 0 or (t_num, t_den) == (4, 5)
+
+
+def test_grouped_quantile_edges(spark):
+    """grouped_quantile: q=1 is the max, q=1/n boundaries land on
+    exact order statistics, ties and single-row groups behave, NULLs
+    excluded — all validated against a brute-force sort."""
+    from hadoop_main_spark.operators.aggregate import grouped_quantile
+
+    rows = [("a", v) for v in [5.0, 1.0, 3.0, 3.0, 2.0]]  # ties
+    rows += [("b", 7.0)]                                   # single row
+    rows += [("c", v) for v in [10.0, 20.0]]               # two rows
+    rows += [("d", None), ("d", 4.0)]                      # null excluded
+    df = spark.createDataFrame(rows, "k string, v double")
+    qs = [("p20", 1, 5), ("p50", 1, 2), ("p100", 1, 1)]
+    got = {
+        (r.k, r.q): r.value
+        for r in grouped_quantile(df, ["k"], "v", qs, buckets=8).collect()
+    }
+    import math
+
+    data = {"a": [1.0, 2.0, 3.0, 3.0, 5.0], "b": [7.0], "c": [10.0, 20.0], "d": [4.0]}
+    want = {}
+    for k, vs in data.items():
+        for label, num, den in qs:
+            want[(k, label)] = vs[math.ceil(num * len(vs) / den) - 1]
+    assert got == want
