@@ -32,7 +32,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 DEC_CENTROID = "decimal(27,7)"
 
@@ -715,4 +722,163 @@ def _semantic_dedup_pairs_fold(
     # pair a poisoned vector with its whole cluster
     return scored.filter(
         (F.col("cosine") >= min_cosine) & ~F.isnan("cosine")
+    )
+
+
+# --- product quantization (ADC) ---------------------------------------------
+
+#: PQ defaults: M subspaces, integer micro-grid for exact distances
+PQ_M = 4
+PQ_QSCALE = 10_000
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    k: int = 16,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = PQ_QSCALE,
+):
+    """Deterministic PQ codebook (Jegou et al., TPAMI'11 "Product
+    Quantization for Nearest Neighbor Search"): subspace ``mi``'s code
+    ``c`` is the ``mi``-th subvector of the c-th seed vector — seeds
+    are the k lowest-id vectors, the kmeans_step seeding discipline
+    (swap in kmeans_fit per subspace for trained codebooks; the
+    encode/search machinery below is identical either way).
+
+    Components are quantized to EXACT integers via
+    floor(v*qscale + 0.5) — the engine-identical micro-grid — so every
+    downstream distance is integer arithmetic: no accumulation-order
+    parity machinery needed anywhere in the PQ path. Returns
+    (codebook ndarray (m, k, dsub) int64, dsub)."""
+    import math
+
+    import numpy as np
+
+    seeds = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"pq_codebook needs >= {k} vectors, got {len(seeds)}")
+    dim = len(seeds[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    q = np.array(
+        [
+            [math.floor(float(x) * qscale + 0.5) for x in r[vec_col]]
+            for r in seeds
+        ],
+        dtype=np.int64,
+    )
+    return q.reshape(k, m, dsub).transpose(1, 0, 2).copy(), dsub
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = PQ_QSCALE,
+) -> DataFrame:
+    """Encode every vector as m codebook codes: per-subspace argmin of
+    EXACT integer squared L2 on the quantized grid, ties to the lower
+    code. Output: (id_col, codes array<int> of length m) — the
+    compressed representation that makes 100 TB ANN memory-feasible
+    (m bytes-ish per vector instead of dim floats).
+
+    mapInArrow numpy kernel: per-row work is m*k*dsub multiply-adds
+    (~1024 at the defaults), far past the measured ~8x Arrow crossover
+    (NOTES), and the list<float> column flattens zero-copy. Integer
+    arithmetic makes the kernel bit-identical to any fold order and to
+    the DuckDB list_reduce oracle by construction."""
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=np.int64)
+    m, k, dsub = cb.shape
+    dim = m * dsub
+    in_schema = corpus.select(id_col, vec_col).schema
+    out_schema = StructType(
+        [
+            in_schema.fields[0],
+            StructField("codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def _encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column(1)
+            flat_arr = emb.flatten()
+            if emb.null_count != 0 or flat_arr.null_count != 0:
+                raise ValueError("pq_encode requires non-null vectors and elements")
+            flat = flat_arr.to_numpy(zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError(f"pq_encode requires fixed dim={dim} vectors")
+            x = flat.reshape(n, dim).astype(np.float64)
+            q = np.floor(x * qscale + 0.5).astype(np.int64)
+            codes = np.empty((n, m), dtype=np.int32)
+            for mi in range(m):
+                sub = q[:, mi * dsub : (mi + 1) * dsub]
+                dif = sub[:, None, :] - cb[mi][None, :, :]
+                d = np.einsum("nkd,nkd->nk", dif, dif)
+                # argmin returns the FIRST minimum: ties to lower code
+                codes[:, mi] = d.argmin(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(codes.reshape(-1), pa.int32()), m
+                    ).cast(pa.list_(pa.int32())),
+                ],
+                names=[out_schema.fields[0].name, "codes"],
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(_encode, out_schema)
+
+
+def pq_adc_scores(
+    encoded: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    codebook,
+    id_col: str = "vec_id",
+    qscale: int = PQ_QSCALE,
+) -> DataFrame:
+    """Asymmetric-distance scores of every encoded vector against
+    every query: the per-query distance TABLE (m x k exact integer
+    subspace distances, computed once driver-side — queries x m x k
+    rows, tiny) broadcasts; each vector's approximate d2 is the sum of
+    m table lookups, a posexplode + broadcast equi-join + sum — pure
+    Catalyst, partial-aggregated, shuffling only (query, vec, partial)
+    rows. Output: (query_id, id_col, pq_d2)."""
+    import math
+
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=np.int64)
+    m, k, dsub = cb.shape
+    spark = encoded.sparkSession
+    rows = []
+    for qid, comps in query_vecs:
+        qq = np.array(
+            [math.floor(float(x) * qscale + 0.5) for x in comps], dtype=np.int64
+        ).reshape(m, dsub)
+        for mi in range(m):
+            dif = cb[mi] - qq[mi][None, :]
+            d = (dif * dif).sum(axis=1)
+            rows += [(int(qid), mi, int(c), int(d[c])) for c in range(k)]
+    dtable = spark.createDataFrame(
+        rows, "query_id long, m int, code int, d bigint"
+    )
+    ex = encoded.select(
+        F.col(id_col), F.posexplode("codes").alias("m", "code")
+    )
+    return (
+        ex.join(broadcast(dtable), ["m", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d").cast("bigint").alias("pq_d2"))
     )

@@ -2751,3 +2751,74 @@ def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: integer squared-L2 between two BIGINT lists (oracle fragment) —
+#: order-free because the terms are exact integers
+_SQ_L2_INT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), "
+    "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS BIGINT))), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "pq_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+    mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    cb AS (SELECT CAST(s.vec_id AS INT) AS code, mm.m,
+                  list_slice(s.q, mm.m * 16 + 1, mm.m * 16 + 16) AS cent
+           FROM (SELECT vec_id, q FROM emb WHERE vec_id < 16) s CROSS JOIN mm),
+    enc AS (SELECT vec_id, m, code FROM (
+              SELECT e.vec_id, cb.m, cb.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m
+                       ORDER BY {_SQ_L2_INT.format(a='list_slice(e.q, cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')}, cb.code) AS rn
+              FROM emb e CROSS JOIN cb)
+            WHERE rn = 1),
+    dt AS (SELECT qv.vec_id AS query_id, cb.m, cb.code,
+                  {_SQ_L2_INT.format(a='list_slice(qv.q, cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')} AS d
+           FROM (SELECT vec_id, q FROM emb WHERE vec_id < 5) qv CROSS JOIN cb),
+    sc AS (SELECT dt.query_id, enc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS pq_d2
+           FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.code
+           GROUP BY 1, 2)
+    SELECT query_id, vec_id, pq_d2, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY pq_d2, vec_id) AS rn
+      FROM sc)
+    WHERE rn <= 10
+    ORDER BY query_id, rn
+    """,
+    doc="Product-quantization ANN (Jegou et al., TPAMI'11): vectors "
+    "compress to m=4 codebook codes (operators/similarity.py:"
+    "pq_encode — per-subspace argmin over 16 codes on the exact "
+    "integer micro-grid, an Arrow kernel at ~1024 madds/row), then "
+    "top-10 per query by ASYMMETRIC distance: each query's m x k "
+    "distance table broadcasts and every vector scores as m integer "
+    "lookups summed — the memory shape that makes 100 TB ANN "
+    "feasible (codes, not floats, at rest; reuse across queries). "
+    "Every distance is exact BIGINT arithmetic, so codes, scores, "
+    "and ranks are bit-identical across engines (no accumulation-"
+    "order machinery needed). The final per-query window is bounded "
+    "by the query-batch size, the ADC batch contract.",
+)
+def pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cb, _ = SIM.pq_codebook(e)
+    enc = SIM.pq_encode(e, cb)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    ]
+    sc = SIM.pq_adc_scores(enc, qs, cb)
+    w = Window.partitionBy("query_id").orderBy("pq_d2", "vec_id")
+    return (
+        sc.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 10)
+        .orderBy("query_id", "rn")
+    )

@@ -1675,3 +1675,50 @@ def test_grouped_quantile_edges(spark):
         for label, num, den in qs:
             want[(k, label)] = vs[math.ceil(num * len(vs) / den) - 1]
     assert got == want
+
+
+def test_pq_encode_matches_bruteforce_and_self_distance(spark, sf_dir):
+    """PQ: the Arrow encode kernel matches an independent pure-Python
+    argmin over the same integer grid for every vector in a sample;
+    seed queries (their subvectors ARE codebook entries) score
+    pq_d2=0 against themselves and rank first."""
+    import math
+
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.operators import similarity as SIM
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb, dsub = SIM.pq_codebook(e)
+    m, k = cb.shape[0], cb.shape[1]
+    got = {
+        r.vec_id: list(r.codes)
+        for r in SIM.pq_encode(e.filter(F.col("vec_id") < 40), cb).collect()
+    }
+    for r in e.filter(F.col("vec_id") < 40).collect():
+        q = [math.floor(float(x) * SIM.PQ_QSCALE + 0.5) for x in r.embedding]
+        want = []
+        for mi in range(m):
+            sub = q[mi * dsub : (mi + 1) * dsub]
+            dists = [
+                sum((sub[j] - int(cb[mi][c][j])) ** 2 for j in range(dsub))
+                for c in range(k)
+            ]
+            want.append(dists.index(min(dists)))
+        assert got[r.vec_id] == want, r.vec_id
+
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    ]
+    sc = SIM.pq_adc_scores(SIM.pq_encode(e, cb), qs, cb)
+    w = Window.partitionBy("query_id").orderBy("pq_d2", "vec_id")
+    top1 = {
+        r.query_id: (r.vec_id, r.pq_d2)
+        for r in sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    for qid in (0, 1, 2):
+        assert top1[qid] == (qid, 0)
