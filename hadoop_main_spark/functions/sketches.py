@@ -233,7 +233,9 @@ def count_min_probe(
     width rows and broadcasts.
 
     Geometry comes FROM the sketch when it carries depth/width columns
-    (the streaming sink records them): probing with a different width
+    (the streaming sink records them; reading it costs one tiny
+    driver job over the <= depth*width-row sketch at plan time —
+    intentional, validation over laziness): probing with a different width
     than the sketch was built with hashes items into the wrong bucket
     space and the min silently UNDER-estimates — the one failure mode
     count-min excludes — so an explicit mismatching depth/width raises

@@ -315,6 +315,8 @@ def grouped_quantile(
     """
     from pyspark.sql import Window
 
+    if not quantiles:
+        raise ValueError("grouped_quantile needs at least one quantile")
     for label, num, den in quantiles:
         if not (0 < num <= den):
             raise ValueError(f"quantile {label}: need 0 < num <= den, got {num}/{den}")

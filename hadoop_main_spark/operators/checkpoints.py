@@ -32,8 +32,11 @@ def unpersist_rdd(df_or_session, rid: int) -> None:
         m.get(rid).unpersist()
 
 
-#: tag -> rdd id of the LIVE lazy checkpoint registered under that tag
-_live_by_tag: dict[str, int] = {}
+#: tag -> (application id, rdd id) of the LIVE lazy checkpoint under
+#: that tag. The app id scopes entries to ONE SparkContext: RDD ids
+#: restart at 0 per context, so a stale id from a stopped session
+#: would otherwise unpersist an unrelated RDD in the next one.
+_live_by_tag: dict[str, tuple[str, int]] = {}
 
 
 def supersede_checkpoint(tag: str, df: DataFrame) -> DataFrame:
@@ -53,8 +56,9 @@ def supersede_checkpoint(tag: str, df: DataFrame) -> DataFrame:
     triggers the supersede in the first place).
     """
     rid = ckpt_rdd_id(df)
+    app = df.sparkSession.sparkContext.applicationId
     old = _live_by_tag.get(tag)
-    if old is not None and old != rid:
-        unpersist_rdd(df, old)
-    _live_by_tag[tag] = rid
+    if old is not None and old[0] == app and old[1] != rid:
+        unpersist_rdd(df, old[1])
+    _live_by_tag[tag] = (app, rid)
     return df

@@ -853,11 +853,25 @@ def prefix_jaccard_pairs(
     """
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
     from hadoop_main_spark.operators.partitioning import fan_out
 
-    grams = fan_out(df.select(id_col, text_col), [id_col]).select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g"),
+    # the gram table feeds FOUR branches (frequency ranking, the
+    # prefix projection, and both sides of the verify join) whose
+    # differing pushdowns defeat exchange reuse — a lazy checkpoint
+    # runs the tokenize+explode once (supersede-released on rebuild).
+    # Materializing a corpus-sized frame is acceptable HERE because
+    # the exact join is the moderate-scale / verification tool by
+    # contract (LSH is the 100 TB candidate path); pass a distinct
+    # tag per concurrently-live corpus.
+    grams = supersede_checkpoint(
+        "prefix_jaccard.grams",
+        fan_out(df.select(id_col, text_col), [id_col])
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g"),
+        )
+        .localCheckpoint(eager=False),
     )
     freq = grams.groupBy("g").agg(F.count("*").alias("__df"))
     w_doc = Window.partitionBy("__id")

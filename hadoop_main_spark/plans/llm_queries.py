@@ -644,9 +644,11 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="Distinctive-term extraction (TF-IDF family): tf * N / df "
     "scoring — an exact integer ratio, so the score is engine-portable "
-    "without libm log differences. Per-doc top-3 via a keyed window; "
-    "document frequency is one narrow term-level aggregate (broadcast "
-    "back), term explosion fan_out-parallelized.",
+    "without libm log differences. ONE token explosion: document "
+    "frequency is a term-partitioned window over the aggregated tf "
+    "table (never a vocabulary broadcast — verdict-r4 #1 — and never "
+    "a derived-aggregate self-join, whose pruned branch defeats "
+    "exchange reuse); per-doc top-3 via a keyed window.",
 )
 def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window

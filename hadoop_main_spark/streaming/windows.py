@@ -675,8 +675,15 @@ def count_min_stream_parquet(
             )
             if applied is not None and applied >= batch_id:
                 return  # replayed batch: counters already summed in
-            rec = existing.select("depth", "width").first()
-            if (rec.depth, rec.width) != (depth, width):
+            # geometry check tolerates a 0-row sketch (empty first
+            # batch) and a pre-geometry legacy sketch (no depth/width
+            # columns — upgraded in place on this write)
+            rec = (
+                existing.select("depth", "width").first()
+                if {"depth", "width"} <= set(existing.columns)
+                else None
+            )
+            if rec is not None and (rec.depth, rec.width) != (depth, width):
                 raise ValueError(
                     f"sketch at {path} was built with depth={rec.depth} "
                     f"width={rec.width}; cannot merge depth={depth} "
@@ -724,4 +731,8 @@ def read_count_min_sketch(spark: SparkSession, path: str) -> DataFrame:
     hashes into the bucket space the sketch was built with),
     recovering a crashed mid-swap write first."""
     _recover_replaced_dir(spark, path)
-    return spark.read.parquet(path).select("row", "bucket", "cnt", "depth", "width")
+    sk = spark.read.parquet(path)
+    cols = ["row", "bucket", "cnt"] + (
+        ["depth", "width"] if {"depth", "width"} <= set(sk.columns) else []
+    )
+    return sk.select(*cols)
