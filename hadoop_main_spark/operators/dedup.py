@@ -961,3 +961,77 @@ def prefix_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def line_dedup_rebuild(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_len: int = 8,
+) -> DataFrame:
+    """C4-style exact line-level dedup with document rebuild.
+
+    Splits each document into non-overlapping ``line_len``-token
+    pseudo-lines, keeps only the globally FIRST occurrence of each
+    distinct line (lexicographic min of (id, line_idx)), and rebuilds
+    every document from its kept lines in order. The curation REWRITE
+    counterpart to ``cross_doc_spans`` (detect-only): this is the step
+    that strips cross-site boilerplate from training text (C4's
+    three-sentence dedup, Raffel et al., arXiv:1910.10683 §2.2 —
+    re-expressed over token segments because the corpus has no
+    sentence boundaries).
+
+    Scale shape: the first-occurrence decision shuffles only
+    ``(md5, id, line_idx)`` — never line text — and the rebuild
+    re-slices token arrays from the original documents row, so text
+    crosses exactly ONE shuffle (the id-keyed join with the kept-index
+    arrays). Per-digest window groups are bounded by the duplicate
+    multiplicity of a single line. Returns one row per input doc:
+    ``(id, n_lines, kept_lines, cleaned_text)``.
+    """
+    from hadoop_main_spark.operators.partitioning import fan_out
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    L = int(line_len)
+    if L < 1:
+        raise ValueError(f"line_len must be >= 1, got {line_len}")
+    toks = df.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("tk"))
+    nz = toks.filter(F.size("tk") > 0)
+    seg = fan_out(nz, ["__id"]).select(
+        "__id",
+        F.explode(
+            F.sequence(F.lit(0), ((F.size("tk") + (L - 1)) / L).cast("int") - 1)
+        ).alias("line_idx"),
+        "tk",
+    )
+    narrow = seg.select(
+        "__id",
+        "line_idx",
+        F.md5(F.expr(f"concat_ws(' ', slice(tk, line_idx * {L} + 1, {L}))")).alias(
+            "dg"
+        ),
+    )
+    w = Window.partitionBy("dg").orderBy("__id", "line_idx")
+    flags = (
+        narrow.withColumn("keep", F.row_number().over(w) == 1)
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("kept_lines"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("keep"), F.col("line_idx")))
+            ).alias("kept_idx"),
+        )
+    )
+    return toks.join(flags, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce("kept_lines", F.lit(0)).cast("bigint").alias("kept_lines"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                f"transform(coalesce(kept_idx, array()), "
+                f"i -> concat_ws(' ', slice(tk, i * {L} + 1, {L})))"
+            ),
+        ).alias("cleaned_text"),
+    )

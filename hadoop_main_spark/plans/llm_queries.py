@@ -2824,3 +2824,59 @@ def pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .orderBy("query_id", "rn")
     )
+
+
+# --- C4-style exact line dedup (rebuild docs minus boilerplate lines) --------
+
+LINE_LEN = 8  # tokens per pseudo-line (the corpus has no newlines)
+
+
+@query(
+    "line_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    nz AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+    seg AS (
+      SELECT doc_id, i - 1 AS line_idx,
+             array_to_string(tk[(i-1)*{LINE_LEN} + 1 : (i-1)*{LINE_LEN} + {LINE_LEN}], ' ') AS line_text
+      FROM nz, unnest(generate_series(1, (len(tk) + {LINE_LEN - 1}) // {LINE_LEN})) AS u(i)),
+    marked AS (
+      SELECT doc_id, line_idx, line_text,
+             row_number() OVER (PARTITION BY md5(line_text)
+                                ORDER BY doc_id, line_idx) AS rn
+      FROM seg),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_lines,
+             SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_lines,
+             md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line_text END,
+                                     ' ' ORDER BY line_idx), '')) AS cleaned_md5
+      FROM marked GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(kept_lines, 0) AS BIGINT) AS kept_lines,
+           coalesce(cleaned_md5, md5('')) AS cleaned_md5
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc=f"C4-style exact line-level dedup: split every document into "
+    f"non-overlapping {LINE_LEN}-token pseudo-lines (the corpus has no "
+    f"newlines), keep only the globally FIRST occurrence of each "
+    f"distinct line (min (doc_id, line_idx)), and rebuild each "
+    f"document from its kept lines. Differs from repeated_spans "
+    f"(detect-only): this is the REWRITE step that strips cross-site "
+    f"boilerplate from training text. Scale shape: the first-occurrence "
+    f"decision shuffles only (md5, doc_id, line_idx) — never line text "
+    f"— and the rebuild re-slices tokens from the original documents "
+    f"row, so text crosses exactly one shuffle (the doc-keyed join "
+    f"with the kept-index arrays). Per-digest window groups are "
+    f"bounded by the duplicate multiplicity of one line.",
+)
+def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    out = D.line_dedup_rebuild(d, "doc_id", "text", line_len=LINE_LEN)
+    # hash the rebuilt text so the compared rows stay narrow
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "kept_lines",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )

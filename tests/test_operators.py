@@ -1722,3 +1722,40 @@ def test_pq_encode_matches_bruteforce_and_self_distance(spark, sf_dir):
     }
     for qid in (0, 1, 2):
         assert top1[qid] == (qid, 0)
+
+
+def test_line_dedup_rebuild_planted(spark):
+    """A shared 8-token boilerplate line is kept only at its first
+    global occurrence (min (doc_id, line_idx)); docs rebuild from
+    their kept lines in order; empty/short docs survive with zeros."""
+    from hadoop_main_spark.operators.dedup import line_dedup_rebuild
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    uniq1 = " ".join(f"u{i}" for i in range(8))
+    uniq2 = " ".join(f"v{i}" for i in range(8))
+    docs = [
+        (1, boiler + " " + uniq1),          # first occurrence of boiler
+        (2, boiler + " " + uniq2),          # later doc: boiler removed
+        (3, uniq2 + " " + boiler),          # both lines are repeats
+        (4, ""),                            # no lines at all
+        (5, "tail bit"),                    # one short (partial) line
+        (6, boiler + " " + boiler),         # within-doc repeat: keep first
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.doc_id: r for r in line_dedup_rebuild(df, "doc_id", "text").collect()}
+    assert len(out) == 6
+    assert (out[1].n_lines, out[1].kept_lines) == (2, 2)
+    assert out[1].cleaned_text == boiler + " " + uniq1
+    assert (out[2].n_lines, out[2].kept_lines) == (2, 1)
+    assert out[2].cleaned_text == uniq2
+    # doc 3's lines both appeared earlier (uniq2 in doc 2, boiler in doc 1)
+    assert (out[3].n_lines, out[3].kept_lines) == (2, 0)
+    assert out[3].cleaned_text == ""
+    assert (out[4].n_lines, out[4].kept_lines) == (0, 0)
+    assert out[4].cleaned_text == ""
+    assert (out[5].n_lines, out[5].kept_lines) == (1, 1)
+    assert out[5].cleaned_text == "tail bit"
+    assert (out[6].n_lines, out[6].kept_lines) == (2, 0)
+
+    with __import__("pytest").raises(ValueError):
+        line_dedup_rebuild(df, "doc_id", "text", line_len=0)

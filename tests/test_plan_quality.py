@@ -597,3 +597,24 @@ def test_tfidf_and_rarity_single_explosion(spark, sf_dir):
     df2.collect()  # AQE stage reuse shows only in the final plan
     p2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p2
+
+
+def test_line_dedup_plan_shape(spark, sf_dir):
+    """line_dedup's first-occurrence decision must be keyed on the
+    line digest (narrow shuffle), with no cartesian anywhere and at
+    most two scans of the documents table (digest branch + rebuild
+    branch)."""
+    plan = _plan(spark, "line_dedup", sf_dir)
+    assert "Exchange hashpartitioning(dg" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") - plan.count("ReusedExchange") <= 2 or (
+        plan.count("Scan parquet") <= 2
+    )
+    # the window that ranks occurrences sorts (dg, id, line_idx) only
+    sorts = [
+        ln
+        for ln in plan.splitlines()
+        if "Sort [dg" in ln and "line_idx" in ln
+    ]
+    assert sorts, "digest-keyed occurrence sort missing"
