@@ -1300,3 +1300,85 @@ def price_quantiles_by_priority(spark: SparkSession, sf: str) -> DataFrame:
         "o_totalprice",
         [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)],
     ).orderBy("o_orderpriority", "q")
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders),
+    med AS (SELECT o_orderpriority, o_totalprice AS med FROM r WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS dev
+      FROM orders o JOIN med m USING (o_orderpriority)),
+    r2 AS (
+      SELECT o_orderpriority, dev,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY dev) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM dev),
+    mad AS (SELECT o_orderpriority, dev AS mad FROM r2 WHERE rn = (n + 1) // 2),
+    agg AS (
+      SELECT d.o_orderpriority,
+             COUNT(*) AS n_orders,
+             SUM(CASE WHEN 2 * d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers,
+             MAX(d.dev) AS max_dev
+      FROM dev d JOIN mad m USING (o_orderpriority)
+      GROUP BY d.o_orderpriority)
+    SELECT a.o_orderpriority,
+           CAST(me.med AS DOUBLE) AS median,
+           CAST(m.mad AS DOUBLE) AS mad,
+           CAST(a.n_orders AS BIGINT) AS n_orders,
+           CAST(a.n_outliers AS BIGINT) AS n_outliers,
+           CAST(a.max_dev AS DOUBLE) AS max_dev
+    FROM agg a JOIN mad m USING (o_orderpriority) JOIN med me USING (o_orderpriority)
+    """,
+    doc="Robust outlier detection: per-priority median / MAD (median "
+    "absolute deviation) with a 3-MAD flag — the distribution-free "
+    "outlier rule that, unlike z-scores, a few extreme rows cannot "
+    "drag. Composes the scalable two-phase exact median twice "
+    "(operators/aggregate.py:grouped_median): each pass shuffles only "
+    "(group, bin) counts and re-ranks ~n/1024 rows; the 5-row "
+    "median/MAD tables broadcast back, so deviations and flags are "
+    "map-side. All comparisons in exact DECIMAL — doubles only in the "
+    "final projection.",
+)
+def mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.aggregate import grouped_median
+
+    o = t(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+    med = grouped_median(o, ["o_orderpriority"], "o_totalprice").withColumnRenamed(
+        "median", "med"
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("dev"),
+    )
+    mad = grouped_median(dev, ["o_orderpriority"], "dev").withColumnRenamed(
+        "median", "mad"
+    )
+    agg = (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                (F.lit(2) * F.col("dev") > F.lit(3) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.max("dev").alias("max_dev"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(mad), "o_orderpriority")
+        .join(F.broadcast(med), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("med").cast("double").alias("median"),
+            F.col("mad").cast("double").alias("mad"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            F.col("max_dev").cast("double").alias("max_dev"),
+        )
+    )

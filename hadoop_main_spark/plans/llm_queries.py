@@ -2880,3 +2880,60 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "kept_lines",
         F.md5("cleaned_text").alias("cleaned_md5"),
     )
+
+
+@query(
+    "token_diversity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+    per AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+    agg AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             SUM(c * c) AS sumsq
+      FROM per GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+           CAST(coalesce(n_types, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(n_tokens, 0), 1) AS DOUBLE) AS ttr,
+           CAST(coalesce(n_tokens * n_tokens - sumsq, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(n_tokens * n_tokens, 0), 1) AS DOUBLE) AS gini
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Lexical-diversity quality signals, libm-free: per-doc "
+    "type-token ratio and Gini impurity of the unigram distribution "
+    "(1 - sum(c^2)/n^2 computed as the exact integer ratio "
+    "(n^2 - sum c^2) / n^2 — the entropy-filter analog that needs no "
+    "log, so it is bit-identical across engines). Low diversity flags "
+    "looped/template text; the standard cheap companion to the Gopher "
+    "rules. Two keyed partial aggregations, one corpus scan on the "
+    "stats branch; empty docs report zeros via the left join.",
+)
+def token_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.partitioning import fan_out
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    tok = fan_out(d.select("doc_id", "text"), ["doc_id"]).select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    )
+    per = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    n = F.coalesce(F.col("n_tokens"), F.lit(0))
+    ty = F.coalesce(F.col("n_types"), F.lit(0))
+    nsq = n * n
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        ty.cast("bigint").alias("n_types"),
+        (ty.cast("double") / F.greatest(n, F.lit(1)).cast("double")).alias("ttr"),
+        (
+            F.coalesce(nsq - F.col("sumsq"), F.lit(0)).cast("double")
+            / F.greatest(nsq, F.lit(1)).cast("double")
+        ).alias("gini"),
+    )
