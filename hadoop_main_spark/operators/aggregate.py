@@ -383,3 +383,80 @@ def grouped_median(
     return grouped_quantile(
         df, g, value_col, [("median", 1, 2)], buckets=buckets
     ).select(*g, F.col("value").alias("median"))
+
+
+#: Mersenne prime 2^61 - 1: the checksum modulus — fits BIGINT in
+#: every engine, and a prime modulus means colliding a corrupted row
+#: set requires hitting the hash, not a power-of-two truncation.
+FINGERPRINT_MOD = 2305843009213693951
+
+
+def _row_canonical(cols: Sequence[str]) -> Column:
+    """Canonical string form of a row for fingerprinting: every column
+    cast to string with an explicit NULL marker (concat_ws silently
+    DROPS nulls, which would collide (a, NULL, b) with (a, b, NULL)),
+    joined on a separator no data column contains."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols
+    ]
+    return F.concat_ws("\x1f", *parts)
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Order-independent row-level table checksum: per group,
+    ``n_rows`` and ``fingerprint`` = SUM of 60-bit row hashes folded
+    mod 2^61-1. Addition commutes, so ANY partitioning / read order /
+    engine yields the identical fingerprint — the row-content
+    counterpart to DistCp's file-level validation
+    (sources/distcp.py), and the primitive a 100 TB migration uses to
+    certify a copy without moving data twice: fingerprint source and
+    destination independently, compare k rows. The sum accumulates in
+    DECIMAL(38,0) (max 2^60 x row count << 10^38, exact) and folds to
+    BIGINT only at the end. One scan, partial-agg shuffle of
+    (group, count, sum) rows only.
+    """
+    from hadoop_main_spark.functions.hashing import hash64
+
+    h = hash64(_row_canonical(cols)).cast("decimal(38,0)")
+    g = list(group_cols)
+    agg = [
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.sum(h) % F.lit(FINGERPRINT_MOD)).cast("bigint").alias("fingerprint"),
+    ]
+    return df.groupBy(*g).agg(*agg) if g else df.agg(*agg)
+
+
+def keyed_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style diff of two table snapshots by primary key: one row
+    per key present in either side with ``status`` in
+    ``added`` (new only) / ``removed`` (old only) / ``changed`` (both,
+    compared columns differ) / ``unchanged``. Comparison is by the
+    canonical row hash of ``compare_cols`` — each side reduces to
+    (key, hash) BEFORE the join, so the full-outer join shuffles
+    narrow rows regardless of row width, and the join is
+    co-partitioned on the key (the incremental-ingest audit shape:
+    what changed between yesterday's and today's snapshot of a
+    100 TB table).
+    """
+    from hadoop_main_spark.functions.hashing import hash64
+
+    keys = list(key_cols)
+    oh = old.select(*keys, hash64(_row_canonical(compare_cols)).alias("__h_old"))
+    nh = new.select(*keys, hash64(_row_canonical(compare_cols)).alias("__h_new"))
+    j = oh.join(nh, keys, "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*keys, status.alias("status"))

@@ -1024,3 +1024,136 @@ def kmv_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("est_a") + F.col("est_b") - F.col("est_union")) / F.col("est_union")
         ).alias("jaccard_est"),
     )
+
+
+# --- row-level validation / snapshot-diff family -----------------------------
+
+_FP_CANON_SQL = (
+    "concat_ws(chr(31), "
+    "coalesce(CAST(l_orderkey AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(l_linenumber AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(l_returnflag AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(l_linestatus AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(CAST(l_quantity AS DECIMAL(20,2)) AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(0) || 'NULL'))"
+)
+
+
+@query(
+    "table_fingerprint",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({hash64_sql(_FP_CANON_SQL)})
+                % 2305843009213693951 AS BIGINT) AS fingerprint
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Order-independent row-level table checksum "
+    "(operators/aggregate.py:table_fingerprint): per return flag, "
+    "row count + SUM of 60-bit canonical-row hashes folded mod "
+    "2^61-1. Addition commutes, so any partitioning / read order / "
+    "engine produces the identical fingerprint — the row-content "
+    "counterpart to DistCp's file-level validation and the primitive "
+    "that certifies a 100 TB copy: fingerprint source and destination "
+    "independently, compare k tiny rows. Exact DECIMAL(38,0) "
+    "accumulation (2^60 x rows << 10^38); doubles/timestamps enter "
+    "the canonical form only through exact DECIMAL/DATE casts. One "
+    "scan, partial-agg shuffle of (group, count, sum).",
+)
+def table_fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.aggregate import table_fingerprint
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(20,2)").alias("q_dec"),
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    return table_fingerprint(
+        li,
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "q_dec", "ship_d"],
+        ["l_returnflag"],
+    )
+
+
+_DIFF_CANON = (
+    "concat_ws(chr(31), "
+    "coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(o_orderstatus AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(price AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(o_orderpriority AS VARCHAR), chr(0) || 'NULL'))"
+)
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+    WITH oldsnap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(20,2)) AS price, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    newsnap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(20,2))
+               + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS price,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 89 <> 0),
+    oh AS (SELECT o_orderkey, {hash64_sql(_DIFF_CANON)} AS h FROM oldsnap),
+    nh AS (SELECT o_orderkey, {hash64_sql(_DIFF_CANON)} AS h FROM newsnap),
+    j AS (
+      SELECT CASE WHEN oh.h IS NULL THEN 'added'
+                  WHEN nh.h IS NULL THEN 'removed'
+                  WHEN oh.h <> nh.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM oh FULL OUTER JOIN nh USING (o_orderkey))
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM j GROUP BY status
+    """,
+    doc="CDC-style snapshot diff (operators/aggregate.py:"
+    "keyed_snapshot_diff): two deterministic snapshots derived from "
+    "orders (old drops keys % 97 = 0; new drops keys % 89 = 0 and "
+    "bumps price on keys % 7 = 0) diff by primary key into added / "
+    "removed / changed / unchanged counts. Each side reduces to "
+    "(key, canonical-row hash) BEFORE the full-outer join, so the "
+    "join shuffles narrow rows regardless of table width and is "
+    "co-partitioned on the key — the audit a 100 TB incremental "
+    "ingest runs between yesterday's and today's snapshot. Exact "
+    "DECIMAL price arithmetic keeps the 'changed' verdicts "
+    "engine-portable.",
+)
+def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.aggregate import keyed_snapshot_diff
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(20,2)").alias("price0"),
+        "o_orderpriority",
+    )
+    oldsnap = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("price0").alias("price"),
+        "o_orderpriority",
+    )
+    newsnap = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (
+            F.col("price0")
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("price"),
+        "o_orderpriority",
+    )
+    d = keyed_snapshot_diff(
+        oldsnap,
+        newsnap,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "price", "o_orderpriority"],
+    )
+    return d.groupBy("status").agg(F.count("*").cast("bigint").alias("n_keys"))

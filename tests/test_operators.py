@@ -1759,3 +1759,53 @@ def test_line_dedup_rebuild_planted(spark):
 
     with __import__("pytest").raises(ValueError):
         line_dedup_rebuild(df, "doc_id", "text", line_len=0)
+
+
+def test_table_fingerprint_order_and_null_invariants(spark):
+    """The fingerprint is invariant under row order and partitioning
+    (addition commutes), changes when any row changes, and does NOT
+    collide (a, NULL, b) with (a, b, NULL) — the concat_ws null-drop
+    trap the canonical form exists to prevent."""
+    from hadoop_main_spark.operators.aggregate import table_fingerprint
+
+    rows = [(1, "a", "x"), (2, None, "y"), (3, "c", None)]
+    df = spark.createDataFrame(rows, "k int, u string, v string")
+    base = table_fingerprint(df, ["k", "u", "v"]).collect()[0]
+    assert base.n_rows == 3
+    # reorder + repartition: identical fingerprint
+    shuf = spark.createDataFrame(list(reversed(rows)), "k int, u string, v string")
+    again = table_fingerprint(shuf.repartition(7), ["k", "u", "v"]).collect()[0]
+    assert (again.n_rows, again.fingerprint) == (3, base.fingerprint)
+    # single-row mutation changes it
+    mut = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "y"), (3, "c", "!")], "k int, u string, v string"
+    )
+    assert table_fingerprint(mut, ["k", "u", "v"]).collect()[0].fingerprint != base.fingerprint
+    # null-position sensitivity
+    a = spark.createDataFrame([(1, None, "b")], "k int, u string, v string")
+    b = spark.createDataFrame([(1, "b", None)], "k int, u string, v string")
+    fa = table_fingerprint(a, ["u", "v"]).collect()[0].fingerprint
+    fb = table_fingerprint(b, ["u", "v"]).collect()[0].fingerprint
+    assert fa != fb
+
+
+def test_keyed_snapshot_diff_statuses(spark):
+    """added/removed/changed/unchanged classification, including a
+    value that changes to/from NULL (hash canonicalization must not
+    equate NULL with any real value)."""
+    from hadoop_main_spark.operators.aggregate import keyed_snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e")], "k int, v string"
+    )
+    got = {r.k: r.status for r in keyed_snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # NULL -> 'c' is a change
+        4: "removed",
+        5: "added",
+    }
