@@ -1041,6 +1041,7 @@ _FP_CANON_SQL = (
 
 @query(
     "table_fingerprint",
+    bench=True,
     oracle=f"""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -1510,6 +1510,7 @@ def _semantic_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "semantic_dedup",
+    bench=True,
     oracle=f"""
     WITH {_SEM_CAND_CTE}
     SELECT cluster, id_a, id_b, cosine FROM {_SEM_SCORED}
@@ -2766,6 +2767,7 @@ _SQ_L2_INT = (
 
 @query(
     "pq_topk",
+    bench=True,
     oracle=f"""
     WITH emb AS (SELECT vec_id,
            list_transform(embedding,
@@ -2833,6 +2835,7 @@ LINE_LEN = 8  # tokens per pseudo-line (the corpus has no newlines)
 
 @query(
     "line_dedup",
+    bench=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     nz AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
@@ -2937,3 +2940,92 @@ def token_diversity(spark: SparkSession, sf: str) -> DataFrame:
             / F.greatest(nsq, F.lit(1)).cast("double")
         ).alias("gini"),
     )
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+
+from hadoop_main_spark.operators import winnowing as WN
+
+_WINNOW_K = 4
+_WINNOW_W = 5
+_WINNOW_FPS = WN.winnow_fingerprints_sql(
+    "documents", "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+)
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH fps AS ({_WINNOW_FPS}),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_selected,
+             SUM(fp) AS fp_sum, MIN(fp) AS fp_min, MAX(fp) AS fp_max
+      FROM fps GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(coalesce(fp_sum, 0) AS BIGINT) AS fp_sum,
+           CAST(coalesce(fp_min, -1) AS BIGINT) AS fp_min,
+           CAST(coalesce(fp_max, -1) AS BIGINT) AS fp_max
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Winnowing fingerprint selection (Schleimer et al. SIGMOD'03, "
+    "the MOSS algorithm): rightmost-minimum hash of every w=5 window "
+    "over rolling 4-gram hash64 values, selected with ONE packed-BIGINT "
+    "min() window (fp*2^20 + reversed pos encodes the tie rule). "
+    "Per-doc summary keeps the compared rows narrow: count, exact sum, "
+    "min, max of the selected 40-bit fingerprints — any selection "
+    "divergence moves the sum. Scale shape: gram text is hashed at the "
+    "scan; only (doc_id, pos, key) crosses the per-document window "
+    "exchange, and the guarantee bounds density at ~2/(w+1) of grams.",
+)
+def winnow_fingerprints_q(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    fps = WN.winnow_fingerprints(d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W)
+    agg = fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("fp").alias("fp_sum"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )
+    z = F.lit(0).cast("bigint")
+    m = F.lit(-1).cast("bigint")
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_selected", z).alias("n_selected"),
+        F.coalesce("fp_sum", z).alias("fp_sum"),
+        F.coalesce("fp_min", m).alias("fp_min"),
+        F.coalesce("fp_max", m).alias("fp_max"),
+    )
+
+
+@query(
+    "winnow_dup_pairs",
+    oracle=f"""
+    WITH fps AS ({_WINNOW_FPS}),
+    dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+    sized AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS bn FROM dfp)
+      WHERE bn <= 1000),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM sized a JOIN sized b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM pairs WHERE n_shared >= 2
+    """,
+    doc="MOSS-style candidate match: document pairs sharing >= 2 "
+    "distinct winnowing fingerprints, with the shared count. Any "
+    "common substring of >= w + k - 1 = 8 tokens guarantees a shared "
+    "fingerprint (the winnowing theorem), so near-dup candidates "
+    "surface without all-pairs work. Scale shape: the join shuffles "
+    "only the SELECTED fingerprints (~2/(w+1) of grams), equi-joined "
+    "on fp with the standard hot-bucket guard (<= 1000 docs per "
+    "fingerprint) — the minhash band-join discipline.",
+)
+def winnow_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return WN.winnow_pairs(
+        d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, min_shared=2
+    ).select("id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared"))

@@ -1809,3 +1809,62 @@ def test_keyed_snapshot_diff_statuses(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_winnow_fingerprints_vs_python_reference(spark):
+    """Independent pure-Python winnowing (Schleimer et al. SIGMOD'03,
+    Fig. 5 semantics: min of each w-window of k-gram hashes, RIGHTMOST
+    minimum on ties, dedup of re-selected fingerprints) must match the
+    packed-BIGINT window implementation exactly — including prefix
+    windows (the robust short-doc variant), a crafted all-equal-hash
+    tie run, and a doc shorter than k (emits nothing)."""
+    from hadoop_main_spark.functions.hashing import hash64_py
+    from hadoop_main_spark.operators.winnowing import (
+        FP_MOD,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    k, w = 3, 4
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a a a a a a a a"),  # every gram identical -> one fp, rightmost pos
+        (3, "tiny doc"),  # < k tokens -> no grams
+        (4, "the quick brown fox jumps over the wall"),  # shares a prefix with 1
+        (5, "x y z"),  # exactly one gram -> one fingerprint at pos 0
+    ]
+
+    def ref(text):
+        toks = [t_ for t_ in text.split() if t_]
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [hash64_py(g, "winnow") % FP_MOD for g in grams]
+        sel = set()
+        for end in range(len(hs)):
+            lo = max(0, end - (w - 1))
+            window = hs[lo : end + 1]
+            m = min(window)
+            pos = lo + max(i for i, h in enumerate(window) if h == m)
+            sel.add((pos, hs[pos]))
+        return sel
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    }
+    want = {(i, p, h) for i, tx in docs for p, h in ref(tx)}
+    assert got == want
+    assert not any(i == 3 for i, _, _ in got)  # sub-k doc emits nothing
+    # all-equal tie run: rightmost-min selects every window end, but
+    # they all carry the SAME fingerprint value
+    assert len({h for i, _, h in got if i == 2}) == 1
+
+    # guarantee: docs 1 and 4 share >= w + k - 1 = 6 leading tokens, so
+    # they MUST share a selected fingerprint (the winnowing theorem)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(
+            df, "doc_id", "text", k=k, w=w, min_shared=1
+        ).collect()
+    }
+    assert (1, 4) in pairs

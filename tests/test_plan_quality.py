@@ -618,3 +618,21 @@ def test_line_dedup_plan_shape(spark, sf_dir):
         if "Sort [dg" in ln and "line_idx" in ln
     ]
     assert sorts, "digest-keyed occurrence sort missing"
+
+
+def test_winnow_queries_plan_shape(spark, sf_dir):
+    """Winnowing: gram text must be hashed at the scan — the
+    per-document window exchange carries only (doc_id, pos, packed
+    key), never the gram or document text — and the pair join must be
+    an equi-join on fp (no cartesian)."""
+    plan = _plan(spark, "winnow_fingerprints", sf_dir)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges, "expected the per-document window exchange"
+    assert not any("text" in ln or "__gram" in ln for ln in exchanges), (
+        "gram/document text crossed a shuffle"
+    )
+    pplan = _plan(spark, "winnow_dup_pairs", sf_dir)
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastNestedLoopJoin" not in pplan
+    # candidate join keyed on the selected fingerprint
+    assert "Exchange hashpartitioning(fp" in pplan or "fp#" in pplan
