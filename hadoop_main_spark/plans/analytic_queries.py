@@ -1382,3 +1382,75 @@ def mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
             F.col("max_dev").cast("double").alias("max_dev"),
         )
     )
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM seq),
+    dim AS (
+      SELECT user_id, version, MIN(event_type) AS state,
+             MIN(ts) AS vf, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, version)
+    SELECT user_id, CAST(version AS BIGINT) AS version, state,
+           epoch_us(vf) AS valid_from_us,
+           epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY version))
+             AS valid_to_us,
+           lead(vf) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+             AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM dim
+    """,
+    doc="Slowly-changing-dimension TYPE 2 build from an event log (the "
+    "warehouse dimension-maintenance pattern): per-user event_type "
+    "runs collapse to version rows with [valid_from, valid_to) "
+    "microsecond validity intervals, a version sequence number, and an "
+    "is_current flag on the open row. The (ts, event_id) tie-break "
+    "makes run boundaries a total order (engine-independent). Scale "
+    "shape: ONE shuffle — the change-flag window, the run-id running "
+    "sum, the (user_id, version) aggregate, and the valid_to lead are "
+    "all keyed by user_id, so EnsureRequirements satisfies every stage "
+    "from the first exchange (subset-clustering rule); validity bounds "
+    "are exact BIGINT epoch micros, never float.",
+)
+def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = e.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    dim = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("vf").over(wv)
+    return dim.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "state",
+        F.unix_micros("vf").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

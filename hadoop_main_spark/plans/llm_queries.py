@@ -3029,3 +3029,63 @@ def winnow_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return WN.winnow_pairs(
         d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, min_shared=2
     ).select("id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared"))
+
+
+# --- deterministic weighted sampling (A-ES, libm-free) ------------------------
+
+_WS_K = 20  # sample size
+_WS_CAP = 32  # weight cap (bounds the per-row hash fan-out)
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH wdoc AS (
+      SELECT doc_id, least(coalesce(n_chars, 0) // 200 + 1, {_WS_CAP}) AS w
+      FROM documents),
+    keys AS (
+      SELECT doc_id, w,
+             list_max(list_transform(generate_series(0, w - 1),
+               r -> {hash64_sql("concat(CAST(doc_id AS VARCHAR), ':', CAST(r AS VARCHAR))", "wsample")}))
+               AS sample_key
+      FROM wdoc)
+    SELECT doc_id, CAST(w AS BIGINT) AS weight, sample_key
+    FROM keys ORDER BY sample_key DESC, doc_id LIMIT {_WS_K}
+    """,
+    doc="Deterministic weighted sampling WITHOUT replacement "
+    "(Efraimidis-Spirakis A-ES, Inf. Proc. Letters 2006, made "
+    "libm-free): instead of the float key u^(1/w), each row's key is "
+    "the MAX of w independent hash64 draws — identical in "
+    "distribution (P(max of w uniforms <= x) = x^w), integer-exact, "
+    "and reproducible on any engine. Weight = document length "
+    "(n_chars/200, capped at 32, so the per-row fan-out is bounded "
+    "and NO explode happens — the draw list folds inside one "
+    "projection). Top-k keys = the weighted sample; global top-k is "
+    "TakeOrderedAndProject (per-partition heads, never a full sort). "
+    "The training-data use: length/quality-weighted corpus "
+    "subsampling that is stable across reruns and engines.",
+)
+def weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+
+    d = t(spark, sf, "documents")
+    w = F.least(
+        F.expr("coalesce(n_chars, 0) div 200") + 1, F.lit(_WS_CAP)
+    ).alias("w")
+    draws = F.transform(
+        F.sequence(F.lit(0), F.col("w") - 1),
+        lambda r: hash64(
+            F.concat_ws(":", F.col("doc_id").cast("string"), r.cast("string")),
+            "wsample",
+        ),
+    )
+    return (
+        d.select("doc_id", w)
+        .select(
+            "doc_id",
+            F.col("w").cast("bigint").alias("weight"),
+            F.array_max(draws).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_WS_K)
+    )

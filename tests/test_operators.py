@@ -1868,3 +1868,66 @@ def test_winnow_fingerprints_vs_python_reference(spark):
         ).collect()
     }
     assert (1, 4) in pairs
+
+
+def test_scd2_run_collapse_semantics(spark):
+    """SCD2 versioning on a crafted event log: consecutive equal
+    states collapse into one version row; an A->B->A flip produces
+    THREE versions (type-2 keeps history, it never merges
+    non-adjacent runs); validity intervals chain exactly and only the
+    last run is current."""
+    import datetime as dt
+
+    from hadoop_main_spark.plans.registry import REGISTRY
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=m), 100 + m, et)
+        for m, et in enumerate(["A", "A", "B", "B", "B", "A"])
+    ] + [(2, base, 200, "X")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(d + "/events.parquet")
+        out = (
+            REGISTRY["scd2_user_state"]
+            .build(spark, d)
+            .orderBy("user_id", "version")
+            .collect()
+        )
+    u1 = [r for r in out if r.user_id == 1]
+    assert [(r.version, r.state, r.n_events) for r in u1] == [
+        (1, "A", 2),
+        (2, "B", 3),
+        (3, "A", 1),
+    ]
+    # intervals chain: each valid_to equals the next valid_from
+    assert u1[0].valid_to_us == u1[1].valid_from_us
+    assert u1[1].valid_to_us == u1[2].valid_from_us
+    assert [r.is_current for r in u1] == [False, False, True]
+    (u2,) = [r for r in out if r.user_id == 2]
+    assert (u2.version, u2.is_current, u2.valid_to_us) == (1, True, None)
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """The A-ES max-of-w-hashes key must equal an independent
+    pure-Python recompute (weights, keys, and the exact top-k set),
+    pinning both the weight formula and the draw hashing."""
+    from hadoop_main_spark.functions.hashing import hash64_py
+    from hadoop_main_spark.plans.registry import REGISTRY
+
+    got = REGISTRY["weighted_sample_topk"].build(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = []
+    for r in docs:
+        w = min((r.n_chars or 0) // 200 + 1, 32)
+        k = max(hash64_py(f"{r.doc_id}:{d}", "wsample") for d in range(w))
+        keys.append((k, r.doc_id, w))
+    keys.sort(key=lambda x: (-x[0], x[1]))
+    want = [(d, w, k) for k, d, w in keys[:20]]
+    assert [(r.doc_id, r.weight, r.sample_key) for r in got] == want

@@ -636,3 +636,27 @@ def test_winnow_queries_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in pplan
     # candidate join keyed on the selected fingerprint
     assert "Exchange hashpartitioning(fp" in pplan or "fp#" in pplan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """SCD2 build: every stage (change flag, run-id sum, run aggregate,
+    valid_to lead) keys by user_id, so EnsureRequirements must satisfy
+    the whole pipeline from ONE exchange (the subset-clustering rule
+    lets hashpartitioning(user_id) serve the (user_id, version)
+    aggregate too)."""
+    plan = _plan(spark, "scd2_user_state", sf_dir)
+    phys = plan.split("\n== ", 1)[0] if "== " in plan else plan
+    n_exchange = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_exchange <= 1, f"expected one user_id exchange, saw {n_exchange}\n{phys}"
+
+
+def test_weighted_sample_topk_no_explode(spark, sf_dir):
+    """The bounded draw list must fold inside a projection (no
+    Generate/explode) and the global top-k must be
+    TakeOrderedAndProject, never a full sort exchange."""
+    plan = _plan(spark, "weighted_sample_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate explode" not in plan
+    assert "Exchange rangepartitioning" not in plan
