@@ -339,3 +339,56 @@ def media_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return digests.groupBy("pixel_digest").agg(
         F.min("doc_id").alias("first_media"), F.count("*").alias("n_media")
     ).select("first_media", "n_media")
+
+
+@query(
+    "wav_decode_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 50 + 40 AS n FROM documents),
+    b AS (SELECT doc_id, n, unnest(generate_series(0, 3)) AS band FROM p),
+    r AS (SELECT doc_id, band, n,
+            (band * n) // 4 AS lo,
+            greatest(((band + 1) * n) // 4, (band * n) // 4 + 1) AS hi
+          FROM b),
+    s AS (SELECT doc_id, band,
+            unnest(generate_series(least(lo, n - 1), least(hi, n) - 1)) AS j
+          FROM r)
+    SELECT doc_id AS media_id, CAST(band AS BIGINT) AS band,
+           AVG(CAST(abs((doc_id * 13 + j * 7) % 4001 - 2000) AS DOUBLE)) / 32768.0
+             AS amp_mean
+    FROM s GROUP BY doc_id, band
+    """,
+    doc="REAL RIFF/PCM16 audio decode on the data path: per-doc mono "
+    "WAVs (8 kHz, doc_id%50+40 frames, sample j = "
+    "(doc_id*13 + j*7) % 4001 - 2000) are container-encoded with "
+    "_wav_encode, then extract_features(decoder='wav') chunk-walks and "
+    "decodes each payload Arrow-batched and emits per-time-window mean "
+    "absolute amplitudes — the audio analog of the PNG/JPEG band "
+    "means. The oracle recomputes the window means in closed form from "
+    "the sample formula, so the full RIFF parse + PCM16 decode is what "
+    "is verified. Sums are bounded integers in double (exact), so the "
+    "match is bit-exact.",
+)
+def wav_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = i % 50 + 40
+                s = ((i * 13 + np.arange(n) * 7) % 4001 - 2000).astype("<i2")
+                payloads.append(MM._wav_encode(8000, s[:, None]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = MM.extract_features(media, decoder="wav", dim=4)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("band", "amp_mean")
+    ).select("media_id", F.col("band").cast("long").alias("band"), "amp_mean")

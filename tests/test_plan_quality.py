@@ -660,3 +660,14 @@ def test_weighted_sample_topk_no_explode(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Generate explode" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_quality_classifier_broadcast_model(spark, sf_dir):
+    """The classifier weight table (constant 4096 rows) must join by
+    BroadcastHashJoin — the corpus side never re-shuffles onto the
+    model key — and the (doc, bucket) count must partial-aggregate."""
+    plan = _plan(spark, "quality_classifier_score", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # no range-partitioned sort anywhere on the data path
+    assert "Exchange rangepartitioning" not in plan
