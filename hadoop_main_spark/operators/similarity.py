@@ -841,6 +841,88 @@ def pq_encode(
     return corpus.select(id_col, vec_col).mapInArrow(_encode, out_schema)
 
 
+def _pq_distance_table(
+    spark, query_vecs: list[tuple[int, list[float]]], codebook, qscale: int
+) -> DataFrame:
+    """Per-query asymmetric-distance lookup table: (query_id, m, code,
+    d) with d the EXACT integer squared L2 between the query's mi-th
+    quantized subvector and codebook entry (mi, code). queries x m x k
+    rows — constant-size, always broadcastable (shared by
+    pq_adc_scores and ivfpq_topk)."""
+    import math
+
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=np.int64)
+    m, k, dsub = cb.shape
+    rows = []
+    for qid, comps in query_vecs:
+        qq = np.array(
+            [math.floor(float(x) * qscale + 0.5) for x in comps], dtype=np.int64
+        ).reshape(m, dsub)
+        for mi in range(m):
+            dif = cb[mi] - qq[mi][None, :]
+            d = (dif * dif).sum(axis=1)
+            rows += [(int(qid), mi, int(c), int(d[c])) for c in range(k)]
+    return spark.createDataFrame(rows, "query_id long, m int, code int, d bigint")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_col: str,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+    nprobe: int = 2,
+    qscale: int = PQ_QSCALE,
+) -> DataFrame:
+    """IVF-PQ search (IVFADC, Jegou et al. TPAMI'11 §IV; the FAISS
+    IndexIVFPQ shape): the coarse quantizer restricts the scan to
+    ``nprobe`` probed cells per query, and within them each vector
+    scores by ASYMMETRIC distance — m integer lookups into the query's
+    broadcast distance table — against its PQ codes, never its floats.
+
+    This is the composition that makes 100 TB ANN practical: codes at
+    rest (pq_encode), cell-pruned scan (ivf), constant-size broadcast
+    state per query (the m x k tables). Here the encoded table joins
+    its cell assignment by id (co-partitioned, unique key); a
+    production index materializes (cell, codes) partitioned by cell
+    once — build_ivf_index's layout with codes instead of vectors —
+    and this function's probe+score tail runs unchanged on it.
+
+    Output: (query_id, neighbor_id, pq_d2, rank) — rank by exact
+    BIGINT asymmetric distance, ties to the lower id, self excluded.
+    """
+    cents = ivf_centroids(corpus, cell_col, vec_col)
+    probe = _probe_cells(queries, cents, query_id, vec_col, nprobe)
+    qrows = queries.select(query_id, vec_col).collect()
+    query_vecs = [(int(r[query_id]), [float(x) for x in r[vec_col]]) for r in qrows]
+    dtable = _pq_distance_table(corpus.sparkSession, query_vecs, codebook, qscale)
+    enc = pq_encode(corpus.select(id_col, vec_col), codebook, id_col, vec_col, qscale)
+    enc_cells = enc.join(
+        corpus.select(F.col(id_col), F.col(cell_col).alias("cell")), id_col
+    )
+    cand = (
+        enc_cells.join(broadcast(probe.select(query_id, "cell")), "cell")
+        .filter(F.col(id_col) != F.col(query_id))
+        .select(query_id, F.col(id_col).alias("neighbor_id"), "codes")
+    )
+    scored = (
+        cand.select(query_id, "neighbor_id", F.posexplode("codes").alias("m", "code"))
+        .join(broadcast(dtable), [query_id, "m", "code"])
+        .groupBy(query_id, "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("pq_d2"))
+    )
+    w = Window.partitionBy(query_id).orderBy("pq_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_adc_scores(
     encoded: DataFrame,
     query_vecs: list[tuple[int, list[float]]],
@@ -855,25 +937,7 @@ def pq_adc_scores(
     m table lookups, a posexplode + broadcast equi-join + sum — pure
     Catalyst, partial-aggregated, shuffling only (query, vec, partial)
     rows. Output: (query_id, id_col, pq_d2)."""
-    import math
-
-    import numpy as np
-
-    cb = np.asarray(codebook, dtype=np.int64)
-    m, k, dsub = cb.shape
-    spark = encoded.sparkSession
-    rows = []
-    for qid, comps in query_vecs:
-        qq = np.array(
-            [math.floor(float(x) * qscale + 0.5) for x in comps], dtype=np.int64
-        ).reshape(m, dsub)
-        for mi in range(m):
-            dif = cb[mi] - qq[mi][None, :]
-            d = (dif * dif).sum(axis=1)
-            rows += [(int(qid), mi, int(c), int(d[c])) for c in range(k)]
-    dtable = spark.createDataFrame(
-        rows, "query_id long, m int, code int, d bigint"
-    )
+    dtable = _pq_distance_table(encoded.sparkSession, query_vecs, codebook, qscale)
     ex = encoded.select(
         F.col(id_col), F.posexplode("codes").alias("m", "code")
     )

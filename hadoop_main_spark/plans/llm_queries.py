@@ -3152,3 +3152,74 @@ def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id").join(sc, "doc_id", "left").select(
         "doc_id", score.alias("score"), (score > 0).alias("kept")
     )
+
+
+# --- IVF-PQ (IVFADC): coarse cell pruning + asymmetric-distance codes ---------
+
+
+@query(
+    "ivfpq_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+    mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    cb AS (SELECT CAST(s.vec_id AS INT) AS code, mm.m,
+                  list_slice(s.q, mm.m * 16 + 1, mm.m * 16 + 16) AS cent
+           FROM (SELECT vec_id, q FROM emb WHERE vec_id < 16) s CROSS JOIN mm),
+    enc AS (SELECT vec_id, m, code FROM (
+              SELECT e.vec_id, cb.m, cb.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m
+                       ORDER BY {_SQ_L2_INT.format(a='list_slice(e.q, cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')}, cb.code) AS rn
+              FROM emb e CROSS JOIN cb)
+            WHERE rn = 1),
+    comps AS (SELECT label AS cell, i.i AS dim, embedding[i.i] AS x
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)),
+    centd AS (SELECT cell, dim,
+                     CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS c
+              FROM comps GROUP BY cell, dim),
+    cent AS (SELECT cell, list(c ORDER BY dim) AS centroid FROM centd GROUP BY cell),
+    qv AS (SELECT vec_id AS query_id, embedding AS qvec, q AS qq
+           FROM emb WHERE vec_id < 5),
+    cellrank AS (SELECT query_id, cell, qq,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
+                 FROM qv, cent),
+    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 2),
+    dt AS (SELECT p.query_id, cb.m, cb.code,
+                  {_SQ_L2_INT.format(a='list_slice(p.qq, cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')} AS d
+           FROM (SELECT DISTINCT query_id, qq FROM probe) p CROSS JOIN cb),
+    cand AS (SELECT p.query_id, e2.vec_id AS neighbor_id
+             FROM emb e2 JOIN probe p ON e2.label = p.cell
+             WHERE e2.vec_id <> p.query_id),
+    sc AS (SELECT c.query_id, c.neighbor_id, CAST(SUM(dt.d) AS BIGINT) AS pq_d2
+           FROM cand c
+           JOIN enc ON enc.vec_id = c.neighbor_id
+           JOIN dt ON dt.query_id = c.query_id AND dt.m = enc.m AND dt.code = enc.code
+           GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, pq_d2, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY pq_d2, neighbor_id) AS rn
+      FROM sc)
+    WHERE rn <= 10
+    """,
+    doc="IVF-PQ search (IVFADC — Jegou et al. TPAMI'11 §IV, the FAISS "
+    "IndexIVFPQ shape): the coarse quantizer (decimal-exact per-label "
+    "centroids, top-2 cells per query by cosine) prunes the scan, and "
+    "within probed cells every vector scores by ASYMMETRIC distance — "
+    "m=4 integer lookups into the query's broadcast m x k distance "
+    "table against its PQ codes, never its floats. The full-scale "
+    "composition: codes at rest, cell-pruned scan, constant broadcast "
+    "state per query; distances are exact BIGINT so ranks are "
+    "bit-identical across engines.",
+)
+def ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    cb, _ = SIM.pq_codebook(e.select("vec_id", "embedding"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_topk(
+        e, q, "label", cb, "vec_id", "embedding", "query_id", k=10, nprobe=2
+    )

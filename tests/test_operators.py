@@ -1931,3 +1931,39 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
     keys.sort(key=lambda x: (-x[0], x[1]))
     want = [(d, w, k) for k, d, w in keys[:20]]
     assert [(r.doc_id, r.weight, r.sample_key) for r in got] == want
+
+
+def test_ivfpq_full_probe_equals_plain_adc(spark, sf_dir):
+    """IVFADC quality contract (the ivf_topk recall test's PQ twin):
+    probing ALL cells must reproduce the plain asymmetric-distance
+    ranking over the whole corpus exactly — the cell pruning is the
+    ONLY approximation ivfpq adds on top of PQ."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators import similarity as SIM
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ncells = e.select("label").distinct().count()
+    cb, _ = SIM.pq_codebook(e.select("vec_id", "embedding"))
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = SIM.ivfpq_topk(
+        e, q, "label", cb, k=5, nprobe=ncells
+    ).collect()
+
+    enc = SIM.pq_encode(e.select("vec_id", "embedding"), cb)
+    qs = [(int(r.query_id), [float(x) for x in r.embedding]) for r in q.collect()]
+    sc = SIM.pq_adc_scores(enc, qs, cb).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy("pq_d2", "vec_id")
+    plain = (
+        sc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    key = lambda rows: sorted((r.query_id, r[1], r.pq_d2, r.rank) for r in rows)
+    assert key(full) == key(plain)

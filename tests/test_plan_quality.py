@@ -671,3 +671,12 @@ def test_quality_classifier_broadcast_model(spark, sf_dir):
     assert "partial_count" in plan or "partial" in plan.lower()
     # no range-partitioned sort anywhere on the data path
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_ivfpq_broadcast_tables_no_cartesian(spark, sf_dir):
+    """IVFADC: the distance table and the probed-cell set must arrive
+    by broadcast (constant-size state); no cartesian/BNLJ may touch
+    the encoded corpus."""
+    plan = _plan(spark, "ivfpq_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # probe cells + dtable
