@@ -1454,3 +1454,104 @@ def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "frequent_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support
+    FROM pairs WHERE support >= 2
+    """,
+    doc="Market-basket pair mining (the support-counting core of "
+    "Apriori/FP-growth): parts co-purchased in the same order, "
+    "support >= 2. Scale shape: the pair explosion is the within-"
+    "basket self-join — quadratic ONLY in basket size (TPC-H baskets "
+    "are <= 7 lines; production pipelines cap or sample mega-baskets "
+    "exactly like the LSH hot-bucket guards here) — keyed on the "
+    "basket id the scan already clusters by; support counting is a "
+    "partial-aggregated groupBy on the pair. The distinct-items "
+    "pre-step keeps multiplicity from inflating support (standard "
+    "basket semantics).",
+)
+def frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+@query(
+    "twap_user_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+             epoch_us(ts) AS ts_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt_us
+      FROM events),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(v * (nxt_us - ts_us)) AS wsum,
+             SUM(nxt_us - ts_us) AS gsum
+      FROM seq GROUP BY user_id)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(coalesce(gsum, 0) AS BIGINT) AS span_us,
+           CASE WHEN coalesce(gsum, 0) > 0
+                THEN CAST(wsum * 100 AS BIGINT) // gsum
+           END AS twap_cents
+    FROM agg
+    """,
+    doc="Time-weighted average (TWAP) of each user's piecewise-"
+    "constant value signal between first and last event: each event's "
+    "value holds until the next event (the last one carries no "
+    "weight), weights are EXACT BIGINT microsecond gaps and values "
+    "are DECIMAL(12,2) (the fixture's values are 2-dp money, so the "
+    "cast is lossless) — the weighted sum is exact and order-"
+    "independent, and the average is reported in integer MICRO-UNITS "
+    "(exact BIGINT floor division of the cent-scaled sum; a double "
+    "quotient of a ~1e18 numerator is not bit-portable across engines "
+    "— measured 1.4e-14 off — and DECIMAL integral division rounds "
+    "before truncating in both engines, each differently). "
+    "Single user-keyed shuffle serves both the lead() window and the "
+    "aggregate; single-event users report twap NULL, span 0.",
+)
+def twap_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").select("user_id", "value", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        F.unix_micros("ts").alias("ts_us"),
+        (F.lead(F.unix_micros("ts")).over(w)).alias("nxt_us"),
+    )
+    gap = F.col("nxt_us") - F.col("ts_us")
+    agg = seq.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("v") * gap).alias("wsum"),
+        F.sum(gap).alias("gsum"),
+    )
+    gsum = F.coalesce(F.col("gsum"), F.lit(0))
+    return agg.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        gsum.cast("bigint").alias("span_us"),
+        F.when(
+            gsum > 0,
+            F.expr("CAST(wsum * 100 AS BIGINT) div gsum"),
+        ).alias("twap_cents"),
+    )
