@@ -1204,3 +1204,74 @@ def audio_resample(
             )
 
     return media.select("media_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+# --- perceptual image hashing (dHash) -----------------------------------------
+
+
+def _image_dhash_arr(arr, grid_w: int = 9, grid_h: int = 7) -> int:
+    """Difference hash of a decoded pixel array: nearest-resample to a
+    (grid_h, grid_w) gray grid (the shared resize index policy:
+    src = (i * n_in) // n_out), one bit per horizontal neighbor pair
+    (right > left), row-major bit order. grid 9x7 -> 56 bits, so the
+    hash always fits a non-negative BIGINT. dHash is invariant to
+    uniform brightness shifts and to any monotone per-pixel rescale —
+    the standard cheap perceptual near-dup key (Krawetz, 'Kind of
+    Like That', hackerfactor 2013; public algorithm)."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    hh, ww = a.shape
+    ri = (np.arange(grid_h) * hh) // grid_h
+    ci = (np.arange(grid_w) * ww) // grid_w
+    g = a[np.ix_(ri, ci)]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).reshape(-1)
+    return int((bits << np.arange(bits.size, dtype=np.int64)).sum())
+
+
+def image_dhash(
+    media: DataFrame, decoder: str = "png", grid_w: int = 9, grid_h: int = 7
+) -> DataFrame:
+    """Per-image perceptual dHash over REAL decoded pixels, Arrow-
+    batched: (media_id, dhash BIGINT). Alpha channels are dropped
+    before graying (the _png_features policy — alpha is metadata, not
+    luminance); malformed payloads hash to -1 (the bad-record
+    sentinel: one bad row must not kill a 100 TB pass, and -1 is
+    outside the 56-bit hash range so bad records never collide with
+    real groups). Downstream, equal dhash = near-duplicate candidate
+    group — the image analog of SimHash bands; at 100 TB only
+    (media_id, dhash) shuffles, pixels stay at the scan."""
+    if decoder == "png":
+        dec = _png_decode
+    elif decoder == "ppm":
+        dec = _ppm_decode
+    elif decoder == "jpeg":
+        dec = _jpeg_decode
+    else:
+        raise NotImplementedError(
+            f"decoder '{decoder}' needs media libraries not present in this "
+            "environment; 'ppm'/'png'/'jpeg' are the real no-library paths"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = b["payload"].map(lambda p: bytes(p) if p is not None else b"")
+
+            def _h(p: bytes) -> int:
+                try:
+                    return _image_dhash_arr(dec(p), grid_w, grid_h)
+                except ValueError:
+                    return -1
+
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "dhash": payloads.map(_h).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, dhash long"
+    )

@@ -392,3 +392,61 @@ def wav_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     return feats.select(
         "media_id", F.posexplode("features").alias("band", "amp_mean")
     ).select("media_id", F.col("band").cast("long").alias("band"), "amp_mean")
+
+
+@query(
+    "image_dhash_dup_groups",
+    oracle="""
+    WITH b AS (SELECT doc_id, doc_id % 40 AS cls FROM documents),
+    g AS (SELECT doc_id, cls, r.r, c.c FROM b,
+          unnest(generate_series(0, 6)) AS r(r),
+          unnest(generate_series(0, 7)) AS c(c)),
+    bits AS (SELECT doc_id,
+             CASE WHEN (cls*17 + 6*r + 10*c + 10) % 200
+                       > (cls*17 + 6*r + 10*c) % 200
+                  THEN (CAST(1 AS BIGINT) << (r*8 + c)) ELSE 0 END AS bv
+             FROM g),
+    dh AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS dhash FROM bits
+           GROUP BY doc_id)
+    SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc
+    FROM dh GROUP BY dhash
+    """,
+    doc="Perceptual image near-dup via dHash on REAL decoded pixels: "
+    "per-doc gray PNGs carry a class pattern (doc_id % 40) PLUS a "
+    "per-doc uniform brightness shift ((doc_id % 7) * 4 — byte- AND "
+    "pixel-different payloads), the full PNG decode + 9x7 nearest "
+    "resample + horizontal-gradient hash runs Arrow-batched, and "
+    "same-class images land in the same dhash group BECAUSE dHash is "
+    "brightness-invariant (the shift cancels in every left<right "
+    "comparison) — exactly what media_pixel_dedup's exact-digest "
+    "grouping cannot do. The oracle recomputes the 56-bit hash in "
+    "closed form from the pixel formula, so the decode + resample + "
+    "hash pipeline is what is verified. Only (media_id, dhash) ever "
+    "shuffles.",
+)
+def image_dhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls, shift = i % 40, (i % 7) * 4
+                r = np.arange(14)[:, None]
+                c = np.arange(18)[None, :]
+                arr = ((cls * 17 + r * 3 + c * 5) % 200 + shift).astype(np.uint8)
+                payloads.append(MM._png_encode(arr, row_filter="mixed"))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    dh = MM.image_dhash(media, decoder="png")
+    return dh.groupBy("dhash").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("media_id").alias("min_doc"),
+    )

