@@ -1555,3 +1555,92 @@ def twap_user_value(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("CAST(wsum * 100 AS BIGINT) div gsum"),
         ).alias("twap_cents"),
     )
+
+
+@query(
+    "modal_event_type",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type),
+    rk AS (
+      SELECT user_id, event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_type) AS rn
+      FROM cnt)
+    SELECT user_id, event_type AS modal_type, CAST(c AS BIGINT) AS cnt
+    FROM rk WHERE rn = 1
+    """,
+    doc="Per-group MODE (most frequent value, deterministic "
+    "lowest-value tie-break) — the one classic aggregate the "
+    "ValueAggregator family lacks, via count + rank-over-aggregate: "
+    "the window runs over the (user, type) COUNT table (vocabulary-"
+    "bounded per user), never over raw events, and the groupBy's "
+    "user_id exchange satisfies the window's partitioning (one "
+    "shuffle).",
+)
+def modal_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cnt = (
+        t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), "event_type")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("c").cast("bigint").alias("cnt"),
+        )
+    )
+
+
+@query(
+    "ohlc_hourly",
+    oracle="""
+    WITH rk AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT user_id, epoch_us(h) AS hour_us,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+    FROM rk GROUP BY user_id, h
+    """,
+    doc="Time-bar (OHLC candlestick) aggregation per user-hour: "
+    "open/close are arg-min/arg-max of the (ts, event_id) TOTAL order "
+    "(the markov tie-break discipline — engine- and partitioning-"
+    "independent even under equal timestamps), high/low plain "
+    "extremes, volume an exact DECIMAL sum cast once at the boundary. "
+    "ONE aggregation, partial-aggregated map-side; min_by/max_by on a "
+    "struct key needs no window and no self-join.",
+)
+def ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("volume"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("h").alias("hour_us"),
+            "open", "high", "low", "close", "n_events", "volume",
+        )
+    )
