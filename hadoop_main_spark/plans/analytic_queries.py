@@ -1471,22 +1471,36 @@ def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="Market-basket pair mining (the support-counting core of "
     "Apriori/FP-growth): parts co-purchased in the same order, "
-    "support >= 2. Scale shape: the pair explosion is the within-"
-    "basket self-join — quadratic ONLY in basket size (TPC-H baskets "
-    "are <= 7 lines; production pipelines cap or sample mega-baskets "
-    "exactly like the LSH hot-bucket guards here) — keyed on the "
-    "basket id the scan already clusters by; support counting is a "
-    "partial-aggregated groupBy on the pair. The distinct-items "
-    "pre-step keeps multiplicity from inflating support (standard "
-    "basket semantics).",
+    "support >= 2, with set semantics (multiplicity inside one basket "
+    "never inflates support). Scale shape: baskets assemble with ONE "
+    "shuffle (groupBy orderkey, collect_set) and the i<j pair "
+    "explosion happens INSIDE the basket array — quadratic only in "
+    "basket size (TPC-H baskets are <= 7 lines; production pipelines "
+    "cap mega-baskets like the LSH hot-bucket guards) — so there is "
+    "no basket self-join and no third exchange; support counting is "
+    "one partial-aggregated groupBy on the pair.",
 )
 def frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    baskets = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        pairs.select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)

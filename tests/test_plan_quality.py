@@ -680,3 +680,15 @@ def test_ivfpq_broadcast_tables_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "ivfpq_topk", sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # probe cells + dtable
+
+
+def test_frequent_pairs_no_self_join(spark, sf_dir):
+    """Pair generation must happen inside the basket array (no basket
+    self-join): exactly two exchanges — basket assembly and support
+    counting — and no join operator at all."""
+    plan = _plan(spark, "frequent_pairs", sf_dir)
+    assert "Join" not in plan, "basket self-join crept back in"
+    n_exchange = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_exchange <= 2, plan
