@@ -1658,3 +1658,84 @@ def ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
             "open", "high", "low", "close", "n_events", "volume",
         )
     )
+
+
+from hadoop_main_spark.functions.hashing import hash64_sql  # noqa: E402
+
+_NEG_K = 3  # negative draws per positive
+_NEG_ITEMS = 100  # item-id space of the fixture ($.k in 0..99)
+
+
+@query(
+    "negative_samples",
+    oracle=f"""
+    WITH pos AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL),
+    draws AS (
+      SELECT user_id, item,
+             {hash64_sql("concat(CAST(user_id AS VARCHAR), ':', CAST(item AS VARCHAR), ':', CAST(r AS VARCHAR))", "negs")} % {_NEG_ITEMS} AS neg_item
+      FROM pos, unnest(generate_series(0, {_NEG_K - 1})) AS g(r)),
+    kept AS (
+      SELECT d.user_id, d.item, d.neg_item
+      FROM draws d
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.user_id = d.user_id AND p.item = d.neg_item))
+    SELECT user_id, item, neg_item, CAST(COUNT(*) AS BIGINT) AS n_draws
+    FROM kept GROUP BY user_id, item, neg_item
+    """,
+    doc="Deterministic negative sampling for embedding / "
+    "recommendation training (the word2vec / BPR shape, Mikolov et "
+    "al. arXiv:1310.4546): each observed (user, item) purchase "
+    "positive draws 3 hash-derived candidate negatives from the item "
+    "space, and candidates the user ACTUALLY interacted with are "
+    "removed by a LEFT ANTI join against the user's positive set — "
+    "the accidental-hit filter every implementation needs. All draws "
+    "are hash64-derived (reproducible across engines, partitionings, "
+    "and reruns); the anti-join is keyed on (user, item) exactly like "
+    "the positive set's own aggregation, so the pipeline runs on one "
+    "partitioning family. Duplicate draws surface as n_draws > 1 "
+    "rather than silently collapsing (unbiased loss weighting).",
+)
+def negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+
+    e = t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    pos = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", k.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    draws = pos.select(
+        "user_id",
+        "item",
+        F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("r"),
+    ).select(
+        "user_id",
+        "item",
+        (
+            hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("user_id").cast("string"),
+                    F.col("item").cast("string"),
+                    F.col("r").cast("string"),
+                ),
+                "negs",
+            )
+            % _NEG_ITEMS
+        ).alias("neg_item"),
+    )
+    kept = draws.join(
+        pos.select("user_id", F.col("item").alias("neg_item")),
+        ["user_id", "neg_item"],
+        "left_anti",
+    )
+    return kept.groupBy("user_id", "item", "neg_item").agg(
+        F.count("*").cast("bigint").alias("n_draws")
+    )
