@@ -90,6 +90,7 @@ def distcp(
     dst_dir: str,
     tasks: int | None = None,
     update: bool = False,
+    listing: "DataFrame | None" = None,
 ) -> DataFrame:
     """Copy ``src_dir`` → ``dst_dir`` in parallel; returns the per-file
     report (size, bytes copied, ok flag). Large files spread across
@@ -98,7 +99,8 @@ def distcp(
     DistCp's -update: files whose destination already exists with the
     same size are skipped (reported with copied == size, ok == 1) —
     the incremental-sync mode DistCpSync builds on."""
-    listing = build_listing(spark, src_dir, dst_dir)
+    if listing is None:
+        listing = build_listing(spark, src_dir, dst_dir)
     n = tasks or spark.sparkContext.defaultParallelism
     ranked = size_balanced_buckets(listing, n)
 
@@ -242,3 +244,30 @@ def distch(
             yield pd.DataFrame(out, columns=[f.name for f in REPORT_SCHEMA.fields])
 
     return listing.repartition(n).mapInPandas(apply_batch, REPORT_SCHEMA)
+
+
+def distcp_dynamic(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    slots: int | None = None,
+    steal_factor: int = 4,
+    update: bool = False,
+    max_chunks: int = 10_000,
+) -> DataFrame:
+    """DistCp dynamic-strategy analog (hadoop-tools/hadoop-distcp/...
+    /mapred/lib/DynamicInputFormat.java:1): instead of one fixed
+    split per copy slot, the listing splits into ``steal_factor x
+    slots`` size-balanced CHUNKS, each chunk one Spark task. Spark's
+    task queue plays DynamicInputFormat's chunk-claim protocol: a
+    straggling executor holds ONE chunk (not 1/slots of all bytes)
+    while idle executors keep pulling chunks — work stealing without
+    any bespoke claim files. The reference's tuning bounds carry
+    over: chunk count is clamped to [slots, max_chunks] and never
+    exceeds the file count (a chunk below one file is pure task
+    overhead, DynamicInputFormat's MAX_CHUNKS_TOLERABLE concern)."""
+    slots = slots or spark.sparkContext.defaultParallelism
+    listing = build_listing(spark, src_dir, dst_dir)
+    n_files = listing.count()
+    chunks = max(min(steal_factor * slots, n_files, max_chunks), min(slots, max(n_files, 1)), 1)
+    return distcp(spark, src_dir, dst_dir, tasks=chunks, update=update, listing=listing)

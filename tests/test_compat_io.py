@@ -646,3 +646,37 @@ def test_har_index_escaping_adversarial_names(spark, tmp_path):
     for n in ("a b.txt", "a+b=c&d.txt", "héllo wörld.txt"):
         got = [r.value for r in spark.read.text(f"har://{har}/{n}").collect()]
         assert got == [f"payload of {n!r}"], n
+
+
+def test_distcp_dynamic_chunked_work_stealing(spark, tmp_path):
+    """distcp_dynamic must over-split the listing into steal_factor x
+    slots chunks (so Spark's task queue can rebalance stragglers),
+    clamp to the file count, and still copy every byte correctly."""
+    import os
+
+    from hadoop_main_spark.sources.distcp import distcp_dynamic
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.makedirs(src + "/sub")
+    sizes = [1, 100_000, 5, 50_000, 7, 3, 9000, 11, 2, 70_000, 4, 6]
+    for i, n in enumerate(sizes):
+        with open(f"{src}/sub/f{i}.bin", "wb") as fh:
+            fh.write(bytes([i % 251]) * n)
+    rep = distcp_dynamic(spark, src, dst, slots=2, steal_factor=4)
+    # one partition per chunk: 4 x 2 = 8 chunks (12 files > 8)
+    assert rep.rdd.getNumPartitions() == 8
+    rows = rep.collect()
+    assert len(rows) == len(sizes) and all(r.ok == 1 for r in rows)
+    for i, n in enumerate(sizes):
+        with open(f"{dst}/sub/f{i}.bin", "rb") as fh:
+            b = fh.read()
+        assert len(b) == n and (n == 0 or b[0] == i % 251)
+
+    # fewer files than slots*factor: chunk count clamps to file count
+    src2, dst2 = str(tmp_path / "s2"), str(tmp_path / "d2")
+    os.makedirs(src2)
+    for i in range(3):
+        open(f"{src2}/g{i}", "w").write("x" * (i + 1))
+    rep2 = distcp_dynamic(spark, src2, dst2, slots=2, steal_factor=4)
+    assert rep2.rdd.getNumPartitions() == 3
+    assert sorted(r.size for r in rep2.collect()) == [1, 2, 3]
