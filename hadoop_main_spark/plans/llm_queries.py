@@ -3277,3 +3277,64 @@ def entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
         "cluster_size",
         F.count("*").over(Window.partitionBy("canonical_id")).cast("bigint"),
     )
+
+
+# --- estimator quality evaluation: MinHash-LSH vs the exact join --------------
+
+
+@query(
+    "lsh_quality_eval",
+    oracle=_MINHASH_PREFIX
+    + f"""
+    , est AS (
+    SELECT id_a, id_b
+    FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+    WHERE CAST(({_AGREE}) AS DOUBLE) / {float(J)} >= 0.5),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+              FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    exact AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE 3 * i >= sa.sz + sb.sz),
+    j AS (SELECT coalesce(e.id_a, m.id_a) AS id_a,
+                 e.id_a IS NOT NULL AS in_exact,
+                 m.id_a IS NOT NULL AS in_est
+          FROM exact e FULL OUTER JOIN est m
+            ON e.id_a = m.id_a AND e.id_b = m.id_b)
+    SELECT CAST(SUM(CASE WHEN in_exact AND in_est THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN in_est AND NOT in_exact THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN in_exact AND NOT in_est THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM j
+    """,
+    doc="Estimator quality harness: MinHash-LSH candidate pairs (est "
+    "Jaccard >= 0.5 from 16 signature agreements) scored against the "
+    "EXACT Jaccard >= 1/2 join over the same 3-gram shingles — "
+    "tp/fp/fn in one row. This is the eval loop a production dedup "
+    "pipeline runs on a sample before trusting LSH at full corpus "
+    "scale: the exact side (prefix_jaccard_pairs) has no false "
+    "negatives by construction, so fn counts true pairs LSH missed "
+    "and fp counts estimation overshoot. Both pair sets reuse their "
+    "registry operators unchanged; the comparison is one narrow "
+    "full-outer join on the pair key.",
+)
+def lsh_quality_eval(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    est = D.minhash_lsh_pairs(d, "doc_id", "text", min_est_jaccard=0.5).select(
+        "id_a", "id_b", F.lit(True).alias("in_est")
+    )
+    exact = D.prefix_jaccard_pairs(d, "doc_id", "text", n=3, t_num=1, t_den=2).select(
+        "id_a", "id_b", F.lit(True).alias("in_exact")
+    )
+    j = exact.join(est, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+        F.coalesce("in_est", F.lit(False)).alias("in_est"),
+    )
+    b = lambda c: F.sum(c.cast("bigint")).cast("bigint")  # noqa: E731
+    return j.agg(
+        b(F.col("in_exact") & F.col("in_est")).alias("tp"),
+        b(F.col("in_est") & ~F.col("in_exact")).alias("fp"),
+        b(F.col("in_exact") & ~F.col("in_est")).alias("fn"),
+    )
