@@ -1739,3 +1739,89 @@ def negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     return kept.groupBy("user_id", "item", "neg_item").agg(
         F.count("*").cast("bigint").alias("n_draws")
     )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type IN ('signup', 'purchase')),
+    seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM seq),
+    dim0 AS (
+      SELECT user_id, version, MIN(event_type) AS state, MIN(ts) AS vf
+      FROM runs GROUP BY user_id, version),
+    dim AS MATERIALIZED (
+      SELECT user_id, state, vf,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS vt
+      FROM dim0),
+    facts AS (
+      SELECT user_id, event_type AS fact_type, ts FROM events
+      WHERE event_type NOT IN ('signup', 'purchase'))
+    SELECT f.fact_type, coalesce(d.state, 'unknown') AS state,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM facts f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id AND d.vf <= f.ts
+         AND (d.vt IS NULL OR f.ts < d.vt)
+    GROUP BY 1, 2
+    """,
+    doc="Point-in-time fact-to-SCD2 join (the warehouse pattern the "
+    "type-2 dimension exists FOR): signup/purchase events build the "
+    "per-user state history (the scd2_user_state machinery), and "
+    "every click/view/error fact joins the version whose "
+    "[valid_from, valid_to) interval contains its timestamp — facts "
+    "before any dimension row report state 'unknown' via the left "
+    "join. The intervals are disjoint by construction so the join is "
+    "1:at-most-1; it executes as a user-keyed sort-merge join with a "
+    "residual range predicate (both sides already partition by "
+    "user_id — no extra exchange beyond the two inputs').",
+)
+def scd2_point_in_time(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    src = e.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = src.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    dim = (
+        runs.groupBy("user_id", "version")
+        .agg(F.min("event_type").alias("state"), F.min("ts").alias("vf"))
+        .withColumn("vt", F.lead("vf").over(wv))
+        .select("user_id", "state", "vf", "vt")
+    )
+    facts = e.filter(~F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", F.col("event_type").alias("fact_type"), "ts"
+    )
+    joined = facts.join(
+        dim,
+        (dim["user_id"] == facts["user_id"])
+        & (dim["vf"] <= facts["ts"])
+        & (dim["vt"].isNull() | (facts["ts"] < dim["vt"])),
+        "left",
+    )
+    return joined.groupBy(
+        "fact_type", F.coalesce("state", F.lit("unknown")).alias("state")
+    ).agg(F.count("*").cast("bigint").alias("n"))
