@@ -1825,3 +1825,51 @@ def scd2_point_in_time(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy(
         "fact_type", F.coalesce("state", F.lit("unknown")).alias("state")
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS grp
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN grp < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_classes,
+           CAST(SUM(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END) AS BIGINT)
+             AS exposed_rows,
+           CAST(MIN(grp) AS BIGINT) AS min_class_size
+    FROM qi
+    """,
+    doc="k-anonymity audit (Sweeney 2002, the release-readiness check "
+    "behind every PII pipeline — the measurement counterpart to "
+    "pii_scrub's redaction): rows sharing a quasi-identifier tuple "
+    "(nation, market segment, account-balance band) form an "
+    "equivalence class; classes smaller than k = 5 re-identify their "
+    "members and must be suppressed or generalized before release. "
+    "Reports class count, violating classes, exposed row count, and "
+    "the minimum class size (the table's actual k). One partial-"
+    "aggregated groupBy on the QI tuple, then a 4-stat fold over the "
+    "class table — class cardinality is bounded by the QI domain, "
+    "never by row count. The balance band uses floor division (exact "
+    "on the 2-dp doubles), so class membership is engine-identical.",
+)
+def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("grp"))
+    viol = F.col("grp") < _KANON_K
+    return qi.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(viol.cast("bigint")).cast("bigint").alias("violating_classes"),
+        F.sum(F.when(viol, F.col("grp")).otherwise(0)).cast("bigint").alias("exposed_rows"),
+        F.min("grp").cast("bigint").alias("min_class_size"),
+    )
