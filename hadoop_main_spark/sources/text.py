@@ -99,20 +99,21 @@ def auto_input(spark: SparkSession, path: str) -> DataFrame:
     if low.endswith(".orc"):
         return spark.read.orc(path)
     if low.endswith(".avro"):
-        # Spark's avro reader lives in an external module that may not
-        # be on the classpath; surface a clear error instead of the
-        # ClassNotFound it would otherwise raise mid-job
+        # Prefer Spark's avro reader (full schema coverage) when the
+        # spark-avro module is on the classpath; otherwise fall back to
+        # the pure-Python container codec (sources/avro.py — flat
+        # primitive records, the TESTDATA shape)
         try:
             return spark.read.format("avro").load(path)
         except Exception as e:  # pragma: no cover - env-dependent
-            # only rebrand the source-lookup failure — a path error or
+            # only reroute the source-lookup failure — a path error or
             # schema problem from a WORKING avro reader must surface
-            # as itself, not as a bogus install hint
+            # as itself, not be silently retried on the fallback
             msg = str(e)
             if "Failed to find data source" in msg or "ClassNotFound" in msg:
-                raise NotImplementedError(
-                    "avro requires the spark-avro package on the classpath"
-                ) from e
+                from hadoop_main_spark.sources.avro import read_avro
+
+                return read_avro(spark, path)
             raise
     return read_text(spark, path)
 

@@ -205,3 +205,70 @@ def test_get_spark_honors_caller_confs(spark):
     from hadoop_main_spark.session import tune
 
     tune(s)
+
+
+def test_avro_container_roundtrip_pure_python():
+    """Binary-encoding unit contract (no Spark): zigzag varints incl.
+    negatives and 60-bit longs, nullable unions, both codecs, multiple
+    blocks, sync verification."""
+    from pyspark.sql import types as T
+
+    from hadoop_main_spark.sources import avro as A
+
+    sj = A.schema_to_avro_json(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), True),
+                T.StructField("s", T.StringType(), True),
+                T.StructField("d", T.DoubleType(), False),
+                T.StructField("b", T.BooleanType(), False),
+            ]
+        )
+    )
+    rows = [
+        (-(2**59), "nég", -0.5, True),
+        (2**59 + 12345, "", 3.14, False),
+        (None, None, 0.0, True),
+        (0, "x" * 1000, float("inf"), False),
+    ] * 1500  # > one 4096-row block
+    for codec in ("null", "deflate"):
+        blob = A.encode_container(rows, sj, codec=codec, block_rows=1000)
+        sj2, got = A.decode_container(blob)
+        assert got == rows
+        assert A.avro_json_to_schema(sj2)[1] == A.avro_json_to_schema(sj)[1]
+
+
+def test_avro_spark_roundtrip_and_auto_input(spark, tmp_path):
+    """write_avro -> read_avro row equality (incl. NULLs in long
+    columns and 60-bit hash values), and auto_input('.avro') resolves
+    through the pure-python fallback when spark-avro is absent."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.sources.avro import read_avro, write_avro
+    from hadoop_main_spark.sources.text import auto_input
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("bigint"))
+            .alias("h60"),
+            (F.col("id") * 0.25).alias("d"),
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+            (F.col("id") % 2 == 0).alias("flag"),
+        )
+        .repartition(4)
+    )
+    out = str(tmp_path / "t.avro")
+    n = write_avro(df, out, codec="deflate")
+    assert n == 2000
+    back = read_avro(spark, out)
+    assert back.schema == df.schema or [
+        (f.name, f.dataType) for f in back.schema.fields
+    ] == [(f.name, f.dataType) for f in df.schema.fields]
+    a = {r.id: (r.h60, r.d, r.s, r.flag) for r in df.collect()}
+    b = {r.id: (r.h60, r.d, r.s, r.flag) for r in back.collect()}
+    assert a == b
+    via_auto = auto_input(spark, out)
+    assert via_auto.count() == 2000
