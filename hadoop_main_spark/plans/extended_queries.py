@@ -1158,3 +1158,78 @@ def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         ["o_custkey", "o_orderstatus", "price", "o_orderpriority"],
     )
     return d.groupBy("status").agg(F.count("*").cast("bigint").alias("n_keys"))
+
+
+@query(
+    "dq_audit",
+    oracle="""
+    SELECT 'null_custkey' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orphan_orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'dup_orderkey',
+           CAST(coalesce(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    WHERE n > 1
+    UNION ALL
+    SELECT 'negative_totalprice',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'ship_before_order',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    """,
+    doc="Data-quality audit suite — the pre-publication contract "
+    "checks a warehouse runs on every load (the validation family "
+    "with table_fingerprint/snapshot_diff): NULL keys, referential-"
+    "integrity orphans (LEFT ANTI join against the dimension), "
+    "duplicate primary keys (surplus row count), domain violations "
+    "(negative totals), and CROSS-TABLE temporal consistency "
+    "(lineitem shipped before its order was placed). One (rule, "
+    "n_violations) row each, unioned — grep-able and thresholdable by "
+    "an orchestrator. Scale shape: each rule is a partial-aggregated "
+    "scan or a key-partitioned anti/inner join; nothing quadratic, "
+    "nothing collected.",
+)
+def dq_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    li = t(spark, sf, "lineitem")
+    b = lambda x: x.cast("bigint")  # noqa: E731
+
+    null_ck = o.agg(
+        F.lit("null_custkey").alias("rule"),
+        b(F.sum(F.col("o_custkey").isNull().cast("bigint"))).alias("n_violations"),
+    )
+    orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti")
+        .agg(F.lit("orphan_orders").alias("rule"), b(F.count("*")).alias("n_violations"))
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.lit("dup_orderkey").alias("rule"),
+            b(F.coalesce(F.sum(F.col("n") - 1), F.lit(0))).alias("n_violations"),
+        )
+    )
+    neg = o.agg(
+        F.lit("negative_totalprice").alias("rule"),
+        b(F.sum((F.col("o_totalprice") < 0).cast("bigint"))).alias("n_violations"),
+    )
+    ship = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"), "l_orderkey")
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.lit("ship_before_order").alias("rule"), b(F.count("*")).alias("n_violations"))
+    )
+    return null_ck.unionByName(orphans).unionByName(dups).unionByName(neg).unionByName(ship)
