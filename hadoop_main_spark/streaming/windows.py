@@ -736,3 +736,51 @@ def read_count_min_sketch(spark: SparkSession, path: str) -> DataFrame:
         ["depth", "width"] if {"depth", "width"} <= set(sk.columns) else []
     )
     return sk.select(*cols)
+
+
+def pq_codes_stream_parquet(
+    vec_stream: DataFrame,
+    codebook,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Incremental PQ index maintenance (the ANN twin of
+    dedup_ingest_stream): each arriving vector micro-batch encodes to
+    its m codebook codes (operators/similarity.py:pq_encode — the
+    Arrow kernel, codebook broadcast via closure) and lands under
+    ``path/batch=<id>``. Newly ingested vectors become searchable
+    per-batch — the corpus is NEVER re-encoded — and any ADC query
+    (:func:`~hadoop_main_spark.operators.similarity.pq_adc_scores`,
+    ivfpq's tail) runs over the accumulated code table.
+
+    Replay safety comes free from the partition discipline: a
+    re-delivered batch OVERWRITES its own ``batch=<id>`` directory
+    with identical deterministic codes, so no high-water-mark
+    bookkeeping is needed (contrast count_min/span sinks, whose SUM
+    merges are not idempotent). Codebook drift is the operational
+    caveat: codes are only comparable under the codebook that
+    produced them — retraining means re-encoding, exactly as in FAISS.
+    """
+    from hadoop_main_spark.operators.similarity import pq_encode
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        enc = pq_encode(batch.select(id_col, vec_col), codebook, id_col, vec_col)
+        enc.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    w = (
+        vec_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
+    """The accumulated incremental PQ code table (batch partition
+    column dropped — downstream ADC scoring is batch-agnostic)."""
+    return spark.read.parquet(path).drop("batch")

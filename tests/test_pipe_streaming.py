@@ -990,3 +990,68 @@ def test_span_counts_sink_recovers_from_crash_mid_swap(spark, tmp_path):
     # and batch-1 spans unique to docs 1/2 are still present
     only_before = set(before) - {r.span_hash for r in got.filter(F.col("n_docs") == 1).collect()}
     assert any(h in before for h in only_before)
+
+
+def test_pq_codes_stream_equals_batch_encode(spark, tmp_path):
+    """Streaming PQ ingest contract: over ANY batching, the
+    accumulated code table equals the one-shot batch encode (codes are
+    deterministic under a fixed codebook), ADC top-k over the
+    incremental index matches the batch ranking, and re-running the
+    SAME stream+checkpoint reprocesses nothing."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators import similarity as SIM
+
+    vecs = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (F.pmod(F.col("id") * 37 + i * 11, F.lit(100)) / 25.0 - 2.0),
+            ).alias("embedding"),
+        )
+    )
+    cb, _ = SIM.pq_codebook(vecs)
+    src = str(tmp_path / "vsrc")
+    vecs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    codes_p, ck = str(tmp_path / "codes"), str(tmp_path / "ck")
+    q = W.pq_codes_stream_parquet(stream, cb, codes_p, ck)
+    assert q.awaitTermination(300)
+
+    got = {r.vec_id: list(r.codes) for r in W.read_pq_codes(spark, codes_p).collect()}
+    want = {r.vec_id: list(r.codes) for r in SIM.pq_encode(vecs, cb).collect()}
+    assert got == want
+
+    # ADC over the incremental index == ADC over the batch encode
+    qs = [(int(r.vec_id), [float(x) for x in r.embedding])
+          for r in vecs.filter(F.col("vec_id") < 2).collect()]
+    inc = sorted(
+        (r.query_id, r.vec_id, r.pq_d2)
+        for r in SIM.pq_adc_scores(W.read_pq_codes(spark, codes_p), qs, cb).collect()
+    )
+    bat = sorted(
+        (r.query_id, r.vec_id, r.pq_d2)
+        for r in SIM.pq_adc_scores(SIM.pq_encode(vecs, cb), qs, cb).collect()
+    )
+    assert inc == bat
+
+    # same stream, same checkpoint: nothing new to process, table unchanged
+    import os
+
+    n_dirs = len([d for d in os.listdir(codes_p) if d.startswith("batch=")])
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = W.pq_codes_stream_parquet(stream2, cb, codes_p, ck)
+    assert q2.awaitTermination(300)
+    assert len([d for d in os.listdir(codes_p) if d.startswith("batch=")]) == n_dirs
+    got2 = {r.vec_id: list(r.codes) for r in W.read_pq_codes(spark, codes_p).collect()}
+    assert got2 == want
