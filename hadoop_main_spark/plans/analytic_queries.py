@@ -1806,20 +1806,24 @@ def scd2_point_in_time(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
     wv = Window.partitionBy("user_id").orderBy("version")
+    # dim and facts share the events lineage: rename the dim-side join
+    # columns so the non-equi condition resolves explicitly instead of
+    # through Spark's self-join fixup (which logs a trivially-true-
+    # predicate warning before disambiguating)
     dim = (
         runs.groupBy("user_id", "version")
         .agg(F.min("event_type").alias("state"), F.min("ts").alias("vf"))
         .withColumn("vt", F.lead("vf").over(wv))
-        .select("user_id", "state", "vf", "vt")
+        .select(F.col("user_id").alias("d_user"), "state", "vf", "vt")
     )
     facts = e.filter(~F.col("event_type").isin("signup", "purchase")).select(
         "user_id", F.col("event_type").alias("fact_type"), "ts"
     )
     joined = facts.join(
         dim,
-        (dim["user_id"] == facts["user_id"])
-        & (dim["vf"] <= facts["ts"])
-        & (dim["vt"].isNull() | (facts["ts"] < dim["vt"])),
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("vf") <= F.col("ts"))
+        & (F.col("vt").isNull() | (F.col("ts") < F.col("vt"))),
         "left",
     )
     return joined.groupBy(
