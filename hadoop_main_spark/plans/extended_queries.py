@@ -1233,3 +1233,76 @@ def dq_audit(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.lit("ship_before_order").alias("rule"), b(F.count("*")).alias("n_violations"))
     )
     return null_ck.unionByName(orphans).unionByName(dups).unionByName(neg).unionByName(ship)
+
+
+@query(
+    "skew_audit",
+    oracle="""
+    WITH freq AS (
+      SELECT 'lineitem.l_partkey' AS key_col, l_partkey AS k, COUNT(*) AS f
+      FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', l_suppkey, COUNT(*) FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 'orders.o_custkey', o_custkey, COUNT(*) FROM orders GROUP BY 2),
+    stats AS (
+      SELECT key_col,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(f) AS BIGINT) AS n_rows,
+             CAST(MAX(f) AS BIGINT) AS max_freq,
+             CAST(SUM(CASE WHEN f * 4 >= (SELECT MAX(f2.f) FROM freq f2
+                                          WHERE f2.key_col = freq.key_col)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS near_hot_keys
+      FROM freq GROUP BY key_col)
+    SELECT key_col, n_keys, n_rows, max_freq,
+           CAST(max_freq * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             AS skew_factor,
+           near_hot_keys
+    FROM stats
+    """,
+    doc="Join-key skew diagnostic — the measurement that decides "
+    "between a plain shuffle join, AQE skew split, and the "
+    "salted_join/salted_agg remedies (operators/partitioning.py): "
+    "per key column, the distinct-key count, row count, hottest-key "
+    "frequency, the skew factor max_freq / mean_freq (1.0 = uniform; "
+    "the factor by which the hottest reduce task outweighs the "
+    "average), and how many keys sit within 4x of the hottest "
+    "(whether salting one key or a family is needed). One partial-"
+    "aggregated count per key column; the stats fold runs over the "
+    "key-frequency table, never the rows.",
+)
+def skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    from pyspark.sql import Window
+
+    def freq(df: DataFrame, col: str, label: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("f")).select(
+            F.lit(label).alias("key_col"), "k", "f"
+        )
+
+    fr = (
+        freq(li, "l_partkey", "lineitem.l_partkey")
+        .unionByName(freq(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(freq(o, "o_custkey", "orders.o_custkey"))
+    )
+    mx = F.max("f").over(Window.partitionBy("key_col"))
+    stats = fr.withColumn("mx", mx).groupBy("key_col").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("f").cast("bigint").alias("n_rows"),
+        F.max("f").cast("bigint").alias("max_freq"),
+        F.sum((F.col("f") * 4 >= F.col("mx")).cast("bigint"))
+        .cast("bigint")
+        .alias("near_hot_keys"),
+    )
+    return stats.select(
+        "key_col",
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        (
+            (F.col("max_freq") * F.col("n_keys")).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_factor"),
+        "near_hot_keys",
+    )
