@@ -1705,10 +1705,14 @@ def negative_samples(spark: SparkSession, sf: str) -> DataFrame:
 
     e = t(spark, sf, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    # explicit isNotNull on BOTH anti-join key columns: the join infers
+    # non-nullness into one branch only, which breaks canonical
+    # equality of the shared aggregate and defeats ReusedExchange
+    # (the NOTES dsir/token_rarity trap)
     pos = (
         e.filter(F.col("event_type") == "purchase")
         .select("user_id", k.alias("item"))
-        .filter(F.col("item").isNotNull())
+        .filter(F.col("item").isNotNull() & F.col("user_id").isNotNull())
         .distinct()
     )
     draws = pos.select(
@@ -1731,9 +1735,14 @@ def negative_samples(spark: SparkSession, sf: str) -> DataFrame:
             % _NEG_ITEMS
         ).alias("neg_item"),
     )
-    kept = draws.join(
-        pos.select("user_id", F.col("item").alias("neg_item")),
-        ["user_id", "neg_item"],
+    # anti-join against the UNRENAMED aggregate through dataset aliases:
+    # an `item AS neg_item` projection would collapse INTO the right
+    # branch's aggregate output list, break canonical equality with the
+    # draws branch, and forfeit the runtime exchange reuse
+    kept = draws.alias("d").join(
+        pos.alias("p"),
+        (F.col("d.user_id") == F.col("p.user_id"))
+        & (F.col("d.neg_item") == F.col("p.item")),
         "left_anti",
     )
     return kept.groupBy("user_id", "item", "neg_item").agg(

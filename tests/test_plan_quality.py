@@ -692,3 +692,16 @@ def test_frequent_pairs_no_self_join(spark, sf_dir):
         1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     )
     assert n_exchange <= 2, plan
+
+
+def test_negative_samples_reuses_positive_aggregate(spark, sf_dir):
+    """The positives aggregate feeds BOTH the draw explosion and the
+    accidental-hit anti-join; the finalized adaptive plan must compute
+    it once (runtime ReusedExchange — requires canonical-identical
+    branches: explicit isNotNull on both join keys and NO rename
+    collapsing into the right branch's aggregate)."""
+    df = REGISTRY["negative_samples"].build(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 1, final[:3000]
