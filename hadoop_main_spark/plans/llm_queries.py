@@ -3338,3 +3338,69 @@ def lsh_quality_eval(spark: SparkSession, sf: str) -> DataFrame:
         b(F.col("in_est") & ~F.col("in_exact")).alias("fp"),
         b(F.col("in_exact") & ~F.col("in_est")).alias("fn"),
     )
+
+
+# --- end-to-end dedup cascade (the C4/FineWeb production recipe) --------------
+
+_CASCADE_KEEP1 = """ keep1 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1),
+    kept_docs AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),"""
+
+# the survivor-subset LSH: every minhash CTE (shingles, signatures,
+# bands, bucket guard) re-reads from kept_docs, so bucket sizes and
+# candidates are computed over stage-1 SURVIVORS exactly as the Spark
+# side does — restricting full-corpus pairs after the fact would get
+# the hot-bucket guard wrong
+_CASCADE_PREFIX = _MINHASH_PREFIX.replace("FROM documents", "FROM kept_docs").replace(
+    "WITH", "WITH" + _CASCADE_KEEP1, 1
+)
+
+
+@query(
+    "dedup_cascade",
+    oracle=_CASCADE_PREFIX
+    + f"""
+    , pairs AS (
+    SELECT id_a, id_b
+    FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+    WHERE CAST(({_AGREE}) AS DOUBLE) / {float(J)} >= 0.5),
+    keep2 AS (SELECT doc_id FROM keep1
+              WHERE doc_id NOT IN (SELECT id_b FROM pairs))
+    SELECT 'a_corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS docs_kept FROM documents
+    UNION ALL
+    SELECT 'b_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM keep1
+    UNION ALL
+    SELECT 'c_near_dedup', CAST(COUNT(*) AS BIGINT) FROM keep2
+    """,
+    doc="END-TO-END dedup cascade — the production curation recipe "
+    "(C4 arXiv:1910.10683 / FineWeb shape): stage 1 removes exact "
+    "duplicates (lowest doc_id canonical per text), stage 2 runs "
+    "MinHash-LSH over the SURVIVORS (signatures, band buckets, and "
+    "the hot-bucket guard all computed on the reduced corpus — not "
+    "filtered from full-corpus pairs, which would mis-size buckets) "
+    "and greedily drops every doc with a smaller near-dup partner "
+    "(est >= 0.5). One (stage, docs_kept) row per stage: the "
+    "shrinkage report every curation run ships with. Scale shape "
+    "inherits stagewise: digest-only exact dedup, banded LSH with "
+    "skew guard, and an anti-join on the pair's id_b side.",
+)
+def dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    k1 = (
+        D.exact_dedup(d, ["text"], "doc_id")
+        .filter(~F.col("is_duplicate"))
+        .select("doc_id")
+    )
+    survivors = d.join(k1, "doc_id")
+    pairs = D.minhash_lsh_pairs(survivors, "doc_id", "text", min_est_jaccard=0.5)
+    k2 = k1.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    b = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count("*").cast("bigint").alias("docs_kept")
+    )
+    return b(d, "a_corpus").unionByName(b(k1, "b_exact_dedup")).unionByName(
+        b(k2, "c_near_dedup")
+    )
