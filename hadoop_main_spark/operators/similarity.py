@@ -946,3 +946,84 @@ def pq_adc_scores(
         .groupBy("query_id", id_col)
         .agg(F.sum("d").cast("bigint").alias("pq_d2"))
     )
+
+
+def gram_matrix_exact(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    qscale: int = PQ_QSCALE,
+) -> DataFrame:
+    """One-pass EXACT Gram / covariance sufficient statistics: vectors
+    quantize to the integer micro-grid (floor(v*qscale + 0.5) — the PQ
+    discipline, so every product is integer arithmetic) and each Arrow
+    batch contributes its X^T X as ONE dim x dim partial — the
+    classic aggregate-then-solve primitive behind distributed PCA /
+    whitening / OPQ rotations: 100 TB of vectors reduce to dim^2 + dim
+    + 1 exact BIGINT cells, and the eigen/solve step runs driver-side
+    on the tiny matrix (the kmeans_fit / linreg_price_vs_qty shape,
+    one order higher).
+
+    Output: (i, j, sum_xy, sum_x, sum_y, n) for 0 <= i <= j < dim —
+    upper triangle only; sum_x/sum_y are the per-dimension component
+    sums so covariance derives without a second pass. Shuffle volume
+    is #batches x dim^2 tiny rows; the kernel is numpy matmul
+    (per-row work dim^2/2 madds, far past the ~8x Arrow crossover).
+    Products are bounded by (qscale*|v|)^2 * rows — int64-safe past
+    10^5 rows per cell at the default grid; the partial rides int64
+    and the final sum accumulates in DECIMAL(38,0) for headroom."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = StructType(
+        [
+            StructField("i", IntegerType(), False),
+            StructField("j", IntegerType(), False),
+            StructField("sum_xy", LongType(), False),
+            StructField("sum_x", LongType(), False),
+            StructField("sum_y", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+    def _gram(batches):
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            emb = batch.column(0)
+            flat = emb.flatten()
+            if emb.null_count != 0 or flat.null_count != 0:
+                raise ValueError("gram_matrix_exact requires non-null vectors")
+            x = flat.to_numpy(zero_copy_only=False)
+            dim = x.size // nrows
+            if x.size != nrows * dim:
+                raise ValueError("gram_matrix_exact requires fixed-dim vectors")
+            # float64 BEFORE scaling: the column is array<float> and a
+            # float32 multiply quantizes boundary components off-by-one
+            # vs the oracle's CAST(x AS DOUBLE) (the pq_encode discipline)
+            q = np.floor(
+                x.reshape(nrows, dim).astype(np.float64) * qscale + 0.5
+            ).astype(np.int64)
+            g = q.T @ q  # exact: int64 matmul, bounded by contract
+            s = q.sum(axis=0)
+            iu, ju = np.triu_indices(dim)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu.astype(np.int32)),
+                    pa.array(ju.astype(np.int32)),
+                    pa.array(g[iu, ju]),
+                    pa.array(s[iu]),
+                    pa.array(s[ju]),
+                    pa.array(np.full(iu.size, nrows, dtype=np.int64)),
+                ],
+                names=["i", "j", "sum_xy", "sum_x", "sum_y", "n"],
+            )
+
+    partials = corpus.select(vec_col).mapInArrow(_gram, out_schema)
+    dec = "decimal(38,0)"
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("sum_xy").cast(dec)).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("sum_x").cast(dec)).cast("bigint").alias("sum_x"),
+        F.sum(F.col("sum_y").cast(dec)).cast("bigint").alias("sum_y"),
+        F.sum(F.col("n").cast(dec)).cast("bigint").alias("n"),
+    )

@@ -3404,3 +3404,34 @@ def dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     return b(d, "a_corpus").unionByName(b(k1, "b_exact_dedup")).unionByName(
         b(k2, "c_near_dedup")
     )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH emb AS (SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+    idx AS (SELECT i.i AS i, j.j AS j
+            FROM generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+            WHERE i.i <= j.j)
+    SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+           CAST(SUM(q[i] * q[j]) AS BIGINT) AS sum_xy,
+           CAST(SUM(q[i]) AS BIGINT) AS sum_x,
+           CAST(SUM(q[j]) AS BIGINT) AS sum_y,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM emb, idx GROUP BY i, j
+    """,
+    doc="One-pass EXACT covariance sufficient statistics over the "
+    "embedding corpus (similarity.gram_matrix_exact): integer-grid "
+    "X^T X per Arrow batch, dim x dim BIGINT partials shuffled "
+    "(#batches x 2080 tiny rows), exact DECIMAL final sum — the "
+    "aggregate-then-solve primitive behind distributed PCA / "
+    "whitening / OPQ: 100 TB of vectors reduce to one 64x64 matrix "
+    "and the eigen step runs driver-side (pytest does the full PCA "
+    "round trip). The linreg/pearson moment discipline, one order "
+    "higher.",
+)
+def embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    return SIM.gram_matrix_exact(e, "embedding")

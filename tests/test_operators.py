@@ -1967,3 +1967,37 @@ def test_ivfpq_full_probe_equals_plain_adc(spark, sf_dir):
     )
     key = lambda rows: sorted((r.query_id, r[1], r.pq_d2, r.rank) for r in rows)
     assert key(full) == key(plain)
+
+
+def test_gram_matrix_exact_pca_roundtrip(spark, sf_dir):
+    """The distributed sufficient statistics must reconstruct the
+    covariance matrix EXACTLY (integer grid) against a direct numpy
+    recompute of the collected vectors, and the driver-side PCA built
+    from them must match numpy's eigendecomposition of that direct
+    covariance — the full aggregate-then-solve round trip."""
+    import numpy as np
+
+    from hadoop_main_spark.operators.similarity import PQ_QSCALE, gram_matrix_exact
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = {(r.i, r.j): (r.sum_xy, r.sum_x, r.sum_y, r.n)
+             for r in gram_matrix_exact(e, "embedding").collect()}
+    x = np.array([[float(v) for v in r.embedding] for r in e.collect()])
+    q = np.floor(x * PQ_QSCALE + 0.5).astype(np.int64)
+    n, dim = q.shape
+    g = q.T @ q
+    s = q.sum(axis=0)
+    for i in range(dim):
+        for j in range(i, dim):
+            assert stats[(i, j)] == (g[i, j], s[i], s[j], n), (i, j)
+    # covariance from the stats == numpy covariance (exact rationals
+    # evaluated in float the same way on both sides)
+    cov_stats = np.empty((dim, dim))
+    for (i, j), (sxy, sx, sy, nn) in stats.items():
+        cov_stats[i, j] = cov_stats[j, i] = (sxy - sx * sy / nn) / nn
+    cov_direct = (g - np.outer(s, s) / n) / n
+    assert np.array_equal(cov_stats, cov_direct)
+    w1, v1 = np.linalg.eigh(cov_stats)
+    w2, v2 = np.linalg.eigh(cov_direct)
+    assert np.array_equal(w1, w2) and np.array_equal(v1, v2)
