@@ -8,7 +8,7 @@ numpy pipeline for uncompressed P6 images (header parse, pixel
 reshape, nearest-neighbor resize, re-encode, band features);
 ``'png'`` is a REAL stdlib-zlib + numpy PNG codec (chunk walk with
 CRC verify, IDAT inflate, all five scanline filters, palette
-expansion — 8-bit non-interlaced); ``'jpeg'`` is a REAL baseline
+expansion, Adam7 deinterlacing — 8-bit); ``'jpeg'`` is a REAL baseline
 sequential-DCT JPEG codec (ITU-T T.81: marker walk, Huffman entropy
 coding, exact orthonormal 8x8 DCT, 4:4:4 / 4:2:0, restart markers);
 ``'wav'`` the real RIFF/PCM16 audio path; ``'stub'`` is a
@@ -161,10 +161,11 @@ def _ppm_features(p: bytes, dim: int) -> list[float]:
 # PNG is DEFLATE (stdlib zlib) over per-scanline filtered bytes — no
 # external media library needed, so this path is REAL like PPM/WAV:
 # chunk walk with CRC verify, IDAT concat + inflate, per-row defilter
-# (all five filter types 0-4 per the PNG spec §9), palette expansion.
-# 8-bit depth, color types 0/2/3/4/6, non-interlaced. 16-bit and Adam7
-# raise ValueError (bad-record path downstream). JPEG/opus/mp3 remain
-# honestly NotImplementedError (their codecs are not in this container).
+# (all five filter types 0-4 per the PNG spec §9), palette expansion,
+# Adam7 deinterlacing (seven scattered sub-images, spec §8.2). 8-bit
+# depth, color types 0/2/3/4/6. 16-bit raises ValueError (bad-record
+# path downstream). opus/mp3/webp remain honestly NotImplementedError
+# (their codecs are not in this container).
 
 
 def _png_paeth(a: int, b: int, c: int) -> int:
@@ -184,11 +185,59 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+#: Adam7 pass grid (x0, y0, dx, dy) — PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_defilter(lines, w: int, ch: int):
+    """Undo per-scanline filtering (PNG spec §9, all five types) for
+    one filtered (sub-)image of ``lines.shape[0]`` rows x ``w`` pixels:
+    returns (rows, w*ch) uint8. Shared by the sequential and every
+    Adam7-pass decode — each interlace pass filters against ITS OWN
+    previous scanline, exactly like a standalone image."""
+    import numpy as np
+
+    h = lines.shape[0]
+    recon = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    bpp = ch  # bytes per pixel at 8-bit depth
+    for r in range(h):
+        ft, row = int(lines[r, 0]), lines[r, 1:]
+        if ft == 0:  # None
+            rec = row.copy()
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = row.copy()
+            for off in range(bpp):
+                # uint8 cumsum wraps mod 256 — exactly the spec arithmetic
+                rec[off::bpp] = np.cumsum(row[off::bpp], dtype=np.uint8)
+        elif ft == 2:  # Up
+            rec = row + prev  # uint8 add wraps mod 256
+        elif ft == 3:  # Average: left dependence is inherently sequential
+            rec = np.empty_like(row)
+            for x in range(row.size):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth: sequential per byte
+            rec = np.empty_like(row)
+            for x in range(row.size):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + _png_paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        recon[r] = rec
+        prev = rec
+    return recon
+
+
 def _png_decode(p: bytes):
-    """Parse an 8-bit non-interlaced PNG into an (h, w, ch) uint8 array
-    (ch = 1 gray, 2 gray+alpha, 3 RGB — palette expanded, 4 RGBA).
-    Chunk CRCs are verified; multiple IDAT chunks are concatenated
-    before one inflate, as the spec requires."""
+    """Parse an 8-bit PNG (sequential OR Adam7-interlaced) into an
+    (h, w, ch) uint8 array (ch = 1 gray, 2 gray+alpha, 3 RGB — palette
+    expanded, 4 RGBA). Chunk CRCs are verified; multiple IDAT chunks
+    are concatenated before one inflate, as the spec requires."""
     import zlib
 
     import numpy as np
@@ -223,8 +272,8 @@ def _png_decode(p: bytes):
         raise ValueError("missing IHDR or IDAT chunk")
     if depth != 8:
         raise ValueError(f"{depth}-bit PNG not supported (8-bit only)")
-    if interlace != 0:
-        raise ValueError("Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {ctype}")
     if ctype == 3 and plte is None:
@@ -236,51 +285,47 @@ def _png_decode(p: bytes):
         # normalize to ValueError so the shared bad-record path catches it
         raise ValueError(f"corrupt IDAT stream: {e}") from e
     raw = np.frombuffer(inflated, dtype=np.uint8)
-    stride = w * ch + 1  # 1 filter byte + w*ch sample bytes per scanline
-    if raw.size != h * stride:
-        raise ValueError("decompressed size mismatch")
-    lines = raw.reshape(h, stride)
-    recon = np.zeros((h, w * ch), dtype=np.uint8)
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    bpp = ch  # bytes per pixel at 8-bit depth
-    for r in range(h):
-        ft, row = int(lines[r, 0]), lines[r, 1:]
-        if ft == 0:  # None
-            rec = row.copy()
-        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
-            rec = row.copy()
-            for off in range(bpp):
-                # uint8 cumsum wraps mod 256 — exactly the spec arithmetic
-                rec[off::bpp] = np.cumsum(row[off::bpp], dtype=np.uint8)
-        elif ft == 2:  # Up
-            rec = row + prev  # uint8 add wraps mod 256
-        elif ft == 3:  # Average: left dependence is inherently sequential
-            rec = np.empty_like(row)
-            for x in range(row.size):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
-        elif ft == 4:  # Paeth: sequential per byte
-            rec = np.empty_like(row)
-            for x in range(row.size):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + _png_paeth(left, int(prev[x]), ul)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        recon[r] = rec
-        prev = rec
+    if interlace == 0:
+        stride = w * ch + 1  # 1 filter byte + w*ch samples per scanline
+        if raw.size != h * stride:
+            raise ValueError("decompressed size mismatch")
+        px = _png_defilter(raw.reshape(h, stride), w, ch).reshape(h, w, ch)
+    else:
+        # Adam7 (PNG spec §8.2): seven independent sub-images, each
+        # filtered like a whole image, scattered onto the (x0 + i*dx,
+        # y0 + j*dy) grid; empty passes contribute zero bytes
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, (w - x0 + dx - 1) // dx)
+            ph = max(0, (h - y0 + dy - 1) // dy)
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * ch + 1
+            seg = raw[pos : pos + ph * stride]
+            pos += ph * stride
+            if seg.size != ph * stride:
+                raise ValueError("truncated Adam7 pass")
+            rec = _png_defilter(seg.reshape(ph, stride), pw, ch)
+            px[y0::dy, x0::dx, :] = rec.reshape(ph, pw, ch)
+        if pos != raw.size:
+            raise ValueError("trailing bytes after final Adam7 pass")
     if ctype == 3:
-        if int(recon.max(initial=0)) >= plte.shape[0]:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index out of range")
-        return plte[recon.reshape(h, w)]
-    return recon.reshape(h, w, ch)
+        return plte[idx]
+    return px
 
 
-def _png_encode(arr, row_filter: str = "none") -> bytes:
+def _png_encode(arr, row_filter: str = "none", interlace: bool = False) -> bytes:
     """Re-encode an (h, w) gray or (h, w, ch) uint8 array as an 8-bit
     PNG (color type 0/4/2/6 by channel count). ``row_filter='mixed'``
     cycles filter types 0-4 across scanlines so a decode of the output
-    exercises every defilter path; ``'none'`` writes filter 0 rows."""
+    exercises every defilter path; ``'none'`` writes filter 0 rows.
+    ``interlace=True`` writes Adam7 (each pass filtered independently),
+    making the encode/decode pair self-verifying for the interlaced
+    layout too."""
     import zlib
 
     import numpy as np
@@ -290,34 +335,51 @@ def _png_encode(arr, row_filter: str = "none") -> bytes:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = arr.reshape(h, w * ch).astype(np.int64)
     bpp = ch
-    out_rows = []
-    for r in range(h):
-        cur = flat[r]
-        up = flat[r - 1] if r else np.zeros_like(cur)
-        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
-        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), up[:-bpp]])
-        ft = r % 5 if row_filter == "mixed" else 0
-        if ft == 0:
-            filt = cur
-        elif ft == 1:
-            filt = cur - left
-        elif ft == 2:
-            filt = cur - up
-        elif ft == 3:
-            filt = cur - (left + up) // 2
-        else:  # Paeth
-            pred = np.array(
-                [_png_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, up, ul)],
-                dtype=np.int64,
-            )
-            filt = cur - pred
-        out_rows.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
+
+    def filter_image(sub) -> list:
+        """Filter one (sub-)image independently — whole image in the
+        sequential layout, one pass in Adam7 (each pass filters against
+        its OWN previous scanline, spec §8.2)."""
+        sh, sw = sub.shape[0], sub.shape[1]
+        flat = sub.reshape(sh, sw * ch).astype(np.int64)
+        rows = []
+        for r in range(sh):
+            cur = flat[r]
+            up = flat[r - 1] if r else np.zeros_like(cur)
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), up[:-bpp]])
+            ft = r % 5 if row_filter == "mixed" else 0
+            if ft == 0:
+                filt = cur
+            elif ft == 1:
+                filt = cur - left
+            elif ft == 2:
+                filt = cur - up
+            elif ft == 3:
+                filt = cur - (left + up) // 2
+            else:  # Paeth
+                pred = np.array(
+                    [_png_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, up, ul)],
+                    dtype=np.int64,
+                )
+                filt = cur - pred
+            rows.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        return rows
+
+    if interlace:
+        out_rows = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            out_rows += filter_image(np.ascontiguousarray(sub))
+    else:
+        out_rows = filter_image(arr)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 0])
+        + bytes([8, ctype, 0, 0, int(interlace)])
     )
 
     def chunk(cid: bytes, body: bytes) -> bytes:

@@ -409,8 +409,9 @@ def test_png_codec_roundtrip_all_filters_and_channels():
 def test_png_palette_split_idat_and_rejects():
     """Spec corners: palette (color type 3) expands through PLTE; an
     IDAT stream split across multiple chunks concatenates before
-    inflate; CRC corruption, 16-bit depth, and Adam7 interlace are
-    rejected with ValueError (the bad-record path)."""
+    inflate; CRC corruption, 16-bit depth, mis-sized Adam7 payloads,
+    and unknown interlace methods are rejected with ValueError (the
+    bad-record path)."""
     import zlib
 
     import numpy as np
@@ -445,10 +446,15 @@ def test_png_palette_split_idat_and_rejects():
     ihdr16 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
     with _pt.raises(ValueError, match="16-bit"):
         MM._png_decode(MM._PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", scan))
-    # Adam7
+    # Adam7 is SUPPORTED now, but an interlace flag whose IDAT carries
+    # sequential-layout bytes must fail loudly (wrong pass sizes), and
+    # an unknown interlace METHOD is rejected outright
     ihdr_i = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
-    with _pt.raises(ValueError, match="interlac"):
+    with _pt.raises(ValueError, match="Adam7|trailing"):
         MM._png_decode(MM._PNG_SIG + chunk(b"IHDR", ihdr_i) + chunk(b"IDAT", scan))
+    ihdr_u = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 2])
+    with _pt.raises(ValueError, match="interlace method"):
+        MM._png_decode(MM._PNG_SIG + chunk(b"IHDR", ihdr_u) + chunk(b"IDAT", scan))
     # garbage deflate normalizes to ValueError (bad-record path)
     with _pt.raises(ValueError, match="IDAT"):
         MM._png_decode(
@@ -660,3 +666,43 @@ def test_image_dhash_invariances_and_bad_record(spark):
     g = base[np.ix_(ri, ci)]
     bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).reshape(-1)
     assert got[0] == int((bits << np.arange(bits.size)).sum())
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 support contract: an interlaced encode decodes back
+    PIXEL-EXACT and equals the sequential decode of the same image —
+    for gray and RGB, odd dimensions (partial passes), a tiny 2x2
+    (five of seven passes empty), and with per-row filters cycling
+    inside each pass."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    cases = [
+        ((np.arange(13 * 11) * 37 % 251).reshape(13, 11).astype(np.uint8), "mixed"),
+        (
+            (np.arange(16 * 9 * 3) * 53 % 256).reshape(16, 9, 3).astype(np.uint8),
+            "mixed",
+        ),
+        (np.array([[1, 2], [3, 4]], dtype=np.uint8), "none"),
+        ((np.arange(8 * 8) % 256).reshape(8, 8).astype(np.uint8), "none"),
+    ]
+    for arr, rf in cases:
+        seq = MM._png_encode(arr, row_filter=rf)
+        lace = MM._png_encode(arr, row_filter=rf, interlace=True)
+        assert seq != lace  # genuinely different layout on the wire
+        a = MM._png_decode(lace)
+        b = MM._png_decode(seq)
+        want = arr if arr.ndim == 3 else arr[:, :, None]
+        assert np.array_equal(a, want) and np.array_equal(b, want)
+    # truncated final pass must fail loudly, not decode garbage
+    import zlib
+
+    arr = cases[0][0]
+    lace = MM._png_encode(arr, interlace=True)
+    # corrupt: drop the last 4 bytes of the inflated stream by
+    # re-deflating a shortened payload through the public chunks
+    import pytest
+
+    with pytest.raises(ValueError):
+        MM._png_decode(lace[:-30])  # truncated container
