@@ -450,3 +450,43 @@ def image_dhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.min("media_id").alias("min_doc"),
     )
+
+
+@query(
+    "avro_roundtrip_agg",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           md5(CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS VARCHAR))
+             AS text_checksum
+    FROM documents GROUP BY lang
+    """,
+    doc="Avro round trip ON the driver gate: the documents table is "
+    "written as pure-Python Avro object-container files (deflate "
+    "blocks, one per partition — sources/avro.py) and read back "
+    "through auto_input's .avro dispatch; per-language counts, char "
+    "sums, and an order-independent text checksum (sum of 60-bit text "
+    "hashes) must match the oracle computed on the ORIGINAL parquet — "
+    "any encode/decode corruption of any row moves the checksum. The "
+    "write lands in a per-session temp dir (generator-query "
+    "discipline, like db_count_pageview's embedded Derby).",
+)
+def avro_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.sources.avro import write_avro
+    from hadoop_main_spark.sources.text import auto_input
+
+    d = t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="avro_rt_") + "/documents.avro"
+    write_avro(d, out, codec="deflate")
+    back = auto_input(spark, out)
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        # DECIMAL(38,0) accumulation: 2^60-bit hashes overflow int64
+        # past ~8 rows (DuckDB promotes the same sum to HUGEINT, and
+        # both render as plain digit strings)
+        F.md5(F.sum(h60.cast("decimal(38,0)")).cast("string")).alias("text_checksum"),
+    )
