@@ -136,13 +136,14 @@ def _image_band_features(arr, dim: int) -> list[float]:
     (h, w, ch) arrays."""
     import numpy as np
 
+    scale = float(np.iinfo(arr.dtype).max) if arr.dtype.kind == "u" else 255.0
     arr = arr.astype(np.float64)
     h = arr.shape[0]
     out = []
     for b in range(dim):
         lo, hi = (b * h) // dim, max(((b + 1) * h) // dim, (b * h) // dim + 1)
         band = arr[min(lo, h - 1) : min(hi, h)]
-        out.append(float(band.mean()) / 255.0 if band.size else 0.0)
+        out.append(float(band.mean()) / scale if band.size else 0.0)
     return out
 
 
@@ -270,15 +271,22 @@ def _png_decode(p: bytes):
         i += 12 + size
     if w is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
-    if depth != 8:
-        raise ValueError(f"{depth}-bit PNG not supported (8-bit only)")
+    if depth not in (8, 16):
+        raise ValueError(f"{depth}-bit PNG not supported (8/16-bit only)")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette image missing PLTE chunk")
+    if ctype == 3 and depth != 8:
+        # spec: palette indices are at most 8 bits
+        raise ValueError("16-bit palette PNG is not valid")
     ch = _PNG_CHANNELS[ctype]
+    # filters operate on BYTES with bpp = channels * bytes-per-sample
+    # (spec 9.2), so 16-bit decode reuses the byte-level defilter with
+    # the channel count doubled, then reassembles big-endian samples
+    cb = ch * (depth // 8)
     try:
         inflated = zlib.decompress(b"".join(idat))
     except zlib.error as e:
@@ -286,28 +294,28 @@ def _png_decode(p: bytes):
         raise ValueError(f"corrupt IDAT stream: {e}") from e
     raw = np.frombuffer(inflated, dtype=np.uint8)
     if interlace == 0:
-        stride = w * ch + 1  # 1 filter byte + w*ch samples per scanline
+        stride = w * cb + 1  # 1 filter byte + w*cb sample BYTES per scanline
         if raw.size != h * stride:
             raise ValueError("decompressed size mismatch")
-        px = _png_defilter(raw.reshape(h, stride), w, ch).reshape(h, w, ch)
+        px = _png_defilter(raw.reshape(h, stride), w, cb).reshape(h, w, cb)
     else:
         # Adam7 (PNG spec §8.2): seven independent sub-images, each
         # filtered like a whole image, scattered onto the (x0 + i*dx,
         # y0 + j*dy) grid; empty passes contribute zero bytes
-        px = np.zeros((h, w, ch), dtype=np.uint8)
+        px = np.zeros((h, w, cb), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = max(0, (w - x0 + dx - 1) // dx)
             ph = max(0, (h - y0 + dy - 1) // dy)
             if pw == 0 or ph == 0:
                 continue
-            stride = pw * ch + 1
+            stride = pw * cb + 1
             seg = raw[pos : pos + ph * stride]
             pos += ph * stride
             if seg.size != ph * stride:
                 raise ValueError("truncated Adam7 pass")
-            rec = _png_defilter(seg.reshape(ph, stride), pw, ch)
-            px[y0::dy, x0::dx, :] = rec.reshape(ph, pw, ch)
+            rec = _png_defilter(seg.reshape(ph, stride), pw, cb)
+            px[y0::dy, x0::dx, :] = rec.reshape(ph, pw, cb)
         if pos != raw.size:
             raise ValueError("trailing bytes after final Adam7 pass")
     if ctype == 3:
@@ -315,6 +323,10 @@ def _png_decode(p: bytes):
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index out of range")
         return plte[idx]
+    if depth == 16:
+        # reassemble network-order 16-bit samples (spec 7.1)
+        wide = px.reshape(h, w, ch, 2).astype(np.uint16)
+        return (wide[..., 0] << 8) | wide[..., 1]
     return px
 
 
@@ -330,6 +342,11 @@ def _png_encode(arr, row_filter: str = "none", interlace: bool = False) -> bytes
 
     import numpy as np
 
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        # ascontiguousarray(dtype=uint8) would WRAP 16-bit samples mod
+        # 256 silently; the encoder is 8-bit by contract
+        raise ValueError("_png_encode writes 8-bit PNGs; cast explicitly")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]

@@ -442,10 +442,15 @@ def test_png_palette_split_idat_and_rejects():
     bad[len(MM._PNG_SIG) + 8] ^= 0xFF  # flip a byte inside IHDR body
     with _pt.raises(ValueError, match="CRC"):
         MM._png_decode(bytes(bad))
-    # 16-bit depth
+    # 16-bit depth is SUPPORTED now — an 8-bit-sized IDAT under a
+    # 16-bit header must fail on the size contract, not decode garbage
     ihdr16 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
-    with _pt.raises(ValueError, match="16-bit"):
+    with _pt.raises(ValueError, match="mismatch"):
         MM._png_decode(MM._PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", scan))
+    # 24-bit depth stays rejected
+    ihdr24 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([24, 0, 0, 0, 0])
+    with _pt.raises(ValueError, match="24-bit"):
+        MM._png_decode(MM._PNG_SIG + chunk(b"IHDR", ihdr24) + chunk(b"IDAT", scan))
     # Adam7 is SUPPORTED now, but an interlace flag whose IDAT carries
     # sequential-layout bytes must fail loudly (wrong pass sizes), and
     # an unknown interlace METHOD is rejected outright
@@ -706,3 +711,74 @@ def test_png_adam7_interlace_roundtrip():
 
     with pytest.raises(ValueError):
         MM._png_decode(lace[:-30])  # truncated container
+
+
+def test_png_16bit_decode():
+    """16-bit PNG decode contract: byte-level filters with doubled bpp
+    (spec 9.2), network-order sample reassembly (7.1), exact values for
+    gray and RGB, sequential AND Adam7, full 16-bit dynamic range; the
+    8-bit-only encoder refuses uint16 input instead of wrapping mod
+    256; 16-bit palette is rejected as invalid."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big") + cid + body
+            + (zlib.crc32(cid + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def encode16(arr, interlace=0):
+        h, w = arr.shape[0], arr.shape[1]
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        a3 = arr.reshape(h, w, ch)
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([16, {1: 0, 3: 2}[ch], 0, 0, interlace])
+        )
+        rows = []
+        imgs = (
+            [a3]
+            if interlace == 0
+            else [
+                a3[y0::dy, x0::dx]
+                for (x0, y0, dx, dy) in MM._ADAM7
+                if a3[y0::dy, x0::dx].size
+            ]
+        )
+        for img in imgs:
+            be = img.astype(">u2").tobytes()
+            stride = img.shape[1] * ch * 2
+            for r in range(img.shape[0]):
+                rows.append(b"\x00" + be[r * stride : (r + 1) * stride])
+        return (
+            MM._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+
+    # note: uint16_array * python_int promotes to int32 on this numpy —
+    # cast AFTER the modulo so the fixtures are genuinely uint16
+    gray = ((np.arange(7 * 5) * 9973) % 65536).astype(np.uint16).reshape(7, 5)
+    rgb = ((np.arange(6 * 4 * 3) * 8191) % 65536).astype(np.uint16).reshape(6, 4, 3)
+    assert np.array_equal(MM._png_decode(encode16(gray))[:, :, 0], gray)
+    assert np.array_equal(MM._png_decode(encode16(rgb)), rgb)
+    assert np.array_equal(MM._png_decode(encode16(gray, interlace=1))[:, :, 0], gray)
+    # full-range features scale by 65535, not 255
+    f = MM._image_band_features(gray, 1)[0]
+    assert 0.0 <= f <= 1.0 and abs(f - gray.mean() / 65535.0) < 1e-12
+    with _pt.raises(ValueError, match="8-bit"):
+        MM._png_encode(gray)
+    # 16-bit palette is spec-invalid
+    ihdr_p = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 3, 0, 0, 0])
+    with _pt.raises(ValueError, match="palette"):
+        MM._png_decode(
+            MM._PNG_SIG + chunk(b"IHDR", ihdr_p)
+            + chunk(b"PLTE", b"\x00" * 6)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
