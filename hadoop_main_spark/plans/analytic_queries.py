@@ -758,9 +758,10 @@ def nation_inventory_share(spark: SparkSession, sf: str) -> DataFrame:
              MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
       FROM events GROUP BY user_id)
     SELECT COUNT(t_view) AS n_view,
-           COALESCE(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END), 0) AS n_view_click,
-           COALESCE(SUM(CASE WHEN t_click > t_view AND t_buy > t_click
-                        THEN 1 ELSE 0 END), 0) AS n_view_click_buy
+           CAST(COALESCE(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_view_click,
+           CAST(COALESCE(SUM(CASE WHEN t_click > t_view AND t_buy > t_click
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_view_click_buy
     FROM per
     """,
     doc="THREE-stage ordered funnel (view -> click -> purchase, "
@@ -1524,7 +1525,8 @@ def frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
            CAST(coalesce(gsum, 0) AS BIGINT) AS span_us,
            CASE WHEN coalesce(gsum, 0) > 0
-                THEN CAST(wsum * 100 AS BIGINT) // gsum
+                THEN CAST(CAST(wsum * 100 AS BIGINT) // CAST(gsum AS BIGINT)
+                          AS BIGINT)
            END AS twap_cents
     FROM agg
     """,
