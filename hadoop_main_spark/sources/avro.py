@@ -156,25 +156,37 @@ def schema_to_avro_json(schema: T.StructType, name: str = "row") -> str:
     )
 
 
-def avro_json_to_schema(avro_json: str) -> tuple[T.StructType, list[tuple[str, str, bool]]]:
-    """Returns (spark schema, [(name, base type, nullable)]) for a flat
-    record schema; raises ValueError on anything nested."""
+def avro_json_to_schema(
+    avro_json: str,
+) -> tuple[T.StructType, list[tuple[str, str, bool, int]]]:
+    """Returns (spark schema, [(name, base type, nullable, null_branch)])
+    for a flat record schema; raises ValueError on anything nested.
+
+    ``null_branch`` is the union index of "null" (0 for the
+    spec-common ``["null", T]``, 1 for the equally-valid
+    ``[T, "null"]``; -1 for non-nullable fields).  Decode MUST honor
+    it: assuming branch 0 is always null misreads ``[T, "null"]``
+    files — the branch long for a present value would be taken as
+    null and every subsequent byte misaligns."""
     sc = json.loads(avro_json)
     if not isinstance(sc, dict) or sc.get("type") != "record":
         raise ValueError("only record container schemas are supported")
     fields, plan = [], []
     for f in sc["fields"]:
         t = f["type"]
-        nullable = False
+        nullable, null_branch = False, -1
         if isinstance(t, list):
             branches = [b for b in t if b != "null"]
             if len(branches) != 1 or len(t) > 2:
                 raise ValueError(f"unsupported union {t!r} on field {f['name']}")
-            t, nullable = branches[0], "null" in f["type"]
+            nullable = "null" in f["type"]
+            if nullable:
+                null_branch = f["type"].index("null")
+            t = branches[0]
         if not isinstance(t, str) or t not in _AVRO_TO_SPARK:
             raise ValueError(f"unsupported avro type {t!r} on field {f['name']}")
         fields.append(T.StructField(f["name"], _AVRO_TO_SPARK[t], nullable))
-        plan.append((f["name"], t, nullable))
+        plan.append((f["name"], t, nullable, null_branch))
     return T.StructType(fields), plan
 
 
@@ -212,12 +224,12 @@ def encode_container(
         chunk = rows[lo : lo + block_rows]
         body = io.BytesIO()
         for row in chunk:
-            for val, (_name, typ, nullable) in zip(row, plan):
+            for val, (_name, typ, nullable, null_branch) in zip(row, plan):
                 if nullable:
                     if val is None:
-                        _write_long(body, 0)
+                        _write_long(body, null_branch)
                         continue
-                    _write_long(body, 1)
+                    _write_long(body, 1 - null_branch)
                 elif val is None:
                     raise ValueError("NULL in non-nullable avro field")
                 _write_value(body, val, typ)
@@ -279,10 +291,16 @@ def decode_container(p: bytes) -> tuple[str, list[tuple]]:
         body = io.BytesIO(payload)
         for _ in range(count):
             row = []
-            for _name, typ, nullable in plan:
-                if nullable and _read_long(body) == 0:
-                    row.append(None)
-                    continue
+            for name, typ, nullable, null_branch in plan:
+                if nullable:
+                    branch = _read_long(body)
+                    if branch == null_branch:
+                        row.append(None)
+                        continue
+                    if branch != 1 - null_branch:
+                        raise ValueError(
+                            f"invalid union branch {branch} for field {name}"
+                        )
                 row.append(_read_value(body, typ))
             rows.append(tuple(row))
         if buf.read(16) != sync:
@@ -313,9 +331,15 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
         for b in batches:
             cols = [b.column(b.schema.get_field_index(n)).to_pylist() for n in names]
             rows.extend(zip(*cols) if cols else [])
+        # crash-safe: encode to a dot-temp sibling, then atomically
+        # os.replace into place — a task retry or mid-write crash can
+        # never leave a truncated part-*.avro that read_avro rejects
+        # (mirrors the streaming sinks' rename-aside discipline)
         target = os.path.join(path, f"part-{pid:05d}.avro")
-        with open(target, "wb") as fh:
+        tmp = os.path.join(path, f".part-{pid:05d}.avro.tmp")
+        with open(tmp, "wb") as fh:
             fh.write(encode_container(rows, avro_json, codec=codec))
+        os.replace(tmp, target)
         yield pa.RecordBatch.from_arrays(
             [pa.array([target], pa.string()), pa.array([len(rows)], pa.int64())],
             names=["file", "n"],
@@ -344,7 +368,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     with open(files[0], "rb") as fh:
         avro_json, _codec, _sync, _off = read_header(fh.read())
     schema, plan = avro_json_to_schema(avro_json)
-    names = [n for n, _t, _n in plan]
+    names = [f[0] for f in plan]
 
     def _decode(batches):
         for b in batches:

@@ -238,6 +238,50 @@ def test_avro_container_roundtrip_pure_python():
         assert A.avro_json_to_schema(sj2)[1] == A.avro_json_to_schema(sj)[1]
 
 
+def test_avro_trailing_null_union_branch_order():
+    """Spec-valid [T, "null"] unions put null at branch 1: decode must
+    honor the recorded null-branch index, not assume branch 0 — the
+    misread would misalign every subsequent field's bytes."""
+    import json
+
+    from hadoop_main_spark.sources import avro as A
+
+    sj = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "k", "type": ["long", "null"]},  # null = branch 1
+                {"name": "s", "type": ["null", "string"]},  # null = branch 0
+                {"name": "d", "type": "double"},
+            ],
+        }
+    )
+    _schema, plan = A.avro_json_to_schema(sj)
+    assert [f[3] for f in plan] == [1, 0, -1]
+    rows = [(7, "a", 0.5), (None, "bb", 1.5), (9, None, 2.5), (None, None, 3.5)]
+    blob = A.encode_container(rows, sj, codec="null")
+    sj2, got = A.decode_container(blob)
+    assert got == rows
+    # a hand-built payload with an out-of-range branch long must raise,
+    # not silently misalign
+    import io
+
+    body = io.BytesIO()
+    A._write_long(body, 2)  # invalid branch for field k
+    bad = A.encode_container([], sj)  # header + no blocks
+    sync = A._sync_marker(sj)
+    block = io.BytesIO()
+    A._write_long(block, 1)  # one row
+    A._write_long(block, len(body.getvalue()))
+    block.write(body.getvalue())
+    try:
+        A.decode_container(bad + block.getvalue() + sync)
+        raise AssertionError("expected invalid-branch ValueError")
+    except ValueError as e:
+        assert "union branch" in str(e) or "avro" in str(e).lower()
+
+
 def test_avro_spark_roundtrip_and_auto_input(spark, tmp_path):
     """write_avro -> read_avro row equality (incl. NULLs in long
     columns and 60-bit hash values), and auto_input('.avro') resolves

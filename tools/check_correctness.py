@@ -2,19 +2,34 @@
 
 Runs every registry query on Spark at a given SF, runs its DuckDB
 oracle on the same parquet, and compares: row count, sorted column
-names, and exact values (rows sorted by all columns). Stricter than
-a value-hash — if this passes, any reasonable hash matches.
+names, exact values (rows sorted by all columns), AND the DuckDB
+result type line — any HUGEINT/UHUGEINT column is a hard failure,
+because Spark has no int128 and the driver's value-hash is
+type-sensitive (the round-5 funnel_3stage/twap_user_value lesson:
+values matched, the un-cast SUM() typed as HUGEINT, hash failed).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Oracle results are cached under tools/.oracle_cache keyed on
+(query, sf_dir, md5(oracle_sql)) so re-sweeps only pay DuckDB cost
+for changed oracles; --parallel N fans the per-query work across
+threads (one DuckDB cursor per thread; Spark schedules concurrent
+jobs natively).
+
+Usage:
+  python tools/check_correctness.py [sf_dir] [query ...] \
+      [--parallel N] [--no-cache] [--clear-cache]
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
+import shutil
 import sys
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,6 +39,8 @@ import pandas as pd
 from hadoop_main_spark.plans.registry import REGISTRY
 from hadoop_main_spark.session import get_spark
 from hadoop_main_spark.tables import TABLE_NAMES
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".oracle_cache")
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -80,9 +97,83 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
     return res
 
 
+def _cache_key(name: str, sf_dir: str, oracle: str) -> str:
+    h = hashlib.md5(f"{sf_dir}|{oracle}".encode()).hexdigest()[:16]
+    return f"{name}.{h}"
+
+
+def oracle_result(
+    cur: duckdb.DuckDBPyConnection, name: str, sf_dir: str, oracle: str, use_cache: bool
+) -> tuple[pd.DataFrame, list[str]]:
+    """Oracle pandas result + DuckDB column-type strings, via the
+    on-disk cache when the (sf_dir, oracle text) pair is unchanged."""
+    key = _cache_key(name, sf_dir, oracle)
+    pq = os.path.join(CACHE_DIR, key + ".parquet")
+    meta = os.path.join(CACHE_DIR, key + ".json")
+    if use_cache and os.path.exists(pq) and os.path.exists(meta):
+        with open(meta) as fh:
+            types = json.load(fh)["duck_types"]
+        return pd.read_parquet(pq), types
+    rel = cur.sql(oracle)
+    types = [str(t) for t in rel.types]
+    ddf = rel.df()
+    if use_cache:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = pq + ".tmp"
+        try:
+            ddf.to_parquet(tmp)
+            os.replace(tmp, pq)
+            with open(meta + ".tmp", "w") as fh:
+                json.dump({"duck_types": types}, fh)
+            os.replace(meta + ".tmp", meta)
+        except Exception:
+            # non-parquet-able oracle frames (shouldn't happen) just skip caching
+            for p in (tmp, meta + ".tmp"):
+                if os.path.exists(p):
+                    os.remove(p)
+    return ddf, types
+
+
+def check_one(spark, con, name, q, sf_dir, use_cache) -> tuple[str, str]:
+    """Returns (status_line, 'pass'|'fail'|'rows_only')."""
+    t0 = time.time()
+    try:
+        sdf = q.build(spark, sf_dir).toPandas()
+    except Exception as e:
+        return f"FAIL  {name}: spark error: {e}", "fail"
+    if q.oracle is None:
+        return f"ok?   {name}: rows={len(sdf)} (no oracle — rows-only)", "rows_only"
+    try:
+        ddf, duck_types = oracle_result(con, name, sf_dir, q.oracle, use_cache)
+    except Exception as e:
+        return f"FAIL  {name}: oracle error: {e}", "fail"
+    huge = [t for t in duck_types if "HUGEINT" in t.upper()]
+    r = compare(sdf, ddf)
+    ok = r["rows_match"] and r["cols_match"] and r["values_exact"] and not huge
+    if huge:
+        r["hugeint_cols"] = huge
+    status = "PASS " if ok else "FAIL "
+    return f"{status} {name}: {json.dumps(r)} ({time.time()-t0:.1f}s)", (
+        "pass" if ok else "fail"
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    parallel = 1
+    use_cache = True
+    if "--clear-cache" in args:
+        args.remove("--clear-cache")
+        shutil.rmtree(CACHE_DIR, ignore_errors=True)
+    if "--no-cache" in args:
+        args.remove("--no-cache")
+        use_cache = False
+    if "--parallel" in args:
+        i = args.index("--parallel")
+        parallel = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     # SPARK_GRAFT_SHUFFLE overrides shuffle parallelism — rerunning the
     # whole sweep at e.g. 5 partitions certifies results are
     # partitioning-independent
@@ -91,31 +182,28 @@ def main() -> int:
         "check-correctness", shuffle_partitions=int(shuffle) if shuffle else None
     )
     con = duck_connection(sf_dir)
+    names = [n for n in REGISTRY if not only or n in only]
     failures = 0
-    for name, q in REGISTRY.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = q.build(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            failures += 1
-            continue
-        if q.oracle is None:
-            print(f"ok?   {name}: rows={len(sdf)} (no oracle — rows-only)")
-            continue
-        try:
-            ddf = con.execute(q.oracle).df()
-        except Exception as e:
-            print(f"FAIL  {name}: oracle error: {e}")
-            failures += 1
-            continue
-        r = compare(sdf, ddf)
-        status = "PASS " if (r["rows_match"] and r["cols_match"] and r["values_exact"]) else "FAIL "
-        if status == "FAIL ":
-            failures += 1
-        print(f"{status} {name}: {json.dumps(r)} ({time.time()-t0:.1f}s)")
+    if parallel <= 1:
+        for name in names:
+            line, st = check_one(spark, con, name, REGISTRY[name], sf_dir, use_cache)
+            failures += st == "fail"
+            print(line, flush=True)
+    else:
+        # one DuckDB cursor per worker thread (cursors share the views);
+        # Spark accepts concurrent job submission from threads natively
+        tls = threading.local()
+
+        def worker(name: str) -> tuple[str, str]:
+            cur = getattr(tls, "cur", None)
+            if cur is None:
+                cur = tls.cur = con.cursor()
+            return check_one(spark, cur, name, REGISTRY[name], sf_dir, use_cache)
+
+        with ThreadPoolExecutor(max_workers=parallel) as ex:
+            for line, st in ex.map(worker, names):
+                failures += st == "fail"
+                print(line, flush=True)
     spark.stop()
     return 1 if failures else 0
 
