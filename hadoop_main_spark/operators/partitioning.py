@@ -175,6 +175,14 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 10) -> Column:
     2-D ``zorder_value`` wraps this function — one interleave
     definition repo-wide).
     """
+    if bits * len(cols) > 63:
+        # JVM shiftleft masks shift counts mod 64: an oversized
+        # dims×bits config would silently fold high bits onto low
+        # positions and produce a WRONG clustering key (advice-r5)
+        raise ValueError(
+            f"zorder_key: {len(cols)} dims x {bits} bits = "
+            f"{bits * len(cols)} key bits > 63 (BIGINT); reduce bits"
+        )
     exprs = [F.col(c).cast("bigint") if isinstance(c, str) else c.cast("bigint") for c in cols]
     nd = len(exprs)
     out = F.lit(0).cast("bigint")
@@ -187,6 +195,11 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 10) -> Column:
 
 def zorder_key_sql(exprs: Sequence[str], bits: int = 10) -> str:
     """The DuckDB SQL text computing exactly :func:`zorder_key`."""
+    if bits * len(exprs) > 63:
+        raise ValueError(
+            f"zorder_key_sql: {len(exprs)} dims x {bits} bits = "
+            f"{bits * len(exprs)} key bits > 63 (BIGINT); reduce bits"
+        )
     nd = len(exprs)
     terms = []
     for i in range(bits):

@@ -103,15 +103,25 @@ def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally created session
     (e.g. the verification driver's). Best-effort: unsettable keys are
     skipped."""
-    for k, v in RUNTIME_CONFS.items():
+    # "Cannot modify"/static-conf failures are expected on an external
+    # session and skipped with a warning; any OTHER failure (e.g. a
+    # typo'd key rejected outright) must surface, not vanish (advice-r5)
+    def _set(k: str, v: str) -> None:
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass
-    try:
-        # size the shuffle to the machine instead of the 200 default;
-        # AQE still coalesces below this at runtime
-        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
-    except Exception:
-        pass
+        except Exception as e:  # noqa: BLE001 — narrowed by message below
+            if "Cannot modify" in str(e) or "static" in str(e).lower():
+                warnings.warn(
+                    f"tune(): conf {k!r} is static on this session; keeping "
+                    f"the session's existing value",
+                    stacklevel=3,
+                )
+            else:
+                raise
+
+    for k, v in RUNTIME_CONFS.items():
+        _set(k, v)
+    # size the shuffle to the machine instead of the 200 default;
+    # AQE still coalesces below this at runtime
+    _set("spark.sql.shuffle.partitions", str(default_parallelism()))
     return spark

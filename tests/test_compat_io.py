@@ -548,6 +548,20 @@ def test_zorder_rejects_negative_keys(spark, tmp_path):
         write_zordered(df, str(tmp_path / "z"), "a", "b")
 
 
+def test_zorder_key_rejects_over_63_bit_layout(spark):
+    """Advice-r5: JVM shiftleft masks shift counts mod 64, so
+    dims*bits > 63 would silently fold high bits onto low positions —
+    must raise instead."""
+    from hadoop_main_spark.operators.partitioning import zorder_key, zorder_key_sql
+
+    with pytest.raises(ValueError, match="> 63"):
+        zorder_key(["a", "b", "c"], bits=22)  # 66 key bits
+    with pytest.raises(ValueError, match="> 63"):
+        zorder_key_sql(["a", "b"], bits=32)  # 64 key bits
+    zorder_key(["a", "b"], bits=31)  # 62 bits: the widest legal 2-D key
+    zorder_key_sql(["a", "b", "c"], bits=21)  # 63 bits exactly
+
+
 def test_sequencefile_layout_pin_requires_codec(spark, tmp_path):
     from hadoop_main_spark.sources.sequencefile import write_sequencefile
 

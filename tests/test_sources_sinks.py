@@ -207,6 +207,36 @@ def test_get_spark_honors_caller_confs(spark):
     tune(s)
 
 
+def test_tune_surfaces_conf_failures(spark, monkeypatch):
+    """Advice-r5: tune() must warn (with the key name) on static-conf
+    rejection and RAISE on any other conf-set failure — not swallow."""
+    import warnings as W
+
+    import pytest
+
+    from hadoop_main_spark import session as S
+
+    monkeypatch.setitem(
+        S.RUNTIME_CONFS, "spark.sql.catalogImplementation", "in-memory"
+    )  # static conf: settable only at builder time -> must warn
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        S.tune(spark)
+    assert any("spark.sql.catalogImplementation" in str(w.message) for w in caught)
+
+    real_set = spark.conf.set
+
+    def boom(k, v):
+        if k == "spark.sql.session.timeZone":
+            raise RuntimeError("driver gone")
+        return real_set(k, v)
+
+    monkeypatch.delitem(S.RUNTIME_CONFS, "spark.sql.catalogImplementation")
+    monkeypatch.setattr(spark.conf, "set", boom)
+    with pytest.raises(RuntimeError, match="driver gone"):
+        S.tune(spark)
+
+
 def test_avro_container_roundtrip_pure_python():
     """Binary-encoding unit contract (no Spark): zigzag varints incl.
     negatives and 60-bit longs, nullable unions, both codecs, multiple
