@@ -790,6 +790,51 @@ def test_dedup_ingest_stream_replay_after_crash_is_idempotent(spark, sf_dir, tmp
     assert spark.read.parquet(sig_p).count() == docs.count()
 
 
+def test_dedup_ingest_first_batch_crash_replay(spark, sf_dir, tmp_path):
+    """Verdict-r5 next#6 edge: a crash during the FIRST batch leaves
+    sig_path/batch=0 on disk with NO checkpoint at all. The fresh run
+    replays batch 0 against a sig store whose only partition is its
+    own: the strictly-earlier filter must yield an EMPTY corpus (not a
+    self-join), and the final pair set must equal a one-shot run's."""
+    from hadoop_main_spark.operators.dedup import minhash_signature
+    from hadoop_main_spark.tables import load_table
+
+    src = str(tmp_path / "docsrc")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    sig_p, pairs_p, ckpt = (
+        str(tmp_path / "sigs"), str(tmp_path / "pairs"), str(tmp_path / "ick")
+    )
+    # simulate the torn first attempt: batch 0's signatures landed,
+    # nothing else did (no pairs, no checkpoint commit)
+    minhash_signature(docs, "doc_id", "text").write.parquet(f"{sig_p}/batch=0")
+
+    q = W.dedup_ingest_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        "doc_id", "text", sig_p, pairs_p, ckpt,
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    got = sorted(
+        (r.id_a, r.id_b, r.est_jaccard) for r in spark.read.parquet(pairs_p).collect()
+    )
+    assert all(a != b for a, b, _ in got), "first-batch replay self-paired"
+    # one-shot reference on a clean slate
+    sig2, pairs2, ck2 = (
+        str(tmp_path / "s2"), str(tmp_path / "p2"), str(tmp_path / "ck2")
+    )
+    q2 = W.dedup_ingest_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        "doc_id", "text", sig2, pairs2, ck2,
+    )
+    assert q2.awaitTermination(300)
+    q2.stop()
+    want = sorted(
+        (r.id_a, r.id_b, r.est_jaccard) for r in spark.read.parquet(pairs2).collect()
+    )
+    assert got == want
+
+
 def test_span_sink_recovers_from_crash_mid_swap(spark, sf_dir, tmp_path):
     """Verdict-r4 hardening: the same crash window (live dir moved
     aside, swap never happened) for the SUM-merged span sink — span
