@@ -682,6 +682,26 @@ def test_ivfpq_broadcast_tables_no_cartesian(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2  # probe cells + dtable
 
 
+def test_ivfpq_indexed_scan_prunes_to_probed_cells(spark, sf_dir):
+    """Verdict-r5 next#3: the materialized-index probe must read ONLY
+    the probed cells' code partitions (PartitionFilters IN-list on
+    cell, file-level pruning) and never the float vectors — no
+    centroid rebuild, no encode pass, no Python eval on the query
+    path."""
+    plan = _plan(spark, "ivfpq_indexed_topk", sf_dir)
+    # the codes scan is partition-pruned on the cell IN-list
+    tail = plan.split("PartitionFilters:")
+    assert len(tail) >= 2, "codes scan lost its partition filter"
+    assert "cell" in tail[1][:120], tail[1][:120]
+    # query path reads codes at rest: no embedding column in any scan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("embedding" not in ln for ln in reads), reads
+    # no encode kernel / centroid aggregation on the probe path
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "posexplode" in plan.lower() or "Generate" in plan  # code unpack only
+    assert plan.count("BroadcastHashJoin") >= 2  # probe cells + dtable
+
+
 def test_frequent_pairs_no_self_join(spark, sf_dir):
     """Pair generation must happen inside the basket array (no basket
     self-join): exactly two exchanges — basket assembly and support
