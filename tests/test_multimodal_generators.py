@@ -44,6 +44,70 @@ def test_frame_sample_shape(spark, sf_dir):
     assert frames.count() > 0
 
 
+def test_y4m_roundtrip_all_colorspaces():
+    """Pure-Python Y4M codec contract: C444 / C420jpeg / Cmono
+    encode->decode round-trips bit-exactly, header defaults apply,
+    malformed streams raise."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def mk(h, w):
+        return rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+    # C444: three full-res planes
+    fr444 = [(mk(6, 8), mk(6, 8), mk(6, 8)) for _ in range(3)]
+    w, h, fps, cs, got = MM._y4m_decode(
+        MM._y4m_encode(fr444, rate=(30, 1), colorspace="C444")
+    )
+    assert (w, h, fps, cs) == (8, 6, (30, 1), "C444")
+    for a, b in zip(fr444, got):
+        assert all((x == y).all() for x, y in zip(a, b))
+    # C420jpeg: subsampled chroma geometry
+    fr420 = [(mk(6, 8), mk(3, 4), mk(3, 4)) for _ in range(2)]
+    w, h, _fps, cs, got = MM._y4m_decode(MM._y4m_encode(fr420))
+    assert (w, h, cs) == (8, 6, "C420jpeg")
+    for a, b in zip(fr420, got):
+        assert all((x == y).all() for x, y in zip(a, b))
+    # Cmono: Y only, decode pads (y, None, None)
+    frm = [(mk(5, 7), None, None) for _ in range(4)]
+    w, h, _fps, cs, got = MM._y4m_decode(MM._y4m_encode(frm, colorspace="Cmono"))
+    assert (w, h, cs) == (7, 5, "Cmono")
+    assert got[2][1] is None and (got[2][0] == frm[2][0]).all()
+    # spec default: header with no C tag decodes as C420jpeg
+    blob = MM._y4m_encode(fr420)
+    no_c = blob.replace(b" C420jpeg", b"", 1)
+    assert MM._y4m_decode(no_c)[3] == "C420jpeg"
+    # malformed inputs raise
+    with pytest.raises(ValueError, match="magic"):
+        MM._y4m_decode(b"JUNK W8 H6\nFRAME\n")
+    with pytest.raises(ValueError, match="truncated"):
+        MM._y4m_decode(blob[:-5])
+    with pytest.raises(ValueError, match="even"):
+        MM._y4m_encode([(mk(5, 7), mk(2, 3), mk(2, 3))], colorspace="C420jpeg")
+    with pytest.raises(ValueError, match="planes"):
+        MM._y4m_encode([(mk(6, 8), None, None)], colorspace="C444")
+
+
+def test_frame_sample_real_y4m_and_bad_records(spark):
+    """frame_sample parses real Y4M payloads (every_n stride, plane
+    means, per-frame digest) and skips malformed payloads instead of
+    failing the task."""
+    import numpy as np
+
+    y = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    fr = [(y + i, np.full((3, 4), 10 * i, np.uint8), np.full((3, 4), 7, np.uint8))
+          for i in range(5)]
+    good = MM._y4m_encode(fr)
+    rows = [(1, bytearray(good)), (2, bytearray(b"not a video")), (3, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = MM.frame_sample(media, every_n=2).orderBy("frame_idx").collect()
+    assert [(r.media_id, r.frame_idx) for r in got] == [(1, 0), (1, 2), (1, 4)]
+    assert got[1].y_mean == float((y + 2).mean()) and got[1].cb_mean == 20.0
+    assert got[0].frame_digest != got[2].frame_digest
+    assert (got[0].width, got[0].height) == (8, 6)
+
+
 def test_teragen_deterministic(spark):
     a = teragen(spark, 1000, seed=7).collect()
     b = {r.rowid: r.key for r in teragen(spark, 1000, seed=7).collect()}
