@@ -1403,6 +1403,161 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+# --- video: REAL MJPEG-AVI container codec ------------------------------------
+# RIFF 'AVI ' per the public Microsoft AVI/OpenDML spec: hdrl LIST
+# (avih main header + strl with strh/strf), movi LIST of '00dc'
+# compressed-frame chunks (each one complete baseline JPEG — the
+# Motion-JPEG convention), idx1 index. Reuses the round-5 pure-Python
+# JPEG codec for the frames, so this is a REAL compressed-frame
+# container path with no external libraries.
+
+
+def _avi_mjpeg_encode(jpeg_frames: list, w: int, h: int, fps: int = 25) -> bytes:
+    """Assemble complete per-frame JPEG payloads into a minimal
+    single-stream MJPEG AVI (RIFF little-endian; '00dc' chunks padded
+    to even length; idx1 with AVIIF_KEYFRAME on every frame — MJPEG
+    frames are all intra)."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    if not jpeg_frames:
+        raise ValueError("avi stream needs at least one frame")
+    n = len(jpeg_frames)
+    max_sz = max(len(f) for f in jpeg_frames)
+    # MainAVIHeader: usec/frame, max bytes/sec, pad, flags(HASINDEX),
+    # frames, initial, streams, bufsize, w, h, reserved[4]
+    avih = struct.pack(
+        "<10I4I", 1_000_000 // fps, max_sz * fps, 0, 0x10, n, 0, 1, max_sz,
+        w, h, 0, 0, 0, 0,
+    )
+    # AVIStreamHeader: fccType, fccHandler, flags, prio+lang, initial,
+    # scale, rate, start, length, bufsize, quality, samplesize, rcFrame
+    strh = struct.pack(
+        "<4s4sIIIIIIIIiI4H", b"vids", b"MJPG", 0, 0, 0, 1, fps, 0, n,
+        max_sz, -1, 0, 0, 0, w, h,
+    )
+    # BITMAPINFOHEADER with biCompression='MJPG'
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the start of the movi LIST data
+    # (the 'movi' fourcc position), the convention players expect
+    idx = bytearray()
+    off = 4  # past the 'movi' type fourcc
+    for f in jpeg_frames:
+        idx += struct.pack("<4sII", b"00dc", 0x10, off) + struct.pack("<I", len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return chunk(b"RIFF", riff_body)
+
+
+def _avi_mjpeg_decode(p: bytes):
+    """Parse an MJPEG AVI: returns (width, height, fps, frames) with
+    frames a list of decoded (h, w, ch) uint8 arrays (one per
+    '00dc'/'00db' chunk of stream 0, decoded with the pure-Python
+    baseline-JPEG decoder). Raises ValueError on malformed containers
+    or frames."""
+    import struct
+
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI stream (bad magic)")
+
+    def walk(lo: int, hi: int):
+        """Yield (fourcc, body_lo, body_hi) over a chunk run."""
+        pos = lo
+        while pos + 8 <= hi:
+            cid = p[pos : pos + 4]
+            (sz,) = struct.unpack("<I", p[pos + 4 : pos + 8])
+            body = pos + 8
+            if body + sz > hi:
+                raise ValueError("truncated avi chunk")
+            yield cid, body, body + sz
+            pos = body + sz + (sz % 2)
+
+    w = h = None
+    fps = 25
+    frames = []
+    for cid, lo, hi in walk(12, len(p)):
+        if cid != b"LIST":
+            continue
+        ltype = p[lo : lo + 4]
+        if ltype == b"hdrl":
+            for c2, lo2, hi2 in walk(lo + 4, hi):
+                if c2 == b"avih":
+                    w, h = struct.unpack("<II", p[lo2 + 32 : lo2 + 40])
+                elif c2 == b"LIST" and p[lo2 : lo2 + 4] == b"strl":
+                    for c3, lo3, hi3 in walk(lo2 + 4, hi2):
+                        if c3 == b"strh" and p[lo3 : lo3 + 4] == b"vids":
+                            scale, rate = struct.unpack(
+                                "<II", p[lo3 + 20 : lo3 + 28]
+                            )
+                            if scale:
+                                fps = rate // scale
+        elif ltype == b"movi":
+            for c2, lo2, hi2 in walk(lo + 4, hi):
+                if c2 in (b"00dc", b"00db"):
+                    frames.append(_jpeg_decode(p[lo2:hi2]))
+    if w is None or h is None:
+        raise ValueError("avi missing avih header")
+    if not frames:
+        raise ValueError("avi stream has no frames")
+    return int(w), int(h), int(fps), frames
+
+
+#: one row per SAMPLED AVI frame; px_mean averages ALL channels
+AVI_FRAME_SCHEMA = (
+    "media_id long, frame_idx long, width long, height long, ch long, "
+    "px_mean double, frame_digest string"
+)
+
+
+def avi_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL compressed-frame video sampling: parse each payload as an
+    MJPEG AVI, JPEG-decode every ``every_n``-th frame, emit per-frame
+    pixel means + digests — same 1→N Arrow-batched shape and
+    bad-record policy as :func:`frame_sample`, for the RIFF container
+    family instead of Y4M."""
+    import hashlib as _hl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    w, h, _fps, frames = _avi_mjpeg_decode(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    continue  # bad record: skip, never fail the task
+                for idx in range(0, len(frames), every_n):
+                    a = frames[idx]
+                    rows.append(
+                        (
+                            int(mid), idx, w, h, int(a.shape[2]),
+                            float(a.mean()),
+                            _hl.md5(a.tobytes()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height", "ch",
+                    "px_mean", "frame_digest",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AVI_FRAME_SCHEMA)
+
+
 AUDIO_SCHEMA = "media_id long, n_samples_in long, n_samples_out long, out_digest string"
 
 

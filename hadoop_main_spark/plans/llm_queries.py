@@ -3243,6 +3243,7 @@ def _ivfpq_index_dir(sf: str) -> str:
 
 @query(
     "ivfpq_indexed_topk",
+    bench=True,
     oracle=f"""
     WITH emb AS (SELECT vec_id, label, embedding,
            list_transform(embedding,

@@ -328,6 +328,67 @@ def y4m_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "avi_mjpeg_frame_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 5 + 3 AS nf FROM documents),
+    f AS (SELECT doc_id, unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+          FROM p),
+    blk AS (SELECT doc_id, frame_idx, r.r, c.c FROM f,
+            unnest(generate_series(0, 1)) AS r(r),
+            unnest(generate_series(0, 1)) AS c(c))
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS ch,
+           AVG(CAST((doc_id*29 + frame_idx*41 + r*13 + c*7) % 256 AS DOUBLE))
+             AS px_mean
+    FROM blk GROUP BY doc_id, frame_idx
+    """,
+    doc="REAL compressed-frame video container on the data path: "
+    "per-doc MJPEG AVIs (RIFF hdrl/movi/idx1 per the public AVI "
+    "spec; doc_id%5+3 frames, each a 16x16 gray baseline JPEG of "
+    "CONSTANT 8x8 blocks at quality 100 — all quantizers 1, so the "
+    "DCT round-trip is pixel-exact) are assembled with "
+    "_avi_mjpeg_encode, then avi_frame_sample walks the RIFF chunks "
+    "and ENTROPY-DECODES every 2nd frame with the pure-Python T.81 "
+    "decoder, Arrow-batched. Block (r,c) of frame f is "
+    "(doc_id*29 + f*41 + r*13 + c*7) % 256, so the oracle recomputes "
+    "each sampled frame's pixel mean in closed form — the container "
+    "walk + per-frame JPEG decode is what is verified. Only ~50-byte "
+    "frame summaries shuffle.",
+)
+def avi_mjpeg_frame_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nf = i % 5 + 3
+                frames = []
+                for fi in range(nf):
+                    arr = np.zeros((16, 16), dtype=np.uint8)
+                    for r in range(2):
+                        for c in range(2):
+                            arr[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                                i * 29 + fi * 41 + r * 13 + c * 7
+                            ) % 256
+                    frames.append(MM._jpeg_encode(arr, quality=100))
+                payloads.append(MM._avi_mjpeg_encode(frames, 16, 16))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return MM.avi_frame_sample(media, every_n=2).select(
+        "media_id", "frame_idx", "width", "height", "ch", "px_mean"
+    )
+
+
 # ($1 "") forces STRING comparison: a first key of "0" compares
 # numerically equal to the uninitialized k ("" coerces to 0) and the
 # group transition would never fire for it.
@@ -550,7 +611,11 @@ def image_dhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
     "hashes) must match the oracle computed on the ORIGINAL parquet — "
     "any encode/decode corruption of any row moves the checksum. The "
     "write lands in a per-session temp dir (generator-query "
-    "discipline, like db_count_pageview's embedded Derby).",
+    "discipline, like db_count_pageview's embedded Derby). "
+    "LOCAL-MODE CONTRACT: tempfile.mkdtemp() resolves on the driver "
+    "and the mapInArrow writer opens it on executors — one shared "
+    "filesystem here; on a real cluster pass write_avro a shared-FS "
+    "path (S3/HDFS) instead (same caveat as _ivfpq_index_dir).",
 )
 def avro_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
