@@ -302,6 +302,59 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ivf_topk(e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=2)
 
 
+@query(
+    "ann_ivf_indexed",
+    oracle=f"""
+    WITH comps AS (
+           SELECT label AS cell, i.i AS dim, embedding[i.i] AS x
+           FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)),
+         centd AS (
+           SELECT cell, dim,
+                  CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS c
+           FROM comps GROUP BY cell, dim),
+         cent AS (SELECT cell, list(c ORDER BY dim) AS centroid FROM centd GROUP BY cell),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id >= 10 AND vec_id < 18),
+         cellrank AS (
+           SELECT query_id, cell, qv,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY {_cos("centroid", "qv")} DESC, cell) AS crank
+           FROM q, cent),
+         probe AS (SELECT query_id, cell, qv FROM cellrank WHERE crank <= 3),
+         scored AS (
+           SELECT p.query_id, e.vec_id AS neighbor_id, {_cos("e.embedding", "p.qv")} AS cosine
+           FROM embeddings e JOIN probe p ON e.label = p.cell
+           WHERE e.vec_id <> p.query_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+    doc="IVF ANN against a MATERIALIZED index (the ann_ivf watch-item "
+    "companion to ivfpq_indexed_topk): build_ivf_index's centroids "
+    "parquet + vectors partitionBy(cell) are built once "
+    "(build-if-absent), and the probe reads the persisted centroids "
+    "and statically prunes the vector scan to the top-3 probed cells "
+    "per query — the per-query exact-DECIMAL centroid rebuild is off "
+    "the query path. Distinct query set (vec_id 10..17, nprobe 3) "
+    "from ann_ivf.",
+)
+def ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    idx = _index_dir(sf, "ivf")
+    if not (
+        os.path.exists(f"{idx}/centroids/_SUCCESS")
+        and os.path.exists(f"{idx}/vectors/_SUCCESS")
+    ):
+        SIM.build_ivf_index(e, idx, "label", "vec_id", "embedding")
+    q = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 18)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk_indexed(
+        spark, idx, q, "vec_id", "embedding", "query_id", k=10, nprobe=3
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 
@@ -3227,18 +3280,22 @@ def ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivfpq_index_dir(sf: str) -> str:
+def _index_dir(sf: str, kind: str) -> str:
     """Deterministic per-sf-dir index location under the system temp
     dir. LOCAL-MODE CONTRACT (same as avro_roundtrip_agg): driver and
     executors share one filesystem here; on a real cluster the index
     lives on the shared FS (S3/HDFS) and this helper is replaced by a
-    real path — build_ivfpq_index/ivfpq_topk_indexed themselves are
+    real path — the build_*/probe operators themselves are
     path-agnostic."""
     import hashlib
     import tempfile
 
     key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"hms_ivfpq_{key}")
+    return os.path.join(tempfile.gettempdir(), f"hms_{kind}_{key}")
+
+
+def _ivfpq_index_dir(sf: str) -> str:
+    return _index_dir(sf, "ivfpq")
 
 
 @query(
