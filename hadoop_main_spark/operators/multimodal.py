@@ -1371,6 +1371,8 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         for b in batches:
             rows = []
             for mid, payload in zip(b["media_id"], b["payload"]):
+                if mid is None or pd.isna(mid):
+                    continue  # bad record: no id to attribute frames to
                 try:
                     w, h, _fps, _cs, frames = _y4m_decode(
                         bytes(payload) if payload is not None else b""
@@ -1460,12 +1462,15 @@ def _avi_mjpeg_encode(jpeg_frames: list, w: int, h: int, fps: int = 25) -> bytes
     return chunk(b"RIFF", riff_body)
 
 
-def _avi_mjpeg_decode(p: bytes):
-    """Parse an MJPEG AVI: returns (width, height, fps, frames) with
-    frames a list of decoded (h, w, ch) uint8 arrays (one per
-    '00dc'/'00db' chunk of stream 0, decoded with the pure-Python
-    baseline-JPEG decoder). Raises ValueError on malformed containers
-    or frames."""
+def _avi_mjpeg_chunks(p: bytes):
+    """Walk an MJPEG AVI container WITHOUT decoding frames: returns
+    (width, height, fps, jpeg_payloads) with one compressed payload
+    per stream-0 video chunk — '00dc'/'00db' either bare in the movi
+    LIST or nested in the spec's 'rec ' interleave-grouping LISTs
+    (classic VfW muxers emit those). All malformed-container failures
+    surface as ValueError — short header chunks otherwise escape as
+    struct.error, which the bad-record handlers deliberately do NOT
+    catch (the _jpeg_decode normalization discipline)."""
     import struct
 
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
@@ -1483,34 +1488,53 @@ def _avi_mjpeg_decode(p: bytes):
             yield cid, body, body + sz
             pos = body + sz + (sz % 2)
 
+    def collect_video(lo: int, hi: int, out: list) -> None:
+        for c2, lo2, hi2 in walk(lo, hi):
+            if c2 in (b"00dc", b"00db"):
+                out.append(p[lo2:hi2])
+            elif c2 == b"LIST" and p[lo2 : lo2 + 4] == b"rec ":
+                collect_video(lo2 + 4, hi2, out)
+
     w = h = None
     fps = 25
-    frames = []
-    for cid, lo, hi in walk(12, len(p)):
-        if cid != b"LIST":
-            continue
-        ltype = p[lo : lo + 4]
-        if ltype == b"hdrl":
-            for c2, lo2, hi2 in walk(lo + 4, hi):
-                if c2 == b"avih":
-                    w, h = struct.unpack("<II", p[lo2 + 32 : lo2 + 40])
-                elif c2 == b"LIST" and p[lo2 : lo2 + 4] == b"strl":
-                    for c3, lo3, hi3 in walk(lo2 + 4, hi2):
-                        if c3 == b"strh" and p[lo3 : lo3 + 4] == b"vids":
-                            scale, rate = struct.unpack(
-                                "<II", p[lo3 + 20 : lo3 + 28]
-                            )
-                            if scale:
-                                fps = rate // scale
-        elif ltype == b"movi":
-            for c2, lo2, hi2 in walk(lo + 4, hi):
-                if c2 in (b"00dc", b"00db"):
-                    frames.append(_jpeg_decode(p[lo2:hi2]))
+    payloads: list[bytes] = []
+    try:
+        for cid, lo, hi in walk(12, len(p)):
+            if cid != b"LIST":
+                continue
+            ltype = p[lo : lo + 4]
+            if ltype == b"hdrl":
+                for c2, lo2, hi2 in walk(lo + 4, hi):
+                    if c2 == b"avih":
+                        w, h = struct.unpack("<II", p[lo2 + 32 : lo2 + 40])
+                    elif c2 == b"LIST" and p[lo2 : lo2 + 4] == b"strl":
+                        for c3, lo3, hi3 in walk(lo2 + 4, hi2):
+                            if c3 == b"strh" and p[lo3 : lo3 + 4] == b"vids":
+                                scale, rate = struct.unpack(
+                                    "<II", p[lo3 + 20 : lo3 + 28]
+                                )
+                                if scale:
+                                    fps = rate // scale
+            elif ltype == b"movi":
+                collect_video(lo + 4, hi, payloads)
+    except struct.error as e:  # short avih/strh slice at buffer end
+        raise ValueError(f"malformed AVI header ({e})") from e
     if w is None or h is None:
         raise ValueError("avi missing avih header")
-    if not frames:
+    if not payloads:
         raise ValueError("avi stream has no frames")
-    return int(w), int(h), int(fps), frames
+    return int(w), int(h), int(fps), payloads
+
+
+def _avi_mjpeg_decode(p: bytes):
+    """Parse an MJPEG AVI and decode EVERY frame: returns (width,
+    height, fps, frames) with frames a list of (h, w, ch) uint8
+    arrays. Raises ValueError on malformed containers or frames.
+    Sampling paths use :func:`_avi_mjpeg_chunks` + selective decode
+    instead — entropy-decoding discarded frames wastes ~every_n x
+    the CPU."""
+    w, h, fps, payloads = _avi_mjpeg_chunks(p)
+    return w, h, fps, [_jpeg_decode(f) for f in payloads]
 
 
 #: one row per SAMPLED AVI frame; px_mean averages ALL channels
@@ -1532,21 +1556,28 @@ def avi_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         for b in batches:
             rows = []
             for mid, payload in zip(b["media_id"], b["payload"]):
+                if mid is None or pd.isna(mid):
+                    continue  # bad record: no id to attribute frames to
                 try:
-                    w, h, _fps, frames = _avi_mjpeg_decode(
+                    # chunk walk only — then entropy-decode JUST the
+                    # sampled frames (decoding all N wastes ~every_n x
+                    # the T.81 CPU)
+                    w, h, _fps, payloads = _avi_mjpeg_chunks(
                         bytes(payload) if payload is not None else b""
                     )
-                except ValueError:
-                    continue  # bad record: skip, never fail the task
-                for idx in range(0, len(frames), every_n):
-                    a = frames[idx]
-                    rows.append(
-                        (
-                            int(mid), idx, w, h, int(a.shape[2]),
-                            float(a.mean()),
-                            _hl.md5(a.tobytes()).hexdigest(),
+                    frame_rows = []
+                    for idx in range(0, len(payloads), every_n):
+                        a = _jpeg_decode(payloads[idx])
+                        frame_rows.append(
+                            (
+                                int(mid), idx, w, h, int(a.shape[2]),
+                                float(a.mean()),
+                                _hl.md5(a.tobytes()).hexdigest(),
+                            )
                         )
-                    )
+                except ValueError:
+                    continue  # bad record (container OR any frame): skip whole file
+                rows.extend(frame_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -333,6 +333,21 @@ def build_ivf_index(
     )
 
 
+def _static_prune(spark, probe: DataFrame, layout_path: str):
+    """Shared static-pruning block for materialized-index probes:
+    the probed-cell set is tiny (≤ queries × nprobe) — collect it once
+    to the driver and push an IN-list to the scan, which prunes files
+    deterministically (runtime DPP proved unreliable here: the
+    1M-vector smoke scanned all cells). The tiny probe frame is
+    re-created from the collected rows instead of cache() so nothing
+    stays pinned in executor storage. Returns (probe, pruned_scan)."""
+    rank_rows = probe.collect()
+    probed = sorted({r.cell for r in rank_rows})
+    probe = spark.createDataFrame(rank_rows, probe.schema)
+    scan = spark.read.parquet(layout_path).filter(F.col("cell").isin(probed))
+    return probe, scan
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
@@ -348,16 +363,7 @@ def ivf_topk_indexed(
     nprobe cells' files are scanned."""
     cents = spark.read.parquet(f"{path}/centroids")
     cell_rank = _probe_cells(queries, cents, query_id, vec_col, nprobe)
-    # static partition pruning: the probed-cell set is tiny (≤ queries
-    # × nprobe) — collect it once to the driver and push an IN-list to
-    # the scan, which prunes files deterministically (runtime DPP
-    # proved unreliable here: the 1M-vector smoke scanned all cells).
-    # Re-create the tiny rank frame from the collected rows instead of
-    # cache() so nothing stays pinned in executor storage.
-    rank_rows = cell_rank.collect()
-    probed = sorted({r.cell for r in rank_rows})
-    cell_rank = spark.createDataFrame(rank_rows, cell_rank.schema)
-    vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probed))
+    cell_rank, vectors = _static_prune(spark, cell_rank, f"{path}/vectors")
     return _score_probed_cells(vectors, cell_rank, id_col, vec_col, query_id, k)
 
 
@@ -984,13 +990,10 @@ def ivfpq_topk_indexed(
     broadcast distance tables."""
     cents = spark.read.parquet(f"{path}/centroids")
     probe = _probe_cells(queries, cents, query_id, vec_col, nprobe)
-    rank_rows = probe.collect()  # bounded: queries x nprobe rows
-    probed = sorted({r.cell for r in rank_rows})
-    probe = spark.createDataFrame(rank_rows, probe.schema)
+    probe, enc_cells = _static_prune(spark, probe, f"{path}/codes")
     qrows = queries.select(query_id, vec_col).collect()
     query_vecs = [(int(r[query_id]), [float(x) for x in r[vec_col]]) for r in qrows]
     dtable = _pq_distance_table(spark, query_vecs, codebook, qscale)
-    enc_cells = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(probed))
     return _pq_score_probed(enc_cells, probe, dtable, id_col, query_id, k)
 
 

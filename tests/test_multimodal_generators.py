@@ -130,6 +130,33 @@ def test_avi_mjpeg_roundtrip_and_bad_records(spark):
         MM._avi_mjpeg_decode(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError, match="truncated"):
         MM._avi_mjpeg_decode(blob[:-20])
+    # short avih chunk must surface as ValueError (struct.error would
+    # escape the bad-record handler and kill the task — review-r6)
+    import struct
+
+    short_avih = (
+        b"RIFF" + struct.pack("<I", 4 + 12 + 12) + b"AVI "
+        + b"LIST" + struct.pack("<I", 4 + 12) + b"hdrl"
+        + b"avih" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(ValueError, match="malformed AVI header"):
+        MM._avi_mjpeg_decode(short_avih)
+    # frames nested in the spec's 'rec ' interleave-grouping LISTs
+    # (classic VfW muxers) must still be found
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    movi_start = blob.index(b"movi")
+    movi_size = struct.unpack("<I", blob[movi_start - 4 : movi_start])[0]
+    bare = blob[movi_start + 4 : movi_start + 4 + (movi_size - 4)]
+    rec_movi = b"movi" + chunk(b"LIST", b"rec " + bare)
+    rec_blob = (
+        blob[: movi_start - 8]
+        + chunk(b"LIST", rec_movi)
+        + blob[movi_start + 4 + (movi_size - 4) + (movi_size % 2) :]
+    )
+    rec_blob = b"RIFF" + struct.pack("<I", len(rec_blob) - 8) + rec_blob[8:]
+    assert len(MM._avi_mjpeg_decode(rec_blob)[3]) == 4
     # odd-length jpeg payload exercises the even-pad path
     odd = MM._jpeg_encode(np.full((8, 8), 3, np.uint8), quality=100)
     if len(odd) % 2 == 0:

@@ -97,17 +97,37 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
     return res
 
 
-def _cache_key(name: str, sf_dir: str, oracle: str) -> str:
-    h = hashlib.md5(f"{sf_dir}|{oracle}".encode()).hexdigest()[:16]
+def _data_fingerprint(sf_dir: str) -> str:
+    """Size+mtime digest of every parquet under sf_dir: regenerated
+    data at the same path invalidates every cached oracle result
+    (review-r6 — a stale cache would report phantom FAILs, or PASS a
+    real regression that reproduces the old values)."""
+    parts = []
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _cache_key(name: str, sf_dir: str, oracle: str, data_fp: str) -> str:
+    h = hashlib.md5(f"{sf_dir}|{data_fp}|{oracle}".encode()).hexdigest()[:16]
     return f"{name}.{h}"
 
 
 def oracle_result(
-    cur: duckdb.DuckDBPyConnection, name: str, sf_dir: str, oracle: str, use_cache: bool
+    cur: duckdb.DuckDBPyConnection,
+    name: str,
+    sf_dir: str,
+    oracle: str,
+    use_cache: bool,
+    data_fp: str = "",
 ) -> tuple[pd.DataFrame, list[str]]:
     """Oracle pandas result + DuckDB column-type strings, via the
-    on-disk cache when the (sf_dir, oracle text) pair is unchanged."""
-    key = _cache_key(name, sf_dir, oracle)
+    on-disk cache when (sf_dir, its parquet fingerprint, oracle text)
+    are all unchanged."""
+    key = _cache_key(name, sf_dir, oracle, data_fp)
     pq = os.path.join(CACHE_DIR, key + ".parquet")
     meta = os.path.join(CACHE_DIR, key + ".json")
     if use_cache and os.path.exists(pq) and os.path.exists(meta):
@@ -134,7 +154,7 @@ def oracle_result(
     return ddf, types
 
 
-def check_one(spark, con, name, q, sf_dir, use_cache) -> tuple[str, str]:
+def check_one(spark, con, name, q, sf_dir, use_cache, data_fp="") -> tuple[str, str]:
     """Returns (status_line, 'pass'|'fail'|'rows_only')."""
     t0 = time.time()
     try:
@@ -144,7 +164,7 @@ def check_one(spark, con, name, q, sf_dir, use_cache) -> tuple[str, str]:
     if q.oracle is None:
         return f"ok?   {name}: rows={len(sdf)} (no oracle — rows-only)", "rows_only"
     try:
-        ddf, duck_types = oracle_result(con, name, sf_dir, q.oracle, use_cache)
+        ddf, duck_types = oracle_result(con, name, sf_dir, q.oracle, use_cache, data_fp)
     except Exception as e:
         return f"FAIL  {name}: oracle error: {e}", "fail"
     huge = [t for t in duck_types if "HUGEINT" in t.upper()]
@@ -182,11 +202,14 @@ def main() -> int:
         "check-correctness", shuffle_partitions=int(shuffle) if shuffle else None
     )
     con = duck_connection(sf_dir)
+    data_fp = _data_fingerprint(sf_dir)
     names = [n for n in REGISTRY if not only or n in only]
     failures = 0
     if parallel <= 1:
         for name in names:
-            line, st = check_one(spark, con, name, REGISTRY[name], sf_dir, use_cache)
+            line, st = check_one(
+                spark, con, name, REGISTRY[name], sf_dir, use_cache, data_fp
+            )
             failures += st == "fail"
             print(line, flush=True)
     else:
@@ -198,7 +221,9 @@ def main() -> int:
             cur = getattr(tls, "cur", None)
             if cur is None:
                 cur = tls.cur = con.cursor()
-            return check_one(spark, cur, name, REGISTRY[name], sf_dir, use_cache)
+            return check_one(
+                spark, cur, name, REGISTRY[name], sf_dir, use_cache, data_fp
+            )
 
         with ThreadPoolExecutor(max_workers=parallel) as ex:
             for line, st in ex.map(worker, names):
