@@ -440,3 +440,69 @@ def test_jpeg_constant_blocks_roundtrip_exact_model(br, bc, mode, rst, vals):
     # gray/4:4:4 DC-only blocks are exact; 4:2:0 box-mean + float
     # color transform may round the last bit
     assert diff <= (1 if mode == 2 else 0), (mode, rst, diff)
+
+
+_pure = settings(max_examples=40, deadline=None)  # no Spark fixture: fast
+
+
+@_pure
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.sampled_from(["C444", "C420jpeg", "C420mpeg2", "Cmono"]),
+    st.tuples(st.integers(1, 120), st.integers(1, 3)),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_y4m_roundtrip_property(nf, hh, ww, cs, rate, seed):
+    """Any frame count x (even) geometry x colorspace x frame rate
+    round-trips bit-exactly through the Y4M codec."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    h, w = 2 * hh, 2 * ww
+    frames = []
+    for _ in range(nf):
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        if cs == "Cmono":
+            frames.append((y, None, None))
+        elif cs == "C444":
+            frames.append(
+                (y, rng.integers(0, 256, (h, w), dtype=np.uint8),
+                 rng.integers(0, 256, (h, w), dtype=np.uint8))
+            )
+        else:
+            frames.append(
+                (y, rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+                 rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8))
+            )
+    blob = MM._y4m_encode(frames, rate=rate, colorspace=cs)
+    w2, h2, fps2, cs2, got = MM._y4m_decode(blob)
+    assert (w2, h2, fps2, cs2, len(got)) == (w, h, rate, cs, nf)
+    for a, b in zip(frames, got):
+        for pa, pb in zip(a, b):
+            assert (pa is None) == (pb is None)
+            if pa is not None:
+                assert (pa == pb).all()
+
+
+@_pure
+@given(
+    st.lists(st.binary(min_size=0, max_size=33), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=120),
+)
+def test_avi_container_roundtrip_property(payloads, w, h, fps):
+    """The RIFF/AVI container layer round-trips ARBITRARY binary
+    frame payloads (odd lengths exercise even-padding) and header
+    fields exactly — independent of JPEG validity, which the
+    chunk-walk layer never inspects."""
+    from hadoop_main_spark.operators import multimodal as MM
+
+    blob = MM._avi_mjpeg_encode(payloads, w, h, fps=fps)
+    w2, h2, fps2, got = MM._avi_mjpeg_chunks(blob)
+    assert (w2, h2, fps2) == (w, h, fps)
+    assert got == payloads
