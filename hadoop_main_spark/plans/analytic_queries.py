@@ -36,6 +36,66 @@ def _rev() -> F.Column:
     return _price("l_extendedprice") * (_one() - _rate("l_discount"))
 
 
+# --- derived partsupp ---------------------------------------------------------
+# TESTDATA ships no partsupp table, which excluded the TPC-H Q2/Q20
+# shapes through round 5. Both become expressible with a DERIVED
+# partsupp: supplier assignment uses dbgen's published formula (TPC-H
+# spec 4.2.3 / dbgen build.c: part p's i-th supplier is
+# (p + i*(S/4 + (p-1)/S)) mod S + 1, i in 0..3, S = supplier count),
+# and availqty/supplycost — random streams in dbgen — are replaced by
+# deterministic hash-style integer formulas computed IDENTICALLY in
+# Spark and the DuckDB oracle (the engine-portability discipline every
+# oracle here follows). DISTINCT guards the corner where the stride's
+# order mod S drops below 4 and two of the four assignments collide.
+
+_PS_SQL = """
+  ps AS (
+    SELECT DISTINCT
+      p_partkey AS ps_partkey,
+      (p_partkey + i.i * (scnt.s // 4 + (p_partkey - 1) // scnt.s))
+        % scnt.s + 1 AS ps_suppkey,
+      (p_partkey * 47 + ((p_partkey + i.i * (scnt.s // 4 + (p_partkey - 1) // scnt.s))
+        % scnt.s + 1) * 31) % 9999 + 1 AS ps_availqty,
+      (p_partkey * 7 + ((p_partkey + i.i * (scnt.s // 4 + (p_partkey - 1) // scnt.s))
+        % scnt.s + 1) * 13) % 99900 + 100 AS ps_supplycost_cents
+    FROM part, unnest(generate_series(0, 3)) AS i(i),
+         (SELECT COUNT(*) AS s FROM supplier) scnt)
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """The Spark twin of the ``ps`` oracle CTE (single source of truth
+    for the constants above): (ps_partkey, ps_suppkey, ps_availqty,
+    ps_supplycost_cents), |part| x 4 rows minus stride collisions.
+    The supplier count is a bounded driver-side scalar (dimension
+    table); everything else is codegen'd integer arithmetic — at
+    100 TB this derives on the fly and broadcasts (part is a
+    dimension), never materializing a fact-sized table."""
+    s_count = t(spark, sf, "supplier").count()
+    pk = F.col("p_partkey")
+    i = F.col("i")
+    suppkey = (pk + i * (s_count // 4 + (pk - F.lit(1)) / F.lit(s_count)).cast("bigint")) % s_count + 1
+    return (
+        t(spark, sf, "part")
+        .select(pk, F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+        .select(
+            pk.alias("ps_partkey"),
+            suppkey.alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((F.col("ps_partkey") * 47 + F.col("ps_suppkey") * 31) % 9999 + 1).alias(
+                "ps_availqty"
+            ),
+            (
+                (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 99900 + 100
+            ).alias("ps_supplycost_cents"),
+        )
+    )
+
+
 @query(
     "late_shipping_orders",
     oracle="""
@@ -745,6 +805,152 @@ def nation_inventory_share(spark: SparkSession, sf: str) -> DataFrame:
             F.col("val").cast("double").alias("value"),
             (F.col("val").cast("double") / F.col("tot").cast("double")).alias("share"),
         )
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_SQL},
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cand AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost_cents, p_brand
+      FROM ps JOIN part ON p_partkey = ps_partkey
+      WHERE p_type = 'LARGE' AND p_size <= 15),
+    je AS (
+      SELECT c.*, e.s_name, e.s_acctbal, e.n_name
+      FROM cand c JOIN eur e ON e.s_suppkey = c.ps_suppkey),
+    m AS (SELECT *, MIN(ps_supplycost_cents)
+                      OVER (PARTITION BY ps_partkey) AS mc FROM je)
+    SELECT ps_partkey AS p_partkey, p_brand, s_name, n_name,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+           CAST(ps_supplycost_cents AS BIGINT) AS cost_cents
+    FROM m WHERE ps_supplycost_cents = mc
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (closes the round-5 Missing #2 via the "
+    "derived partsupp — see _PS_SQL): for each LARGE small-size part, "
+    "the EUROPE supplier(s) quoting the regional MINIMUM supply cost, "
+    "top-100 by account balance. The correlated min-cost subquery "
+    "becomes one window over the region-restricted candidates; "
+    "supplier/nation/region and the derived partsupp all broadcast "
+    "(dimensions), so the plan has no fact shuffle at all. Cost stays "
+    "exact BIGINT cents; deterministic total order with p_partkey "
+    "tie-break under LIMIT.",
+)
+def min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ps = derived_partsupp(spark, sf)
+    p = (
+        t(spark, sf, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_brand")
+    )
+    eur = (
+        t(spark, sf, "supplier")
+        .join(
+            F.broadcast(t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    je = ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey")).join(
+        F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        je.withColumn("mc", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("mc"))
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("ps_supplycost_cents").cast("bigint").alias("cost_cents"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "excess_stock_suppliers",
+    oracle=f"""
+    WITH {_PS_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey),
+    excess AS (
+      SELECT DISTINCT ps_suppkey
+      FROM ps
+      JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE 2 * ps_availqty > qty)
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal, n_name
+    FROM supplier
+    JOIN excess ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (the second partsupp-dependent exclusion, "
+    "closed by the derived partsupp): ASIA suppliers holding EXCESS "
+    "stock — available quantity above half of what they actually "
+    "shipped of their 'small%' parts in 1996. The quantity fold is an "
+    "exact DECIMAL sum and the half-comparison is the integer-exact "
+    "2*availqty > qty form (no 0.5 double multiply); the only shuffle "
+    "is the (part, supplier) shipment aggregate — partsupp, part, "
+    "supplier, nation all broadcast.",
+)
+def excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf)
+    small = t(spark, sf, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+    )
+    excess = (
+        shipped.join(
+            F.broadcast(ps.join(F.broadcast(small), F.col("ps_partkey") == F.col("p_partkey"))),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.lit(2) * F.col("ps_availqty") > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    asia = t(spark, sf, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    return (
+        t(spark, sf, "supplier")
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(
+            F.broadcast(t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"), "n_name")
+        .orderBy("s_name")
     )
 
 
