@@ -682,6 +682,36 @@ def test_ivfpq_broadcast_tables_no_cartesian(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2  # probe cells + dtable
 
 
+def test_min_cost_supplier_all_broadcast_no_fact_shuffle(spark, sf_dir):
+    """Q2 via derived partsupp: every join side is a dimension —
+    the executed plan must be all BroadcastHashJoin with no hash
+    exchange anywhere (the derived partsupp is |part| x 4 rows, never
+    fact-sized)."""
+    plan = _plan(spark, "min_cost_supplier", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_excess_stock_single_fact_shuffle(spark, sf_dir):
+    """Q20: the (part, supplier) shipment aggregate is the ONLY
+    fact-side hash exchange; partsupp/part/supplier/nation broadcast,
+    and the quantity fold partial-aggregates before the shuffle."""
+    plan = _plan(spark, "excess_stock_suppliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # the lineitem FACT shuffles exactly once (the shipment agg on
+    # l_partkey, l_suppkey); any other exchange must be dimension-sized
+    # (the |part|x4 partsupp-derivation distinct, the tiny suppkey
+    # distinct) — pinned by keys, not by total count
+    fact = [ln for ln in exchanges if "l_partkey" in ln]
+    assert len(fact) == 1, exchanges
+    assert all("l_" not in ln for ln in exchanges if ln not in fact), exchanges
+
+
 def test_ivfpq_indexed_scan_prunes_to_probed_cells(spark, sf_dir):
     """Verdict-r5 next#3: the materialized-index probe must read ONLY
     the probed cells' code partitions (PartitionFilters IN-list on
