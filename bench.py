@@ -59,12 +59,17 @@ def main() -> None:
     io_dir = os.path.join(tempfile.mkdtemp(prefix="bench_dfsio_"), "data")
     rows = 4_000_000  # 2 longs/row ≈ 64 MB uncompressed
     df_io = spark.range(rows).selectExpr("id", "id * 7 AS v")
-    t0 = time.perf_counter()
-    df_io.write.mode("overwrite").parquet(io_dir)
-    write_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    spark.read.parquet(io_dir).selectExpr("sum(v)").collect()
-    read_s = time.perf_counter() - t0
+    # best-of-2 like the query timings: a one-shot IO measurement
+    # bounced 36-80 MB/s across otherwise-identical runs (page cache /
+    # first-write allocation noise); steady-state is the stable figure
+    write_s = read_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df_io.write.mode("overwrite").parquet(io_dir)
+        write_s = min(write_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.read.parquet(io_dir).selectExpr("sum(v)").collect()
+        read_s = min(read_s, time.perf_counter() - t0)
     mb = rows * 16 / 1e6
     shutil.rmtree(os.path.dirname(io_dir), ignore_errors=True)
     print(
