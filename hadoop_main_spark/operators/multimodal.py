@@ -1402,7 +1402,15 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                 ],
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, VIDEO_FRAME_SCHEMA)
+    # the null-id filter stays JVM-side ON PURPOSE: one NULL in an
+    # Arrow batch coerces the pandas int64 id column to float64,
+    # silently rounding valid ids past 2^53 (review-r6); the in-loop
+    # pd.isna guard is defense-in-depth only
+    return (
+        media.select("media_id", "payload")
+        .filter(F.col("media_id").isNotNull())
+        .mapInPandas(run, VIDEO_FRAME_SCHEMA)
+    )
 
 
 # --- video: REAL MJPEG-AVI container codec ------------------------------------
@@ -1547,9 +1555,16 @@ AVI_FRAME_SCHEMA = (
 def avi_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """REAL compressed-frame video sampling: parse each payload as an
     MJPEG AVI, JPEG-decode every ``every_n``-th frame, emit per-frame
-    pixel means + digests — same 1→N Arrow-batched shape and
-    bad-record policy as :func:`frame_sample`, for the RIFF container
-    family instead of Y4M."""
+    pixel means + digests — the 1→N Arrow-batched shape of
+    :func:`frame_sample` for the RIFF container family.
+
+    Bad-record contract (narrower than Y4M's, by design): a malformed
+    CONTAINER or a corrupt SAMPLED frame skips the whole file; a
+    corrupt frame at a NON-sampled index is never entropy-decoded and
+    therefore never detected — that is the price of decoding only
+    1/every_n of the frames (the lazy-decode win). Pipelines that
+    must quarantine any partially-corrupt file should run every_n=1
+    (full validation) on the quarantine pass."""
     import hashlib as _hl
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1576,7 +1591,10 @@ def avi_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                             )
                         )
                 except ValueError:
-                    continue  # bad record (container OR any frame): skip whole file
+                    # bad container or corrupt SAMPLED frame: skip the
+                    # whole file (non-sampled frames are never decoded
+                    # — see the docstring contract)
+                    continue
                 rows.extend(frame_rows)
             yield pd.DataFrame(
                 rows,
@@ -1586,7 +1604,13 @@ def avi_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                 ],
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, AVI_FRAME_SCHEMA)
+    # JVM-side null-id filter: same float64-coercion rationale as
+    # frame_sample (review-r6)
+    return (
+        media.select("media_id", "payload")
+        .filter(F.col("media_id").isNotNull())
+        .mapInPandas(run, AVI_FRAME_SCHEMA)
+    )
 
 
 AUDIO_SCHEMA = "media_id long, n_samples_in long, n_samples_out long, out_digest string"

@@ -3282,29 +3282,37 @@ def ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def _index_dir(sf: str, kind: str) -> str:
     """Deterministic per-sf-dir index location under the system temp
-    dir, keyed on the SOURCE DATA FINGERPRINT (path + embeddings
-    parquet size/mtime) — regenerated data at the same path gets a
+    dir, keyed on the SOURCE DATA FINGERPRINT (shared
+    tables.data_fingerprint: relative-path + size + mtime of the
+    embeddings parquet) — regenerated data at the same path gets a
     fresh key, so a build-if-absent check can never probe an index
-    built from old data (review-r6). LOCAL-MODE CONTRACT (same as
-    avro_roundtrip_agg): driver and executors share one filesystem
-    here; on a real cluster the index lives on the shared FS
-    (S3/HDFS) and this helper is replaced by a real path — the
-    build_*/probe operators themselves are path-agnostic."""
+    built from old data (review-r6). Stale sibling dirs of the same
+    kind (previous fingerprints) are pruned here, so iterating on
+    data generation never accumulates orphaned indexes in /tmp.
+    LOCAL-MODE CONTRACT (same as avro_roundtrip_agg): driver and
+    executors share one filesystem here; on a real cluster the index
+    lives on the shared FS (S3/HDFS) and this helper is replaced by a
+    real path — the build_*/probe operators themselves are
+    path-agnostic."""
+    import glob
     import hashlib
+    import shutil
     import tempfile
 
+    from hadoop_main_spark.tables import data_fingerprint
+
     src = os.path.join(os.path.abspath(sf), "embeddings.parquet")
-    parts = [os.path.abspath(sf)]
-    if os.path.isfile(src):
-        st = os.stat(src)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.isdir(src):
-        for root, _dirs, files in sorted(os.walk(src)):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"hms_{kind}_{key}")
+    pathkey = hashlib.md5(src.encode()).hexdigest()[:8]
+    fpkey = data_fingerprint(src) if os.path.exists(src) else "nodata"
+    target = os.path.join(tempfile.gettempdir(), f"hms_{kind}_{pathkey}_{fpkey}")
+    # prune only THIS path's stale fingerprints — sibling sf dirs keep
+    # their indexes (one session legitimately probes several SFs)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"hms_{kind}_{pathkey}_*")
+    ):
+        if stale != target:
+            shutil.rmtree(stale, ignore_errors=True)
+    return target
 
 
 def _ivfpq_index_dir(sf: str) -> str:

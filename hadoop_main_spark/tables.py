@@ -26,6 +26,35 @@ TABLE_NAMES = (
 )
 
 
+def data_fingerprint(path: str, suffix: str = ".parquet") -> str:
+    """Size+mtime digest of ``path`` (a data file, or a directory
+    walked recursively for ``suffix`` files), with each entry keyed by
+    its path RELATIVE to the root — relocating identical bytes between
+    partition subdirectories changes the digest. The single source of
+    truth for every "stale data must invalidate derived artifacts"
+    check (build-if-absent index dirs, the oracle-result cache):
+    regenerated data at the same path gets a fresh key, so nothing can
+    silently reuse results computed from old data (review-r6)."""
+    import hashlib
+    import os
+
+    path = os.path.abspath(path)
+    parts = [path]
+    if os.path.isfile(path):
+        st = os.stat(path)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if suffix and not f.endswith(suffix):
+                    continue
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                rel = os.path.relpath(full, path)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":

@@ -97,23 +97,21 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
     return res
 
 
-def _data_fingerprint(sf_dir: str) -> str:
-    """Size+mtime digest of every parquet under sf_dir: regenerated
-    data at the same path invalidates every cached oracle result
-    (review-r6 — a stale cache would report phantom FAILs, or PASS a
-    real regression that reproduces the old values)."""
-    parts = []
-    for root, _dirs, files in sorted(os.walk(sf_dir)):
-        for f in sorted(files):
-            if f.endswith(".parquet"):
-                st = os.stat(os.path.join(root, f))
-                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+# regenerated data at the same path invalidates every cached oracle
+# result (review-r6 — a stale cache would report phantom FAILs, or
+# PASS a real regression that reproduces the old values); the digest
+# itself is the shared tables.data_fingerprint
+from hadoop_main_spark.tables import data_fingerprint as _data_fingerprint  # noqa: E402
 
 
 def _cache_key(name: str, sf_dir: str, oracle: str, data_fp: str) -> str:
-    h = hashlib.md5(f"{sf_dir}|{data_fp}|{oracle}".encode()).hexdigest()[:16]
-    return f"{name}.{h}"
+    """Filename layout <query>.<sf-path-key>.<content-key>: eviction
+    globs on the first two components, so clearing a query's stale
+    entries (changed oracle / regenerated data) never touches the
+    same query's cache for OTHER sf dirs."""
+    sfk = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    h = hashlib.md5(f"{data_fp}|{oracle}".encode()).hexdigest()[:16]
+    return f"{name}.{sfk}.{h}"
 
 
 def oracle_result(
@@ -139,6 +137,19 @@ def oracle_result(
     ddf = rel.df()
     if use_cache:
         os.makedirs(CACHE_DIR, exist_ok=True)
+        # evict this (query, sf_dir)'s entries under older content
+        # keys (changed oracle text or regenerated data) — the cache
+        # never accumulates unreachable results across iterations, and
+        # other sf dirs' entries for the same query are untouched
+        import glob as _glob
+
+        sf_prefix = key.rsplit(".", 1)[0]
+        for stale in _glob.glob(os.path.join(CACHE_DIR, f"{sf_prefix}.*")):
+            if not os.path.basename(stale).startswith(key):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         tmp = pq + ".tmp"
         try:
             ddf.to_parquet(tmp)
