@@ -11,13 +11,17 @@ CRC verify, IDAT inflate, all five scanline filters, palette
 expansion, Adam7 deinterlacing — 8-bit); ``'jpeg'`` is a REAL baseline
 sequential-DCT JPEG codec (ITU-T T.81: marker walk, Huffman entropy
 coding, exact orthonormal 8x8 DCT, 4:4:4 / 4:2:0, restart markers);
-``'wav'`` the real RIFF/PCM16 audio path; video has a REAL
-YUV4MPEG2 (Y4M) container codec (header tags, FRAME delimiters,
-C444/C420*/Cmono planar layouts) driving :func:`frame_sample`;
-``'stub'`` is a deterministic fake for arbitrary blobs; compressed
-codec formats whose libraries are absent here (opus/mp3/webp,
-H.26x/VPx) raise a clearly-marked NotImplementedError — plug one
-into the same mapInPandas signature.
+``'gif'`` is a REAL GIF89a codec (LZW variable-width entropy
+coding, sub-block framing, palettes, 4-pass interlace, animated
+compositing with disposal + transparency); ``'wav'`` the real
+RIFF/PCM16 audio path; video has a REAL YUV4MPEG2 (Y4M) container
+codec (header tags, FRAME delimiters, C444/C420*/Cmono planar
+layouts) driving :func:`frame_sample` and a REAL MJPEG-AVI path
+(:func:`avi_frame_sample`); ``'stub'`` is a deterministic fake for
+arbitrary blobs; compressed codec formats whose libraries are
+absent here (opus/mp3/webp, H.26x/VPx) raise a clearly-marked
+NotImplementedError — plug one into the same mapInPandas
+signature.
 
 Scale notes: payloads dominate row size — keep them in their own
 column (Parquet stores them contiguously), never in the shuffle key,
@@ -1128,6 +1132,8 @@ def extract_features(
         feat = _png_features
     elif decoder == "jpeg":
         feat = _jpeg_features
+    elif decoder == "gif":
+        feat = _gif_features
     elif decoder == "wav":
         feat = _wav_features
     else:
@@ -1610,6 +1616,357 @@ def avi_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         media.select("media_id", "payload")
         .filter(F.col("media_id").isNotNull())
         .mapInPandas(run, AVI_FRAME_SCHEMA)
+    )
+
+
+# --- image/animation: REAL GIF codec (GIF89a, pure Python + numpy) ------------
+# Per the public GIF89a specification (CompuServe 1990, also W3C's
+# GIF89a reference): header + logical screen descriptor + global
+# color table, image descriptors with optional local color tables and
+# row interlacing, graphic control extensions (transparency, frame
+# disposal), and LZW-compressed pixel data (variable code width
+# 3..12 bits, LSB-first packing, clear/EOI codes, 4096-entry
+# dictionary with clear-on-full). Animated GIFs composite per the
+# disposal methods, so frame sampling works on real animations.
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, npix: int):
+    """LZW-decompress a GIF pixel stream (already de-sub-blocked).
+    Returns exactly ``npix`` palette indices."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    # bit reader: LSB-first across the byte stream
+    acc = nbits = pos = 0
+    width = mcs + 1
+    prefix: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    prev = None
+
+    def read_code():
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code is None:
+            raise ValueError("gif: LZW stream ended without EOI")
+        if code == clear:
+            prefix = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(prefix):
+                raise ValueError("gif: first LZW code out of range")
+            entry = prefix[code]
+        elif code < len(prefix):
+            entry = prefix[code]
+            prefix.append(prev + entry[:1])
+        elif code == len(prefix):  # the cScSc case
+            entry = prev + prev[:1]
+            prefix.append(entry)
+        else:
+            raise ValueError("gif: LZW code out of range")
+        out += entry
+        prev = entry
+        if len(prefix) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= npix:
+            break
+    if len(out) < npix:
+        raise ValueError(f"gif: LZW produced {len(out)} of {npix} pixels")
+    return bytes(out[:npix])
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """LZW-compress palette indices with GIF's variable-width coding
+    (clear emitted first and on dictionary overflow)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    width = mcs + 1
+    put(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                # the decoder widens when ITS table reaches 1<<width;
+                # its table is one entry behind the encoder's
+                width += 1
+        else:
+            put(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        run = bytes([b])
+    if run:
+        put(table[run], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_deinterlace_rows(h: int):
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def _gif_encode(
+    frames, palette, delays_cs=None, interlace: bool = False,
+    transparent: int | None = None, disposal: int = 1,
+) -> bytes:
+    """Encode (h, w) palette-index uint8 frames + an (n, 3) palette as
+    a GIF89a (animated when len(frames) > 1: NETSCAPE2.0 loop block +
+    per-frame graphic control extensions)."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("gif needs at least one frame")
+    pal = np.asarray(palette, dtype=np.uint8)
+    bits = max(2, int(pal.shape[0] - 1).bit_length())  # GIF min code size >= 2
+    pal_size = 1 << bits
+    h, w = np.asarray(frames[0]).shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes() + b"\x00\x00\x00" * (pal_size - pal.shape[0])
+    if len(frames) > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    delays = delays_cs or [4] * len(frames)
+    for fi, fr in enumerate(frames):
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.shape != (h, w):
+            raise ValueError("gif frames must share the canvas size")
+        if len(frames) > 1 or transparent is not None:
+            flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+            out += struct.pack(
+                "<BBBBHBB", 0x21, 0xF9, 4, flags, delays[fi],
+                transparent if transparent is not None else 0, 0,
+            )
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+        rows = a[_gif_deinterlace_rows(h), :] if interlace else a
+        lzw = _gif_lzw_encode(rows.tobytes(), bits)
+        out.append(bits)
+        for lo in range(0, len(lzw), 255):
+            blk = lzw[lo : lo + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _gif_decode(p: bytes):
+    """Decode a GIF87a/89a into (palette-composited RGB frames,
+    delays): frames is a list of (h, w, 3) uint8 canvases AFTER
+    applying each frame's disposal method and transparency — what a
+    viewer shows. Raises ValueError on malformed data."""
+    import struct
+
+    import numpy as np
+
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream (bad magic)")
+    w, h, flags, bg, _ar = struct.unpack("<HHBBB", p[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(p, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    frames, delays = [], []
+    transparent, disposal, delay = None, 0, 4
+    prev_canvas = canvas.copy()
+
+    def sub_blocks(pos: int):
+        chunks = []
+        while True:
+            if pos >= len(p):
+                raise ValueError("gif: truncated sub-blocks")
+            n = p[pos]
+            pos += 1
+            if n == 0:
+                return b"".join(chunks), pos
+            chunks.append(p[pos : pos + n])
+            if len(chunks[-1]) != n:
+                raise ValueError("gif: truncated sub-block")
+            pos += n
+    while True:
+        if pos >= len(p):
+            raise ValueError("gif: missing trailer")
+        b0 = p[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = p[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                if p[pos] != 4:
+                    raise ValueError("gif: bad GCE length")
+                gflags, delay, tidx = struct.unpack("<BHB", p[pos + 1 : pos + 5])
+                pos += 5
+                if p[pos] != 0:
+                    raise ValueError("gif: GCE missing terminator")
+                pos += 1
+                disposal = (gflags >> 2) & 7
+                transparent = tidx if gflags & 1 else None
+            else:  # comment / application / plain text: skip sub-blocks
+                _, pos = sub_blocks(pos)
+        elif b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", p[pos : pos + 9])
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(p, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("gif: image without any color table")
+            if ix + iw > w or iy + ih > h:
+                raise ValueError("gif: image rect exceeds canvas")
+            mcs = p[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"gif: bad LZW min code size {mcs}")
+            data, pos = sub_blocks(pos)
+            idx = np.frombuffer(
+                _gif_lzw_decode(data, mcs, iw * ih), np.uint8
+            ).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: scatter rows back
+                un = np.empty_like(idx)
+                un[_gif_deinterlace_rows(ih), :] = idx
+                idx = un
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("gif: palette index out of range")
+            prev_canvas = canvas.copy()
+            region = canvas[iy : iy + ih, ix : ix + iw]
+            rgb = pal[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            delays.append(int(delay))
+            if disposal == 2:  # restore to background
+                canvas[iy : iy + ih, ix : ix + iw] = (
+                    gct[bg] if gct is not None and bg < len(gct) else 0
+                )
+            elif disposal == 3:  # restore to previous
+                canvas = prev_canvas
+            # disposal 0/1: leave the canvas as drawn
+            transparent, disposal = None, 0
+        else:
+            raise ValueError(f"gif: unknown block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("gif stream has no image")
+    return frames, delays
+
+
+def _gif_features(p: bytes, dim: int) -> list[float]:
+    """First-frame gray means over ``dim`` horizontal bands (the
+    PNG/JPEG band-feature contract, for extract_features('gif')).
+    Malformed payloads take the zeros bad-record path (the
+    _ppm_features/_wav_features policy)."""
+    import numpy as np
+
+    try:
+        frames, _ = _gif_decode(p)
+    except ValueError:
+        return [0.0] * dim
+    a = frames[0].astype(np.float64).mean(axis=2)  # gray = channel mean
+    return _image_band_features(a, dim)
+
+
+def gif_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling over ANIMATED GIFs: decode + composite the
+    animation (disposal methods, transparency), keep every
+    ``every_n``-th composited frame, emit per-frame channel means +
+    digest. Same Arrow-batched 1→N shape and bad-record skip as the
+    Y4M/AVI samplers; GIF frames must composite sequentially, so the
+    whole animation decodes per payload (LZW cost is linear in
+    pixels)."""
+    import hashlib as _hl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                if mid is None or pd.isna(mid):
+                    continue
+                try:
+                    frames, _delays = _gif_decode(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    continue  # bad record: skip, never fail the task
+                for idx in range(0, len(frames), every_n):
+                    a = frames[idx]
+                    rows.append(
+                        (
+                            int(mid), idx, a.shape[1], a.shape[0],
+                            float(a[:, :, 0].mean()),
+                            float(a[:, :, 1].mean()),
+                            float(a[:, :, 2].mean()),
+                            _hl.md5(a.tobytes()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "r_mean", "g_mean", "b_mean", "frame_digest",
+                ],
+            )
+
+    return (
+        media.select("media_id", "payload")
+        .filter(F.col("media_id").isNotNull())
+        .mapInPandas(
+            run,
+            "media_id long, frame_idx long, width long, height long, "
+            "r_mean double, g_mean double, b_mean double, frame_digest string",
+        )
     )
 
 

@@ -389,6 +389,66 @@ def avi_mjpeg_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "gif_frame_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 4 + 4 AS w, doc_id % 5 + 3 AS h,
+                      doc_id % 4 + 2 AS nf
+               FROM documents),
+    f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+          FROM p),
+    px AS (SELECT doc_id, frame_idx, w, h, r.r, c.c FROM f,
+           unnest(generate_series(0, h - 1)) AS r(r),
+           unnest(generate_series(0, w - 1)) AS c(c))
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           AVG(CAST((doc_id*5 + frame_idx*23 + r*11 + c*3) % 256 AS DOUBLE))
+             AS r_mean
+    FROM px GROUP BY doc_id, frame_idx, w, h
+    """,
+    doc="REAL animated-GIF decode on the data path (GIF89a: LZW "
+    "variable-width entropy decode, sub-block reassembly, palette "
+    "mapping, frame compositing; odd docs additionally round-trip the "
+    "4-pass row INTERLACE): per-doc animations on a gray-ramp palette "
+    "(doc_id%4+2 full-canvas frames, pixel (r,c) of frame f = "
+    "(doc_id*5 + f*23 + r*11 + c*3) % 256) are encoded with "
+    "_gif_encode, then gif_frame_sample decodes + composites each "
+    "stream Arrow-batched and keeps every 2nd frame. With the gray "
+    "palette the red channel equals the palette index, so the oracle "
+    "recomputes each sampled frame's mean in closed form — the full "
+    "LZW + compositing pipeline is what is verified. Only ~60-byte "
+    "frame summaries shuffle.",
+)
+def gif_frame_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h, nf = i % 4 + 4, i % 5 + 3, i % 4 + 2
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                frames = [
+                    ((i * 5 + fi * 23 + r * 11 + c * 3) % 256).astype(np.uint8)
+                    for fi in range(nf)
+                ]
+                payloads.append(MM._gif_encode(frames, pal, interlace=bool(i % 2)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return MM.gif_frame_sample(media, every_n=2).select(
+        "media_id", "frame_idx", "width", "height", "r_mean"
+    )
+
+
 # ($1 "") forces STRING comparison: a first key of "0" compares
 # numerically equal to the uninitialized k ("" coerces to 0) and the
 # group transition would never fire for it.

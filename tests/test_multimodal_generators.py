@@ -171,6 +171,70 @@ def test_avi_mjpeg_roundtrip_and_bad_records(spark):
     assert out[0].px_mean == 17.0 and out[1].px_mean == 137.0
 
 
+def test_gif_roundtrip_and_lzw_stress():
+    """GIF89a codec contract: palette round-trip (plain + interlaced),
+    LZW dictionary growth to 12-bit and clear-on-full, malformed
+    streams raise."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)  # gray ramp
+    # random 90x130 noise forces dictionary growth (and with 256
+    # colors, the 4096-entry reset path on the second copy)
+    img = rng.integers(0, 256, (90, 130), dtype=np.uint8)
+    for interlace in (False, True):
+        blob = MM._gif_encode([img], pal, interlace=interlace)
+        frames, _ = MM._gif_decode(blob)
+        assert len(frames) == 1 and frames[0].shape == (90, 130, 3)
+        assert (frames[0][:, :, 0] == img).all()  # gray palette: R == index
+        assert (frames[0][:, :, 1] == img).all()
+    # small palette -> small min-code-size path
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = (np.add.outer(np.arange(9), np.arange(13)) % 4).astype(np.uint8)
+    fr, _ = MM._gif_decode(MM._gif_encode([idx], pal4))
+    assert (fr[0] == pal4[idx]).all()
+    with pytest.raises(ValueError, match="magic"):
+        MM._gif_decode(b"GIF90a" + b"\x00" * 20)
+    blob = MM._gif_encode([img], pal)
+    with pytest.raises(ValueError):
+        MM._gif_decode(blob[:-10])
+
+
+def test_gif_animation_compositing(spark):
+    """Animated GIF semantics: disposal 1 (leave) accumulates draws,
+    transparency preserves the underlying canvas, and gif_frame_sample
+    emits composited per-frame summaries with bad-record skip."""
+    import numpy as np
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    f0 = np.full((6, 8), 10, np.uint8)
+    f1 = np.full((6, 8), 200, np.uint8)
+    f1[2:4, 3:5] = 7  # transparent holes -> frame 0 shows through
+    blob = MM._gif_encode([f0, f1], pal, transparent=7, disposal=1)
+    frames, delays = MM._gif_decode(blob)
+    assert len(frames) == 2 and delays == [4, 4]
+    assert (frames[0][:, :, 0] == 10).all()
+    want1 = np.full((6, 8), 200, np.uint8)
+    want1[2:4, 3:5] = 10  # hole shows frame 0's pixels, not palette[7]
+    assert (frames[1][:, :, 0] == want1).all()
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"nope")), (None, bytearray(blob))],
+        "media_id long, payload binary",
+    )
+    got = MM.gif_frame_sample(media, every_n=1).orderBy("frame_idx").collect()
+    assert [(r.media_id, r.frame_idx) for r in got] == [(1, 0), (1, 1)]
+    assert got[0].r_mean == 10.0 and abs(got[1].r_mean - want1.mean()) < 1e-12
+    # extract_features('gif'): first-frame band means, zeros on bad
+    feats = {
+        r.media_id: r.features
+        for r in MM.extract_features(
+            media.filter(F.col("media_id").isNotNull()), decoder="gif", dim=2
+        ).collect()
+    }
+    assert feats[1] == [10.0 / 255.0] * 2
+    assert feats[2] == [0.0, 0.0]
+
+
 def test_teragen_deterministic(spark):
     a = teragen(spark, 1000, seed=7).collect()
     b = {r.rowid: r.key for r in teragen(spark, 1000, seed=7).collect()}

@@ -506,3 +506,33 @@ def test_avi_container_roundtrip_property(payloads, w, h, fps):
     w2, h2, fps2, got = MM._avi_mjpeg_chunks(blob)
     assert (w2, h2, fps2) == (w, h, fps)
     assert got == payloads
+
+
+@_pure
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([2, 4, 16, 64, 256]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(nf, h, w, ncolors, interlace, seed):
+    """Any frame count x geometry x palette size x interlace flag
+    round-trips bit-exactly through the GIF codec (LZW variable-width
+    coding + sub-blocking + compositing of full-frame draws)."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    frames = [
+        rng.integers(0, ncolors, (h, w), dtype=np.uint8) for _ in range(nf)
+    ]
+    blob = MM._gif_encode(frames, pal, interlace=interlace)
+    got, _delays = MM._gif_decode(blob)
+    assert len(got) == nf
+    # full-frame opaque draws: composited frame f == palette[frames[f]]
+    for idx, rgb in zip(frames, got):
+        assert (rgb == pal[idx]).all()
