@@ -1792,11 +1792,16 @@ def _gif_encode(
     return bytes(out)
 
 
-def _gif_decode(p: bytes):
+def _gif_decode(p: bytes, max_pixels: int = 1 << 26):
     """Decode a GIF87a/89a into (palette-composited RGB frames,
     delays): frames is a list of (h, w, 3) uint8 canvases AFTER
     applying each frame's disposal method and transparency — what a
-    viewer shows. Raises ValueError on malformed data."""
+    viewer shows. Raises ValueError on malformed data.
+
+    ``max_pixels`` caps the canvas BEFORE allocation: a crafted
+    header claiming 65535x65535 would otherwise allocate a 12 GB
+    canvas from a few hundred payload bytes — a MemoryError the
+    bad-record handlers (ValueError-only, by design) must never see."""
     import struct
 
     import numpy as np
@@ -1804,6 +1809,8 @@ def _gif_decode(p: bytes):
     if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream (bad magic)")
     w, h, flags, bg, _ar = struct.unpack("<HHBBB", p[6:13])
+    if w * h > max_pixels or w == 0 or h == 0:
+        raise ValueError(f"gif: canvas {w}x{h} outside sane bounds")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -1878,6 +1885,11 @@ def _gif_decode(p: bytes):
                 idx = un
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("gif: palette index out of range")
+            if (len(frames) + 1) * w * h > 4 * max_pixels:
+                # composited frames are full canvases: cap the TOTAL
+                # decoded volume, not just the canvas (an adversarial
+                # stream of thousands of 1px frames is the same blowup)
+                raise ValueError("gif: decoded animation exceeds sane bounds")
             prev_canvas = canvas.copy()
             region = canvas[iy : iy + ih, ix : ix + iw]
             rgb = pal[idx]
