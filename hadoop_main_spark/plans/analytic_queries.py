@@ -954,6 +954,182 @@ def excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- derived lineitem shipping columns (Q12/Q21) ------------------------------
+# The fixture lineitem carries only l_shipdate; TPC-H Q12/Q21 need
+# l_shipmode / l_commitdate / l_receiptdate. Like derived_partsupp,
+# these derive deterministically from the keys — BIGINT microsecond
+# arithmetic on unix_micros/epoch_us (the established parity pair), so
+# Spark and DuckDB compute bit-identical values. Offsets: commit =
+# ship + ((okey + line*11) % 45 - 10) days (may precede shipping —
+# late lines exist), receipt = ship + ((okey*13 + line*7) % 20 + 1)
+# days (strictly after shipping); shipmode = 7-way key hash.
+
+_DAY_US = 86_400_000_000
+_SHIPMODES = ("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+
+_LI_SHIP_SQL = f"""
+  li AS (
+    SELECT l_orderkey, l_suppkey,
+           (['{"','".join(_SHIPMODES)}'])
+             [(l_orderkey * 3 + l_linenumber) % 7 + 1] AS shipmode,
+           epoch_us(l_shipdate) AS ship_us,
+           epoch_us(l_shipdate)
+             + ((l_orderkey + l_linenumber * 11) % 45 - 10) * {_DAY_US}
+             AS commit_us,
+           epoch_us(l_shipdate)
+             + ((l_orderkey * 13 + l_linenumber * 7) % 20 + 1) * {_DAY_US}
+             AS receipt_us
+    FROM lineitem)
+"""
+
+
+def _li_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark twin of the ``li`` oracle CTE (single source of truth for
+    the derivation constants above)."""
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    # l_shipdate loads as TIMESTAMP_NTZ; the session tz is pinned UTC,
+    # so the cast reads the wall time as UTC — exactly DuckDB's
+    # epoch_us over the naive parquet timestamp
+    ship_us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.element_at(
+            F.array(*[F.lit(m) for m in _SHIPMODES]), ((ok * 3 + ln) % 7 + 1).cast("int")
+        ).alias("shipmode"),
+        ship_us.alias("ship_us"),
+        (ship_us + ((ok + ln * 11) % 45 - 10) * _DAY_US).alias("commit_us"),
+        (ship_us + ((ok * 13 + ln * 7) % 20 + 1) * _DAY_US).alias("receipt_us"),
+    )
+
+
+# 1996-01-01 / 1997-01-01 UTC in microseconds (session tz is UTC)
+_US_1996 = 820_454_400_000_000
+_US_1997 = 852_076_800_000_000
+
+
+@query(
+    "shipmode_priority_counts",
+    oracle=f"""
+    WITH {_LI_SHIP_SQL}
+    SELECT shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM li JOIN orders ON o_orderkey = l_orderkey
+    WHERE shipmode IN ('MAIL', 'SHIP')
+      AND commit_us < receipt_us
+      AND ship_us < commit_us
+      AND receipt_us >= {_US_1996} AND receipt_us < {_US_1997}
+    GROUP BY shipmode ORDER BY shipmode
+    """,
+    doc="TPC-H Q12 shape (closed via the derived shipping columns — "
+    "see _LI_SHIP_SQL): per ship mode, high- vs low-priority line "
+    "counts for 1996 receipts that shipped before commitment and "
+    "committed before receipt. One fact scan with the derivation in "
+    "codegen; the selective mode/date filter runs BEFORE the "
+    "orders join, so only the surviving sliver shuffles (orders is "
+    "fact-sized — AQE picks broadcast when the filtered side fits); "
+    "counts partial-aggregate. All date comparisons are BIGINT "
+    "microsecond integers — engine-identical.",
+)
+def shipmode_priority_counts(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li_shipping(spark, sf)
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("shipmode").isin("MAIL", "SHIP")
+            & (F.col("commit_us") < F.col("receipt_us"))
+            & (F.col("ship_us") < F.col("commit_us"))
+            & (F.col("receipt_us") >= _US_1996)
+            & (F.col("receipt_us") < _US_1997)
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+@query(
+    "waiting_suppliers",
+    oracle=f"""
+    WITH {_LI_SHIP_SQL}
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, li l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.receipt_us > l1.commit_us
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.receipt_us > l3.commit_us)
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'AMERICA')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (the last unimplemented TPC-H query — 22/22 "
+    "now covered): AMERICA suppliers who were the SOLE late supplier "
+    "on finished multi-supplier orders, ranked by how many late lines "
+    "they contributed. The oracle keeps the classic correlated "
+    "EXISTS/NOT-EXISTS form for independence; the Spark plan replaces "
+    "both correlated subqueries with ONE per-order aggregate "
+    "(countDistinct suppliers, countDistinct late suppliers) — the "
+    "semi/anti pair collapses into n_supp >= 2 AND n_late == 1, one "
+    "order-keyed shuffle instead of two fact-fact joins (the 100 TB "
+    "shape). Region filter instead of single-nation keeps results "
+    "non-degenerate at the fixture's ~4-suppliers-per-nation scale.",
+)
+def waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li_shipping(spark, sf)
+    late = F.col("receipt_us") > F.col("commit_us")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    forders = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    qual = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(forders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("l_orderkey")
+    )
+    amer = (
+        t(spark, sf, "supplier")
+        .join(
+            F.broadcast(t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.filter(late)
+        .join(qual.withColumnRenamed("l_orderkey", "q_orderkey"),
+              F.col("l_orderkey") == F.col("q_orderkey"))
+        .join(F.broadcast(amer), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 @query(
     "funnel_3stage",
     oracle="""
