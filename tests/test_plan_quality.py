@@ -712,6 +712,20 @@ def test_excess_stock_single_fact_shuffle(spark, sf_dir):
     assert all("l_" not in ln for ln in exchanges if ln not in fact), exchanges
 
 
+def test_waiting_suppliers_no_fact_fact_join(spark, sf_dir):
+    """Q21: the classic form needs two correlated fact-fact
+    (lineitem x lineitem) subqueries; the Spark plan must express both
+    as ONE per-order aggregate — no join may have lineitem-derived
+    columns on BOTH sides, and the only sort is the final top-k."""
+    plan = _plan(spark, "waiting_suppliers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # the per-order aggregate exists (two countDistincts over one shuffle)
+    assert "count(distinct" in plan.lower() or "partial_count" in plan.lower()
+    # no cartesian, and the supplier/nation/region side arrives broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivfpq_indexed_scan_prunes_to_probed_cells(spark, sf_dir):
     """Verdict-r5 next#3: the materialized-index probe must read ONLY
     the probed cells' code partitions (PartitionFilters IN-list on
