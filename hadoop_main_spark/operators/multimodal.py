@@ -1768,6 +1768,10 @@ def _gif_encode(
     out += pal.tobytes() + b"\x00\x00\x00" * (pal_size - pal.shape[0])
     if len(frames) > 1:
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    if delays_cs is not None and len(delays_cs) != len(frames):
+        raise ValueError(
+            f"gif: {len(delays_cs)} delays for {len(frames)} frames"
+        )
     delays = delays_cs or [4] * len(frames)
     for fi, fr in enumerate(frames):
         a = np.asarray(fr, dtype=np.uint8)
@@ -1792,16 +1796,32 @@ def _gif_encode(
     return bytes(out)
 
 
-def _gif_decode(p: bytes, max_pixels: int = 1 << 26):
+def _gif_decode(
+    p: bytes, max_pixels: int = 1 << 26, max_frames: int = 4096
+):
     """Decode a GIF87a/89a into (palette-composited RGB frames,
     delays): frames is a list of (h, w, 3) uint8 canvases AFTER
     applying each frame's disposal method and transparency — what a
-    viewer shows. Raises ValueError on malformed data.
+    viewer shows. Raises ValueError on malformed data (struct/index
+    errors from truncation are normalized — the AVI discipline).
 
     ``max_pixels`` caps the canvas BEFORE allocation: a crafted
     header claiming 65535x65535 would otherwise allocate a 12 GB
     canvas from a few hundred payload bytes — a MemoryError the
-    bad-record handlers (ValueError-only, by design) must never see."""
+    bad-record handlers (ValueError-only, by design) must never see.
+    ``max_frames`` bounds per-frame OBJECT overhead too (a 1x1-canvas
+    stream of millions of 15-byte frames passes any pixel-volume cap);
+    callers needing only the leading frames pass a small value and
+    skip the rest of the animation's LZW cost entirely."""
+    import struct
+
+    try:
+        return _gif_decode_impl(p, max_pixels, max_frames)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed GIF ({type(e).__name__}: {e})") from e
+
+
+def _gif_decode_impl(p: bytes, max_pixels: int, max_frames: int):
     import struct
 
     import numpy as np
@@ -1821,8 +1841,7 @@ def _gif_decode(p: bytes, max_pixels: int = 1 << 26):
     if gct is not None and bg < len(gct):
         canvas[:, :] = gct[bg]
     frames, delays = [], []
-    transparent, disposal, delay = None, 0, 4
-    prev_canvas = canvas.copy()
+    transparent, disposal, delay = None, 0, 0
 
     def sub_blocks(pos: int):
         chunks = []
@@ -1890,7 +1909,8 @@ def _gif_decode(p: bytes, max_pixels: int = 1 << 26):
                 # decoded volume, not just the canvas (an adversarial
                 # stream of thousands of 1px frames is the same blowup)
                 raise ValueError("gif: decoded animation exceeds sane bounds")
-            prev_canvas = canvas.copy()
+            if disposal == 3:  # only restore-to-previous needs the copy
+                prev_canvas = canvas.copy()
             region = canvas[iy : iy + ih, ix : ix + iw]
             rgb = pal[idx]
             if transparent is not None:
@@ -1900,14 +1920,17 @@ def _gif_decode(p: bytes, max_pixels: int = 1 << 26):
                 region[:, :] = rgb
             frames.append(canvas.copy())
             delays.append(int(delay))
+            if len(frames) >= max_frames:
+                break  # caller-bounded: skip the rest of the animation
             if disposal == 2:  # restore to background
                 canvas[iy : iy + ih, ix : ix + iw] = (
                     gct[bg] if gct is not None and bg < len(gct) else 0
                 )
             elif disposal == 3:  # restore to previous
                 canvas = prev_canvas
-            # disposal 0/1: leave the canvas as drawn
-            transparent, disposal = None, 0
+            # disposal 0/1: leave the canvas as drawn; GCE scope is one
+            # renderable block, so ALL its fields reset (incl. delay)
+            transparent, disposal, delay = None, 0, 0
         else:
             raise ValueError(f"gif: unknown block 0x{b0:02x}")
     if not frames:
@@ -1923,7 +1946,10 @@ def _gif_features(p: bytes, dim: int) -> list[float]:
     import numpy as np
 
     try:
-        frames, _ = _gif_decode(p)
+        # max_frames=1: stop after the first image descriptor — an
+        # animated corpus must not pay the whole animation's LZW +
+        # compositing cost to read first-frame band means (review-r6c)
+        frames, _ = _gif_decode(p, max_frames=1)
     except ValueError:
         return [0.0] * dim
     a = frames[0].astype(np.float64).mean(axis=2)  # gray = channel mean

@@ -198,6 +198,24 @@ def test_gif_roundtrip_and_lzw_stress():
     blob = MM._gif_encode([img], pal)
     with pytest.raises(ValueError):
         MM._gif_decode(blob[:-10])
+    # truncation at STRUCTURAL boundaries must normalize to ValueError
+    # (struct.error/IndexError would escape the bad-record handlers)
+    desc = blob.index(b"\x2c", 13)
+    for cut in (desc + 1, desc + 5, 14):  # mid-descriptor, mid-rect, post-magic
+        with pytest.raises(ValueError):
+            MM._gif_decode(blob[:cut])
+    # frame-count bound: a tiny-canvas bomb of many frames stops at
+    # max_frames (bounded object overhead AND skipped LZW cost) instead
+    # of ballooning past the pixel-volume cap
+    one = np.zeros((1, 1), np.uint8)
+    bomb = MM._gif_encode([one] * 40, pal)
+    got8, _ = MM._gif_decode(bomb, max_frames=8)
+    assert len(got8) == 8
+    # delays validation + GCE delay scope (stale delay must not leak)
+    with pytest.raises(ValueError, match="delays"):
+        MM._gif_encode([one, one], pal, delays_cs=[4])
+    two = MM._gif_encode([one, one], pal, delays_cs=[100, 7])
+    assert MM._gif_decode(two)[1] == [100, 7]
 
 
 def test_gif_animation_compositing(spark):

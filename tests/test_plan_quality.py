@@ -724,6 +724,15 @@ def test_waiting_suppliers_no_fact_fact_join(spark, sf_dir):
     # no cartesian, and the supplier/nation/region side arrives broadcast
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    # the actual invariant: no shuffle join may carry lineitem join keys
+    # on BOTH sides (a l_orderkey==l_orderkey self-join is the two-pass
+    # correlated-EXISTS shape this plan exists to avoid)
+    for ln in plan.splitlines():
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+            assert ln.count("l_orderkey") < 2 and ln.count("l_suppkey") < 2, ln
+    # the only Sort belongs to the final top-k merge (TakeOrdered does
+    # its own per-partition ordering; no other global sort is allowed)
+    assert plan.count("Exchange rangepartitioning") == 0, plan
 
 
 def test_ivfpq_indexed_scan_prunes_to_probed_cells(spark, sf_dir):
