@@ -1139,8 +1139,8 @@ def extract_features(
     else:
         raise NotImplementedError(
             f"decoder '{decoder}' needs media libraries not present in this "
-            "environment; 'ppm'/'png'/'jpeg'/'wav' are the real no-library "
-            "paths, 'stub' the fake"
+            "environment; 'ppm'/'png'/'jpeg'/'gif'/'wav' are the real "
+            "no-library paths, 'stub' the fake"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
