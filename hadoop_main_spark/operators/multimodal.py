@@ -1134,6 +1134,8 @@ def extract_features(
         feat = _jpeg_features
     elif decoder == "gif":
         feat = _gif_features
+    elif decoder == "bmp":
+        feat = _bmp_features
     elif decoder == "wav":
         feat = _wav_features
     else:
@@ -1617,6 +1619,117 @@ def avi_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         .filter(F.col("media_id").isNotNull())
         .mapInPandas(run, AVI_FRAME_SCHEMA)
     )
+
+
+# --- image: REAL BMP codec (Windows BITMAPINFOHEADER, pure numpy) -------------
+# Per the public Windows bitmap format: BITMAPFILEHEADER ('BM', pixel
+# offset) + 40-byte BITMAPINFOHEADER, bottom-up rows padded to 4-byte
+# stride; 24-bit BGR and 8-bit palette variants (BI_RGB only — RLE
+# compression raises). The remaining common uncompressed image format
+# after PPM/PNG/JPEG/GIF.
+
+
+def _bmp_encode(arr, palette=None) -> bytes:
+    """Encode (h, w, 3) RGB uint8 as 24-bit BMP, or (h, w) indices +
+    an (n, 3) RGB palette as 8-bit BMP."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if palette is None:
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("24-bit bmp needs an (h, w, 3) array")
+        h, w = a.shape[:2]
+        bpp, pal_bytes = 24, b""
+        rows = a[:, :, ::-1]  # RGB -> BGR
+        row_len = w * 3
+    else:
+        if a.ndim != 2:
+            raise ValueError("8-bit bmp needs an (h, w) index array")
+        pal = np.asarray(palette, dtype=np.uint8)
+        if int(a.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("bmp: palette index out of range")
+        h, w = a.shape
+        bpp = 8
+        # palette entries are BGRX quads, padded to 256 (common writers)
+        quads = np.zeros((256, 4), dtype=np.uint8)
+        quads[: pal.shape[0], :3] = pal[:, ::-1]
+        pal_bytes = quads.tobytes()
+        rows = a
+        row_len = w
+    stride = (row_len + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        line = rows[r].tobytes()
+        body += line + b"\x00" * (stride - len(line))
+    off = 14 + 40 + len(pal_bytes)
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835,
+        256 if bpp == 8 else 0, 0,
+    )
+    return bytes(header) + info + pal_bytes + bytes(body)
+
+
+def _bmp_decode(p: bytes):
+    """Decode a BI_RGB BMP (24-bit BGR or 8-bit palette, bottom-up or
+    top-down via negative height) into an (h, w, 3) RGB uint8 array.
+    Raises ValueError on anything malformed or compressed."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(p) < 54 or p[:2] != b"BM":
+            raise ValueError("not a BMP stream (bad magic)")
+        _size, _r1, _r2, off = struct.unpack("<IHHI", p[2:14])
+        hdr_size, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", p[14:34])
+        if hdr_size < 40:
+            raise ValueError(f"bmp: unsupported header size {hdr_size}")
+        if comp != 0:
+            raise ValueError(f"bmp: only BI_RGB supported, got compression {comp}")
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h == 0 or w * h > (1 << 26):
+            raise ValueError(f"bmp: dims {w}x{h} outside sane bounds")
+        if bpp == 24:
+            stride = (w * 3 + 3) & ~3
+            need = off + stride * h
+            if need > len(p):
+                raise ValueError("bmp: truncated pixel data")
+            rows = np.frombuffer(p, np.uint8, stride * h, off).reshape(h, stride)
+            img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        elif bpp == 8:
+            n_colors = struct.unpack("<I", p[46:50])[0] or 256
+            pal_off = 14 + hdr_size
+            quads = np.frombuffer(p, np.uint8, n_colors * 4, pal_off).reshape(
+                n_colors, 4
+            )
+            pal = quads[:, :3][:, ::-1]  # BGRX -> RGB
+            stride = (w + 3) & ~3
+            if off + stride * h > len(p):
+                raise ValueError("bmp: truncated pixel data")
+            rows = np.frombuffer(p, np.uint8, stride * h, off).reshape(h, stride)
+            idx = rows[:, :w]
+            if int(idx.max(initial=0)) >= n_colors:
+                raise ValueError("bmp: palette index out of range")
+            img = pal[idx]
+        else:
+            raise ValueError(f"bmp: unsupported bit depth {bpp}")
+        return np.ascontiguousarray(img if top_down else img[::-1])
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed BMP ({type(e).__name__}: {e})") from e
+
+
+def _bmp_features(p: bytes, dim: int) -> list[float]:
+    """Band means over the decoded BMP (the shared image-feature
+    contract; zeros bad-record policy)."""
+    try:
+        arr = _bmp_decode(p)
+    except ValueError:
+        return [0.0] * dim
+    return _image_band_features(arr, dim)
 
 
 # --- image/animation: REAL GIF codec (GIF89a, pure Python + numpy) ------------

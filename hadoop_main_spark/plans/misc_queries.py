@@ -449,6 +449,73 @@ def gif_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "bmp_decode_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 6 + 3 AS w, doc_id % 4 + 4 AS h,
+                      doc_id % 2 AS pal8
+               FROM documents),
+    b AS (SELECT doc_id, w, h, pal8, unnest(generate_series(0, 3)) AS band
+          FROM p),
+    r AS (SELECT doc_id, w, pal8, band,
+                 (band * h) // 4 AS lo,
+                 greatest(((band + 1) * h) // 4, (band * h) // 4 + 1) AS hi,
+                 h
+          FROM b),
+    cells AS (SELECT doc_id, w, pal8, band,
+                     unnest(generate_series(least(lo, h - 1),
+                                            least(hi, h) - 1)) AS rr
+              FROM r),
+    px AS (SELECT doc_id, pal8, band, rr, c.c, w FROM cells,
+           unnest(generate_series(0, w - 1)) AS c(c))
+    SELECT doc_id AS media_id, CAST(band AS BIGINT) AS band,
+           AVG(CAST((doc_id * 19 + rr * 5 + c * 3) % 256 AS DOUBLE)) / 255.0
+             AS gray_mean
+    FROM px GROUP BY doc_id, band
+    """,
+    doc="REAL BMP decode on the data path (Windows BITMAPINFOHEADER: "
+    "bottom-up BGR rows with 4-byte stride padding for even docs, "
+    "8-bit palette + BGRX color quads for odd docs — both depths "
+    "exercise non-multiple-of-4 widths): per-doc gray images with "
+    "pixel (r,c) = (doc_id*19 + r*5 + c*3) % 256 are encoded with "
+    "_bmp_encode, then extract_features(decoder='bmp') decodes each "
+    "payload Arrow-batched and emits 4 horizontal-band gray means. "
+    "Gray pixels make 24-bit BGR and gray-palette decodes identical, "
+    "so ONE closed-form oracle verifies both container layouts. "
+    "Integer sums in double are exact — bit-exact match.",
+)
+def bmp_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        gray_pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 3, i % 4 + 4
+                v = (
+                    (i * 19 + np.arange(h)[:, None] * 5 + np.arange(w)[None, :] * 3)
+                    % 256
+                ).astype(np.uint8)
+                if i % 2:  # 8-bit palette layout
+                    payloads.append(MM._bmp_encode(v, palette=gray_pal))
+                else:  # 24-bit BGR layout
+                    payloads.append(MM._bmp_encode(np.repeat(v[:, :, None], 3, 2)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = MM.extract_features(media, decoder="bmp", dim=4)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("band", "gray_mean")
+    ).select("media_id", F.col("band").cast("long").alias("band"), "gray_mean")
+
+
 # ($1 "") forces STRING comparison: a first key of "0" compares
 # numerically equal to the uninitialized k ("" coerces to 0) and the
 # group transition would never fire for it.

@@ -171,6 +171,36 @@ def test_avi_mjpeg_roundtrip_and_bad_records(spark):
     assert out[0].px_mean == 17.0 and out[1].px_mean == 137.0
 
 
+def test_bmp_roundtrip_both_depths():
+    """BMP codec contract: 24-bit BGR and 8-bit palette round-trips
+    (incl. non-multiple-of-4 widths exercising stride padding),
+    top-down negative-height decode, malformed/compressed raise."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)  # stride pad: 5*3=15->16
+    assert (MM._bmp_decode(MM._bmp_encode(rgb)) == rgb).all()
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    idx = rng.integers(0, 64, (6, 9), dtype=np.uint8)  # stride pad: 9->12
+    assert (MM._bmp_decode(MM._bmp_encode(idx, palette=pal)) == pal[idx]).all()
+    # top-down variant: negate the height field in a 24-bit encode and
+    # pre-flip the rows; decode must yield the same image
+    blob = bytearray(MM._bmp_encode(rgb[::-1]))
+    blob[22:26] = struct.pack("<i", -7)
+    assert (MM._bmp_decode(bytes(blob)) == rgb).all()
+    with pytest.raises(ValueError, match="magic"):
+        MM._bmp_decode(b"PM" + bytes(60))
+    with pytest.raises(ValueError, match="truncated"):
+        MM._bmp_decode(MM._bmp_encode(rgb)[:-8])
+    rle = bytearray(MM._bmp_encode(idx, palette=pal))
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        MM._bmp_decode(bytes(rle))
+    assert MM._bmp_features(b"junk", 3) == [0.0, 0.0, 0.0]
+
+
 def test_gif_roundtrip_and_lzw_stress():
     """GIF89a codec contract: palette round-trip (plain + interlaced),
     LZW dictionary growth to 12-bit and clear-on-full, malformed
