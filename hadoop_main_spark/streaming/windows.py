@@ -207,6 +207,31 @@ def write_stream_parquet(
     return w.start()
 
 
+def media_features_stream(
+    media_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    decoder: str = "stub",
+    dim: int = 8,
+    trigger_available_now: bool = True,
+):
+    """Streaming multimodal ingest: decode + feature-extract binary
+    payloads AS THEY ARRIVE. extract_features is a stateless
+    Arrow-batched mapInPandas, so the SAME operator (and all its real
+    codecs — ppm/bmp/png/jpeg/gif/wav) runs unchanged inside
+    Structured Streaming; this wrapper just pairs it with the
+    exactly-once parquet file sink. Per-batch output is exactly the
+    batch operator's output on that batch's rows (pinned by the
+    stream==batch test), so an interrupted ingest resumes from the
+    commit log with no recompute of finished files."""
+    from hadoop_main_spark.operators.multimodal import extract_features
+
+    feats = extract_features(media_stream, decoder=decoder, dim=dim)
+    return write_stream_parquet(
+        feats, path, checkpoint, trigger_available_now=trigger_available_now
+    )
+
+
 def _jpath(spark, p: str):
     return spark._jvm.org.apache.hadoop.fs.Path(p)
 
