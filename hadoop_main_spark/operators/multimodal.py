@@ -1732,6 +1732,39 @@ def _bmp_features(p: bytes, dim: int) -> list[float]:
     return _image_band_features(arr, dim)
 
 
+def decode_to_rgb(fmt: str, payload: bytes):
+    """Decode any supported STILL-image payload to the canonical
+    (h, w, 3) RGB uint8 form (gray planes replicate). This is the
+    normalization that makes CROSS-FORMAT pixel comparison possible —
+    the same image stored as PNG and as a JPEG re-encode must digest
+    identically after decode, whatever each codec's native channel
+    layout. Raises ValueError on malformed payloads (every codec's
+    shared contract)."""
+    import numpy as np
+
+    if fmt == "png":
+        a = _png_decode(payload)
+    elif fmt == "jpeg":
+        a = _jpeg_decode(payload)
+    elif fmt == "gif":
+        a = _gif_decode(payload, max_frames=1)[0][0]
+    elif fmt == "bmp":
+        a = _bmp_decode(payload)
+    elif fmt == "ppm":
+        a = _ppm_decode(payload)
+    else:
+        raise ValueError(f"decode_to_rgb: unsupported format {fmt!r}")
+    a = np.asarray(a, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    if a.shape[2] != 3:
+        # PNG RGBA etc.: drop alpha for the canonical RGB form
+        a = a[:, :, :3]
+    return np.ascontiguousarray(a)
+
+
 # --- image/animation: REAL GIF codec (GIF89a, pure Python + numpy) ------------
 # Per the public GIF89a specification (CompuServe 1990, also W3C's
 # GIF89a reference): header + logical screen descriptor + global

@@ -516,6 +516,77 @@ def bmp_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     ).select("media_id", F.col("band").cast("long").alias("band"), "gray_mean")
 
 
+@query(
+    "cross_format_pixel_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS first_media,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(DISTINCT doc_id % 4) AS BIGINT) AS n_formats
+    FROM documents GROUP BY doc_id % 25
+    """,
+    doc="CROSS-FORMAT duplicate image detection — the multimodal "
+    "dedup problem byte-digests cannot touch: the SAME pixel content "
+    "(class = doc_id % 25, constant 8x8 gray blocks so the q100 JPEG "
+    "round-trip is pixel-exact) is stored per doc as PNG, baseline "
+    "JPEG, animated-GIF first frame, or BMP (format = doc_id % 4; "
+    "25 = 1 mod 4, so every class spans ALL FOUR container formats). "
+    "Each payload REALLY decodes through its own codec, normalizes "
+    "to canonical (h,w,3) RGB (decode_to_rgb), and groups by decoded-"
+    "pixel digest: true duplicate classes reassemble across formats "
+    "— re-encoded training images collapse to one representative. "
+    "Only (id, digest) shuffles; the oracle knows the planted class "
+    "structure in closed form (n_formats == 4 certifies every group "
+    "really crossed formats).",
+)
+def cross_format_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen_and_digest(batches):
+        import numpy as np
+
+        gray_pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            digs = []
+            for i in ids:
+                i = int(i)
+                g, fmt = i % 25, ("png", "jpeg", "gif", "bmp")[i % 4]
+                arr = np.zeros((16, 16), dtype=np.uint8)
+                for br in range(2):
+                    for bc in range(2):
+                        arr[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = (
+                            g * 31 + br * 9 + bc * 5
+                        ) % 256
+                if fmt == "png":
+                    payload = MM._png_encode(arr, row_filter="mixed")
+                elif fmt == "jpeg":
+                    payload = MM._jpeg_encode(arr, quality=100)
+                elif fmt == "gif":
+                    payload = MM._gif_encode([arr], gray_pal)
+                else:
+                    payload = MM._bmp_encode(np.repeat(arr[:, :, None], 3, 2))
+                px = MM.decode_to_rgb(fmt, payload)
+                digs.append(
+                    hashlib.md5(
+                        px.shape[0].to_bytes(4, "big")
+                        + px.shape[1].to_bytes(4, "big")
+                        + px.tobytes()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame({"doc_id": ids, "pixel_digest": digs})
+
+    digests = docs.mapInPandas(gen_and_digest, "doc_id long, pixel_digest string")
+    return digests.groupBy("pixel_digest").agg(
+        F.min("doc_id").alias("first_media"),
+        F.count("*").cast("bigint").alias("n_media"),
+        F.countDistinct(F.col("doc_id") % 4).cast("bigint").alias("n_formats"),
+    ).select("first_media", "n_media", "n_formats")
+
+
 # ($1 "") forces STRING comparison: a first key of "0" compares
 # numerically equal to the uninitialized k ("" coerces to 0) and the
 # group transition would never fire for it.
