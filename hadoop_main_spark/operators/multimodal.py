@@ -1136,6 +1136,8 @@ def extract_features(
         feat = _gif_features
     elif decoder == "bmp":
         feat = _bmp_features
+    elif decoder == "tiff":
+        feat = _tiff_features
     elif decoder == "wav":
         feat = _wav_features
     else:
@@ -1732,6 +1734,163 @@ def _bmp_features(p: bytes, dim: int) -> list[float]:
     return _image_band_features(arr, dim)
 
 
+# --- image: REAL TIFF codec (baseline uncompressed, pure numpy) ---------------
+# Per the public TIFF 6.0 specification (Adobe 1992): II/MM byte-order
+# header + magic 42, IFD walk of 12-byte tag entries with inline-vs-
+# offset values, strip-based pixel layout (StripOffsets/RowsPerStrip/
+# StripByteCounts). Baseline uncompressed (Compression=1) 8-bit
+# grayscale (photometric 1) and RGB (photometric 2), BOTH endians.
+# LZW/PackBits/JPEG-in-TIFF raise (declared unsupported).
+
+
+def _tiff_encode(arr, big_endian: bool = False, rows_per_strip: int = 8) -> bytes:
+    """Encode (h, w) gray or (h, w, 3) RGB uint8 as an uncompressed
+    baseline TIFF with multiple strips."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("tiff encode needs (h, w) gray or (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    spp = 1 if gray else 3
+    e = ">" if big_endian else "<"
+    strips = [
+        a[r : r + rows_per_strip].tobytes() for r in range(0, h, rows_per_strip)
+    ]
+    n = len(strips)
+
+    def entry(tag, typ, count, value):
+        head = struct.pack(f"{e}HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            # SHORT inline values sit in the FIRST two bytes of the
+            # 4-byte field in BOTH endians (TIFF 6.0 §2) — packing as
+            # a 4-byte int would put a big-endian SHORT in the wrong half
+            return head + struct.pack(f"{e}H", value) + b"\x00\x00"
+        return head + struct.pack(f"{e}I", value)
+
+    # layout: header(8) + IFD + [bps array if RGB] + strip tables + pixel strips
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    pos = 8 + ifd_size
+    bps_off = pos
+    if spp == 3:
+        pos += 6  # three SHORTs
+    off_table, cnt_table = pos, pos + 4 * n
+    pos += 8 * n
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    ifd = struct.pack(f"{e}H", n_entries)
+    ifd += entry(256, 4, 1, w)  # ImageWidth LONG
+    ifd += entry(257, 4, 1, h)  # ImageLength
+    if spp == 3:
+        ifd += entry(258, 3, 3, bps_off)  # BitsPerSample offset table
+    else:
+        ifd += entry(258, 3, 1, 8)  # inline SHORT 8
+    ifd += entry(259, 3, 1, 1)  # Compression: none
+    ifd += entry(262, 3, 1, 1 if gray else 2)  # Photometric
+    ifd += entry(273, 4, n, off_table if n > 1 else strip_offs[0])
+    ifd += entry(277, 3, 1, spp)  # SamplesPerPixel
+    ifd += entry(278, 4, 1, rows_per_strip)
+    ifd += entry(279, 4, n, cnt_table if n > 1 else len(strips[0]))
+    ifd += struct.pack(f"{e}I", 0)  # next IFD
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(f"{e}H", 42)
+    out += struct.pack(f"{e}I", 8)
+    out += ifd
+    out += struct.pack(f"{e}HHH", 8, 8, 8) if spp == 3 else b""
+    # strip tables are written even for n == 1 (harmless dead bytes;
+    # the IFD then points at the inline value instead)
+    out += b"".join(struct.pack(f"{e}I", o) for o in strip_offs)
+    out += b"".join(struct.pack(f"{e}I", len(s)) for s in strips)
+    out += b"".join(strips)
+    return bytes(out)
+
+
+def _tiff_decode(p: bytes, max_pixels: int = 1 << 26):
+    """Decode a baseline uncompressed TIFF (either endian, 8-bit gray
+    or RGB, any strip layout) into an (h, w, ch) uint8 array. Raises
+    ValueError on malformed/compressed/exotic inputs."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(p) < 8 or p[:2] not in (b"II", b"MM"):
+            raise ValueError("not a TIFF stream (bad byte-order mark)")
+        e = "<" if p[:2] == b"II" else ">"
+        magic, ifd_off = struct.unpack(f"{e}HI", p[2:8])
+        if magic != 42:
+            raise ValueError(f"tiff: bad magic {magic}")
+        (n_entries,) = struct.unpack(f"{e}H", p[ifd_off : ifd_off + 2])
+        tags: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n_entries):
+            base = ifd_off + 2 + i * 12
+            tag, typ, count = struct.unpack(f"{e}HHI", p[base : base + 8])
+            tags[tag] = (typ, count, p[base + 8 : base + 12])
+
+        _SZ = {1: 1, 3: 2, 4: 4}
+
+        def values(tag, default=None):
+            if tag not in tags:
+                if default is None:
+                    raise ValueError(f"tiff: missing required tag {tag}")
+                return default
+            typ, count, raw = tags[tag]
+            if typ not in _SZ:
+                raise ValueError(f"tiff: unsupported type {typ} for tag {tag}")
+            total = _SZ[typ] * count
+            if total <= 4:
+                buf = raw[:total]
+            else:
+                (off,) = struct.unpack(f"{e}I", raw)
+                buf = p[off : off + total]
+                if len(buf) != total:
+                    raise ValueError("tiff: tag value table truncated")
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            return list(struct.unpack(f"{e}{count}{fmt}", buf))
+
+        w, h = values(256)[0], values(257)[0]
+        if w == 0 or h == 0 or w * h > max_pixels:
+            raise ValueError(f"tiff: dims {w}x{h} outside sane bounds")
+        if values(259, [1])[0] != 1:
+            raise ValueError("tiff: only uncompressed (Compression=1) supported")
+        spp = values(277, [1])[0]
+        bps = values(258, [8])
+        if spp not in (1, 3) or any(b != 8 for b in bps):
+            raise ValueError(f"tiff: only 8-bit gray/RGB supported (spp={spp})")
+        offs = values(273)
+        cnts = values(279)
+        if len(offs) != len(cnts):
+            raise ValueError("tiff: strip offset/count tables disagree")
+        body = bytearray()
+        for o, c in zip(offs, cnts):
+            chunk = p[o : o + c]
+            if len(chunk) != c:
+                raise ValueError("tiff: truncated strip")
+            body += chunk
+        if len(body) < h * w * spp:
+            raise ValueError("tiff: strips shorter than image")
+        a = np.frombuffer(bytes(body), np.uint8, h * w * spp).reshape(h, w, spp)
+        return np.ascontiguousarray(a)
+    except (struct.error, IndexError) as e2:
+        raise ValueError(f"malformed TIFF ({type(e2).__name__}: {e2})") from e2
+
+
+def _tiff_features(p: bytes, dim: int) -> list[float]:
+    """Band means over the decoded TIFF (shared image-feature
+    contract; zeros bad-record policy)."""
+    try:
+        arr = _tiff_decode(p)
+    except ValueError:
+        return [0.0] * dim
+    return _image_band_features(arr, dim)
+
+
 def decode_to_rgb(fmt: str, payload: bytes):
     """Decode any supported STILL-image payload to the canonical
     (h, w, 3) RGB uint8 form (gray planes replicate). This is the
@@ -1750,6 +1909,8 @@ def decode_to_rgb(fmt: str, payload: bytes):
         a = _gif_decode(payload, max_frames=1)[0][0]
     elif fmt == "bmp":
         a = _bmp_decode(payload)
+    elif fmt == "tiff":
+        a = _tiff_decode(payload)
     elif fmt == "ppm":
         a = _ppm_decode(payload)
     else:

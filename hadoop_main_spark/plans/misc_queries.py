@@ -517,6 +517,71 @@ def bmp_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "tiff_decode_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 7 + 5 AS h
+               FROM documents),
+    b AS (SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS band FROM p),
+    r AS (SELECT doc_id, w, band,
+                 (band * h) // 4 AS lo,
+                 greatest(((band + 1) * h) // 4, (band * h) // 4 + 1) AS hi,
+                 h
+          FROM b),
+    cells AS (SELECT doc_id, w, band,
+                     unnest(generate_series(least(lo, h - 1),
+                                            least(hi, h) - 1)) AS rr
+              FROM r),
+    px AS (SELECT doc_id, band, rr, c.c FROM cells,
+           unnest(generate_series(0, w - 1)) AS c(c))
+    SELECT doc_id AS media_id, CAST(band AS BIGINT) AS band,
+           AVG(CAST((doc_id * 23 + rr * 7 + c * 5) % 256 AS DOUBLE)) / 255.0
+             AS gray_mean
+    FROM px GROUP BY doc_id, band
+    """,
+    doc="REAL TIFF decode on the data path (TIFF 6.0: byte-order "
+    "header, IFD tag walk with inline-vs-offset values, multi-strip "
+    "pixel assembly): per-doc TIFFs alternate BYTE ORDER (odd docs "
+    "MM big-endian, even II) and sample layout (doc_id % 3 == 0 "
+    "writes RGB with gray triples, else 8-bit grayscale), all "
+    "multi-strip (rows_per_strip=3). Pixel (r,c) = "
+    "(doc_id*23 + r*7 + c*5) % 256; extract_features(decoder='tiff') "
+    "decodes Arrow-batched and emits 4 band gray means, matched "
+    "bit-exactly by the closed-form oracle — so the endian handling, "
+    "SHORT inline-value placement, and strip reassembly are what is "
+    "verified.",
+)
+def tiff_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 5 + 4, i % 7 + 5
+                v = (
+                    (i * 23 + np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 5)
+                    % 256
+                ).astype(np.uint8)
+                arr = np.repeat(v[:, :, None], 3, 2) if i % 3 == 0 else v
+                payloads.append(
+                    MM._tiff_encode(arr, big_endian=bool(i % 2), rows_per_strip=3)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = MM.extract_features(media, decoder="tiff", dim=4)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("band", "gray_mean")
+    ).select("media_id", F.col("band").cast("long").alias("band"), "gray_mean")
+
+
+@query(
     "cross_format_pixel_dedup",
     oracle="""
     SELECT MIN(doc_id) AS first_media,

@@ -201,6 +201,40 @@ def test_bmp_roundtrip_both_depths():
     assert MM._bmp_features(b"junk", 3) == [0.0, 0.0, 0.0]
 
 
+def test_tiff_roundtrip_both_endians():
+    """TIFF codec contract: gray + RGB round-trips in BOTH byte
+    orders (II/MM — SHORT inline values must sit in the first two
+    bytes either way), multi-strip layouts, compressed/exotic raise."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (13, 7), dtype=np.uint8)  # 2 strips at rps=8
+    rgb = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+    for be in (False, True):
+        g = MM._tiff_decode(MM._tiff_encode(gray, big_endian=be))
+        assert g.shape == (13, 7, 1) and (g[:, :, 0] == gray).all()
+        c = MM._tiff_decode(MM._tiff_encode(rgb, big_endian=be, rows_per_strip=2))
+        assert (c == rgb).all()
+    with pytest.raises(ValueError, match="byte-order"):
+        MM._tiff_decode(b"XX\x2a\x00" + bytes(20))
+    with pytest.raises(ValueError, match="truncated"):
+        MM._tiff_decode(MM._tiff_encode(gray)[:-5])
+    blob = bytearray(MM._tiff_encode(gray))
+    # flip Compression (tag 259) to LZW=5: find its entry and patch
+    n = struct.unpack("<H", blob[8:10])[0]
+    for i in range(n):
+        base = 10 + i * 12
+        if struct.unpack("<H", blob[base : base + 2])[0] == 259:
+            blob[base + 8 : base + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="uncompressed"):
+        MM._tiff_decode(bytes(blob))
+    assert MM._tiff_features(b"junk", 2) == [0.0, 0.0]
+    # decode_to_rgb canonicalization includes tiff
+    assert (MM.decode_to_rgb("tiff", MM._tiff_encode(rgb)) == rgb).all()
+
+
 def test_gif_roundtrip_and_lzw_stress():
     """GIF89a codec contract: palette round-trip (plain + interlaced),
     LZW dictionary growth to 12-bit and clear-on-full, malformed
