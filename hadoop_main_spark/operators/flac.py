@@ -1,0 +1,487 @@
+"""REAL FLAC codec (pure Python + numpy; no external libraries).
+
+Per the public FLAC format specification (xiph.org / RFC 9639):
+"fLaC" magic + STREAMINFO metadata block, frames with sync-coded
+headers (UTF-8-coded frame numbers, CRC-8), per-channel subframes
+(CONSTANT / VERBATIM / FIXED order 0-4 / LPC up to order 32, wasted
+bits), Rice-coded residuals (4- and 5-bit parameter variants,
+partition orders, verbatim-escape), inter-channel decorrelation
+(left-side / right-side / mid-side), and frame CRC-16.
+
+DECODER: full support for the 16-bit subset above — enough to read
+real-world 16-bit FLAC files. ENCODER: 16-bit, fixed predictors
+order 0-2 chosen per block by residual magnitude, independent
+channels, single Rice partition — spec-valid output any FLAC player
+accepts (compression below libFLAC's, correctness equal).
+
+Everything is ValueError-normalized for the bad-record handlers,
+like the other codecs in operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+FLAC_MAGIC = b"fLaC"
+
+_CRC8_POLY = 0x07
+_CRC16_POLY = 0x8005
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ _CRC8_POLY) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ _CRC16_POLY) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        while bits > 0:
+            if self.byte >= len(self.data):
+                raise ValueError("flac: bitstream exhausted")
+            avail = 8 - self.bit
+            take = min(bits, avail)
+            cur = self.data[self.byte]
+            out = (out << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            bits -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return out
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.read(1):
+                return q
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("flac: runaway unary code")
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+    def tell_bytes(self) -> int:
+        return self.byte + (1 if self.bit else 0)
+
+
+def _utf8_coded(value: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of frame/sample numbers (like
+    UTF-8 but extended to 7 bytes / 36 payload bits)."""
+    if value < 0x80:
+        return bytes([value])
+    for n, lead, cap in (
+        (2, 0xC0, 11), (3, 0xE0, 16), (4, 0xF0, 21),
+        (5, 0xF8, 26), (6, 0xFC, 31), (7, 0xFE, 36),
+    ):
+        if value < (1 << cap):
+            first = 0xFE if n == 7 else lead | (value >> (6 * (n - 1)))
+            out = [first]
+            for i in range(n - 2, -1, -1):
+                out.append(0x80 | ((value >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("flac: frame number too large")
+
+
+def _read_utf8_coded(r: "_BitReader") -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x80
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 2 or n > 7:
+        raise ValueError("flac: bad UTF-8-coded number")
+    value = b0 & (0xFF >> (n + 1))
+    for _ in range(n - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad UTF-8 continuation")
+        value = (value << 6) | (c & 0x3F)
+    return value
+
+
+#: block-size-bits table (frame header): index -> samples (0 = reserved,
+#: 6/7 = get from end of header 8/16 bits)
+_BLOCKSIZES = [0, 192, 576, 1152, 2304, 4608, -8, -16,
+               256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
+_SAMPLE_RATES = [0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+                 32000, 44100, 48000, 96000, -8, -16, -160, None]
+_SAMPLE_SIZES = [0, 8, 12, None, 16, 20, 24, 32]
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+# --- encode -------------------------------------------------------------------
+
+
+def _rice_encode(w: "_BitWriter", res, k: int) -> None:
+    for v in res:
+        z = (int(v) << 1) ^ (int(v) >> 63)  # zigzag
+        w.write_unary(z >> k)
+        w.write(z, k)
+
+
+def _best_rice_k(res) -> int:
+    import numpy as np
+
+    a = np.abs(res.astype(np.int64)).mean() if len(res) else 0
+    k = 0
+    while (1 << (k + 1)) < a + 1 and k < 14:
+        k += 1
+    return k
+
+
+def encode_flac(samples, sample_rate: int = 8000, block_size: int = 4096) -> bytes:
+    """Encode int16 PCM (n,) mono or (n, 2) stereo into a FLAC stream
+    (fixed predictors 0-2, independent channels, one Rice partition)."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[1] not in (1, 2):
+        raise ValueError("encode_flac takes (n,) mono or (n, 2) stereo int16")
+    n, ch = s.shape
+    if n == 0:
+        raise ValueError("encode_flac needs at least one sample")
+    md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+    out = bytearray(FLAC_MAGIC)
+    # STREAMINFO (last-metadata flag set, type 0, length 34)
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(ch - 1, 3)
+    si.write(15, 5)  # bps - 1 = 15
+    si.write(n, 36)
+    out += b"\x80\x00\x00\x22" + si.bytes() + md5
+
+    sx = s.astype(np.int64)
+    for frame_no, lo in enumerate(range(0, n, block_size)):
+        blk = sx[lo : lo + block_size]
+        bs = blk.shape[0]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocksize stream
+        w.write(7, 4)  # blocksize: 16-bit at end of header
+        w.write(0, 4)  # sample rate: from STREAMINFO
+        w.write(ch - 1, 4)  # independent channels
+        w.write(4, 3)  # 16 bps
+        w.write(0, 1)
+        w.align()
+        head = bytes(w.buf) + _utf8_coded(frame_no) + int(bs - 1).to_bytes(2, "big")
+        head += bytes([_crc8(head)])
+        body = _BitWriter()
+        for c in range(ch):
+            x = blk[:, c]
+            # pick the fixed order 0..2 with the smallest residual energy
+            cands = []
+            for order in range(0, 3):
+                if bs <= order:
+                    continue
+                res = x.copy()
+                for _ in range(order):
+                    res = np.diff(res)
+                cands.append((np.abs(res).sum(), order, res))
+            _, order, res = min(cands, key=lambda t: t[0])
+            body.write(0, 1)
+            body.write(0b001000 | order, 6)  # FIXED, order
+            body.write(0, 1)  # no wasted bits
+            for i in range(order):  # warmup
+                body.write(int(x[i]), 16)
+            body.write(0, 2)  # residual method: 4-bit rice
+            body.write(0, 4)  # partition order 0
+            k = _best_rice_k(res)
+            body.write(k, 4)
+            _rice_encode(body, res, k)
+        body.align()
+        frame = head + body.bytes()
+        out += frame + _crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+# --- decode -------------------------------------------------------------------
+
+
+def _read_residual(r: "_BitReader", bs: int, order: int):
+    import numpy as np
+
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"flac: reserved residual method {method}")
+    kbits = 4 + method
+    escape = (1 << kbits) - 1
+    po = r.read(4)
+    if bs % (1 << po):
+        raise ValueError("flac: partition order does not divide block size")
+    out = np.empty(bs - order, dtype=np.int64)
+    pos = 0
+    for part in range(1 << po):
+        cnt = (bs >> po) - (order if part == 0 else 0)
+        if cnt < 0:
+            raise ValueError("flac: predictor order exceeds first partition")
+        k = r.read(kbits)
+        if k == escape:
+            nbits = r.read(5)
+            for i in range(cnt):
+                v = r.read(nbits) if nbits else 0
+                if nbits and v >= 1 << (nbits - 1):
+                    v -= 1 << nbits
+                out[pos + i] = v
+        else:
+            for i in range(cnt):
+                q = r.read_unary()
+                z = (q << k) | (r.read(k) if k else 0)
+                out[pos + i] = (z >> 1) ^ -(z & 1)  # un-zigzag
+        pos += cnt
+    return out
+
+
+def _read_subframe(r: "_BitReader", bs: int, bps: int):
+    import numpy as np
+
+    if r.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    typ = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = 1 + r.read_unary()
+    eff = bps - wasted
+    if typ == 0:  # CONSTANT
+        v = r.read(eff)
+        if v >= 1 << (eff - 1):
+            v -= 1 << eff
+        x = np.full(bs, v, dtype=np.int64)
+    elif typ == 1:  # VERBATIM
+        x = np.empty(bs, dtype=np.int64)
+        for i in range(bs):
+            v = r.read(eff)
+            if v >= 1 << (eff - 1):
+                v -= 1 << eff
+            x[i] = v
+    elif 8 <= typ <= 12:  # FIXED order 0..4
+        order = typ - 8
+        x = np.empty(bs, dtype=np.int64)
+        for i in range(order):
+            v = r.read(eff)
+            if v >= 1 << (eff - 1):
+                v -= 1 << eff
+            x[i] = v
+        res = _read_residual(r, bs, order)
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, bs):
+            x[i] = res[i - order] + sum(
+                c * x[i - 1 - j] for j, c in enumerate(coefs)
+            )
+    elif typ >= 32:  # LPC order 1..32
+        order = typ - 31
+        x = np.empty(bs, dtype=np.int64)
+        for i in range(order):
+            v = r.read(eff)
+            if v >= 1 << (eff - 1):
+                v -= 1 << eff
+            x[i] = v
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid LPC precision")
+        shift = r.read(5)  # unsigned per the spec erratum
+        coefs = []
+        for _ in range(order):
+            c = r.read(prec)
+            if c >= 1 << (prec - 1):
+                c -= 1 << prec
+            coefs.append(c)
+        res = _read_residual(r, bs, order)
+        for i in range(order, bs):
+            acc = sum(c * int(x[i - 1 - j]) for j, c in enumerate(coefs))
+            x[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"flac: reserved subframe type {typ}")
+    return x << wasted
+
+
+def decode_flac(p: bytes):
+    """Decode a FLAC stream to (samples int16 ndarray (n, ch),
+    sample_rate). Verifies frame CRC-8/CRC-16 and the STREAMINFO MD5
+    of the decoded PCM. Raises ValueError on anything malformed."""
+    import hashlib
+
+    import numpy as np
+
+    try:
+        if p[:4] != FLAC_MAGIC:
+            raise ValueError("not a FLAC stream (bad magic)")
+        pos = 4
+        streaminfo = None
+        while True:
+            if pos + 4 > len(p):
+                raise ValueError("flac: truncated metadata")
+            last = p[pos] & 0x80
+            btype = p[pos] & 0x7F
+            blen = int.from_bytes(p[pos + 1 : pos + 4], "big")
+            body = p[pos + 4 : pos + 4 + blen]
+            if len(body) != blen:
+                raise ValueError("flac: truncated metadata block")
+            if btype == 0:
+                streaminfo = body
+            pos += 4 + blen
+            if last:
+                break
+        if streaminfo is None or len(streaminfo) < 34:
+            raise ValueError("flac: missing STREAMINFO")
+        si = _BitReader(streaminfo)
+        si.read(16)
+        si.read(16)
+        si.read(24)
+        si.read(24)
+        rate = si.read(20)
+        ch = si.read(3) + 1
+        bps = si.read(5) + 1
+        total = si.read(36)
+        md5_expect = streaminfo[18:34]
+        if bps != 16:
+            raise ValueError(f"flac: only 16-bit supported, got {bps}")
+        if total == 0:
+            raise ValueError("flac: streams without a declared sample total "
+                             "are unsupported")
+        chans: list = [[] for _ in range(ch)]
+        got = 0
+        while got < total:
+            r = _BitReader(p, pos)
+            sync = r.read(14)
+            if sync != 0b11111111111110:
+                raise ValueError("flac: lost frame sync")
+            r.read(1)  # reserved
+            r.read(1)  # blocking strategy
+            bsbits = r.read(4)
+            srbits = r.read(4)
+            chasn = r.read(4)
+            ssbits = r.read(3)
+            r.read(1)
+            _read_utf8_coded(r)
+            bs = _BLOCKSIZES[bsbits]
+            if bs == 0:
+                raise ValueError("flac: reserved block size code")
+            if bs == -8:
+                bs = r.read(8) + 1
+            elif bs == -16:
+                bs = r.read(16) + 1
+            sr = _SAMPLE_RATES[srbits]
+            if sr == -8:
+                r.read(8)
+            elif sr == -16:
+                r.read(16)
+            elif sr == -160:
+                r.read(16)
+            elif sr is None:
+                raise ValueError("flac: invalid sample rate code")
+            fbps = _SAMPLE_SIZES[ssbits]
+            if fbps is None:
+                raise ValueError("flac: reserved sample size code")
+            if fbps == 0:
+                fbps = bps
+            hdr_end = r.tell_bytes()
+            if _crc8(p[pos:hdr_end]) != p[hdr_end]:
+                raise ValueError("flac: frame header CRC-8 mismatch")
+            r = _BitReader(p, hdr_end + 1)
+            if chasn < 8:
+                if chasn + 1 != ch:
+                    raise ValueError("flac: channel count mismatch")
+                subs = [_read_subframe(r, bs, fbps) for _ in range(ch)]
+            elif chasn in (8, 9, 10):
+                if ch != 2:
+                    raise ValueError("flac: stereo decorrelation on non-stereo")
+                extra = (0, 1) if chasn == 8 else ((1, 0) if chasn == 9 else (0, 1))
+                a = _read_subframe(r, bs, fbps + extra[0])
+                b = _read_subframe(r, bs, fbps + extra[1])
+                if chasn == 8:  # left/side
+                    subs = [a, a - b]
+                elif chasn == 9:  # side/right
+                    subs = [a + b, b]
+                else:  # mid/side
+                    side = b
+                    mid = (a << 1) | (side & 1)
+                    subs = [(mid + side) >> 1, (mid - side) >> 1]
+            else:
+                raise ValueError(f"flac: reserved channel assignment {chasn}")
+            r.align()
+            body_end = r.tell_bytes()
+            crc = int.from_bytes(p[body_end : body_end + 2], "big")
+            if _crc16(p[pos:body_end]) != crc:
+                raise ValueError("flac: frame CRC-16 mismatch")
+            for c in range(ch):
+                chans[c].append(subs[c])
+            got += bs
+            pos = body_end + 2
+        if got != total:
+            raise ValueError(f"flac: decoded {got} of {total} samples")
+        s = np.stack(
+            [np.concatenate(c)[:total] for c in chans], axis=1
+        )
+        if s.min() < -(1 << 15) or s.max() >= 1 << 15:
+            raise ValueError("flac: decoded sample out of 16-bit range")
+        s16 = s.astype(np.int16)
+        if hashlib.md5(s16.astype("<i2").tobytes()).digest() != md5_expect:
+            raise ValueError("flac: STREAMINFO MD5 mismatch on decoded PCM")
+        return s16, rate
+    except IndexError as e:
+        # slicing past the buffer end anywhere in the frame walk
+        raise ValueError(f"malformed FLAC ({type(e).__name__}: {e})") from e

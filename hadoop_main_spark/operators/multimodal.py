@@ -1104,6 +1104,28 @@ def _wav_features(p: bytes, dim: int) -> list[float]:
     return out
 
 
+def _flac_features(p: bytes, dim: int) -> list[float]:
+    """The _wav_features window contract over REAL FLAC payloads
+    (operators/flac.py: Rice entropy decode + fixed/LPC predictors +
+    CRC/MD5 verify). Zeros bad-record policy."""
+    import numpy as np
+
+    from hadoop_main_spark.operators.flac import decode_flac
+
+    try:
+        pcm, _rate = decode_flac(p)
+    except ValueError:
+        return [0.0] * dim
+    x = np.abs(pcm.astype(np.float64)).mean(axis=1)
+    n = x.shape[0]
+    out = []
+    for b in range(dim):
+        lo, hi = (b * n) // dim, max(((b + 1) * n) // dim, (b * n) // dim + 1)
+        win = x[min(lo, max(n - 1, 0)) : min(hi, n)]
+        out.append(float(win.mean()) / 32768.0 if win.size else 0.0)
+    return out
+
+
 def _stub_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic fake 'embedding' from the payload bytes: md5-seeded
     values in [0,1). Stands in for a real decode→model pipeline."""
@@ -1140,11 +1162,13 @@ def extract_features(
         feat = _tiff_features
     elif decoder == "wav":
         feat = _wav_features
+    elif decoder == "flac":
+        feat = _flac_features
     else:
         raise NotImplementedError(
             f"decoder '{decoder}' needs media libraries not present in this "
-            "environment; 'ppm'/'png'/'jpeg'/'gif'/'wav' are the real "
-            "no-library paths, 'stub' the fake"
+            "environment; 'ppm'/'bmp'/'tiff'/'png'/'jpeg'/'gif'/'wav'/'flac' "
+            "are the real no-library paths, 'stub' the fake"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

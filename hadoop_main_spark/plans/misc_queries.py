@@ -517,6 +517,61 @@ def bmp_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "flac_decode_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 60 + 50 AS n FROM documents),
+    b AS (SELECT doc_id, n, unnest(generate_series(0, 3)) AS band FROM p),
+    r AS (SELECT doc_id, band, n,
+            (band * n) // 4 AS lo,
+            greatest(((band + 1) * n) // 4, (band * n) // 4 + 1) AS hi
+          FROM b),
+    s AS (SELECT doc_id, band,
+            unnest(generate_series(least(lo, n - 1), least(hi, n) - 1)) AS j
+          FROM r)
+    SELECT doc_id AS media_id, CAST(band AS BIGINT) AS band,
+           AVG(CAST(abs((doc_id * 17 + j * 11) % 3001 - 1500) AS DOUBLE)) / 32768.0
+             AS amp_mean
+    FROM s GROUP BY doc_id, band
+    """,
+    doc="REAL FLAC decode on the data path (operators/flac.py: Rice "
+    "entropy decode, fixed-predictor reconstruction, frame CRC-8/16 "
+    "and STREAMINFO-MD5 verification): per-doc mono 16-bit streams "
+    "(doc_id%60+50 samples, sample j = (doc_id*17 + j*11) % 3001 - "
+    "1500) are FLAC-encoded with encode_flac (small blocks so every "
+    "doc spans multiple frames), then extract_features("
+    "decoder='flac') entropy-decodes each payload Arrow-batched and "
+    "emits per-time-window mean absolute amplitudes — the compressed "
+    "twin of wav_decode_features, same closed-form oracle contract. "
+    "Sums are bounded integers in double (exact) — bit-exact match.",
+)
+def flac_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        from hadoop_main_spark.operators.flac import encode_flac
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = i % 60 + 50
+                s = ((i * 17 + np.arange(n) * 11) % 3001 - 1500).astype(np.int16)
+                payloads.append(encode_flac(s, 8000, block_size=32))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = MM.extract_features(media, decoder="flac", dim=4)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("band", "amp_mean")
+    ).select("media_id", F.col("band").cast("long").alias("band"), "amp_mean")
+
+
+@query(
     "tiff_decode_features",
     oracle="""
     WITH p AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 7 + 5 AS h

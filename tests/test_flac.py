@@ -1,0 +1,157 @@
+"""FLAC codec: encoder-path roundtrips plus hand-crafted frames for
+the decode-only features (LPC, stereo decorrelation, wasted bits,
+rice2/partitions/escape) the fixed-predictor encoder never emits."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from hadoop_main_spark.operators import flac as FL
+
+
+def test_flac_roundtrip_mono_stereo_extremes():
+    rng = np.random.default_rng(7)
+    n = 6000
+    t = np.arange(n)
+    mono = (3000 * np.sin(t / 50) + rng.integers(-200, 200, n)).astype(np.int16)
+    dec, rate = FL.decode_flac(FL.encode_flac(mono, 8000, block_size=4096))
+    assert rate == 8000 and (dec[:, 0] == mono).all()
+    st = np.stack([mono, (mono // 2 + 17).astype(np.int16)], axis=1)
+    dec2, rate2 = FL.decode_flac(FL.encode_flac(st, 44100, block_size=999))
+    assert rate2 == 44100 and (dec2 == st).all()
+    ext = np.array([-32768, 32767, 0, -1, 1] * 50, dtype=np.int16)
+    d3, _ = FL.decode_flac(FL.encode_flac(ext, 8000, block_size=64))
+    assert (d3[:, 0] == ext).all()
+
+
+def test_flac_malformed_raises():
+    blob = FL.encode_flac(np.arange(500, dtype=np.int16), 8000)
+    for cut in (3, 10, 40, len(blob) // 2, len(blob) - 3):
+        with pytest.raises(ValueError):
+            FL.decode_flac(blob[:cut])
+    # bit flips anywhere surface as ValueError (which one depends on
+    # where the corruption lands: CRC mismatch, lost sync, exhausted
+    # bitstream, MD5 mismatch — all are the same bad-record contract)
+    for at in (20, 60, 100, len(blob) - 40):
+        bad = bytearray(blob)
+        bad[at] ^= 0xFF
+        with pytest.raises(ValueError):
+            FL.decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="magic"):
+        FL.decode_flac(b"fLaX" + blob[4:])
+
+
+def _stream(frames_bits, samples, rate=8000, ch=1):
+    """Assemble a FLAC stream from pre-built frame payload writers."""
+    out = bytearray(FL.FLAC_MAGIC)
+    si = FL._BitWriter()
+    si.write(16, 16); si.write(65535, 16); si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(ch - 1, 3); si.write(15, 5)
+    si.write(samples.shape[0], 36)
+    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    out += b"\x80\x00\x00\x22" + si.bytes() + md5
+    for head, body in frames_bits:
+        frame = head + body
+        out += frame + FL._crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def _frame_head(frame_no, bs, chasn, ch_code_bits=4):
+    w = FL._BitWriter()
+    w.write(0b11111111111110, 14); w.write(0, 1); w.write(0, 1)
+    w.write(7, 4)   # 16-bit blocksize at end
+    w.write(0, 4)   # rate from STREAMINFO
+    w.write(chasn, 4)
+    w.write(4, 3)   # 16 bps
+    w.write(0, 1)
+    w.align()
+    head = bytes(w.buf) + FL._utf8_coded(frame_no) + (bs - 1).to_bytes(2, "big")
+    return head + bytes([FL._crc8(head)])
+
+
+def _verbatim_sub(w, x, bits=16):
+    w.write(0, 1); w.write(1, 6); w.write(0, 1)
+    for v in x:
+        w.write(int(v), bits)
+
+
+def test_flac_decodes_lpc_subframe():
+    """Hand-built LPC frame: order 2, coefs [2, -1] with shift 0 ==
+    the fixed-order-2 predictor, so the expected samples are known."""
+    bs = 32
+    x = (np.arange(bs) ** 2 % 97).astype(np.int64) - 40
+    res = np.diff(x, 2)  # fixed-2 residual == LPC([2,-1], shift 0)
+    w = FL._BitWriter()
+    w.write(0, 1); w.write(32 + 1, 6); w.write(0, 1)  # LPC order 2 (type 33)
+    for i in range(2):
+        w.write(int(x[i]), 16)
+    w.write(14, 4)   # precision 15 bits
+    w.write(0, 5)    # shift 0
+    w.write(2, 15)   # coef 2
+    w.write(-1, 15)  # coef -1
+    w.write(0, 2); w.write(0, 4)  # rice 4-bit, partition order 0
+    w.write(6, 4)
+    FL._rice_encode(w, res, 6)
+    w.align()
+    blob = _stream([(_frame_head(0, bs, 0), w.bytes())],
+                   x.astype(np.int16)[:, None].reshape(bs, 1))
+    dec, _ = FL.decode_flac(blob)
+    assert (dec[:, 0] == x).all()
+
+
+@pytest.mark.parametrize("chasn", [8, 9, 10])
+def test_flac_decodes_stereo_decorrelation(chasn):
+    bs = 24
+    rng = np.random.default_rng(chasn)
+    left = rng.integers(-5000, 5000, bs).astype(np.int64)
+    right = rng.integers(-5000, 5000, bs).astype(np.int64)
+    side = left - right
+    w = FL._BitWriter()
+    if chasn == 8:    # left/side
+        _verbatim_sub(w, left, 16); _verbatim_sub(w, side, 17)
+    elif chasn == 9:  # side/right
+        _verbatim_sub(w, side, 17); _verbatim_sub(w, right, 16)
+    else:             # mid/side
+        mid = (left + right) >> 1
+        _verbatim_sub(w, mid, 16); _verbatim_sub(w, side, 17)
+    w.align()
+    want = np.stack([left, right], axis=1).astype(np.int16)
+    blob = _stream([(_frame_head(0, bs, chasn), w.bytes())], want, ch=2)
+    dec, _ = FL.decode_flac(blob)
+    assert (dec == want).all()
+
+
+def test_flac_decodes_wasted_bits_rice2_partitions_escape():
+    bs = 16
+    x = (np.arange(bs, dtype=np.int64) - 8) * 4  # all multiples of 4
+    w = FL._BitWriter()
+    # constant subframe with 2 wasted bits
+    w.write(0, 1); w.write(0, 6); w.write(1, 1)  # wasted flag
+    w.write(1, 1)  # unary 1 -> wasted = 2
+    w.write(7 >> 2, 14)  # constant value 1 (14 effective bits), <<2 = 4
+    w.align()
+    want = np.full((bs, 1), 4, dtype=np.int16)
+    blob = _stream([(_frame_head(0, bs, 0), w.bytes())], want)
+    dec, _ = FL.decode_flac(blob)
+    assert (dec == want).all()
+    # verbatim-order-0 FIXED with rice2 (5-bit params), partition order 2,
+    # one partition escaped to raw 6-bit storage
+    w2 = FL._BitWriter()
+    w2.write(0, 1); w2.write(8, 6); w2.write(0, 1)  # FIXED order 0
+    w2.write(1, 2)   # residual method 1 = rice2
+    w2.write(2, 4)   # partition order 2 -> 4 partitions of 4
+    for part in range(4):
+        if part == 1:
+            w2.write(31, 5)  # escape
+            w2.write(6, 5)   # 6-bit raw residuals
+            for v in x[4:8]:
+                w2.write(int(v), 6)
+        else:
+            w2.write(3, 5)
+            FL._rice_encode(w2, x[part * 4 : part * 4 + 4], 3)
+    w2.align()
+    want2 = x.astype(np.int16)[:, None]
+    blob2 = _stream([(_frame_head(0, bs, 0), w2.bytes())], want2)
+    dec2, _ = FL.decode_flac(blob2)
+    assert (dec2 == want2).all()
