@@ -1082,18 +1082,14 @@ def _wav_resample_payload(p: bytes, dst_rate: int):
     return n_in, n_out, _wav_encode(dst_rate, out)
 
 
-def _wav_features(p: bytes, dim: int) -> list[float]:
-    """Real audio features: ``dim`` time windows, each contributing
-    its mean absolute amplitude in [0, 1] (channel-averaged) — the
-    audio analog of the PPM band means. Malformed payloads take the
-    zeros bad-record path (same policy as audio_resample: one bad
-    row must not kill a 100 TB feature pass)."""
+def _audio_window_features(pcm, dim: int) -> list[float]:
+    """Shared audio-feature kernel (the _image_band_features analog):
+    ``dim`` time windows over an (n, ch) int16 array, each window's
+    mean absolute channel-averaged amplitude in [0, 1]. BOTH audio
+    decoders (WAV, FLAC) and both closed-form SQL oracles mirror this
+    exact boundary math — one implementation, by design."""
     import numpy as np
 
-    try:
-        _, _, pcm = _wav_decode(p)
-    except ValueError:
-        return [0.0] * dim
     x = np.abs(pcm.astype(np.float64)).mean(axis=1) if pcm.size else pcm[:, 0]
     n = x.shape[0]
     out = []
@@ -1104,26 +1100,29 @@ def _wav_features(p: bytes, dim: int) -> list[float]:
     return out
 
 
-def _flac_features(p: bytes, dim: int) -> list[float]:
-    """The _wav_features window contract over REAL FLAC payloads
-    (operators/flac.py: Rice entropy decode + fixed/LPC predictors +
-    CRC/MD5 verify). Zeros bad-record policy."""
-    import numpy as np
+def _wav_features(p: bytes, dim: int) -> list[float]:
+    """Real audio features over RIFF/PCM16 payloads (see
+    _audio_window_features). Malformed payloads take the zeros
+    bad-record path (same policy as audio_resample: one bad row must
+    not kill a 100 TB feature pass)."""
+    try:
+        _, _, pcm = _wav_decode(p)
+    except ValueError:
+        return [0.0] * dim
+    return _audio_window_features(pcm, dim)
 
+
+def _flac_features(p: bytes, dim: int) -> list[float]:
+    """The shared _audio_window_features contract over REAL FLAC
+    payloads (operators/flac.py: Rice entropy decode + fixed/LPC
+    predictors + CRC/MD5 verify). Zeros bad-record policy."""
     from hadoop_main_spark.operators.flac import decode_flac
 
     try:
         pcm, _rate = decode_flac(p)
     except ValueError:
         return [0.0] * dim
-    x = np.abs(pcm.astype(np.float64)).mean(axis=1)
-    n = x.shape[0]
-    out = []
-    for b in range(dim):
-        lo, hi = (b * n) // dim, max(((b + 1) * n) // dim, (b * n) // dim + 1)
-        win = x[min(lo, max(n - 1, 0)) : min(hi, n)]
-        out.append(float(win.mean()) / 32768.0 if win.size else 0.0)
-    return out
+    return _audio_window_features(pcm, dim)
 
 
 def _stub_features(payload: bytes, dim: int) -> list[float]:
@@ -1779,6 +1778,8 @@ def _tiff_encode(arr, big_endian: bool = False, rows_per_strip: int = 8) -> byte
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError("tiff encode needs (h, w) gray or (h, w, 3) RGB")
     h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("tiff encode needs a non-empty image")
     spp = 1 if gray else 3
     e = ">" if big_endian else "<"
     strips = [
@@ -1883,6 +1884,11 @@ def _tiff_decode(p: bytes, max_pixels: int = 1 << 26):
             raise ValueError(f"tiff: dims {w}x{h} outside sane bounds")
         if values(259, [1])[0] != 1:
             raise ValueError("tiff: only uncompressed (Compression=1) supported")
+        photometric = values(262)[0]
+        if photometric not in (0, 1, 2):
+            # palette (3), CMYK (5), YCbCr (6), ... — raise, never
+            # silently misread (the codecs' shared discipline)
+            raise ValueError(f"tiff: unsupported photometric {photometric}")
         spp = values(277, [1])[0]
         bps = values(258, [8])
         if spp not in (1, 3) or any(b != 8 for b in bps):
@@ -1900,6 +1906,10 @@ def _tiff_decode(p: bytes, max_pixels: int = 1 << 26):
         if len(body) < h * w * spp:
             raise ValueError("tiff: strips shorter than image")
         a = np.frombuffer(bytes(body), np.uint8, h * w * spp).reshape(h, w, spp)
+        if photometric == 0:  # WhiteIsZero (scanned documents): invert
+            a = 255 - a
+        if photometric == 2 and spp != 3:
+            raise ValueError("tiff: RGB photometric with spp != 3")
         return np.ascontiguousarray(a)
     except (struct.error, IndexError) as e2:
         raise ValueError(f"malformed TIFF ({type(e2).__name__}: {e2})") from e2
@@ -1939,13 +1949,21 @@ def decode_to_rgb(fmt: str, payload: bytes):
         a = _ppm_decode(payload)
     else:
         raise ValueError(f"decode_to_rgb: unsupported format {fmt!r}")
-    a = np.asarray(a, dtype=np.uint8)
+    a = np.asarray(a)
+    if a.dtype == np.uint16:
+        # canonical form is 8-bit: keep the HIGH byte (the standard
+        # 16->8 downscale) — truncating to the low byte would collapse
+        # distinct images into false duplicates (review-r6d)
+        a = (a >> 8).astype(np.uint8)
+    a = a.astype(np.uint8, copy=False)
     if a.ndim == 2:
         a = a[:, :, None]
+    if a.shape[2] == 2:
+        a = a[:, :, :1]  # gray+alpha: keep the gray plane
     if a.shape[2] == 1:
         a = np.repeat(a, 3, axis=2)
     if a.shape[2] != 3:
-        # PNG RGBA etc.: drop alpha for the canonical RGB form
+        # RGBA etc.: drop alpha for the canonical RGB form
         a = a[:, :, :3]
     return np.ascontiguousarray(a)
 

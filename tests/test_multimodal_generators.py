@@ -233,6 +233,75 @@ def test_tiff_roundtrip_both_endians():
     assert MM._tiff_features(b"junk", 2) == [0.0, 0.0]
     # decode_to_rgb canonicalization includes tiff
     assert (MM.decode_to_rgb("tiff", MM._tiff_encode(rgb)) == rgb).all()
+    # photometric handling: WhiteIsZero inverts, palette raises
+    def patch_tag(blob, tag, value):
+        b2 = bytearray(blob)
+        n = struct.unpack("<H", b2[8:10])[0]
+        for i in range(n):
+            base = 10 + i * 12
+            if struct.unpack("<H", b2[base : base + 2])[0] == tag:
+                b2[base + 8 : base + 10] = struct.pack("<H", value)
+        return bytes(b2)
+
+    gblob = MM._tiff_encode(gray)
+    inv = MM._tiff_decode(patch_tag(gblob, 262, 0))
+    assert (inv[:, :, 0] == 255 - gray).all()
+    with pytest.raises(ValueError, match="photometric"):
+        MM._tiff_decode(patch_tag(gblob, 262, 3))
+    with pytest.raises(ValueError, match="non-empty"):
+        MM._tiff_encode(np.zeros((0, 5), np.uint8))
+
+
+def test_decode_to_rgb_canonicalizes_depth_and_channels():
+    """review-r6d: 16-bit PNGs keep the HIGH byte through decode_to_rgb
+    (truncating to the low byte collapsed distinct images into false
+    duplicates) and gray+alpha PNGs canonicalize to the gray plane
+    as a proper (h, w, 3) array."""
+    import zlib
+
+    import numpy as np
+
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big") + cid + body
+            + (zlib.crc32(cid + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def png_raw(arr16_or_ga, depth, color_type):
+        h, w = arr16_or_ga.shape[:2]
+        ch = 1 if arr16_or_ga.ndim == 2 else arr16_or_ga.shape[2]
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, color_type, 0, 0, 0])
+        )
+        if depth == 16:
+            be = arr16_or_ga.reshape(h, w, ch).astype(">u2").tobytes()
+            stride = w * ch * 2
+        else:
+            be = arr16_or_ga.reshape(h, w, ch).astype(np.uint8).tobytes()
+            stride = w * ch
+        rows = b"".join(
+            b"\x00" + be[r * stride : (r + 1) * stride] for r in range(h)
+        )
+        return (
+            MM._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+        )
+
+    hi = (np.arange(1, 5, dtype=np.uint16).reshape(2, 2) << 8)
+    got = MM.decode_to_rgb("png", png_raw(hi, 16, 0))
+    assert got.shape == (2, 2, 3) and got[:, :, 0].tolist() == [[1, 2], [3, 4]]
+    # two distinct 16-bit images with equal LOW bytes must not collide
+    other = hi + (7 << 8)
+    assert (
+        MM.decode_to_rgb("png", png_raw(other, 16, 0)) != got
+    ).any()
+    # gray+alpha (color type 4): gray plane replicates, alpha dropped
+    ga = np.dstack(
+        [np.full((3, 3), 9, np.uint8), np.full((3, 3), 200, np.uint8)]
+    )
+    got2 = MM.decode_to_rgb("png", png_raw(ga, 8, 4))
+    assert got2.shape == (3, 3, 3) and (got2 == 9).all()
 
 
 def test_gif_roundtrip_and_lzw_stress():
