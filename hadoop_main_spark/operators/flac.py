@@ -199,6 +199,14 @@ def encode_flac(samples, sample_rate: int = 8000, block_size: int = 4096) -> byt
     n, ch = s.shape
     if n == 0:
         raise ValueError("encode_flac needs at least one sample")
+    # Header-width validation (advice r6): block_size rides in 16-bit
+    # STREAMINFO/frame fields (and 65536 would silently truncate;
+    # >65536 raised OverflowError from to_bytes); sample_rate has 20
+    # bits in STREAMINFO.  Normalize both to ValueError up front.
+    if not 16 <= block_size <= 65535:
+        raise ValueError(f"block_size must be in 16..65535, got {block_size}")
+    if not 1 <= sample_rate < (1 << 20):
+        raise ValueError(f"sample_rate must be in 1..{(1 << 20) - 1}, got {sample_rate}")
     md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
     out = bytearray(FLAC_MAGIC)
     # STREAMINFO (last-metadata flag set, type 0, length 34)

@@ -2146,7 +2146,8 @@ def _gif_encode(
 
 
 def _gif_decode(
-    p: bytes, max_pixels: int = 1 << 26, max_frames: int = 4096
+    p: bytes, max_pixels: int = 1 << 26, max_frames: int = 4096,
+    frame_stride: int = 1,
 ):
     """Decode a GIF87a/89a into (palette-composited RGB frames,
     delays): frames is a list of (h, w, 3) uint8 canvases AFTER
@@ -2161,16 +2162,23 @@ def _gif_decode(
     ``max_frames`` bounds per-frame OBJECT overhead too (a 1x1-canvas
     stream of millions of 15-byte frames passes any pixel-volume cap);
     callers needing only the leading frames pass a small value and
-    skip the rest of the animation's LZW cost entirely."""
+    skip the rest of the animation's LZW cost entirely.
+    ``frame_stride`` RETAINS only every Nth composited canvas (always
+    including frame 0) while still compositing every frame for
+    correctness — samplers use it so the per-record memory footprint
+    is bounded by retained frames, not animation length (advice r6).
+    The total RETAINED volume is capped at 2*max_pixels pixels; a
+    legitimate long animation over a big canvas must be read with a
+    stride (or per-prefix via max_frames), never fully materialized."""
     import struct
 
     try:
-        return _gif_decode_impl(p, max_pixels, max_frames)
+        return _gif_decode_impl(p, max_pixels, max_frames, frame_stride)
     except (struct.error, IndexError) as e:
         raise ValueError(f"malformed GIF ({type(e).__name__}: {e})") from e
 
 
-def _gif_decode_impl(p: bytes, max_pixels: int, max_frames: int):
+def _gif_decode_impl(p: bytes, max_pixels: int, max_frames: int, frame_stride: int):
     import struct
 
     import numpy as np
@@ -2190,6 +2198,7 @@ def _gif_decode_impl(p: bytes, max_pixels: int, max_frames: int):
     if gct is not None and bg < len(gct):
         canvas[:, :] = gct[bg]
     frames, delays = [], []
+    n_composited = 0
     transparent, disposal, delay = None, 0, 0
 
     def sub_blocks(pos: int):
@@ -2253,11 +2262,6 @@ def _gif_decode_impl(p: bytes, max_pixels: int, max_frames: int):
                 idx = un
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("gif: palette index out of range")
-            if (len(frames) + 1) * w * h > 4 * max_pixels:
-                # composited frames are full canvases: cap the TOTAL
-                # decoded volume, not just the canvas (an adversarial
-                # stream of thousands of 1px frames is the same blowup)
-                raise ValueError("gif: decoded animation exceeds sane bounds")
             if disposal == 3:  # only restore-to-previous needs the copy
                 prev_canvas = canvas.copy()
             region = canvas[iy : iy + ih, ix : ix + iw]
@@ -2267,9 +2271,21 @@ def _gif_decode_impl(p: bytes, max_pixels: int, max_frames: int):
                 region[mask] = rgb[mask]
             else:
                 region[:, :] = rgb
-            frames.append(canvas.copy())
-            delays.append(int(delay))
-            if len(frames) >= max_frames:
+            if n_composited % frame_stride == 0:
+                if (len(frames) + 1) * w * h > 2 * max_pixels:
+                    # retained frames are full canvases: cap the TOTAL
+                    # retained volume, not just the canvas (a stream of
+                    # thousands of full-canvas frames is the same
+                    # blowup). Strided samplers stay under this by
+                    # construction; multiplier lowered 4 -> 2 and
+                    # applied to RETAINED frames only (advice r6).
+                    raise ValueError(
+                        "gif: retained animation volume exceeds sane bounds"
+                    )
+                frames.append(canvas.copy())
+                delays.append(int(delay))
+            n_composited += 1
+            if n_composited >= max_frames:
                 break  # caller-bounded: skip the rest of the animation
             if disposal == 2:  # restore to background
                 canvas[iy : iy + ih, ix : ix + iw] = (
@@ -2311,8 +2327,10 @@ def gif_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     ``every_n``-th composited frame, emit per-frame channel means +
     digest. Same Arrow-batched 1→N shape and bad-record skip as the
     Y4M/AVI samplers; GIF frames must composite sequentially, so the
-    whole animation decodes per payload (LZW cost is linear in
-    pixels)."""
+    whole animation's LZW+compositing cost is paid per payload, but
+    only the SAMPLED canvases are ever materialized (frame_stride in
+    the decoder) — per-record memory is bounded by retained frames,
+    not animation length."""
     import hashlib as _hl
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2323,12 +2341,13 @@ def gif_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                     continue
                 try:
                     frames, _delays = _gif_decode(
-                        bytes(payload) if payload is not None else b""
+                        bytes(payload) if payload is not None else b"",
+                        frame_stride=every_n,
                     )
                 except ValueError:
                     continue  # bad record: skip, never fail the task
-                for idx in range(0, len(frames), every_n):
-                    a = frames[idx]
+                for i, a in enumerate(frames):
+                    idx = i * every_n
                     rows.append(
                         (
                             int(mid), idx, a.shape[1], a.shape[0],

@@ -360,7 +360,14 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """Probe a materialized IVF index (see :func:`build_ivf_index`).
     The cell filter is an IN-list on the partition column, so only
-    nprobe cells' files are scanned."""
+    nprobe cells' files are scanned.
+
+    Size contract: ``queries`` is a PROBE-SIDED table, not a corpus —
+    the static prune round-trips ``queries x nprobe`` rows through the
+    driver (see :func:`_static_prune`), so it must stay
+    driver-collectable (thousands of queries, not millions). For
+    corpus-vs-corpus workloads use the batch scorers
+    (:func:`brute_force_topk` / :func:`ivf_topk`) instead."""
     cents = spark.read.parquet(f"{path}/centroids")
     cell_rank = _probe_cells(queries, cents, query_id, vec_col, nprobe)
     cell_rank, vectors = _static_prune(spark, cell_rank, f"{path}/vectors")
@@ -987,7 +994,13 @@ def ivfpq_topk_indexed(
     the probed cells (IN-list on the partition column, same discipline
     as ivf_topk_indexed — runtime DPP proved unreliable on the
     1M-vector smoke), and scores codes against the constant-size
-    broadcast distance tables."""
+    broadcast distance tables.
+
+    Size contract: ``queries`` must stay driver-collectable — both the
+    static prune (``queries x nprobe`` rows) and the distance-table
+    build (``queries x m x k`` entries) round-trip through the driver.
+    Thousands of probe queries are fine; corpus-scale query sets
+    belong on the batch scorers (:func:`pq_topk` / :func:`ivfpq_topk`)."""
     cents = spark.read.parquet(f"{path}/centroids")
     probe = _probe_cells(queries, cents, query_id, vec_col, nprobe)
     probe, enc_cells = _static_prune(spark, probe, f"{path}/codes")

@@ -74,7 +74,13 @@ def derived_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     s_count = t(spark, sf, "supplier").count()
     pk = F.col("p_partkey")
     i = F.col("i")
-    suppkey = (pk + i * (s_count // 4 + (pk - F.lit(1)) / F.lit(s_count)).cast("bigint")) % s_count + 1
+    # Exact integer arithmetic end to end (advice r6): DIV is BIGINT
+    # truncating division, identical to the oracle CTE's `//` for the
+    # non-negative operands here — no double quotient that could
+    # truncate differently once partkey magnitudes approach 2^53.
+    suppkey = (
+        pk + i * (F.lit(s_count // 4) + F.expr(f"(p_partkey - 1) DIV {s_count}"))
+    ) % s_count + 1
     return (
         t(spark, sf, "part")
         .select(pk, F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))

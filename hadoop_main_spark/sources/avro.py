@@ -177,11 +177,14 @@ def avro_json_to_schema(
         nullable, null_branch = False, -1
         if isinstance(t, list):
             branches = [b for b in t if b != "null"]
-            if len(branches) != 1 or len(t) > 2:
+            # A union WITHOUT "null" (including a single-branch [T])
+            # still carries a branch-index long on the wire; treating
+            # it as a plain type would misalign every subsequent byte
+            # of an externally written container (advice r6).
+            if len(branches) != 1 or len(t) > 2 or "null" not in t:
                 raise ValueError(f"unsupported union {t!r} on field {f['name']}")
-            nullable = "null" in f["type"]
-            if nullable:
-                null_branch = f["type"].index("null")
+            nullable = True
+            null_branch = f["type"].index("null")
             t = branches[0]
         if not isinstance(t, str) or t not in _AVRO_TO_SPARK:
             raise ValueError(f"unsupported avro type {t!r} on field {f['name']}")
@@ -317,7 +320,14 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
     widens nullable int64 columns to float64, which silently corrupts
     longs past 2^53 (hash64 columns are 60-bit) — Arrow keeps exact
     ints plus a null bitmap. Rows never collect to the driver.
-    Returns the number of rows written."""
+    Returns the number of rows written.
+
+    SHARED-FS CONTRACT: ``path`` is opened by the Python kernel on
+    each EXECUTOR via plain ``os`` calls — it must resolve to the same
+    filesystem on every executor (local mode trivially; on a real
+    cluster use a mounted shared FS path, NOT a driver-local temp dir
+    like tempfile.mkdtemp()). Object stores without rename semantics
+    (raw S3) also break the os.replace crash-safety step."""
     avro_json = schema_to_avro_json(df.schema)
     names = [f.name for f in df.schema.fields]
     os.makedirs(path, exist_ok=True)

@@ -155,3 +155,20 @@ def test_flac_decodes_wasted_bits_rice2_partitions_escape():
     blob2 = _stream([(_frame_head(0, bs, 0), w2.bytes())], want2)
     dec2, _ = FL.decode_flac(blob2)
     assert (dec2 == want2).all()
+
+
+def test_flac_encode_validates_header_field_widths():
+    """block_size rides in 16-bit header fields and sample_rate in the
+    20-bit STREAMINFO field: out-of-range values must raise ValueError
+    up front, never OverflowError or a silently truncated stream
+    (advice r6)."""
+    s = np.arange(64, dtype=np.int16)
+    for bs in (0, 15, 65536, 1 << 20):
+        with pytest.raises(ValueError, match="block_size"):
+            FL.encode_flac(s, 8000, block_size=bs)
+    for sr in (0, -1, 1 << 20, 1 << 24):
+        with pytest.raises(ValueError, match="sample_rate"):
+            FL.encode_flac(s, sr)
+    # boundary values remain valid and roundtrip
+    dec, rate = FL.decode_flac(FL.encode_flac(s, (1 << 20) - 1, block_size=16))
+    assert rate == (1 << 20) - 1 and (dec[:, 0] == s).all()

@@ -1124,3 +1124,34 @@ def test_png_16bit_decode():
             + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
             + chunk(b"IEND", b"")
         )
+
+
+def test_gif_frame_stride_retains_only_sampled_canvases():
+    """frame_stride composites EVERY frame (disposal correctness) but
+    retains only every Nth canvas — strided decode must equal the
+    stride-sampled full decode, and the retained-volume cap counts
+    retained frames only (advice r6: a long animation read with a
+    stride must not trip the full-materialization bound)."""
+    import numpy as np
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    rng = np.random.default_rng(11)
+    # 23 frames with varied content so compositing state matters
+    frames = [rng.integers(0, 256, (17, 23), dtype=np.uint8) for _ in range(23)]
+    blob = MM._gif_encode(frames, pal, delays_cs=list(range(10, 33)))
+    full, full_delays = MM._gif_decode(blob)
+    for stride in (2, 5, 10):
+        got, got_delays = MM._gif_decode(blob, frame_stride=stride)
+        want = full[::stride]
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert (a == b).all()
+        assert got_delays == full_delays[::stride]
+    # retained-volume cap: many full-canvas frames over a tiny
+    # max_pixels trip the bound un-strided, pass with a stride
+    small = [rng.integers(0, 256, (8, 8), dtype=np.uint8) for _ in range(40)]
+    sblob = MM._gif_encode(small, pal)
+    with pytest.raises(ValueError, match="retained"):
+        MM._gif_decode(sblob, max_pixels=8 * 8 * 4)
+    got, _ = MM._gif_decode(sblob, max_pixels=8 * 8 * 4, frame_stride=8)
+    assert len(got) == 5

@@ -346,3 +346,26 @@ def test_avro_spark_roundtrip_and_auto_input(spark, tmp_path):
     assert a == b
     via_auto = auto_input(spark, out)
     assert via_auto.count() == 2000
+
+
+def test_avro_rejects_null_free_unions():
+    """A union WITHOUT "null" — including single-branch [T] — still
+    carries a branch-index long on the wire; treating it as a plain
+    type would misalign every later byte of an externally written
+    container. The schema parser must reject it (advice r6)."""
+    import json
+
+    import pytest
+
+    from hadoop_main_spark.sources import avro as A
+
+    for t in (["long"], ["string"], ["long", "double"]):
+        sj = json.dumps(
+            {
+                "type": "record",
+                "name": "row",
+                "fields": [{"name": "k", "type": t}],
+            }
+        )
+        with pytest.raises(ValueError, match="union"):
+            A.avro_json_to_schema(sj)
