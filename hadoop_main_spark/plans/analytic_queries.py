@@ -849,6 +849,7 @@ def nation_inventory_share(spark: SparkSession, sf: str) -> DataFrame:
     "(dimensions), so the plan has no fact shuffle at all. Cost stays "
     "exact BIGINT cents; deterministic total order with p_partkey "
     "tie-break under LIMIT.",
+    bench=True,  # r7 rotation: all-broadcast small-latency probe
 )
 def min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window

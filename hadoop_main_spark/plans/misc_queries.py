@@ -418,6 +418,7 @@ def avi_mjpeg_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     "recomputes each sampled frame's mean in closed form — the full "
     "LZW + compositing pipeline is what is verified. Only ~60-byte "
     "frame summaries shuffle.",
+    bench=True,  # r7 rotation: tracks the multimodal decode path's perf
 )
 def gif_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
