@@ -1527,7 +1527,8 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
 #: or seed change can never desynchronize the two.
 _SEM_CAND_CTE = f"""seeds AS (SELECT vec_id AS cluster,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS seed
-                   FROM embeddings WHERE vec_id < 8),
+                   FROM embeddings
+                   WHERE vec_id < GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 250)),
     {_PERT_CORPUS_CTE},
     d AS (SELECT c.vec_id, s.cluster, {_SQ_L2.format(a='c.v', b='s.seed')} AS d2
           FROM corpus c CROSS JOIN seeds s),
@@ -1554,9 +1555,17 @@ def _semantic_pairs(spark: SparkSession, sf: str) -> DataFrame:
     of :data:`_SEM_CAND_CTE` + :data:`_SEM_SCORED` + the 0.95 cut)."""
     e = t(spark, sf, "embeddings")
     corpus = _perturbed_corpus(e)
+    # k SCALES with the corpus (k ~ n / target-cluster-size, the
+    # SemDeDup contract): fixed k=8 kept clusters growing linearly
+    # with n, so within-cluster pair work grew QUADRATICALLY — the
+    # 10x scale gate measured 57x (tools/scale_gate.py, round 7).
+    # max(8, n // 250) is 8 at every fixture sf (results unchanged)
+    # and caps mean cluster size at ~500 vectors beyond that. The
+    # count is parquet-footer metadata, not a scan.
+    k = max(8, e.count() // 250)
     seeds = [
         (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in e.filter(F.col("vec_id") < 8).collect()
+        for r in e.filter(F.col("vec_id") < k).collect()
     ]
     return SIM.semantic_dedup_pairs(
         corpus, seeds, "vec_id", "v", min_cosine=0.95, max_cluster=10_000
