@@ -16,6 +16,24 @@ from hadoop_main_spark.operators import pipe as PIPE
 from hadoop_main_spark.plans.registry import query, t
 
 
+def _codec_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id spine for the media-generator queries, repartitioned to
+    the session's default parallelism BEFORE the Python codec kernels:
+    the sf0.1 fixture is ONE parquet file, so without this every
+    encode/decode pass ran as a single task on one core (caught by the
+    r7 10x scale gate — gif_frame_features grew only 1.1x on 10x data
+    because it was parallelism-starved, not fast). Shuffling the
+    8-byte ids is ~free next to the codec work, and decoupling kernel
+    parallelism from input file layout is the same move you'd make at
+    100 TB (payloads are generated downstream; only ids cross the
+    exchange)."""
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 @query(
     "pipe_wordcount",
     oracle="""
@@ -95,7 +113,7 @@ def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 def png_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
@@ -144,7 +162,7 @@ def png_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 def jpeg_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
@@ -295,7 +313,7 @@ def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 def y4m_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
@@ -360,7 +378,7 @@ def y4m_frame_features(spark: SparkSession, sf: str) -> DataFrame:
 def avi_mjpeg_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
@@ -423,7 +441,7 @@ def avi_mjpeg_frame_features(spark: SparkSession, sf: str) -> DataFrame:
 def gif_frame_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
@@ -488,7 +506,7 @@ def gif_frame_features(spark: SparkSession, sf: str) -> DataFrame:
 def bmp_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
@@ -548,7 +566,7 @@ def bmp_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 def flac_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
@@ -609,7 +627,7 @@ def flac_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 def tiff_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
@@ -664,7 +682,7 @@ def cross_format_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen_and_digest(batches):
         import numpy as np
@@ -768,7 +786,7 @@ def media_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen_and_digest(batches):
         import numpy as np
@@ -833,7 +851,7 @@ def media_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
 def wav_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
@@ -888,7 +906,7 @@ def wav_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 def image_dhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf, "documents").select("doc_id")
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
