@@ -973,3 +973,267 @@ def avro_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
         # both render as plain digit strings)
         F.md5(F.sum(h60.cast("decimal(38,0)")).cast("string")).alias("text_checksum"),
     )
+
+
+@query(
+    "seqfile_roundtrip_agg",
+    oracle="""
+    SELECT l.layout,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           md5(CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS VARCHAR))
+             AS text_checksum
+    FROM documents, (VALUES ('none'), ('record'), ('block')) AS l(layout)
+    GROUP BY l.layout
+    """,
+    doc="SequenceFile round trip ON the driver gate (verdict-r6 #4, "
+    "the avro_roundtrip_agg pattern): documents (doc_id, text) pairs "
+    "are written as real Hadoop SequenceFiles in all THREE reference "
+    "layouts — uncompressed NONE, gzip RECORD, gzip BLOCK "
+    "(IO/SequenceFile.java:222) — read back through the Writable "
+    "reader, and aggregated per layout: row count, id sum, and an "
+    "order-independent 60-bit text checksum must equal the oracle "
+    "computed on the ORIGINAL parquet for every layout; any "
+    "encode/decode corruption in any layout moves its row. "
+    "LOCAL-MODE CONTRACT: tempfile.mkdtemp() as the write target "
+    "(shared FS on a real cluster — the write_avro caveat).",
+)
+def seqfile_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.sources.sequencefile import (
+        read_sequencefile,
+        write_sequencefile,
+    )
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="seqrt_")
+    parts = []
+    for layout, codec, block in (
+        ("none", None, None),
+        ("record", "gzip", False),
+        ("block", "gzip", True),
+    ):
+        out = f"{base}/{layout}"
+        write_sequencefile(d, out, compression=codec, block_compress=block)
+        back = read_sequencefile(spark, out, key="doc_id", value="text")
+        parts.append(back.withColumn("layout", F.lit(layout)))
+    allb = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return allb.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        # DECIMAL(38,0) accumulation mirrors avro_roundtrip_agg: 60-bit
+        # hashes overflow int64 past ~8 rows; DuckDB's HUGEINT sum and
+        # this both render as plain digit strings under md5()
+        F.md5(F.sum(h60.cast("decimal(38,0)")).cast("string")).alias("text_checksum"),
+    )
+
+
+@query(
+    "fixedwidth_roundtrip_agg",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="FixedLengthInputFormat round trip ON the driver gate "
+    "(MRC/mapreduce/lib/input/FixedLengthInputFormat.java:47): each "
+    "document row is serialized as a fixed-width text record "
+    "(zero-padded 12-char doc_id | space-padded 8-char lang | "
+    "zero-padded 10-char n_chars), written as plain text across the "
+    "session's default parallelism, sliced back into columns by "
+    "read_fixed_width's offsets, and re-aggregated per language — "
+    "counts, id sums, and char sums must match the oracle on the "
+    "original parquet, so any mis-sliced offset or padding bug moves "
+    "a value. LOCAL-MODE CONTRACT: tempfile.mkdtemp() target.",
+)
+def fixedwidth_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.sources.text import read_fixed_width
+
+    d = t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="fixedrt_") + "/docs"
+    (
+        d.select(
+            F.concat(
+                F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+                F.rpad("lang", 8, " "),
+                F.lpad(F.col("n_chars").cast("string"), 10, "0"),
+            ).alias("value")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    back = read_fixed_width(spark, out, [12, 8, 10], ["doc_id", "lang", "n_chars"])
+    return (
+        back.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.trim("lang").alias("lang"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "xml_roundtrip_agg",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="StreamXmlRecordReader round trip ON the driver gate "
+    "(ST/StreamXmlRecordReader.java:1): documents are serialized as "
+    "<doc><id>..</id><lang>..</lang><n>..</n></doc> elements across "
+    "the session's default parallelism (one XML shard per task), "
+    "read back with read_xml_records's begin/end-mark scan, fields "
+    "re-extracted, and re-aggregated per language against the oracle "
+    "on the original parquet — a mis-framed record boundary or "
+    "dropped element moves a count. LOCAL-MODE CONTRACT: "
+    "tempfile.mkdtemp() target.",
+)
+def xml_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.sources.text import read_xml_records
+
+    d = t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="xmlrt_") + "/docs"
+    (
+        d.select(
+            F.concat(
+                F.lit("<doc><id>"),
+                F.col("doc_id").cast("string"),
+                F.lit("</id><lang>"),
+                F.col("lang"),
+                F.lit("</lang><n>"),
+                F.col("n_chars").cast("string"),
+                F.lit("</n></doc>"),
+            ).alias("value")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    back = read_xml_records(spark, out, "doc")
+    return (
+        back.select(
+            F.regexp_extract("record", "<id>([^<]*)</id>", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.regexp_extract("record", "<lang>([^<]*)</lang>", 1).alias("lang"),
+            F.regexp_extract("record", "<n>([^<]*)</n>", 1)
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+@query(
+    "har_roundtrip_agg",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Hadoop Archive round trip ON the driver gate "
+    "(hadoop-tools/hadoop-archives/, HarFileSystem.java:57 VERSION=3): "
+    "documents are serialized as tab-separated text shards, archived "
+    "into a .har (part concatenation + _index/_masterindex), read "
+    "back THROUGH the har:// filesystem at the archive ROOT (the "
+    "reader resolves the index and slices part files), re-parsed and "
+    "re-aggregated per language against the oracle on the original "
+    "parquet — an index offset bug or truncated entry moves a sum. "
+    "LOCAL-MODE CONTRACT: tempfile.mkdtemp() target.",
+)
+def har_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.sources.har import create_har
+
+    d = t(spark, sf, "documents")
+    base = tempfile.mkdtemp(prefix="harrt_")
+    src, har = f"{base}/src", f"{base}/docs.har"
+    (
+        d.select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.col("n_chars").cast("string"),
+            ).alias("value")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .text(src)
+    )
+    create_har(spark, src, har)
+    back = spark.read.text(f"har://{har}/")
+    p = F.split("value", "\t")
+    return (
+        back.select(
+            F.element_at(p, 1).cast("bigint").alias("doc_id"),
+            F.element_at(p, 2).alias("lang"),
+            F.element_at(p, 3).cast("bigint").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "distcp_roundtrip_agg",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           md5(CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS VARCHAR))
+             AS text_checksum
+    FROM documents GROUP BY lang
+    """,
+    doc="DistCp round trip ON the driver gate "
+    "(hadoop-tools/hadoop-distcp/.../DistCp.java:1): the whole sf "
+    "fixture directory is copied by the distributed copier "
+    "(size-balanced listing buckets, per-task byte copy), then the "
+    "documents COPY is read and aggregated — per-language counts and "
+    "the order-independent 60-bit text checksum must equal the "
+    "oracle computed on the ORIGINAL file, certifying a byte-exact "
+    "distributed copy end-to-end. LOCAL-MODE CONTRACT: "
+    "tempfile.mkdtemp() target.",
+)
+def distcp_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.sources.distcp import distcp
+
+    dst_dir = tempfile.mkdtemp(prefix="distcprt_")
+    dst = f"{dst_dir}/documents.parquet"
+    report = distcp(spark, sf.rstrip("/"), dst_dir)
+    bad = report.filter(F.col("ok") == 0).count() if "ok" in report.columns else 0
+    if bad:
+        raise RuntimeError(f"distcp reported {bad} failed copies")
+    back = spark.read.parquet(dst)
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.md5(F.sum(h60.cast("decimal(38,0)")).cast("string")).alias("text_checksum"),
+    )
