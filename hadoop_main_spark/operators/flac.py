@@ -174,19 +174,228 @@ def _rice_encode(w: "_BitWriter", res, k: int) -> None:
         w.write(z, k)
 
 
-def _best_rice_k(res) -> int:
+def _best_rice(res) -> tuple[int, int]:
+    """(k, exact bit cost) minimizing the Rice cost over k in 0..14
+    (15 is the 4-bit escape code). Exact, not the mean heuristic:
+    cost(k) = sum(zigzag >> k) + n*(k+1)."""
     import numpy as np
 
-    a = np.abs(res.astype(np.int64)).mean() if len(res) else 0
-    k = 0
-    while (1 << (k + 1)) < a + 1 and k < 14:
-        k += 1
-    return k
+    z = res.astype(np.int64)
+    z = (z << 1) ^ (z >> 63)
+    n = len(z)
+    best_k, best_c = 0, None
+    for k in range(15):
+        c = int((z >> k).sum()) + n * (k + 1)
+        if best_c is None or c < best_c:
+            best_k, best_c = k, c
+    return best_k, best_c or 0
 
 
-def encode_flac(samples, sample_rate: int = 8000, block_size: int = 4096) -> bytes:
-    """Encode int16 PCM (n,) mono or (n, 2) stereo into a FLAC stream
-    (fixed predictors 0-2, independent channels, one Rice partition)."""
+def _lpc_coefs(x, order: int):
+    """Levinson-Durbin over the Welch-windowed autocorrelation:
+    float reflection recursion, returning float LPC coefficients
+    a[0..order-1] with x[n] ~ sum a[j] * x[n-1-j], or None when the
+    signal has no usable correlation (constant / too short / unstable
+    recursion)."""
+    import numpy as np
+
+    m = len(x)
+    if m <= order * 2:
+        return None
+    w = x.astype(np.float64)
+    # Welch window tapers block edges so the autocorrelation is not
+    # biased by the rectangular cut (the standard pre-LPC window)
+    t = (np.arange(m) - (m - 1) / 2.0) / ((m + 1) / 2.0)
+    w = w * (1.0 - t * t)
+    autoc = np.empty(order + 1)
+    for lag in range(order + 1):
+        autoc[lag] = float(np.dot(w[: m - lag], w[lag:]))
+    if autoc[0] <= 0.0:
+        return None
+    err = autoc[0]
+    a = np.zeros(order)
+    used = 0
+    for i in range(order):
+        acc = autoc[i + 1] - (np.dot(a[:i], autoc[i:0:-1]) if i else 0.0)
+        if err <= 0.0 or not np.isfinite(acc):
+            break
+        k = acc / err
+        if not np.isfinite(k) or abs(k) >= 1.0:
+            break
+        a[:i] = a[:i] - k * a[:i][::-1]
+        a[i] = k
+        used = i + 1
+        err *= 1.0 - k * k
+    if used == 0:
+        return None
+    return a[:used]
+
+
+def _quantize_lpc(a, prec: int = 14, max_shift: int = 15):
+    """Quantize float LPC coefficients to ``prec``-bit signed ints with
+    a common right-shift (the FLAC wire form), error-feedback rounding
+    like libFLAC so the quantization error does not accumulate down
+    the coefficient vector. Returns (coefs, shift) or None."""
+    import numpy as np
+
+    cmax = float(np.abs(a).max())
+    if cmax <= 0.0 or not np.isfinite(cmax):
+        return None
+    # largest shift keeping every coef within the signed prec range
+    shift = max_shift
+    lim = (1 << (prec - 1)) - 1
+    while shift > 0 and cmax * (1 << shift) > lim:
+        shift -= 1
+    if cmax * (1 << shift) > lim:
+        return None
+    q = []
+    e = 0.0
+    for c in a:
+        v = c * (1 << shift) + e
+        qi = int(np.floor(v + 0.5))
+        qi = max(-(lim + 1), min(lim, qi))
+        e = v - qi
+        q.append(qi)
+    if all(v == 0 for v in q):
+        return None
+    return q, shift
+
+
+def _lpc_residual(x, coefs, shift: int):
+    """EXACTLY the decoder's inverse: res[i] = x[i] -
+    ((sum coefs[j] * x[i-1-j]) >> shift) in integer arithmetic
+    (numpy's int64 >> is the same arithmetic floor shift)."""
+    import numpy as np
+
+    order = len(coefs)
+    acc = np.zeros(len(x) - order, dtype=np.int64)
+    for j, c in enumerate(coefs):
+        acc += int(c) * x[order - 1 - j : len(x) - 1 - j]
+    return x[order:] - (acc >> shift)
+
+
+#: subframe header bits: 1 pad + 6 type + 1 wasted-flag
+_SUB_HDR = 8
+#: residual coding header: 2 method + 4 partition order + 4 rice k
+_RES_HDR = 10
+
+
+def _plan_subframe(x, eff: int) -> dict:
+    """Choose the cheapest spec-valid encoding for one channel of one
+    block by EXACT bit cost: CONSTANT, FIXED order 0-4, LPC (Levinson-
+    Durbin, error-feedback-quantized coefficients), VERBATIM fallback.
+    Returns a plan dict consumed by :func:`_write_subframe`."""
+    import numpy as np
+
+    bs = len(x)
+    if bool(np.all(x == x[0])):
+        return {"kind": "constant", "bits": _SUB_HDR + eff, "v": int(x[0])}
+    plans = [{"kind": "verbatim", "bits": _SUB_HDR + bs * eff}]
+    res = x
+    for order in range(0, 5):
+        if order:
+            if bs <= order:
+                break
+            res = np.diff(res)
+        k, cost = _best_rice(res if order else x)
+        plans.append(
+            {
+                "kind": "fixed",
+                "order": order,
+                "k": k,
+                "bits": _SUB_HDR + order * eff + _RES_HDR + cost,
+            }
+        )
+    prec = 14
+    for order in (2, 4, 8):
+        a = _lpc_coefs(x, order)
+        if a is None:
+            continue
+        q = _quantize_lpc(a, prec)
+        if q is None:
+            continue
+        coefs, shift = q
+        lres = _lpc_residual(x, coefs, shift)
+        k, cost = _best_rice(lres)
+        plans.append(
+            {
+                "kind": "lpc",
+                "order": len(coefs),
+                "coefs": coefs,
+                "shift": shift,
+                "prec": prec,
+                "k": k,
+                "bits": _SUB_HDR
+                + len(coefs) * eff
+                + 4  # precision-1 field
+                + 5  # shift field
+                + len(coefs) * prec
+                + _RES_HDR
+                + cost,
+            }
+        )
+    return min(plans, key=lambda p: p["bits"])
+
+
+def _write_subframe(body: "_BitWriter", plan: dict, x, eff: int) -> None:
+    import numpy as np
+
+    body.write(0, 1)  # padding
+    kind = plan["kind"]
+    if kind == "constant":
+        body.write(0, 6)
+        body.write(0, 1)  # no wasted bits
+        body.write(plan["v"], eff)
+        return
+    if kind == "verbatim":
+        body.write(1, 6)
+        body.write(0, 1)
+        for v in x:
+            body.write(int(v), eff)
+        return
+    order = plan["order"]
+    if kind == "fixed":
+        body.write(0b001000 | order, 6)
+        body.write(0, 1)
+        for i in range(order):
+            body.write(int(x[i]), eff)
+        res = x
+        for _ in range(order):
+            res = np.diff(res)
+    else:  # lpc
+        body.write(32 + order - 1, 6)
+        body.write(0, 1)
+        for i in range(order):
+            body.write(int(x[i]), eff)
+        body.write(plan["prec"] - 1, 4)
+        body.write(plan["shift"], 5)
+        for c in plan["coefs"]:
+            body.write(int(c), plan["prec"])
+        res = _lpc_residual(x, plan["coefs"], plan["shift"])
+    body.write(0, 2)  # residual method: 4-bit rice
+    body.write(0, 4)  # partition order 0
+    body.write(plan["k"], 4)
+    _rice_encode(body, res, plan["k"])
+
+
+def encode_flac(
+    samples, sample_rate: int = 8000, block_size: int = 4096, _stats: dict | None = None
+) -> bytes:
+    """Encode int16 PCM (n,) mono or (n, 2) stereo into a FLAC stream.
+
+    Per block: every subframe picks the cheapest of CONSTANT / FIXED
+    order 0-4 / LPC (Levinson-Durbin analysis, 14-bit error-feedback-
+    quantized coefficients, orders 2/4/8) / VERBATIM by exact bit
+    cost, and stereo frames additionally pick the cheapest channel
+    assignment among independent, left/side, side/right, and mid/side
+    (RFC 9639 inter-channel decorrelation — the side channel costs
+    one extra bit of depth but correlated channels compress far
+    smaller). One Rice partition per subframe with the exact-cost k.
+    The decoder accepts all of it (it always has); these are the
+    encode-side halves the round-6 encoder lacked.
+
+    ``_stats``: pass a dict to collect {"chasn": [...], "kinds": [...]}
+    per frame/subframe — test introspection only, no wire effect."""
     import hashlib
 
     import numpy as np
@@ -225,41 +434,50 @@ def encode_flac(samples, sample_rate: int = 8000, block_size: int = 4096) -> byt
     for frame_no, lo in enumerate(range(0, n, block_size)):
         blk = sx[lo : lo + block_size]
         bs = blk.shape[0]
+        if ch == 1:
+            chasn = 0
+            subs = [(blk[:, 0], 16)]
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right  # 17-bit range
+            mid = (left + right) >> 1  # decoder recovers the dropped
+            # low bit from side's parity (mid/side reconstruction)
+            pl = _plan_subframe(left, 16)
+            pr = _plan_subframe(right, 16)
+            ps = _plan_subframe(side, 17)
+            pm = _plan_subframe(mid, 16)
+            options = [
+                (pl["bits"] + pr["bits"], 1, [(left, 16, pl), (right, 16, pr)]),
+                (pl["bits"] + ps["bits"], 8, [(left, 16, pl), (side, 17, ps)]),
+                (ps["bits"] + pr["bits"], 9, [(side, 17, ps), (right, 16, pr)]),
+                (pm["bits"] + ps["bits"], 10, [(mid, 16, pm), (side, 17, ps)]),
+            ]
+            _, chasn, planned = min(options, key=lambda o: o[0])
+            subs = [(x, eff, p) for x, eff, p in planned]
         w = _BitWriter()
         w.write(0b11111111111110, 14)
         w.write(0, 1)  # reserved
         w.write(0, 1)  # fixed blocksize stream
         w.write(7, 4)  # blocksize: 16-bit at end of header
         w.write(0, 4)  # sample rate: from STREAMINFO
-        w.write(ch - 1, 4)  # independent channels
+        w.write(chasn, 4)  # channel assignment (indep or decorrelated)
         w.write(4, 3)  # 16 bps
         w.write(0, 1)
         w.align()
         head = bytes(w.buf) + _utf8_coded(frame_no) + int(bs - 1).to_bytes(2, "big")
         head += bytes([_crc8(head)])
         body = _BitWriter()
-        for c in range(ch):
-            x = blk[:, c]
-            # pick the fixed order 0..2 with the smallest residual energy
-            cands = []
-            for order in range(0, 3):
-                if bs <= order:
-                    continue
-                res = x.copy()
-                for _ in range(order):
-                    res = np.diff(res)
-                cands.append((np.abs(res).sum(), order, res))
-            _, order, res = min(cands, key=lambda t: t[0])
-            body.write(0, 1)
-            body.write(0b001000 | order, 6)  # FIXED, order
-            body.write(0, 1)  # no wasted bits
-            for i in range(order):  # warmup
-                body.write(int(x[i]), 16)
-            body.write(0, 2)  # residual method: 4-bit rice
-            body.write(0, 4)  # partition order 0
-            k = _best_rice_k(res)
-            body.write(k, 4)
-            _rice_encode(body, res, k)
+        if _stats is not None:
+            _stats.setdefault("chasn", []).append(chasn)
+        for sub in subs:
+            if len(sub) == 3:
+                x, eff, plan = sub
+            else:
+                x, eff = sub
+                plan = _plan_subframe(x, eff)
+            if _stats is not None:
+                _stats.setdefault("kinds", []).append(plan["kind"])
+            _write_subframe(body, plan, x, eff)
         body.align()
         frame = head + body.bytes()
         out += frame + _crc16(frame).to_bytes(2, "big")

@@ -172,3 +172,39 @@ def test_flac_encode_validates_header_field_widths():
     # boundary values remain valid and roundtrip
     dec, rate = FL.decode_flac(FL.encode_flac(s, (1 << 20) - 1, block_size=16))
     assert rate == (1 << 20) - 1 and (dec[:, 0] == s).all()
+
+
+def test_flac_encoder_lpc_and_stereo_decorrelation():
+    """Round-7 encoder upgrades: LPC subframes (Levinson-Durbin,
+    quantized coefficients) and per-frame stereo channel-assignment
+    selection must (a) roundtrip bit-exact, (b) actually be CHOSEN on
+    correlated material, and (c) compress it well below the fixed-
+    predictor-only floor (~0.6x PCM per NOTES r6)."""
+    rng = np.random.default_rng(3)
+    n = 48000
+    t = np.arange(n)
+    base = (8000 * np.sin(t / 80.0) + 3000 * np.sin(t / 7.0)).astype(np.int64)
+    L = (base + rng.integers(-50, 50, n)).astype(np.int16)
+    R = (base + rng.integers(-50, 50, n) + 100).astype(np.int16)
+    st = np.stack([L, R], axis=1)
+    stats: dict = {}
+    blob = FL.encode_flac(st, 44100, _stats=stats)
+    dec, rate = FL.decode_flac(blob)
+    assert rate == 44100 and (dec == st).all()
+    assert "lpc" in stats["kinds"], "LPC never chosen on a smooth sweep"
+    assert any(c in (8, 9, 10) for c in stats["chasn"]), (
+        "no decorrelated frame chosen on near-identical channels"
+    )
+    assert len(blob) < 0.55 * st.size * 2, f"ratio {len(blob)/(st.size*2):.3f}"
+    # white noise: the exact-cost planner must fall back (verbatim /
+    # fixed-0) and never blow the stream up
+    noise = rng.integers(-32768, 32768, n).astype(np.int16)
+    b3 = FL.decode_flac(FL.encode_flac(noise, 8000))[0]
+    assert (b3[:, 0] == noise).all()
+    # anti-correlated stereo: side channel is WIDER than either input;
+    # the planner should keep channels independent, and the roundtrip
+    # must stay exact at the 17-bit side extremes either way
+    ext = np.array([[-32768, 32767], [32767, -32768], [0, -1], [1, 0]] * 64,
+                   dtype=np.int16)
+    d4, _ = FL.decode_flac(FL.encode_flac(ext, 8000, block_size=64))
+    assert (d4 == ext).all()
