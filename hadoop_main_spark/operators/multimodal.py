@@ -2145,6 +2145,62 @@ def _gif_encode(
     return bytes(out)
 
 
+def _gif_encode_rgb(frames, delays_cs=None, disposal: int = 1) -> bytes:
+    """True-color GIF89a via PER-FRAME LOCAL color tables (closes the
+    round-6 encoder gap: the global-palette form caps the whole
+    animation at 256 colors). Each (h, w, 3) uint8 frame gets its own
+    palette built from its distinct colors — a single frame is still
+    bound to 256 entries (the GIF local-table limit; exceeding it
+    raises ValueError rather than silently quantizing), but the
+    ANIMATION as a whole is unbounded, the classic GIF true-color
+    technique. No global color table is written; the decoder's
+    local-table path (``iflags & 0x80``) handles every frame."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("gif needs at least one frame")
+    first = np.asarray(frames[0], dtype=np.uint8)
+    if first.ndim != 3 or first.shape[2] != 3:
+        raise ValueError("gif rgb frames must be (h, w, 3) uint8")
+    h, w = first.shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+    if len(frames) > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    if delays_cs is not None and len(delays_cs) != len(frames):
+        raise ValueError(f"gif: {len(delays_cs)} delays for {len(frames)} frames")
+    delays = delays_cs or [4] * len(frames)
+    for fi, fr in enumerate(frames):
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.shape != (h, w, 3):
+            raise ValueError("gif frames must share the canvas size")
+        pal, inv = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(
+                f"gif frame {fi}: {len(pal)} distinct colors exceed the "
+                "256-entry local color table"
+            )
+        idx = inv.astype(np.uint8).reshape(h, w)
+        bits = max(2, int(len(pal) - 1).bit_length())
+        if len(frames) > 1:
+            out += struct.pack(
+                "<BBBBHBB", 0x21, 0xF9, 4, (disposal & 7) << 2, delays[fi], 0, 0
+            )
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | (bits - 1))
+        out += pal.tobytes() + b"\x00\x00\x00" * ((1 << bits) - len(pal))
+        lzw = _gif_lzw_encode(idx.tobytes(), bits)
+        out.append(bits)
+        for lo in range(0, len(lzw), 255):
+            blk = lzw[lo : lo + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
 def _gif_decode(
     p: bytes, max_pixels: int = 1 << 26, max_frames: int = 4096,
     frame_stride: int = 1,

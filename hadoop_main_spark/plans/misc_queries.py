@@ -1237,3 +1237,64 @@ def distcp_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.md5(F.sum(h60.cast("decimal(38,0)")).cast("string")).alias("text_checksum"),
     )
+
+
+@query(
+    "gif_truecolor_frame_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 5 AS h,
+                      doc_id % 3 + 3 AS nf
+               FROM documents),
+    f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+          FROM p),
+    px AS (SELECT doc_id, frame_idx, w, h, r.r, c.c FROM f,
+           unnest(generate_series(0, h - 1)) AS r(r),
+           unnest(generate_series(0, w - 1)) AS c(c))
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           AVG(CAST((doc_id*7 + frame_idx*31) % 256 AS DOUBLE)) AS r_mean,
+           AVG(CAST((r*17 + c) % 256 AS DOUBLE)) AS g_mean,
+           AVG(CAST((doc_id*3 + r + frame_idx) % 256 AS DOUBLE)) AS b_mean
+    FROM px GROUP BY doc_id, frame_idx, w, h
+    """,
+    doc="TRUE-COLOR animated GIF on the data path (round-7 encoder "
+    "extension): per-doc animations are encoded with _gif_encode_rgb "
+    "— a LOCAL color table per frame, so the animation's total color "
+    "count is unbounded even though each frame is capped at 256 — "
+    "then gif_frame_sample LZW-decodes + composites each stream "
+    "through the decoder's local-table path and keeps every 2nd "
+    "frame. Pixel (r,c) of frame f: R=(doc*7+f*31)%256 (constant per "
+    "frame, distinct across frames), G=(r*17+c)%256, "
+    "B=(doc*3+r+f)%256; the oracle recomputes the sampled frames' "
+    "channel means in closed form.",
+)
+def gif_truecolor_frame_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h, nf = i % 5 + 4, i % 3 + 5, i % 3 + 3
+                rr = np.arange(h)[:, None]
+                cc = np.arange(w)[None, :]
+                frames = []
+                for f in range(nf):
+                    a = np.empty((h, w, 3), np.uint8)
+                    a[:, :, 0] = (i * 7 + f * 31) % 256
+                    a[:, :, 1] = (rr * 17 + cc) % 256
+                    a[:, :, 2] = (i * 3 + rr + f) % 256
+                    frames.append(a)
+                payloads.append(MM._gif_encode_rgb(frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return MM.gif_frame_sample(media, every_n=2).select(
+        "media_id", "frame_idx", "width", "height", "r_mean", "g_mean", "b_mean"
+    )

@@ -1155,3 +1155,42 @@ def test_gif_frame_stride_retains_only_sampled_canvases():
         MM._gif_decode(sblob, max_pixels=8 * 8 * 4)
     got, _ = MM._gif_decode(sblob, max_pixels=8 * 8 * 4, frame_stride=8)
     assert len(got) == 5
+
+
+def test_gif_encode_rgb_local_palettes_exceed_256_total_colors():
+    """_gif_encode_rgb: per-frame LOCAL color tables let an animation
+    carry more than 256 distinct colors overall (each frame <= 256);
+    the decoder's local-table path must composite every frame back
+    pixel-exact, and a single >256-color frame must raise."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    # 4 frames x ~250 distinct colors each, disjoint color ranges ->
+    # ~1000 distinct colors across the animation
+    frames = []
+    for fi in range(4):
+        base = np.zeros((10, 25, 3), np.uint8)
+        base[:, :, 0] = fi * 60  # disjoint red bands per frame
+        base[:, :, 1] = rng.integers(0, 250, (10, 25))
+        base[:, :, 2] = (np.arange(250) % 256).reshape(10, 25)
+        frames.append(base)
+    total_colors = len(
+        np.unique(np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0)
+    )
+    assert total_colors > 256
+    blob = MM._gif_encode_rgb(frames, delays_cs=[5, 6, 7, 8])
+    got, delays = MM._gif_decode(blob)
+    assert delays == [5, 6, 7, 8] and len(got) == 4
+    for a, b in zip(got, frames):
+        assert (a == b).all()
+    # single frame with >256 colors: explicit error, never silent
+    # quantization
+    big = np.zeros((32, 32, 3), np.uint8)
+    big[:, :, 0] = np.arange(1024).reshape(32, 32) % 256
+    big[:, :, 1] = np.arange(1024).reshape(32, 32) // 256 * 50
+    assert len(np.unique(big.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="local color table"):
+        MM._gif_encode_rgb([big])
+    # single-frame path (no GCE) roundtrips too
+    one, _ = MM._gif_decode(MM._gif_encode_rgb([frames[0]]))
+    assert (one[0] == frames[0]).all()
