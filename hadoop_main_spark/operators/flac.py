@@ -174,21 +174,51 @@ def _rice_encode(w: "_BitWriter", res, k: int) -> None:
         w.write(z, k)
 
 
-def _best_rice(res) -> tuple[int, int]:
-    """(k, exact bit cost) minimizing the Rice cost over k in 0..14
-    (15 is the 4-bit escape code). Exact, not the mean heuristic:
-    cost(k) = sum(zigzag >> k) + n*(k+1)."""
+def _rice_plan(res, bs: int, order: int, max_po: int = 6) -> tuple[int, int, list[int]]:
+    """Exact-cost Rice partition search: returns (total residual-coding
+    bits INCLUDING the 2-bit method + 4-bit partition-order + per-
+    partition 4-bit k fields, partition order, per-partition k list).
+
+    Partition order po splits the block into 2^po partitions of
+    bs >> po samples (the first loses the ``order`` warmup samples);
+    per-partition k adapts to non-stationary residuals — the encode-
+    side half of the decoder's existing partition support. k is
+    searched over 0..14 (15 is the 4-bit escape code) with prefix sums
+    per k, so any partition slice costs O(1) to evaluate."""
     import numpy as np
 
     z = res.astype(np.int64)
     z = (z << 1) ^ (z >> 63)
-    n = len(z)
-    best_k, best_c = 0, None
-    for k in range(15):
-        c = int((z >> k).sum()) + n * (k + 1)
-        if best_c is None or c < best_c:
-            best_k, best_c = k, c
-    return best_k, best_c or 0
+    pref = [np.concatenate(([0], np.cumsum(z >> k))) for k in range(15)]
+
+    def slice_best(lo: int, hi: int) -> tuple[int, int]:
+        n = hi - lo
+        best_k, best_c = 0, None
+        for k in range(15):
+            c = int(pref[k][hi] - pref[k][lo]) + n * (k + 1)
+            if best_c is None or c < best_c:
+                best_k, best_c = k, c
+        return best_k, best_c or 0
+
+    best = None
+    for po in range(0, max_po + 1):
+        if bs % (1 << po):
+            break  # higher orders cannot divide bs either
+        step = bs >> po
+        if step < order:
+            break  # predictor order would exceed the first partition
+        total, ks, pos = 0, [], 0
+        for part in range(1 << po):
+            size = step - order if part == 0 else step
+            k, c = slice_best(pos, pos + size)
+            total += 4 + c  # 4-bit k field + payload
+            ks.append(k)
+            pos += size
+        cost = 2 + 4 + total  # method + partition-order fields
+        if best is None or cost < best[0]:
+            best = (cost, po, ks)
+    assert best is not None
+    return best
 
 
 def _lpc_coefs(x, order: int):
@@ -276,8 +306,6 @@ def _lpc_residual(x, coefs, shift: int):
 
 #: subframe header bits: 1 pad + 6 type + 1 wasted-flag
 _SUB_HDR = 8
-#: residual coding header: 2 method + 4 partition order + 4 rice k
-_RES_HDR = 10
 
 
 def _plan_subframe(x, eff: int) -> dict:
@@ -297,13 +325,14 @@ def _plan_subframe(x, eff: int) -> dict:
             if bs <= order:
                 break
             res = np.diff(res)
-        k, cost = _best_rice(res if order else x)
+        cost, po, ks = _rice_plan(res if order else x, bs, order)
         plans.append(
             {
                 "kind": "fixed",
                 "order": order,
-                "k": k,
-                "bits": _SUB_HDR + order * eff + _RES_HDR + cost,
+                "po": po,
+                "ks": ks,
+                "bits": _SUB_HDR + order * eff + cost,
             }
         )
     prec = 14
@@ -316,7 +345,7 @@ def _plan_subframe(x, eff: int) -> dict:
             continue
         coefs, shift = q
         lres = _lpc_residual(x, coefs, shift)
-        k, cost = _best_rice(lres)
+        cost, po, ks = _rice_plan(lres, bs, len(coefs))
         plans.append(
             {
                 "kind": "lpc",
@@ -324,13 +353,13 @@ def _plan_subframe(x, eff: int) -> dict:
                 "coefs": coefs,
                 "shift": shift,
                 "prec": prec,
-                "k": k,
+                "po": po,
+                "ks": ks,
                 "bits": _SUB_HDR
                 + len(coefs) * eff
                 + 4  # precision-1 field
                 + 5  # shift field
                 + len(coefs) * prec
-                + _RES_HDR
                 + cost,
             }
         )
@@ -373,9 +402,14 @@ def _write_subframe(body: "_BitWriter", plan: dict, x, eff: int) -> None:
             body.write(int(c), plan["prec"])
         res = _lpc_residual(x, plan["coefs"], plan["shift"])
     body.write(0, 2)  # residual method: 4-bit rice
-    body.write(0, 4)  # partition order 0
-    body.write(plan["k"], 4)
-    _rice_encode(body, res, plan["k"])
+    po = plan["po"]
+    body.write(po, 4)
+    bs, pos = len(x), 0
+    for part, k in enumerate(plan["ks"]):
+        size = (bs >> po) - (order if part == 0 else 0)
+        body.write(k, 4)
+        _rice_encode(body, res[pos : pos + size], k)
+        pos += size
 
 
 def encode_flac(

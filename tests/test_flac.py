@@ -208,3 +208,28 @@ def test_flac_encoder_lpc_and_stereo_decorrelation():
                    dtype=np.int16)
     d4, _ = FL.decode_flac(FL.encode_flac(ext, 8000, block_size=64))
     assert (d4 == ext).all()
+
+
+def test_flac_encoder_rice_partitions():
+    """Encode-side Rice partitions (the decoder has read them since
+    r6): a block with an in-block quiet->loud transition must choose
+    partition order > 0 with per-partition k adapting to each half,
+    beat the single-partition cost, and still roundtrip bit-exact."""
+    rng = np.random.default_rng(5)
+    x = np.concatenate(
+        [rng.integers(-8, 8, 2048), rng.integers(-4000, 4000, 2048)]
+    ).astype(np.int16)
+    d, _ = FL.decode_flac(FL.encode_flac(x, 8000, block_size=4096))
+    assert (d[:, 0] == x).all()
+    plan = FL._plan_subframe(x.astype(np.int64), 16)
+    assert plan["po"] > 0, "partitions never chosen on a non-stationary block"
+    ks = plan["ks"]
+    assert max(ks) - min(ks) >= 4, f"per-partition k did not adapt: {ks}"
+    res = x.astype(np.int64)
+    order = plan["order"] if plan["kind"] == "fixed" else 0
+    for _ in range(order):
+        res = np.diff(res)
+    if plan["kind"] == "fixed":
+        c0 = FL._rice_plan(res, 4096, order, max_po=0)[0]
+        cn = FL._rice_plan(res, 4096, order)[0]
+        assert cn < c0
