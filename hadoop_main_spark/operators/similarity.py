@@ -1248,15 +1248,35 @@ def ivfpq_residual_topk(
         codebook, _ = pq_residual_codebook(
             corpus, qcent, cell_col, k_codes, m, id_col, vec_col, qscale
         )
-    probe = _probe_cells(queries, cents, query_id, vec_col, nprobe)
-    probe_rows = probe.collect()
-    cb = codebook
     import numpy as np
 
-    cbx = np.asarray(cb, dtype=np.int64)
-    mm, kk, dsub = cbx.shape
+    probe_rows = _probe_cells(queries, cents, query_id, vec_col, nprobe).collect()
+    cell_type = cents.schema["cell"].dataType
+    dtable, probe_df = _residual_probe_frames(
+        spark, probe_rows, qcent, np.asarray(codebook, dtype=np.int64),
+        query_id, qscale, cell_type,
+    )
+    cent_df = _qcent_df(spark, qcent, cell_type)
+    enc_in = corpus.select(
+        F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell")
+    ).join(broadcast(cent_df), "cell")
+    enc = pq_encode_residual(enc_in, codebook, id_col, vec_col, "__qcent", "cell", qscale)
+    return _pq_residual_score(enc, probe_df, dtable, id_col, query_id, k)
+
+
+def _residual_probe_frames(
+    spark, probe_rows, qcent: dict, cbx, query_id: str, qscale: int, cell_type
+):
+    """Shared TRUE-IVFADC probe state (ivfpq_residual_topk and the
+    materialized-index probe): the per-(query, PROBED CELL) asymmetric
+    distance table — the query residual differs per cell — plus the
+    (query, cell) probe frame; both bounded by contract and broadcast
+    by the scorer."""
     import math
 
+    import numpy as np
+
+    mm, kk, dsub = cbx.shape
     dt_rows = []
     for r in probe_rows:
         qq = np.array(
@@ -1270,22 +1290,18 @@ def ivfpq_residual_topk(
                 (int(r[query_id]), r["cell"], mi, int(c), int(d[c]))
                 for c in range(kk)
             ]
-    cell_type = cents.schema["cell"].dataType
-    dt_schema = StructType(
-        [
-            StructField(query_id, LongType(), False),
-            StructField("cell", cell_type, False),
-            StructField("m", IntegerType(), False),
-            StructField("code", IntegerType(), False),
-            StructField("d", LongType(), False),
-        ]
+    dtable = spark.createDataFrame(
+        dt_rows,
+        StructType(
+            [
+                StructField(query_id, LongType(), False),
+                StructField("cell", cell_type, False),
+                StructField("m", IntegerType(), False),
+                StructField("code", IntegerType(), False),
+                StructField("d", LongType(), False),
+            ]
+        ),
     )
-    dtable = spark.createDataFrame(dt_rows, dt_schema)
-    cent_df = _qcent_df(spark, qcent, cell_type)
-    enc_in = corpus.select(
-        F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell")
-    ).join(broadcast(cent_df), "cell")
-    enc = pq_encode_residual(enc_in, codebook, id_col, vec_col, "__qcent", "cell", qscale)
     probe_df = spark.createDataFrame(
         [(int(r[query_id]), r["cell"]) for r in probe_rows],
         StructType(
@@ -1295,8 +1311,18 @@ def ivfpq_residual_topk(
             ]
         ),
     )
+    return dtable, probe_df
+
+
+def _pq_residual_score(
+    codes_cells: DataFrame, probe_df: DataFrame, dtable: DataFrame,
+    id_col: str, query_id: str, k: int,
+) -> DataFrame:
+    """Shared TRUE-IVFADC scoring tail: like :func:`_pq_score_probed`
+    but the distance-table join carries the CELL key (per-cell query
+    residuals)."""
     cand = (
-        enc.join(broadcast(probe_df), "cell")
+        codes_cells.join(broadcast(probe_df), "cell")
         .filter(F.col(id_col) != F.col(query_id))
         .select(query_id, "cell", F.col(id_col).alias("neighbor_id"), "codes")
     )
@@ -1313,6 +1339,96 @@ def ivfpq_residual_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def build_ivfpq_residual_index(
+    corpus: DataFrame,
+    path: str,
+    cell_col: str,
+    codebook=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = PQ_QSCALE,
+) -> None:
+    """Materialize the TRUE-IVFADC index: centroids parquet + RESIDUAL
+    PQ codes ``partitionBy(cell)`` + the codebook itself (rows
+    (m, code, cent) — FAISS serializes the trained quantizer with the
+    index for the same reason: the probe path must encode queries
+    against the exact codebook the corpus was coded with, and at probe
+    time the corpus is gone). ``codebook=None`` builds the
+    deterministic seed-residual codebook; pass
+    :func:`pq_trained_codebook` output for trained codes."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cents = ivf_centroids(corpus, cell_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    qcent = _quantized_centroid_map(cents.collect(), qscale)
+    if codebook is None:
+        codebook, _ = pq_residual_codebook(
+            corpus, qcent, cell_col, 16, PQ_M, id_col, vec_col, qscale
+        )
+    cb = np.asarray(codebook, dtype=np.int64)
+    m, k, _dsub = cb.shape
+    cb_rows = [
+        (mi, int(c), [int(v) for v in cb[mi, c]])
+        for mi in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        cb_rows, "m int, code int, cent array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    cell_type = corpus.schema[cell_col].dataType
+    enc_in = corpus.select(
+        F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell")
+    ).join(broadcast(_qcent_df(spark, qcent, cell_type)), "cell")
+    (
+        pq_encode_residual(enc_in, cb, id_col, vec_col, "__qcent", "cell", qscale)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def ivfpq_residual_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+    nprobe: int = 2,
+    qscale: int = PQ_QSCALE,
+) -> DataFrame:
+    """Probe a materialized TRUE-IVFADC index (see
+    :func:`build_ivfpq_residual_index`) — identical results to
+    :func:`ivfpq_residual_topk` on the same corpus/codebook, but the
+    query path reads only the persisted centroids, the serialized
+    codebook, and the PROBED CELLS' residual-code partitions (static
+    IN-list prune, the ivf_topk_indexed discipline); the float corpus
+    is never touched. Size contract as ivfpq_topk_indexed: queries
+    stay driver-collectable (per-cell distance tables are
+    queries x nprobe x m x k rows)."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    qcent = _quantized_centroid_map(cents.collect(), qscale)
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r["m"] for r in cb_rows)
+    kk = 1 + max(r["code"] for r in cb_rows)
+    dsub = len(cb_rows[0]["cent"])
+    cbx = np.zeros((m, kk, dsub), dtype=np.int64)
+    for r in cb_rows:
+        cbx[r["m"], r["code"]] = r["cent"]
+    probe_rows = _probe_cells(queries, cents, query_id, vec_col, nprobe).collect()
+    probed = sorted({r["cell"] for r in probe_rows})
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(probed))
+    cell_type = cents.schema["cell"].dataType
+    dtable, probe_df = _residual_probe_frames(
+        spark, probe_rows, qcent, cbx, query_id, qscale, cell_type
+    )
+    return _pq_residual_score(codes, probe_df, dtable, id_col, query_id, k)
 
 
 def build_ivfpq_index(

@@ -3691,3 +3691,87 @@ def ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ivfpq_residual_topk(
         e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=2
     )
+
+
+def _ivfpqres_index_dir(sf: str) -> str:
+    return _index_dir(sf, "ivfpqres")
+
+
+@query(
+    "ivfpq_residual_indexed",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+    comps AS (SELECT label AS cell, i.i AS dim, embedding[i.i] AS x
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)),
+    centd AS (SELECT cell, dim,
+                     CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS c
+              FROM comps GROUP BY cell, dim),
+    qcent AS (SELECT cell, list(c ORDER BY dim) AS centroid,
+                     list_transform(list(c ORDER BY dim),
+                       c -> CAST(floor(c * 10000 + 0.5) AS BIGINT)) AS qc
+              FROM centd GROUP BY cell),
+    remb AS (SELECT e.vec_id, e.label, e.q,
+                    list_transform(list_zip(e.q, x.qc), p -> p[1] - p[2]) AS rq
+             FROM emb e JOIN qcent x ON x.cell = e.label),
+    mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    cb AS (SELECT CAST(s.vec_id AS INT) AS code, mm.m,
+                  list_slice(s.rq, mm.m * 16 + 1, mm.m * 16 + 16) AS cent
+           FROM (SELECT vec_id, rq FROM remb WHERE vec_id < 16) s CROSS JOIN mm),
+    enc AS (SELECT vec_id, m, code FROM (
+              SELECT e.vec_id, cb.m, cb.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m
+                       ORDER BY {_SQ_L2_INT.format(a='list_slice(e.rq, cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')}, cb.code) AS rn
+              FROM remb e CROSS JOIN cb)
+            WHERE rn = 1),
+    qv AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, e.q AS qq
+           FROM emb e WHERE e.vec_id >= 10 AND e.vec_id < 15),
+    cellrank AS (SELECT query_id, cell, qq,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
+                 FROM qv, qcent),
+    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 2),
+    dt AS (SELECT p.query_id, p.cell, cb.m, cb.code,
+                  {_SQ_L2_INT.format(a='list_slice(list_transform(list_zip(p.qq, x.qc), z -> z[1] - z[2]), cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')} AS d
+           FROM probe p JOIN qcent x ON x.cell = p.cell CROSS JOIN cb),
+    cand AS (SELECT p.query_id, p.cell, e2.vec_id AS neighbor_id
+             FROM remb e2 JOIN probe p ON e2.label = p.cell
+             WHERE e2.vec_id <> p.query_id),
+    sc AS (SELECT c.query_id, c.neighbor_id, CAST(SUM(dt.d) AS BIGINT) AS pq_d2
+           FROM cand c
+           JOIN enc ON enc.vec_id = c.neighbor_id
+           JOIN dt ON dt.query_id = c.query_id AND dt.cell = c.cell
+                  AND dt.m = enc.m AND dt.code = enc.code
+           GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, pq_d2, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY pq_d2, neighbor_id) AS rn
+      FROM sc)
+    WHERE rn <= 10
+    """,
+    doc="TRUE IVFADC against a MATERIALIZED index: centroids + the "
+    "SERIALIZED residual codebook + residual PQ codes "
+    "partitionBy(cell) are built once (build-if-absent here; at "
+    "ingest in production — FAISS persists the trained quantizer "
+    "with the index for the same reason: the probe path must encode "
+    "queries against exactly the codebook the corpus was coded "
+    "with), and the probe reads only the probed cells' code "
+    "partitions via the static IN-list prune. Same residual-IVFADC "
+    "semantics as ivfpq_residual_topk (exact BIGINT per-cell "
+    "asymmetric distances), different query set (vec_id 10..14).",
+)
+def ivfpq_residual_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    idx = _ivfpqres_index_dir(sf)
+    if not (
+        os.path.exists(f"{idx}/centroids/_SUCCESS")
+        and os.path.exists(f"{idx}/codebook/_SUCCESS")
+        and os.path.exists(f"{idx}/codes/_SUCCESS")
+    ):
+        SIM.build_ivfpq_residual_index(e, idx, "label")
+    q = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_residual_topk_indexed(spark, idx, q, k=10, nprobe=2)

@@ -778,3 +778,19 @@ def test_negative_samples_reuses_positive_aggregate(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert final.count("ReusedExchange") >= 1, final[:3000]
+
+
+def test_ivfpq_residual_indexed_scan_prunes_to_probed_cells(spark, sf_dir):
+    """The TRUE-IVFADC materialized-index probe must keep the raw
+    index's discipline: only the probed cells' residual-code
+    partitions are read (PartitionFilters IN-list on cell), no float
+    embedding column in any scan on the query path, no Python eval,
+    and broadcast joins for the probe/distance-table sides."""
+    plan = _plan(spark, "ivfpq_residual_indexed", sf_dir)
+    tail = plan.split("PartitionFilters:")
+    assert len(tail) >= 2, "codes scan lost its partition filter"
+    assert "cell" in tail[1][:120], tail[1][:120]
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("embedding" not in ln for ln in reads), reads
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # probe cells + dtable
