@@ -110,6 +110,24 @@ def main() -> int:
     warm = "word_count" if "word_count" in REGISTRY else names[0]
     time_query(spark, warm, src, runs=1)
     time_query(spark, warm, dst, runs=1)
+
+    # warm the PYTHON workers too: the first Arrow-kernel query
+    # otherwise pays ~6s of 32-worker spin-up + numpy imports, and
+    # min-of-2 can catch it cold twice (observed on gif sf0.1)
+    def _py_warm(batches):
+        import numpy  # noqa: F401  (module-cache warm per worker)
+
+        yield from batches
+
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(par * 4)
+        .repartition(par)
+        .mapInPandas(_py_warm, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     rows = []
     failures = []
     for name in names:
