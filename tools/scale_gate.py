@@ -50,6 +50,21 @@ SHIFTS: dict[str, tuple[str, ...]] = {
 }
 MIN_BASE_S = 0.15  # below this the sf0.1 time is fixed overhead
 
+#: non-bench queries the gate ALWAYS covers (each round's additions
+#: get appended here per the round ledger, so the committed SCALE.md
+#: keeps certifying them without anyone re-typing the CLI list)
+DEFAULT_EXTRAS = [
+    # round 7
+    "seqfile_roundtrip_agg",
+    "fixedwidth_roundtrip_agg",
+    "xml_roundtrip_agg",
+    "har_roundtrip_agg",
+    "distcp_roundtrip_agg",
+    "gif_truecolor_frame_features",
+    "ivfpq_residual_topk",
+    "ivfpq_residual_indexed",
+]
+
 
 def build_10x(spark, src: str, dst: str) -> None:
     marker = os.path.join(dst, "_BUILT_FROM")
@@ -95,6 +110,7 @@ def main() -> int:
         del args[i : i + 2]
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = [n for n, q in REGISTRY.items() if q.bench]
+    names += [n for n in DEFAULT_EXTRAS if n not in names]
     names += [n for n in args if n not in names]
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
