@@ -3775,3 +3775,104 @@ def ivfpq_residual_indexed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivfpq_residual_topk_indexed(spark, idx, q, k=10, nprobe=2)
+
+
+@query(
+    "bigram_surprise",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+               FROM documents),
+    db AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
+    dbc AS (SELECT doc_id, w1, w2, COUNT(*) AS dc FROM db GROUP BY 1, 2, 3),
+    bg AS (SELECT w1, w2, SUM(dc) AS c12 FROM dbc GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM bg GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1b FROM bg GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS tt FROM bg),
+    sc AS (SELECT d.doc_id, d.dc,
+             CASE WHEN 1000 * ((4 * b.c12 - 3) * t.tt + 3 * x.n1f * c.n1b)
+                       < 4 * x.c1 * t.tt
+                  THEN d.dc ELSE 0 END AS rare_c
+           FROM dbc d JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+                JOIN ctx x ON x.w1 = d.w1
+                JOIN cont c ON c.w2 = d.w2
+                CROSS JOIN tot t),
+    ag AS (SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(rare_c) AS BIGINT) AS n_rare
+           FROM sc GROUP BY doc_id)
+    SELECT dd.doc_id,
+           CAST(COALESCE(ag.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(ag.n_rare, 0) AS BIGINT) AS n_rare,
+           CAST(CASE WHEN COALESCE(ag.n_bigrams, 0) = 0 THEN 0
+                ELSE (1000 * ag.n_rare) // ag.n_bigrams END AS BIGINT)
+             AS rare_permille
+    FROM documents dd LEFT JOIN ag ON ag.doc_id = dd.doc_id
+    """,
+    doc="Bigram-LM surprise quality filter (the CCNet-family LM filter "
+    "at the bigram level, libm-free): every document is scored by the "
+    "fraction of its bigram tokens whose corpus-wide Kneser-Ney "
+    "probability P(w2|w1) = (c12 - 3/4)/c1 + (3/4)(n1f/c1)(n1b/T) "
+    "falls below 1/1000 — the comparison is cross-multiplied to the "
+    "EXACT integer inequality 1000*((4*c12-3)*T + 3*n1f*n1b) < "
+    "4*c1*T, so no float (let alone libm log/exp, whose last-ulp "
+    "behavior differs across engines) ever enters the score. "
+    "Int64-range contract: exact while 4000*c1*T < 2^63; past that "
+    "promote the comparison operands to DECIMAL(38,0). Scale shape: "
+    "the per-(doc, bigram) aggregate is the shared exchange feeding "
+    "both the corpus LM (second aggregate + vocabulary windows, the "
+    "bigram_lm discipline) and the per-doc scoring join; per-doc "
+    "counts re-aggregate on doc_id and left-join the documents spine "
+    "(empty/one-token docs score 0).",
+)
+def bigram_surprise(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    dbc = (
+        d.select("doc_id", F.explode(D.word_shingles("text", 2)).alias("b"))
+        .select(
+            "doc_id",
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("dc"))
+    )
+    bg = dbc.groupBy("w1", "w2").agg(F.sum("dc").alias("c12"))
+    w1win, w2win = Window.partitionBy("w1"), Window.partitionBy("w2")
+    stats = bg.select(
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(w1win).alias("c1"),
+        F.count("*").over(w1win).alias("n1f"),
+        F.count("*").over(w2win).alias("n1b"),
+    )
+    tot = bg.agg(F.count("*").alias("tt"))
+    rare_c = F.when(
+        F.lit(1000)
+        * ((F.lit(4) * F.col("c12") - 3) * F.col("tt") + F.lit(3) * F.col("n1f") * F.col("n1b"))
+        < F.lit(4) * F.col("c1") * F.col("tt"),
+        F.col("dc"),
+    ).otherwise(F.lit(0))
+    ag = (
+        dbc.join(stats, ["w1", "w2"])
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "dc", rare_c.alias("rare_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dc").cast("bigint").alias("n_bigrams"),
+            F.sum("rare_c").cast("bigint").alias("n_rare"),
+        )
+    )
+    return d.select("doc_id").join(ag, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("n_rare", F.lit(0)).cast("bigint").alias("n_rare"),
+        F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * n_rare) DIV n_bigrams"))
+        .cast("bigint")
+        .alias("rare_permille"),
+    )
