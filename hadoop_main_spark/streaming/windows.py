@@ -809,3 +809,85 @@ def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
     """The accumulated incremental PQ code table (batch partition
     column dropped — downstream ADC scoring is batch-agnostic)."""
     return spark.read.parquet(path).drop("batch")
+
+
+def residual_codes_stream_parquet(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Incremental TRUE-IVFADC index maintenance (round 7; the residual
+    twin of :func:`pq_codes_stream_parquet`): each arriving vector
+    micro-batch is ASSIGNED its coarse cell (nearest persisted
+    centroid — kmeans_assign's deterministic argmin, exactly how FAISS
+    routes add()s through the coarse quantizer), residual-encoded
+    against the index's SERIALIZED codebook
+    (operators/similarity.py:pq_encode_residual), and lands under
+    ``path/codes_inc/batch=<id>`` with its cell column — immediately
+    probeable alongside the base codes (ivfpq_residual_topk_indexed's
+    scoring tail is cell-keyed either way).
+
+    Centroids and codebook are read ONCE from ``index_path`` at
+    operator construction: codes are only comparable under the
+    artifacts that produced the base index (codebook drift means
+    re-encoding, as in FAISS). Replay safety: per-batch directory
+    overwrite with deterministic codes, the pq_codes discipline.
+    Integer-cell contract: kmeans_assign keys clusters by the
+    centroid row ids, so the index's cell values must be integral
+    (the ``label`` quantizer; string cells would need a mapping
+    table)."""
+    from hadoop_main_spark.operators.similarity import (
+        PQ_QSCALE,
+        _qcent_df,
+        _quantized_centroid_map,
+        kmeans_assign,
+        pq_encode_residual,
+    )
+
+    spark = vec_stream.sparkSession
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    cent_rows = cents.collect()
+    cents_list = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent_rows
+    ]
+    qcent = _quantized_centroid_map(cent_rows, PQ_QSCALE)
+    cell_type = cents.schema["cell"].dataType
+    cb_rows = spark.read.parquet(f"{index_path}/codebook").collect()
+    import numpy as np
+
+    m = 1 + max(r["m"] for r in cb_rows)
+    kk = 1 + max(r["code"] for r in cb_rows)
+    cbx = np.zeros((m, kk, len(cb_rows[0]["cent"])), dtype=np.int64)
+    for r in cb_rows:
+        cbx[r["m"], r["code"]] = r["cent"]
+    qdf = _qcent_df(spark, qcent, cell_type)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        assigned = (
+            kmeans_assign(batch.select(id_col, vec_col), cents_list, id_col, vec_col)
+            .drop("__d2")
+            .withColumn("cell", F.col("cluster").cast(cell_type))
+            .drop("cluster")
+        )
+        enc_in = assigned.join(F.broadcast(qdf), "cell")
+        enc = pq_encode_residual(enc_in, cbx, id_col, vec_col)
+        enc.write.mode("overwrite").parquet(f"{index_path}/codes_inc/batch={batch_id}")
+
+    w = (
+        vec_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_residual_codes_inc(spark: SparkSession, path: str) -> DataFrame:
+    """The accumulated incremental residual-code table (batch partition
+    dropped; (id, cell, codes) — union-compatible with the base
+    index's codes for cell-keyed ADC scoring)."""
+    return spark.read.parquet(f"{path}/codes_inc").drop("batch")

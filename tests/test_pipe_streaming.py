@@ -1154,3 +1154,90 @@ def test_pq_codes_stream_equals_batch_encode(spark, tmp_path):
     assert len([d for d in os.listdir(codes_p) if d.startswith("batch=")]) == n_dirs
     got2 = {r.vec_id: list(r.codes) for r in W.read_pq_codes(spark, codes_p).collect()}
     assert got2 == want
+
+
+def test_residual_codes_stream_equals_batch_encode(spark, tmp_path):
+    """Streaming TRUE-IVFADC ingest contract: new vectors are
+    cell-assigned by the persisted coarse quantizer and
+    residual-encoded against the index's serialized codebook; over ANY
+    batching the accumulated incremental code table equals the
+    one-shot batch assign+encode, and a checkpoint re-run reprocesses
+    nothing."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators import similarity as SIM
+
+    def mkvecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (F.pmod(F.col("id") * 37 + i * 11, F.lit(100)) / 25.0 - 2.0),
+            ).alias("embedding"),
+            F.pmod(F.col("id"), F.lit(4)).cast("int").alias("label"),
+        )
+
+    base = mkvecs(0, 200)
+    idx = str(tmp_path / "residx")
+    SIM.build_ivfpq_residual_index(base, idx, "label")
+
+    newv = mkvecs(200, 400).drop("label")  # arrivals carry no cell
+    src = str(tmp_path / "vsrc")
+    newv.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ck = str(tmp_path / "ck")
+    q = W.residual_codes_stream_parquet(stream, idx, ck)
+    assert q.awaitTermination(300)
+
+    got = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in W.read_residual_codes_inc(spark, idx).collect()
+    }
+
+    # batch twin with the same persisted artifacts
+    cents = spark.read.parquet(f"{idx}/centroids")
+    cent_rows = cents.collect()
+    cents_list = [(int(r.cell), [float(x) for x in r.centroid]) for r in cent_rows]
+    qcent = SIM._quantized_centroid_map(cent_rows, SIM.PQ_QSCALE)
+    cb_rows = spark.read.parquet(f"{idx}/codebook").collect()
+    cbx = np.zeros((4, 16, 16), dtype=np.int64)
+    for r in cb_rows:
+        cbx[r.m, r.code] = r.cent
+    assigned = (
+        SIM.kmeans_assign(newv, cents_list, "vec_id", "embedding")
+        .drop("__d2")
+        .withColumn("cell", F.col("cluster").cast(cents.schema["cell"].dataType))
+        .drop("cluster")
+    )
+    enc_in = assigned.join(
+        F.broadcast(SIM._qcent_df(spark, qcent, cents.schema["cell"].dataType)), "cell"
+    )
+    want = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in SIM.pq_encode_residual(enc_in, cbx, "vec_id", "embedding").collect()
+    }
+    assert got == want and len(got) == 200
+
+    # replay: same stream + checkpoint processes nothing new
+    inc_dir = f"{idx}/codes_inc"
+    n_dirs = len([d for d in os.listdir(inc_dir) if d.startswith("batch=")])
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = W.residual_codes_stream_parquet(stream2, idx, ck)
+    assert q2.awaitTermination(300)
+    assert len([d for d in os.listdir(inc_dir) if d.startswith("batch=")]) == n_dirs
+    got2 = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in W.read_residual_codes_inc(spark, idx).collect()
+    }
+    assert got2 == want
