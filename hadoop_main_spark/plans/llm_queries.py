@@ -3440,7 +3440,14 @@ def ivfpq_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
     "uses. Scale shape inherits from both: variant equi-join with "
     "hot-bucket guard, one shuffle per CC hop with pointer jumping "
     "(O(log diameter)). The oracle verifies the iterative clustering "
-    "against a recursive CTE.",
+    "against a recursive CTE. KNOWN-SLOW ORACLE AT sf0.1 (the skyline "
+    "precedent): customer names are zero-padded numbers, so the "
+    "distance-1 graph forms one giant component and the recursive "
+    "closure is quadratic in component size (~15k^2 reach rows at "
+    "sf0.1, CPU-hours in DuckDB) — the SPARK side stays O(log d) "
+    "pointer jumping (~seconds). The driver gate runs sf0.01 where "
+    "the closure is ~2M rows (~seconds); full-registry sf0.1 sweeps "
+    "run this query's oracle separately/cached.",
 )
 def entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer")
