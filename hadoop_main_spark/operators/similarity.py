@@ -1059,26 +1059,32 @@ def pq_trained_codebook(
 
 
 def pq_encode_residual(
-    corpus_with_qcent: DataFrame,
+    corpus_with_cell: DataFrame,
     codebook,
+    qcent: dict,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    qcent_col: str = "__qcent",
     cell_col: str = "cell",
     qscale: int = PQ_QSCALE,
 ) -> DataFrame:
-    """pq_encode in residual space: the input carries each row's
-    quantized cell centroid (array<bigint>, joined from the tiny
-    broadcast centroid table), the kernel subtracts it on the integer
-    grid and argmin-encodes the residual against the residual
-    codebook. Output (id_col, cell, codes). Same mapInArrow shape and
-    integer-exactness contract as :func:`pq_encode`."""
+    """pq_encode in residual space: the quantized-centroid map rides
+    the kernel CLOSURE exactly like the codebook (one entry per coarse
+    cell — bounded by quantizer design), so the encode pass ships only
+    (id, cell, vector) through Arrow instead of joining a dim-long
+    centroid array onto EVERY row (the r7 smoke measured the join
+    form's build at 70.5s vs 16.3s for the raw-code build at 1M x 64 —
+    the per-row centroid column doubled the Arrow volume). Rows are
+    grouped by cell inside the batch, so the subtraction is one
+    vectorized op per DISTINCT cell present. Output
+    (id_col, cell, codes); same integer-exactness contract as
+    :func:`pq_encode`."""
     import numpy as np
 
     cb = np.asarray(codebook, dtype=np.int64)
     m, k, dsub = cb.shape
     dim = m * dsub
-    src = corpus_with_qcent.select(id_col, cell_col, vec_col, qcent_col)
+    qcent_arrs = {c: np.asarray(v, dtype=np.int64) for c, v in qcent.items()}
+    src = corpus_with_cell.select(id_col, cell_col, vec_col)
     in_schema = src.schema
     out_schema = StructType(
         [
@@ -1096,21 +1102,24 @@ def pq_encode_residual(
             n = batch.num_rows
             if n == 0:
                 continue
-            emb, cent = batch.column(2), batch.column(3)
-            flat_e, flat_c = emb.flatten(), cent.flatten()
-            if (
-                emb.null_count or flat_e.null_count
-                or cent.null_count or flat_c.null_count
-            ):
+            emb = batch.column(2)
+            flat_e = emb.flatten()
+            if emb.null_count or flat_e.null_count:
                 raise ValueError("pq_encode_residual requires non-null vectors")
             xe = flat_e.to_numpy(zero_copy_only=False)
-            xc = flat_c.to_numpy(zero_copy_only=False)
-            if xe.size != n * dim or xc.size != n * dim:
+            if xe.size != n * dim:
                 raise ValueError(f"pq_encode_residual requires fixed dim={dim}")
+            cells = batch.column(1).to_numpy(zero_copy_only=False)
             q = np.floor(xe.reshape(n, dim).astype(np.float64) * qscale + 0.5).astype(
                 np.int64
             )
-            rq = q - xc.reshape(n, dim).astype(np.int64)
+            rq = np.empty_like(q)
+            for cell in np.unique(cells):
+                qc = qcent_arrs.get(cell)
+                if qc is None:
+                    raise ValueError(f"pq_encode_residual: unknown cell {cell!r}")
+                mask = cells == cell
+                rq[mask] = q[mask] - qc[None, :]
             codes = np.empty((n, m), dtype=np.int32)
             for mi in range(m):
                 sub = rq[:, mi * dsub : (mi + 1) * dsub]
@@ -1131,19 +1140,6 @@ def pq_encode_residual(
     return src.mapInArrow(_encode, out_schema)
 
 
-def _qcent_df(spark, qcent: dict, cell_type) -> DataFrame:
-    """Tiny (cell, quantized-centroid) table for broadcast joins."""
-    return spark.createDataFrame(
-        [(c, v) for c, v in sorted(qcent.items())],
-        StructType(
-            [
-                StructField("cell", cell_type, False),
-                StructField("__qcent", ArrayType(LongType(), False), False),
-            ]
-        ),
-    )
-
-
 def residual_vectors(
     corpus: DataFrame,
     qcent: dict,
@@ -1155,12 +1151,13 @@ def residual_vectors(
     """(id, cell, __res array<double>) with __res the INTEGER-grid
     residual to the cell's quantized centroid (values are integers,
     exact in double) — the training input for
-    ``pq_trained_codebook(..., pre_quantized=True)``."""
-    spark = corpus.sparkSession
-    cell_type = corpus.schema[cell_col].dataType
-    src = corpus.select(
-        F.col(id_col), F.col(cell_col).alias("cell"), F.col(vec_col)
-    ).join(broadcast(_qcent_df(spark, qcent, cell_type)), "cell")
+    ``pq_trained_codebook(..., pre_quantized=True)``. The centroid
+    map rides the kernel closure (pq_encode_residual's discipline) —
+    no per-row centroid column through Arrow."""
+    import numpy as np
+
+    qcent_arrs = {c: np.asarray(v, dtype=np.float64) for c, v in qcent.items()}
+    src = corpus.select(F.col(id_col), F.col(cell_col).alias("cell"), F.col(vec_col))
     in_schema = src.select(id_col, "cell").schema
     out_schema = StructType(
         [
@@ -1179,10 +1176,13 @@ def residual_vectors(
             if n == 0:
                 continue
             xe = batch.column(2).flatten().to_numpy(zero_copy_only=False)
-            xc = batch.column(3).flatten().to_numpy(zero_copy_only=False)
+            cells = batch.column(1).to_numpy(zero_copy_only=False)
             dim = xe.size // n
             q = np.floor(xe.reshape(n, dim).astype(np.float64) * qscale + 0.5)
-            rq = q - xc.reshape(n, dim).astype(np.float64)
+            rq = np.empty_like(q)
+            for cell in np.unique(cells):
+                mask = cells == cell
+                rq[mask] = q[mask] - qcent_arrs[cell][None, :]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),
@@ -1194,7 +1194,7 @@ def residual_vectors(
                 names=[out_schema.fields[0].name, "cell", "__res"],
             )
 
-    return src.select(id_col, "cell", vec_col, "__qcent").mapInArrow(
+    return src.select(id_col, "cell", vec_col).mapInArrow(
         _res, out_schema
     )
 
@@ -1240,6 +1240,10 @@ def ivfpq_residual_topk(
     spark = corpus.sparkSession
     cents = ivf_centroids(corpus, cell_col, vec_col)
     cent_rows = cents.collect()
+    # re-frame the collected rows for the probe ranking: ranking off
+    # the original DataFrame would re-execute the dim x N centroid
+    # aggregate a second time (the build_ivfpq_residual_index note)
+    cents_local = spark.createDataFrame(cent_rows, cents.schema)
     qcent = _quantized_centroid_map(cent_rows, qscale)
     if codebook is None:
         # deterministic seed codebook (the oracle-parity default);
@@ -1250,17 +1254,16 @@ def ivfpq_residual_topk(
         )
     import numpy as np
 
-    probe_rows = _probe_cells(queries, cents, query_id, vec_col, nprobe).collect()
+    probe_rows = _probe_cells(queries, cents_local, query_id, vec_col, nprobe).collect()
     cell_type = cents.schema["cell"].dataType
     dtable, probe_df = _residual_probe_frames(
         spark, probe_rows, qcent, np.asarray(codebook, dtype=np.int64),
         query_id, qscale, cell_type,
     )
-    cent_df = _qcent_df(spark, qcent, cell_type)
     enc_in = corpus.select(
-        F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell")
-    ).join(broadcast(cent_df), "cell")
-    enc = pq_encode_residual(enc_in, codebook, id_col, vec_col, "__qcent", "cell", qscale)
+        F.col(id_col), F.col(cell_col).alias("cell"), F.col(vec_col)
+    )
+    enc = pq_encode_residual(enc_in, codebook, qcent, id_col, vec_col, "cell", qscale)
     return _pq_residual_score(enc, probe_df, dtable, id_col, query_id, k)
 
 
@@ -1362,8 +1365,16 @@ def build_ivfpq_residual_index(
 
     spark = corpus.sparkSession
     cents = ivf_centroids(corpus, cell_col, vec_col)
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    qcent = _quantized_centroid_map(cents.collect(), qscale)
+    # collect ONCE, then write the collected rows: writing the cents
+    # DataFrame and then .collect()ing it would execute the dim x N
+    # explode+aggregate TWICE (the r7 smoke measured each pass at
+    # ~16-20s on 1M x 64); the centroid table is driver-bounded by
+    # contract, so a local re-frame costs nothing
+    cent_rows = cents.collect()
+    spark.createDataFrame(cent_rows, cents.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    qcent = _quantized_centroid_map(cent_rows, qscale)
     if codebook is None:
         codebook, _ = pq_residual_codebook(
             corpus, qcent, cell_col, 16, PQ_M, id_col, vec_col, qscale
@@ -1378,12 +1389,17 @@ def build_ivfpq_residual_index(
     spark.createDataFrame(
         cb_rows, "m int, code int, cent array<bigint>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
-    cell_type = corpus.schema[cell_col].dataType
     enc_in = corpus.select(
-        F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell")
-    ).join(broadcast(_qcent_df(spark, qcent, cell_type)), "cell")
+        F.col(id_col), F.col(cell_col).alias("cell"), F.col(vec_col)
+    )
     (
-        pq_encode_residual(enc_in, cb, id_col, vec_col, "__qcent", "cell", qscale)
+        pq_encode_residual(enc_in, cb, qcent, id_col, vec_col, "cell", qscale)
+        # co-locate each cell before the partitioned write: without
+        # this every task opens a writer per cell (tasks x cells small
+        # files + per-task dynamic-partition sorting — profiled at 3x
+        # the write cost at 1M x 100 cells). The codes are ~24 bytes a
+        # row, so the extra shuffle is trivial next to the win.
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/codes")
@@ -1453,6 +1469,9 @@ def build_ivfpq_index(
     enc = pq_encode(corpus.select(id_col, vec_col), codebook, id_col, vec_col, qscale)
     (
         enc.join(corpus.select(F.col(id_col), F.col(cell_col).alias("cell")), id_col)
+        # co-locate cells before the partitioned write (see
+        # build_ivfpq_residual_index: tasks x cells writer blowup)
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/codes")

@@ -841,7 +841,6 @@ def residual_codes_stream_parquet(
     table)."""
     from hadoop_main_spark.operators.similarity import (
         PQ_QSCALE,
-        _qcent_df,
         _quantized_centroid_map,
         kmeans_assign,
         pq_encode_residual,
@@ -863,7 +862,6 @@ def residual_codes_stream_parquet(
     cbx = np.zeros((m, kk, len(cb_rows[0]["cent"])), dtype=np.int64)
     for r in cb_rows:
         cbx[r["m"], r["code"]] = r["cent"]
-    qdf = _qcent_df(spark, qcent, cell_type)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         assigned = (
@@ -872,8 +870,7 @@ def residual_codes_stream_parquet(
             .withColumn("cell", F.col("cluster").cast(cell_type))
             .drop("cluster")
         )
-        enc_in = assigned.join(F.broadcast(qdf), "cell")
-        enc = pq_encode_residual(enc_in, cbx, id_col, vec_col)
+        enc = pq_encode_residual(assigned, cbx, qcent, id_col, vec_col)
         enc.write.mode("overwrite").parquet(f"{index_path}/codes_inc/batch={batch_id}")
 
     w = (

@@ -1216,12 +1216,11 @@ def test_residual_codes_stream_equals_batch_encode(spark, tmp_path):
         .withColumn("cell", F.col("cluster").cast(cents.schema["cell"].dataType))
         .drop("cluster")
     )
-    enc_in = assigned.join(
-        F.broadcast(SIM._qcent_df(spark, qcent, cents.schema["cell"].dataType)), "cell"
-    )
     want = {
         r.vec_id: (r.cell, list(r.codes))
-        for r in SIM.pq_encode_residual(enc_in, cbx, "vec_id", "embedding").collect()
+        for r in SIM.pq_encode_residual(
+            assigned, cbx, qcent, "vec_id", "embedding"
+        ).collect()
     }
     assert got == want and len(got) == 200
 
