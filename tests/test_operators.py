@@ -2083,3 +2083,44 @@ def test_ivfpq_residual_wins_on_clustered_corpus(spark):
         corpus, queries, "label", codebook=cb_res, nprobe=1
     ).collect()
     assert sorted(map(tuple, out_res)) == sorted(map(tuple, out_res2))
+
+
+def test_sq8_quantizer_edges_and_recall(spark):
+    """SQ8 scalar quantization: codes clamp to 0..255 with degenerate
+    (constant) dims pinned to 0; min/max corpus points hit the grid
+    ends; and quantized top-k keeps high recall vs exact float L2 on
+    a random corpus (8 bits per dimension)."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(13)
+    X = rng.uniform(-3, 3, (400, 16))
+    X[:, 5] = 1.25  # degenerate dim
+    rows = [(i, [float(v) for v in X[i]]) for i in range(400)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    params = SIM.sq8_params(corpus)
+    mins, maxs = params
+    assert np.isclose(mins[5], 1.25) and np.isclose(maxs[5], 1.25)
+    codes = SIM._sq8_quantize(X, mins, maxs)
+    assert codes.min() == 0 and codes.max() == 255
+    assert (codes[:, 5] == 0).all()
+    # the min/max corpus points map to the grid ends per dim
+    for d in (0, 7, 15):
+        assert codes[X[:, d].argmin(), d] == 0
+        assert codes[X[:, d].argmax(), d] == 255
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.sq8_topk(corpus, queries, k=10, params=params).collect()
+    got = {}
+    for r in out:
+        got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+    hits = tot = 0
+    for q, neigh in got.items():
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        order = np.argsort(d, kind="stable")
+        t10 = [int(i) for i in order if i != q][:10]
+        hits += len(set(t10) & neigh)
+        tot += 10
+    assert hits / tot >= 0.8, f"sq8 recall {hits/tot:.2f}"
