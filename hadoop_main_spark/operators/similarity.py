@@ -393,6 +393,116 @@ def sq8_topk(
     )
 
 
+# --- binary quantization (1-bit codes + exact re-rank) ------------------------
+
+
+def bq_means(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension DECIMAL-exact mean (the ivf_centroids discipline)
+    — the binarization threshold table, dim rows."""
+    comps = corpus.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    return comps.groupBy("dim").agg(
+        (F.sum(F.col("x").cast(DEC_CENTROID)).cast("double") / F.count("*")).alias(
+            "mn"
+        )
+    )
+
+
+def bq_codes(
+    vectors: DataFrame,
+    means: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit sign codes around the per-dim mean, PACKED 32 dims per
+    BIGINT word: (id, codes array<bigint>, ceil(dim/32) words). 32-bit
+    packing keeps every word positive and identical across engines
+    (shiftleft at bit 63 differs in sign interpretation; 32 never
+    does). Fully declarative — explode, threshold, shift, sum — no
+    Python anywhere, whole-stage codegen end to end."""
+    comps = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    bits = comps.join(broadcast(means), "dim")
+    words = (
+        bits.groupBy(id_col, F.expr("dim DIV 32").alias("word"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("x").cast("double") > F.col("mn"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(dim % 32 AS INT))"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("w")
+        )
+    )
+    return words.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "w"))),
+            lambda s: s.getField("w"),
+        ).alias("codes")
+    )
+
+
+def bq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+    oversample: int = 5,
+) -> DataFrame:
+    """Two-stage retrieval with BINARY quantization: 1-bit sign codes
+    (32x smaller than float32) generate a Hamming-distance shortlist
+    of k*oversample candidates per query, which are then re-ranked by
+    EXACT sequential-fold cosine over the float vectors — the modern
+    vector-store shape (candidate generation on cheap codes, exact
+    scoring on the shortlist only; at 100 TB the full-width vectors
+    are touched for k*oversample rows per query, not the corpus).
+
+    Every stage is JVM expressions (bit_count(xor) over 2-element
+    word arrays, windows) — no Python, no kernels; Hamming ties break
+    on neighbor id so the shortlist is deterministic and ranks are
+    engine-exact. Output (query_id, neighbor_id, hamming, cosine,
+    rank)."""
+    means = bq_means(corpus, vec_col)
+    ccodes = bq_codes(corpus, means, id_col, vec_col)
+    qcodes = (
+        bq_codes(queries, means, query_id, vec_col)
+        .withColumnRenamed("codes", "__qcodes")
+    )
+    ham = F.expr(
+        "aggregate(zip_with(codes, __qcodes, (a, b) -> CAST(bit_count(a ^ b) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    cand = (
+        ccodes.crossJoin(broadcast(qcodes))
+        .filter(F.col(id_col) != F.col(query_id))
+        .select(query_id, F.col(id_col).alias("neighbor_id"), ham.alias("hamming"))
+    )
+    wshort = Window.partitionBy(query_id).orderBy("hamming", "neighbor_id")
+    short = (
+        cand.withColumn("__hr", F.row_number().over(wshort))
+        .filter(F.col("__hr") <= k * oversample)
+        .drop("__hr")
+    )
+    rr = short.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id",
+    ).join(
+        queries.select(F.col(query_id), F.col(vec_col).alias("__qv")), query_id
+    ).select(
+        query_id,
+        "neighbor_id",
+        "hamming",
+        cosine(vec_col, "__qv").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # --- IVF ---------------------------------------------------------------------
 
 

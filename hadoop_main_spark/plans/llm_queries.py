@@ -3934,3 +3934,58 @@ def sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.sq8_topk(e, q, "vec_id", "embedding", "query_id", k=10)
+
+
+@query(
+    "bq_rerank_topk",
+    oracle=f"""
+    WITH comps AS (SELECT vec_id, i.i - 1 AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+                   FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)),
+    mn AS (SELECT dim, CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS mn
+           FROM comps GROUP BY dim),
+    words AS (SELECT c.vec_id, c.dim // 32 AS word,
+                     SUM(CASE WHEN c.x > m.mn THEN (1::BIGINT << (c.dim % 32))
+                         ELSE CAST(0 AS BIGINT) END) AS w
+              FROM comps c JOIN mn m USING (dim) GROUP BY 1, 2),
+    codes AS (SELECT vec_id, list(w ORDER BY word) AS codes FROM words GROUP BY vec_id),
+    qc AS (SELECT vec_id AS query_id, codes AS qcodes FROM codes WHERE vec_id < 5),
+    qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    ham AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(list_zip(c.codes, q.qcodes),
+                  p -> CAST(bit_count(xor(p[1], p[2])) AS BIGINT))), (a, x) -> a + x)
+                AS hamming
+            FROM codes c, qc q WHERE c.vec_id <> q.query_id),
+    short AS (SELECT query_id, neighbor_id, hamming FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY hamming, neighbor_id) AS hr
+                FROM ham) WHERE hr <= 50),
+    rr AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+             {_cos("e.embedding", "v.qvec")} AS cosine
+           FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id
+                JOIN qv v ON v.query_id = s.query_id)
+    SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming, cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM rr)
+    WHERE rn <= 10
+    """,
+    doc="BINARY quantization + exact re-rank (the modern two-stage "
+    "vector-store shape): 1-bit sign codes around the per-dim "
+    "DECIMAL-exact mean, packed 32 dims per BIGINT word (32-bit "
+    "packing keeps every word positive and identical across engines "
+    "— bit 63 differs in sign interpretation), Hamming shortlist of "
+    "k x 5 candidates via bit_count(xor) — 32x smaller than float32 "
+    "and pure codegen, no Python — then EXACT sequential-fold cosine "
+    "re-ranks only the shortlist. Hamming ties break on neighbor id, "
+    "so the shortlist and final ranks are engine-exact end to end. "
+    "At 100 TB the float vectors are read for k x oversample rows "
+    "per query, never the corpus.",
+)
+def bq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.bq_rerank_topk(e, q, "vec_id", "embedding", "query_id", k=10)
