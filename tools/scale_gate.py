@@ -63,6 +63,9 @@ DEFAULT_EXTRAS = [
     "gif_truecolor_frame_features",
     "ivfpq_residual_topk",
     "ivfpq_residual_indexed",
+    "bigram_surprise",
+    "sq8_topk",
+    "bq_rerank_topk",
 ]
 
 
