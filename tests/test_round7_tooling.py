@@ -113,3 +113,54 @@ def test_bench_best_ledger_merge(tmp_path, monkeypatch):
     # better total for the original set updates in place
     e4 = B.update_best_ledger("sf0.1", {"q1": 0.4, "q2": 1.0}, 1.4, [])
     assert e4["total"] == 1.4
+
+
+def test_scale_gate_10x_corpus_join_consistency(spark, tmp_path):
+    """The 10x corpus the scale gate times against must preserve the
+    semantics the queries rely on: fact copies shift their keys
+    CONSISTENTLY (lineitem<->orders still join 1:1 per copy — exactly
+    10x the base join count), per-table cardinalities scale 10x,
+    dimensions stay untouched, and shifted key ranges never collide
+    across copies."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import scale_gate as SG
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.tables import load_table
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "x10")
+    SG.build_10x(spark, src, dst)
+
+    def cnt(d, t):
+        return load_table(spark, d, t).count()
+
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        assert cnt(dst, t) == 10 * cnt(src, t), t
+    for t in ("region", "nation", "supplier", "customer", "part"):
+        assert cnt(dst, t) == cnt(src, t), t
+
+    base_join = (
+        load_table(spark, src, "lineitem")
+        .join(load_table(spark, src, "orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    big_join = (
+        load_table(spark, dst, "lineitem")
+        .join(load_table(spark, dst, "orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert big_join == 10 * base_join
+
+    # shifted ids never collide: 10x distinct count per shifted key
+    for t, c in (("documents", "doc_id"), ("embeddings", "vec_id"),
+                 ("events", "event_id")):
+        assert (
+            load_table(spark, dst, t).select(c).distinct().count()
+            == 10 * load_table(spark, src, t).select(c).distinct().count()
+        ), (t, c)
