@@ -9,10 +9,13 @@ partition orders, verbatim-escape), inter-channel decorrelation
 (left-side / right-side / mid-side), and frame CRC-16.
 
 DECODER: full support for the 16-bit subset above — enough to read
-real-world 16-bit FLAC files. ENCODER: 16-bit, fixed predictors
-order 0-2 chosen per block by residual magnitude, independent
-channels, single Rice partition — spec-valid output any FLAC player
-accepts (compression below libFLAC's, correctness equal).
+real-world 16-bit FLAC files. ENCODER: 16-bit, per-block exact-bit-
+cost subframe planning across CONSTANT / VERBATIM / FIXED order 0-4
+/ LPC orders 2,4,8 (Levinson-Durbin with error-feedback 14-bit
+coefficient quantization), per-frame stereo-mode selection
+(independent / left-side / side-right / mid-side), and Rice
+partition orders 0-6 with per-partition parameters — spec-valid
+output any FLAC player accepts (correlated stereo ~0.47x PCM).
 
 Everything is ValueError-normalized for the bad-record handlers,
 like the other codecs in operators/multimodal.py.
@@ -205,8 +208,12 @@ def _rice_plan(res, bs: int, order: int, max_po: int = 6) -> tuple[int, int, lis
         if bs % (1 << po):
             break  # higher orders cannot divide bs either
         step = bs >> po
-        if step < order:
-            break  # predictor order would exceed the first partition
+        if step <= order:
+            # RFC 9639 requires (block size >> partition order) to be
+            # STRICTLY larger than the predictor order — step == order
+            # would make the first partition zero samples, which strict
+            # decoders reject even though lenient ones tolerate it.
+            break
         total, ks, pos = 0, [], 0
         for part in range(1 << po):
             size = step - order if part == 0 else step

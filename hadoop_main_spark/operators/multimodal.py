@@ -2184,7 +2184,10 @@ def _gif_encode_rgb(frames, delays_cs=None, disposal: int = 1) -> bytes:
             )
         idx = inv.astype(np.uint8).reshape(h, w)
         bits = max(2, int(len(pal) - 1).bit_length())
-        if len(frames) > 1:
+        # Graphic Control Extension whenever animating OR the caller
+        # supplied explicit delays — a single-frame GIF with a delay
+        # previously dropped it silently (advice r7).
+        if len(frames) > 1 or delays_cs is not None:
             out += struct.pack(
                 "<BBBBHBB", 0x21, 0xF9, 4, (disposal & 7) << 2, delays[fi], 0, 0
             )

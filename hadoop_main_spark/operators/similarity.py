@@ -374,8 +374,10 @@ def sq8_topk(
                 else:
                     part = np.lexsort((sub_ids, sub_d))
                 out_q.extend([qid] * len(part))
-                out_i.extend(int(sub_ids[i]) for i in part)
-                out_d.extend(int(sub_d[i]) for i in part)
+                # preserve id VALUES (string / any type) like _local_topk
+                # — int() per element crashed or mis-typed non-integer ids
+                out_i.extend(sub_ids[part].tolist())
+                out_d.extend(sub_d[part].astype(np.int64).tolist())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_q, qid_pa_t),

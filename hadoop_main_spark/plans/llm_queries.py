@@ -1528,7 +1528,7 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
 _SEM_CAND_CTE = f"""seeds AS (SELECT vec_id AS cluster,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS seed
                    FROM embeddings
-                   WHERE vec_id < GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 250)),
+                   WHERE vec_id < LEAST(GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 250), 4096)),
     {_PERT_CORPUS_CTE},
     d AS (SELECT c.vec_id, s.cluster, {_SQ_L2.format(a='c.v', b='s.seed')} AS d2
           FROM corpus c CROSS JOIN seeds s),
@@ -1561,8 +1561,14 @@ def _semantic_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # 10x scale gate measured 57x (tools/scale_gate.py, round 7).
     # max(8, n // 250) is 8 at every fixture sf (results unchanged)
     # and caps mean cluster size at ~500 vectors beyond that. The
-    # count is parquet-footer metadata, not a scan.
-    k = max(8, e.count() // 250)
+    # count is parquet-footer metadata, not a scan. k is CAPPED at
+    # 4096 (advice r7): the seeds ride the assignment kernel's
+    # CLOSURE, so driver memory / closure size is k*dim floats and
+    # assignment work is n*k — both must stay bounded, not grow with
+    # the corpus. Beyond n ~ 1M vectors, cluster size grows again;
+    # for true corpus-scaling k the seeds would need to stay
+    # distributed (a broadcast DataFrame join, a different operator).
+    k = min(max(8, e.count() // 250), 4096)
     seeds = [
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in e.filter(F.col("vec_id") < k).collect()
