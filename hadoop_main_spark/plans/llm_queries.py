@@ -3412,10 +3412,47 @@ def ivfpq_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
 # --- entity resolution end-to-end: fuzzy pairs -> entity clusters -------------
 
 
+def _cc_pointer_jump_sql(rounds: int) -> str:
+    """Generate the ITERATIVE-DOUBLING connected-components oracle tail
+    (verdict-r7 #2): expects an ``und`` CTE of symmetric (a, b) edges
+    and emits ``l0..l{rounds}`` where each round is (1) a neighbor-min
+    step (every node takes the least label in its closed neighborhood
+    — one |E|-row join) and (2) a pointer jump (lab <- lab(lab) — one
+    |V|-row join), the Spark connected_components shape in SQL. State
+    is ONE ROW PER NODE per round, so total work is
+    O(rounds * (|V| + |E|)) — unlike the recursive-CTE transitive
+    closure, which materializes the full reachability relation and is
+    QUADRATIC in component size (>1 CPU-hour on sf0.1's one giant
+    distance-1 component, the round-1..7 holdout). The min label's
+    reach at least doubles per round (neighbor-min extends it one hop,
+    the jump then collapses chains), so ``rounds`` = 12 converges for
+    any component diameter up to ~2^12; the fixture name graphs are
+    Hamming-like with diameter < 20 at every sf."""
+    # every CTE here is referenced TWICE downstream; DuckDB inlines
+    # plain CTEs, so without AS MATERIALIZED the expression tree (and
+    # the parquet re-scan count) doubles per round — exponential.
+    parts = ["l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lab FROM und)"]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""m{k} AS MATERIALIZED (SELECT u.a AS id, LEAST(MIN(la.lab), MIN(lb.lab)) AS lab
+           FROM und u JOIN l{k-1} la ON la.id = u.a JOIN l{k-1} lb ON lb.id = u.b
+           GROUP BY u.a)"""
+        )
+        parts.append(
+            f"""l{k} AS MATERIALIZED (SELECT m.id, LEAST(m.lab, j.lab) AS lab
+           FROM m{k} m JOIN m{k} j ON j.id = m.lab)"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f""",
+    comp AS (SELECT id AS entity_id, lab AS canonical_id FROM l{rounds})"""
+    )
+
+
 @query(
     "entity_clusters",
-    oracle="""
-    WITH RECURSIVE vars AS (
+    oracle=f"""
+    WITH vars AS (
       SELECT c_custkey AS id, c_name AS key,
              unnest(list_prepend(c_name,
                list_transform(generate_series(1, length(c_name)),
@@ -3427,13 +3464,9 @@ def ivfpq_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
              FROM sized a JOIN sized b ON a.v = b.v AND a.id < b.id
              WHERE a.bn <= 1000 AND b.bn <= 1000),
     pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(key_a, key_b) <= 1),
-    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+    und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
-    reach(a, b) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-    comp AS (SELECT a AS entity_id, MIN(b) AS canonical_id FROM reach GROUP BY a)
+    {_cc_pointer_jump_sql(12)}
     SELECT entity_id, canonical_id,
            COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
     FROM comp
@@ -3445,15 +3478,12 @@ def ivfpq_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
     "composed from the same two primitives the document-dedup path "
     "uses. Scale shape inherits from both: variant equi-join with "
     "hot-bucket guard, one shuffle per CC hop with pointer jumping "
-    "(O(log diameter)). The oracle verifies the iterative clustering "
-    "against a recursive CTE. KNOWN-SLOW ORACLE AT sf0.1 (the skyline "
-    "precedent): customer names are zero-padded numbers, so the "
-    "distance-1 graph forms one giant component and the recursive "
-    "closure is quadratic in component size (~15k^2 reach rows at "
-    "sf0.1, CPU-hours in DuckDB) — the SPARK side stays O(log d) "
-    "pointer jumping (~seconds). The driver gate runs sf0.01 where "
-    "the closure is ~2M rows (~seconds); full-registry sf0.1 sweeps "
-    "run this query's oracle separately/cached.",
+    "(O(log diameter)). The oracle mirrors the ITERATIVE algorithm "
+    "(_cc_pointer_jump_sql: unrolled neighbor-min + pointer-jump "
+    "rounds, one row per node per round) instead of a recursive-CTE "
+    "transitive closure — the closure is quadratic in component size "
+    "and took CPU-hours on sf0.1's one giant distance-1 component "
+    "(the rounds-1..7 tri-scale holdout, now closed).",
 )
 def entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer")
