@@ -414,19 +414,24 @@ def bq_codes(
     means: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """1-bit sign codes around the per-dim mean, PACKED 32 dims per
     BIGINT word: (id, codes array<bigint>, ceil(dim/32) words). 32-bit
     packing keeps every word positive and identical across engines
     (shiftleft at bit 63 differs in sign interpretation; 32 never
     does). Fully declarative — explode, threshold, shift, sum — no
-    Python anywhere, whole-stage codegen end to end."""
+    Python anywhere, whole-stage codegen end to end. ``carry_cols``
+    rides id-functional columns (e.g. the IVF cell) through both
+    aggregations so callers never need an extra id-keyed join back to
+    the corpus to recover them."""
+    carry = [F.col(c) for c in carry_cols]
     comps = vectors.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+        F.col(id_col), *carry, F.posexplode(F.col(vec_col)).alias("dim", "x")
     )
     bits = comps.join(broadcast(means), "dim")
     words = (
-        bits.groupBy(id_col, F.expr("dim DIV 32").alias("word"))
+        bits.groupBy(id_col, *carry, F.expr("dim DIV 32").alias("word"))
         .agg(
             F.sum(
                 F.when(
@@ -436,7 +441,7 @@ def bq_codes(
             ).alias("w")
         )
     )
-    return words.groupBy(id_col).agg(
+    return words.groupBy(id_col, *carry).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("word", "w"))),
             lambda s: s.getField("w"),
@@ -489,6 +494,198 @@ def bq_rerank_topk(
     )
     rr = short.join(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id",
+    ).join(
+        queries.select(F.col(query_id), F.col(vec_col).alias("__qv")), query_id
+    ).select(
+        query_id,
+        "neighbor_id",
+        "hamming",
+        cosine(vec_col, "__qv").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bq_ivf_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+    oversample: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-pruned binary quantization + exact re-rank (verdict-r7 #3):
+    :func:`bq_rerank_topk`'s Hamming shortlist scanned ALL corpus
+    codes per query — linear and cheap, but the one ANN variant whose
+    candidate stage touched the whole corpus. This composes the coarse
+    quantizer on top: cells ranked by query-centroid cosine
+    (:func:`_probe_cells`, the ann_ivf probe), the top ``nprobe``
+    cells' codes equi-joined to the per-query shortlist (never a
+    corpus-wide cross join), then the usual exact-cosine re-rank of
+    k x oversample rows. At 100 TB with codes partitioned by cell the
+    Hamming stage prunes like every other indexed variant — it reads
+    ~nprobe/ncells of the 1-bit codes and the float vectors only for
+    the shortlist. Approximate like all IVF probes (recall < 1 when a
+    true neighbor lives outside the probed cells); Hamming ties break
+    on neighbor id, so ranks stay engine-exact. Output (query_id,
+    neighbor_id, hamming, cosine, rank)."""
+    means = bq_means(corpus, vec_col)
+    # cell rides the code aggregation (carry_cols) — no id-keyed join
+    # back to the corpus just to recover the partition key
+    ccodes = bq_codes(corpus, means, id_col, vec_col, carry_cols=(cell_col,))
+    qcodes = (
+        bq_codes(queries, means, query_id, vec_col)
+        .withColumnRenamed("codes", "__qcodes")
+    )
+    cents = ivf_centroids(corpus, cell_col, vec_col)
+    probe = (
+        _probe_cells(queries, cents, query_id, vec_col, nprobe)
+        .select(query_id, "cell")
+        .join(qcodes, query_id)
+    )
+    ham = F.expr(
+        "aggregate(zip_with(codes, __qcodes, (a, b) -> CAST(bit_count(a ^ b) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    cand = (
+        ccodes.withColumnRenamed(cell_col, "cell")
+        .join(broadcast(probe), "cell")
+        .filter(F.col(id_col) != F.col(query_id))
+        .select(query_id, F.col(id_col).alias("neighbor_id"), ham.alias("hamming"))
+    )
+    wshort = Window.partitionBy(query_id).orderBy("hamming", "neighbor_id")
+    short = (
+        cand.withColumn("__hr", F.row_number().over(wshort))
+        .filter(F.col("__hr") <= k * oversample)
+        .drop("__hr")
+    )
+    rr = short.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id",
+    ).join(
+        queries.select(F.col(query_id), F.col(vec_col).alias("__qv")), query_id
+    ).select(
+        query_id,
+        "neighbor_id",
+        "hamming",
+        cosine(vec_col, "__qv").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def build_bq_index(
+    corpus: DataFrame,
+    path: str,
+    cell_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-BQ index: per-dim means (the binarization
+    thresholds, dim rows), cell centroids (tiny parquet), 1-bit codes
+    ``partitionBy(cell)``, and the float vectors ``partitionBy(cell)``
+    for the re-rank stage — the build_ivfpq_index layout with
+    ceil(dim/32) BIGINT words per vector at rest. The means table is
+    written FIRST and read back before the code pass (the
+    write-then-collect double-execution trap: reusing the unwritten
+    means frame would run its corpus-wide aggregate twice)."""
+    spark = corpus.sparkSession
+    bq_means(corpus, vec_col).write.mode("overwrite").parquet(f"{path}/means")
+    means = spark.read.parquet(f"{path}/means")
+    ivf_centroids(corpus, cell_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    (
+        bq_codes(corpus, means, id_col, vec_col, carry_cols=(cell_col,))
+        .withColumnRenamed(cell_col, "cell")
+        # co-locate cells before the partitioned write (the
+        # build_ivfpq_residual_index tasks x cells writer blowup)
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    (
+        corpus.select(F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell"))
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def bq_ivf_rerank_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+    oversample: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a materialized IVF-BQ index (see :func:`build_bq_index`)
+    — identical results to :func:`bq_ivf_rerank_topk` on the same
+    corpus, but the query path never recomputes means, centroids, or
+    corpus codes: it reads the persisted centroids, statically prunes
+    BOTH scans (1-bit codes for the Hamming shortlist AND float
+    vectors for the re-rank) to the probed cells via an IN-list on
+    the partition column (the _static_prune discipline — runtime DPP
+    proved unreliable on the 1M-vector smoke), and touches full-width
+    floats only for the k x oversample shortlist rows.
+
+    Size contract (inherited from :func:`ivf_topk_indexed`):
+    ``queries`` is a probe-sided table — the static prune round-trips
+    ``queries x nprobe`` rows through the driver, so thousands of
+    queries are fine, corpus-scale query sets are not."""
+    means = spark.read.parquet(f"{path}/means")
+    cents = spark.read.parquet(f"{path}/centroids")
+    probe0 = _probe_cells(queries, cents, query_id, vec_col, nprobe).select(
+        query_id, "cell"
+    )
+    # one driver round-trip prunes BOTH partitioned scans
+    rank_rows = probe0.collect()
+    probed = sorted({r.cell for r in rank_rows})
+    probe0 = spark.createDataFrame(rank_rows, probe0.schema)
+    codes_scan = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(probed)
+    )
+    vec_scan = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probed)
+    )
+    qcodes = (
+        bq_codes(queries, means, query_id, vec_col)
+        .withColumnRenamed("codes", "__qcodes")
+    )
+    probe = probe0.join(qcodes, query_id)
+    ham = F.expr(
+        "aggregate(zip_with(codes, __qcodes, (a, b) -> CAST(bit_count(a ^ b) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    cand = (
+        codes_scan.join(broadcast(probe), "cell")
+        .filter(F.col(id_col) != F.col(query_id))
+        .select(query_id, F.col(id_col).alias("neighbor_id"), ham.alias("hamming"))
+    )
+    wshort = Window.partitionBy(query_id).orderBy("hamming", "neighbor_id")
+    short = (
+        cand.withColumn("__hr", F.row_number().over(wshort))
+        .filter(F.col("__hr") <= k * oversample)
+        .drop("__hr")
+    )
+    rr = short.join(
+        vec_scan.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         "neighbor_id",
     ).join(
         queries.select(F.col(query_id), F.col(vec_col).alias("__qv")), query_id

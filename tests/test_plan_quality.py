@@ -794,3 +794,22 @@ def test_ivfpq_residual_indexed_scan_prunes_to_probed_cells(spark, sf_dir):
     assert reads and all("embedding" not in ln for ln in reads), reads
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # probe cells + dtable
+
+
+def test_bq_ivf_indexed_scan_prunes_both_stages(spark, sf_dir):
+    """Verdict-r7 #3: the materialized IVF-BQ probe must prune BOTH
+    persisted scans to the probed cells — the 1-bit code scan feeding
+    the Hamming shortlist AND the float-vector scan feeding the exact
+    re-rank (PartitionFilters IN-list on cell, file-level pruning).
+    The code scan must read codes only (never the embedding column —
+    that is the whole point of 32x-compressed candidates), and no
+    Python eval appears anywhere on the query path."""
+    plan = _plan(spark, "bq_ivf_indexed_topk", sf_dir)
+    tails = plan.split("PartitionFilters:")[1:]
+    pruned = [t for t in tails if "cell" in t[:120]]
+    assert len(pruned) >= 2, f"expected codes+vectors both cell-pruned: {len(pruned)}"
+    code_reads = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "codes" in ln
+    ]
+    assert code_reads and all("embedding" not in ln for ln in code_reads), code_reads
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

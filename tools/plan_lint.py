@@ -192,6 +192,13 @@ ALLOWLIST: dict[str, str] = {
         "same shape as ann_ivf: the hinted subtree is the filter-bounded "
         "probe-vector set; the codes/corpus sides are unhinted."
     ),
+    "bq_ivf_rerank_topk": (
+        "same shape as ann_ivf: _probe_cells hints the query-vector side "
+        "(embeddings filtered to the 5 probe ids — bounded by the probe "
+        "contract); the cell-pruned code/corpus sides are unhinted. The "
+        "indexed twin (bq_ivf_indexed_topk) needs no entry — its probe "
+        "frame is a driver-collected LocalRelation."
+    ),
 }
 
 
