@@ -3822,6 +3822,7 @@ def ivfpq_residual_indexed(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "bigram_surprise",
+    bench=True,
     oracle="""
     WITH w AS (SELECT doc_id,
                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
@@ -3872,6 +3873,15 @@ def bigram_surprise(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = t(spark, sf, "documents")
+    # ONE explicit (w1, w2) exchange below the doc-level aggregate
+    # (bench r8: was 3 exchanges + zero reuse — the shingle explode
+    # ran once per consumer). HashPartitioning(w1, w2) satisfies the
+    # ClusteredDistribution of groupBy(doc_id, w1, w2) (a subset of
+    # the grouping keys), so the aggregate runs in place, and BOTH
+    # consumers — the corpus LM re-aggregate on (w1, w2) and the
+    # per-doc scoring join on (w1, w2) — inherit the partitioning:
+    # the scan + explode + shuffle of the corpus happens exactly once
+    # (ReusedExchange, pinned by the plan audit).
     dbc = (
         d.select("doc_id", F.explode(D.word_shingles("text", 2)).alias("b"))
         .select(
@@ -3879,7 +3889,17 @@ def bigram_surprise(spark: SparkSession, sf: str) -> DataFrame:
             F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
             F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
         )
-        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        # doc_id isNotNull is semantically free but REQUIRED for the
+        # exchange reuse below: the scoring join's left-outer parent
+        # pushes isnotnull(doc_id) into its copy of this subtree, and
+        # ReusedExchange needs canonically identical branches (the
+        # negative_samples precedent)
+        .filter(
+            F.col("w1").isNotNull()
+            & F.col("w2").isNotNull()
+            & F.col("doc_id").isNotNull()
+        )
+        .repartition("w1", "w2")
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("dc"))
     )
@@ -3893,7 +3913,12 @@ def bigram_surprise(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").over(w1win).alias("n1f"),
         F.count("*").over(w2win).alias("n1b"),
     )
-    tot = bg.agg(F.count("*").alias("tt"))
+    # the trivially-true c12 > 0 guard stops column pruning from
+    # collapsing this branch to distinct(w1, w2) straight off the
+    # scan — keeping its subtree identical to stats' through the
+    # shared (w1, w2) exchange, so ALL THREE consumers (LM stats,
+    # total count, scoring join) reuse ONE corpus explode+shuffle
+    tot = bg.where(F.col("c12") > 0).agg(F.count("*").alias("tt"))
     rare_c = F.when(
         F.lit(1000)
         * ((F.lit(4) * F.col("c12") - 3) * F.col("tt") + F.lit(3) * F.col("n1f") * F.col("n1b"))

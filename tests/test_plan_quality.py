@@ -813,3 +813,18 @@ def test_bq_ivf_indexed_scan_prunes_both_stages(spark, sf_dir):
     ]
     assert code_reads and all("embedding" not in ln for ln in code_reads), code_reads
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bigram_surprise_single_corpus_explode(spark, sf_dir):
+    """Bench r8: the shingle explode + (w1, w2) exchange must run ONCE
+    for all three consumers (LM stats windows, total-bigram count,
+    per-doc scoring join). Requires canonical-identical branches —
+    explicit doc_id isNotNull (the left-outer parent pushes it into
+    the join branch) and the c12 > 0 guard that stops column pruning
+    from collapsing the count branch (runtime ReusedExchange, the
+    negative_samples discipline)."""
+    df = REGISTRY["bigram_surprise"].build(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 2, final[:3000]
