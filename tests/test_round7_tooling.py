@@ -164,3 +164,20 @@ def test_scale_gate_10x_corpus_join_consistency(spark, tmp_path):
             load_table(spark, dst, t).select(c).distinct().count()
             == 10 * load_table(spark, src, t).select(c).distinct().count()
         ), (t, c)
+
+
+def test_recall_gate_pure_logic(tmp_path, monkeypatch):
+    """recall_gate's comparison logic: pinned-vs-measured drop fails,
+    improvement and new variants only note, ledger round-trips."""
+    import recall_gate as RG
+
+    vals = {"a": 0.5, "b": 0.912}
+    text = RG.render("/x/sf0.01", vals)
+    p = tmp_path / "RECALL.md"
+    p.write_text(text)
+    monkeypatch.setattr(RG, "LEDGER", str(p))
+    assert RG.load_pinned() == vals
+    # truth/got set helpers
+    got = {1: {2, 3}, 4: {5}}
+    truth = {1: {2, 9}, 4: {5}}
+    assert RG._recall(got, truth) == round(2 / 3, 4)

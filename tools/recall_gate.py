@@ -1,0 +1,319 @@
+"""ANN retrieval-quality ledger + regression gate (verdict r7 #5).
+
+Perf has BENCH_best.json, scale has SCALE.md; this gives retrieval
+QUALITY the same treatment: every ANN variant's recall@10 is measured
+against an exact ground truth and committed in RECALL.md, and this
+gate fails when a code change silently degrades a variant.
+
+Methodology (everything deterministic — fixed corpus, fixed query set,
+deterministic operators — so the pinned numbers are exact, not noisy):
+
+- Corpus: $1/embeddings.parquet (default sf0.01, 500 x 64, 10 label
+  cells). Queries: the 10 lowest vec_ids. k = 10.
+- Ground truth per the variant's own metric (the FAISS convention):
+  exact float cosine for the cosine-ranked variants (ivf, bq), exact
+  float L2 for SQ8, exact L2 on the 1e-4 quantization grid for the PQ
+  family (their distances live on that grid — grid loss is measured
+  separately by sq8/bq, code loss is what PQ recall should isolate).
+- Cell-probing variants additionally report WITHIN-PROBED-CELL
+  recall@10 (ground truth restricted to the cells the probe chose,
+  approximated by the returned neighbors' cells — the
+  test_ivfpq_residual_wins_on_clustered_corpus methodology): global
+  recall folds in probe loss, within-cell recall isolates code loss.
+- Clustered corpus (the IVFADC payoff case): 4 tight clusters around
+  far-apart centers (seeded rng, the clustered-corpus test fixture);
+  trained-residual vs trained-raw within-cell recall — residual must
+  stay ahead here.
+
+Usage:
+    python tools/recall_gate.py [sf_dir] [--write]
+
+Compares against the RECALL_JSON line in RECALL.md; any variant whose
+recall drops by > 0.005 fails the gate (improvements are reported and
+need --write to pin). --write regenerates RECALL.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(REPO, "RECALL.md")
+K = 10
+N_QUERIES = 10
+TOL = 0.005
+
+
+def _topk_sets(rows, k=K):
+    """result rows -> {query_id: set(neighbor_id)} keeping rank <= k."""
+    got = {}
+    for r in rows:
+        if int(r["rank"] if isinstance(r, dict) else r.rank) <= k:
+            d = r if isinstance(r, dict) else r.asDict()
+            got.setdefault(int(d["query_id"]), set()).add(int(d["neighbor_id"]))
+    return got
+
+
+def _recall(got: dict, truth: dict) -> float:
+    hits = tot = 0
+    for qid, t in truth.items():
+        hits += len(t & got.get(qid, set()))
+        tot += len(t)
+    return round(hits / tot, 4) if tot else 0.0
+
+
+def _truth_sets(ids, scores_fn, qids, k=K, restrict=None):
+    """Exact ground truth per query: scores_fn(qid) -> distance array
+    over the corpus (lower = better); ties break on id. ``restrict``
+    maps qid -> boolean mask of eligible corpus rows."""
+    import numpy as np
+
+    truth = {}
+    for qid in qids:
+        mask = ids != qid
+        if restrict is not None:
+            mask = mask & restrict(qid)
+        d = scores_fn(qid)[mask]
+        sub = ids[mask]
+        order = np.lexsort((sub, d))
+        truth[int(qid)] = set(int(sub[i]) for i in order[: min(k, len(sub))])
+    return truth
+
+
+def measure_fixture(spark, sf_dir: str) -> dict[str, float]:
+    import numpy as np
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators import similarity as SIM
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    rows = e.orderBy("vec_id").collect()
+    ids = np.array([int(r.vec_id) for r in rows])
+    labels = np.array([int(r.label) for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    Xq = np.floor(X * 10000 + 0.5).astype(np.int64)  # the PQ grid
+    lbl_of = {int(i): int(l) for i, l in zip(ids, labels)}
+    qids = ids[:N_QUERIES]
+    queries = e.filter(F.col("vec_id") < int(qids[-1]) + 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    norms = np.sqrt((X * X).sum(axis=1))
+
+    def cos_scores(qid):
+        qv = X[ids == qid][0]
+        qn = math.sqrt(float(qv @ qv))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = (X @ qv) / (norms * qn)
+        c = np.nan_to_num(c, nan=-2.0)  # null-cosine orders last
+        return -c  # lower = better
+
+    def l2_scores(qid):
+        qv = X[ids == qid][0]
+        return ((X - qv) ** 2).sum(axis=1)
+
+    def l2q_scores(qid):
+        qv = Xq[ids == qid][0]
+        return ((Xq - qv) ** 2).sum(axis=1)
+
+    truth_cos = _truth_sets(ids, cos_scores, qids)
+    truth_l2 = _truth_sets(ids, l2_scores, qids)
+    truth_l2q = _truth_sets(ids, l2q_scores, qids)
+
+    def within(truth_fn, got):
+        """within-probed-cell truth: eligible rows = cells the variant
+        actually returned neighbors from (probe approximation)."""
+        def restrict(qid):
+            cells = {lbl_of[nb] for nb in got.get(int(qid), set())}
+            return np.isin(labels, list(cells))
+
+        return _truth_sets(ids, truth_fn, qids, restrict=restrict)
+
+    out: dict[str, float] = {}
+
+    def run(df):
+        return _topk_sets(df.collect())
+
+    got = run(SIM.ivf_topk(e, queries, "label", k=K, nprobe=2))
+    out["ivf_nprobe2"] = _recall(got, truth_cos)
+
+    cb, _ = SIM.pq_codebook(e.select("vec_id", "embedding"))
+    enc = SIM.pq_encode(e.select("vec_id", "embedding"), cb)
+    qs = [(int(q), [float(x) for x in X[ids == q][0]]) for q in qids]
+    sc = SIM.pq_adc_scores(enc, qs, cb)
+    w = Window.partitionBy("query_id").orderBy("pq_d2", "vec_id")
+    pq_df = (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+    out["pq_seed"] = _recall(run(pq_df), truth_l2q)
+
+    got = run(SIM.ivfpq_topk(e, queries, "label", cb, k=K, nprobe=2))
+    out["ivfpq_seed_nprobe2"] = _recall(got, truth_l2q)
+    out["ivfpq_seed_within_cell"] = _recall(got, within(l2q_scores, got))
+
+    got = run(SIM.ivfpq_residual_topk(e, queries, "label", k=K, nprobe=2))
+    out["ivfpq_residual_seed_nprobe2"] = _recall(got, truth_l2q)
+    out["ivfpq_residual_seed_within_cell"] = _recall(got, within(l2q_scores, got))
+
+    got = run(SIM.sq8_topk(e, queries, k=K))
+    out["sq8"] = _recall(got, truth_l2)
+
+    got = run(SIM.bq_rerank_topk(e, queries, k=K, oversample=5))
+    out["bq_rerank"] = _recall(got, truth_cos)
+
+    got = run(SIM.bq_ivf_rerank_topk(e, queries, "label", k=K, oversample=5, nprobe=2))
+    out["bq_ivf_rerank_nprobe2"] = _recall(got, truth_cos)
+    out["bq_ivf_rerank_within_cell"] = _recall(got, within(cos_scores, got))
+    return out
+
+
+def measure_clustered(spark) -> dict[str, float]:
+    """Trained-residual vs trained-raw on the clustered corpus (the
+    test_ivfpq_residual_wins_on_clustered_corpus fixture, seeded)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(9)
+    n_cells, per_cell, dim = 4, 100, 16
+    centers = rng.uniform(-50, 50, (n_cells, dim))
+    rows = []
+    vid = 0
+    for cell in range(n_cells):
+        for _ in range(per_cell):
+            v = centers[cell] + rng.normal(0, 0.6, dim)
+            rows.append((vid, [float(x) for x in v], cell))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = corpus.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = SIM.ivf_centroids(corpus, "label", "embedding")
+    qcent = SIM._quantized_centroid_map(cents.collect(), SIM.PQ_QSCALE)
+    res_vecs = SIM.residual_vectors(corpus, qcent, "label")
+    cb_res, _ = SIM.pq_trained_codebook(
+        res_vecs, 16, 4, "vec_id", "__res", pre_quantized=True, max_iter=2
+    )
+    cb_raw, _ = SIM.pq_trained_codebook(corpus, 16, 4, "vec_id", "embedding", max_iter=2)
+
+    ids = np.array([r[0] for r in rows])
+    labels = np.array([r[2] for r in rows])
+    Xq = np.array(
+        [[math.floor(x * 10000 + 0.5) for x in r[1]] for r in rows], dtype=np.int64
+    )
+    lbl_of = {int(i): int(l) for i, l in zip(ids, labels)}
+
+    def within_recall(out_rows):
+        got = {}
+        for r in out_rows:
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        hits = tot = 0
+        for qid, neigh in got.items():
+            cells = {lbl_of[nb] for nb in neigh}
+            mask = np.isin(labels, list(cells)) & (ids != qid)
+            qv = Xq[ids == qid][0]
+            d = ((Xq[mask] - qv) ** 2).sum(axis=1)
+            sub = ids[mask]
+            order = np.lexsort((sub, d))
+            truth = set(int(sub[i]) for i in order[:K])
+            hits += len(truth & neigh)
+            tot += len(truth)
+        return round(hits / tot, 4)
+
+    out_res = SIM.ivfpq_residual_topk(
+        corpus, queries, "label", codebook=cb_res, nprobe=1
+    ).collect()
+    out_raw = SIM.ivfpq_topk(corpus, queries, "label", cb_raw, nprobe=1).collect()
+    return {
+        "clustered_residual_trained": within_recall(out_res),
+        "clustered_raw_trained": within_recall(out_raw),
+    }
+
+
+def render(sf_dir: str, vals: dict[str, float]) -> str:
+    lines = [
+        "# RECALL — ANN retrieval-quality ledger",
+        "",
+        f"recall@{K} per variant, measured by `tools/recall_gate.py` on",
+        f"`{sf_dir}` (10 queries = lowest vec_ids; exact ground truth per",
+        "the variant's own metric — float cosine / float L2 / 1e-4-grid L2;",
+        "`*_within_cell` restricts the truth to the probed cells, isolating",
+        "code loss from probe loss; `clustered_*` is the seeded 4x100",
+        "tight-cluster corpus where residual coding must win).",
+        "",
+        "Everything is deterministic, so these are exact pins, not noisy",
+        "estimates: the gate fails on any drop > 0.005, and improvements",
+        "are re-pinned with `--write`.",
+        "",
+        "| variant | recall@10 |",
+        "|---|---|",
+    ]
+    for name in sorted(vals):
+        lines.append(f"| {name} | {vals[name]:.4f} |")
+    lines += ["", f"<!-- RECALL_JSON {json.dumps(vals, sort_keys=True)} -->", ""]
+    return "\n".join(lines)
+
+
+def load_pinned() -> dict[str, float] | None:
+    try:
+        text = open(LEDGER).read()
+    except OSError:
+        return None
+    m = re.search(r"<!-- RECALL_JSON (\{.*\}) -->", text)
+    return json.loads(m.group(1)) if m else None
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--write"]
+    write = "--write" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    from hadoop_main_spark.session import get_spark
+
+    spark = get_spark("recall-gate")
+    vals = measure_fixture(spark, sf_dir)
+    vals.update(measure_clustered(spark))
+    spark.stop()
+    print(json.dumps(vals, sort_keys=True))
+    pinned = load_pinned()
+    if write or pinned is None:
+        with open(LEDGER, "w") as f:
+            f.write(render(sf_dir, vals))
+        print(f"pinned {len(vals)} variants to {LEDGER}")
+        return 0
+    failures, improved = [], []
+    for name, pv in pinned.items():
+        cv = vals.get(name)
+        if cv is None:
+            failures.append(f"{name}: variant disappeared (pinned {pv})")
+        elif cv < pv - TOL:
+            failures.append(f"{name}: recall {pv} -> {cv} (drop > {TOL})")
+        elif cv > pv + TOL:
+            improved.append(f"{name}: recall {pv} -> {cv}")
+    for name in sorted(set(vals) - set(pinned)):
+        improved.append(f"{name}: NEW variant ({vals[name]}) — pin with --write")
+    for msg in failures:
+        print("FAIL ", msg)
+    for msg in improved:
+        print("note ", msg)
+    if not failures:
+        print(f"recall gate: {len(pinned)} variants within {TOL} of pinned")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
