@@ -1194,3 +1194,106 @@ def test_gif_encode_rgb_local_palettes_exceed_256_total_colors():
     # single-frame path (no GCE) roundtrips too
     one, _ = MM._gif_decode(MM._gif_encode_rgb([frames[0]]))
     assert (one[0] == frames[0]).all()
+
+
+def test_mp3_meta_walk_and_strictness():
+    """ISO 11172-3 frame-header walk: frame lengths from the
+    bitrate/rate/padding formula, ID3v2 prefix + ID3v1 trailer skip,
+    VBR detection; strict ValueError on truncation, reserved fields,
+    trailing garbage, and mid-stream parameter changes."""
+    def frame(bidx, ridx, pad, mode=0, version=3, layer_bits=1):
+        h = ((0x7FF << 21) | (version << 19) | (layer_bits << 17) | (1 << 16)
+             | (bidx << 12) | (ridx << 10) | (pad << 9) | (mode << 6))
+        br = MM._MP3_BITRATES[("1", 3)][bidx - 1] * 1000
+        rate = MM._MP3_RATES["1"][ridx]
+        flen = 1152 // 8 * br // rate + pad
+        return h.to_bytes(4, "big") + b"\xa5" * (flen - 4)
+
+    p = frame(9, 0, 0) + frame(9, 0, 1) + frame(9, 0, 0)
+    m = MM._mp3_meta(p)
+    assert (m["codec"], m["n_units"], m["total_samples"]) == ("mp3", 3, 3456)
+    assert m["sample_rate"] == 44100 and m["channels"] == 2 and not m["vbr"]
+    assert m["duration_us"] == 1_000_000 * 3456 // 44100
+    # VBR: distinct bitrates across frames
+    assert MM._mp3_meta(frame(9, 0, 0) + frame(12, 0, 0))["vbr"]
+    # mono mode
+    assert MM._mp3_meta(frame(9, 0, 0, mode=3))["channels"] == 1
+    # ID3v2 prefix (syncsafe size) + ID3v1 trailer skipped transparently
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 3]) + b"x" * 131
+    m2 = MM._mp3_meta(id3 + p + b"TAG" + b"\x00" * 125)
+    assert m2 == m
+    import pytest as _pytest
+    for bad in (
+        p[:-3],                                 # truncated final frame
+        p + b"junk",                            # trailing garbage
+        b"\xff\xfb\x00\x00",                    # free-format bitrate
+        b"\xff\xfb\x9c\x00"[:2] + b"\xff\xff",  # bad sync byte 2? (garbage)
+        frame(9, 0, 0) + frame(9, 1, 0),        # rate change mid-stream
+        b"ID3\x04\x00\x00" + bytes([0, 0, 0, 0x80]),  # non-syncsafe size
+    ):
+        with _pytest.raises(ValueError):
+            MM._mp3_meta(bad)
+
+
+def test_ogg_meta_walk_and_strictness():
+    """RFC 3533 page walk: real CRC32 (poly 0x04C11DB7) verified per
+    page, BOS/EOS flags required, OpusHead (pre-skip, 48 kHz granule)
+    vs vorbis ID header (rate from header) dispatch; ValueError on
+    CRC corruption, sequence gaps, truncation, unknown codec."""
+    import pytest as _pytest
+
+    oh = (b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little")
+          + (48000).to_bytes(4, "little") + b"\x00\x00\x00")
+    p0 = MM._ogg_page(0, 7, 0, oh, header_type=2)
+    p1 = MM._ogg_page(312 + 960, 7, 1, b"\x11" * 64)
+    p2 = MM._ogg_page(312 + 2880, 7, 2, b"\x22" * 300, header_type=4)
+    m = MM._ogg_meta(p0 + p1 + p2)
+    assert (m["codec"], m["n_units"], m["channels"]) == ("opus", 3, 2)
+    assert m["total_samples"] == 2880 and m["sample_rate"] == 48000
+    assert m["duration_us"] == 1_000_000 * 2880 // 48000
+    # the 300-byte body needs a 2-entry lacing table (255 + 45)
+    assert p2[26] == 2 and list(p2[27:29]) == [255, 45]
+
+    vh = (b"\x01vorbis" + b"\x00" * 4 + bytes([1])
+          + (32000).to_bytes(4, "little") + b"\x00" * 14)
+    v0 = MM._ogg_page(0, 9, 0, vh, header_type=2)
+    v1 = MM._ogg_page(16000, 9, 1, b"\x33" * 10, header_type=4)
+    mv = MM._ogg_meta(v0 + v1)
+    assert (mv["codec"], mv["sample_rate"], mv["channels"]) == ("vorbis", 32000, 1)
+    assert mv["duration_us"] == 500_000
+
+    bad_crc = bytearray(p0 + p1 + p2); bad_crc[40] ^= 1
+    gap = p0 + MM._ogg_page(312 + 960, 7, 5, b"\x11", header_type=4)
+    no_eos = p0 + p1
+    unk = MM._ogg_page(0, 3, 0, b"FLACHEAD", header_type=2)
+    unk += MM._ogg_page(10, 3, 1, b"x", header_type=4)
+    for bad in (bytes(bad_crc), gap, no_eos, (p0 + p1 + p2)[:-5], unk):
+        with _pytest.raises(ValueError):
+            MM._ogg_meta(bad)
+
+
+def test_audio_container_meta_dispatch_and_bad_records(spark):
+    """The Spark walker dispatches on payload magic (mp3 sync / ID3 /
+    OggS) and bad records land on the codec='bad' zeros row instead
+    of killing the task."""
+    def frame(bidx, ridx, pad):
+        h = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+             | (bidx << 12) | (ridx << 10) | (pad << 9))
+        br = MM._MP3_BITRATES[("1", 3)][bidx - 1] * 1000
+        rate = MM._MP3_RATES["1"][ridx]
+        return h.to_bytes(4, "big") + b"\x00" * (1152 // 8 * br // rate + pad - 4)
+
+    oh = (b"OpusHead" + bytes([1, 1]) + (0).to_bytes(2, "little")
+          + (48000).to_bytes(4, "little") + b"\x00\x00\x00")
+    ogg = MM._ogg_page(0, 1, 0, oh, header_type=2) + MM._ogg_page(
+        960, 1, 1, b"z", header_type=4
+    )
+    media = spark.createDataFrame(
+        [(1, frame(9, 0, 0)), (2, ogg), (3, b"not audio at all"), (4, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in MM.audio_container_meta(media).collect()}
+    assert rows[1].codec == "mp3" and rows[1].n_units == 1
+    assert rows[2].codec == "opus" and rows[2].total_samples == 960
+    assert rows[3].codec == "bad" and rows[3].duration_us == 0
+    assert rows[4].codec == "bad" and rows[4].payload_bytes == 0
