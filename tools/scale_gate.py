@@ -15,7 +15,14 @@ above). Queries faster than 0.15 s at sf0.1 are overhead-dominated;
 their ratios print but never fail the gate.
 
 Usage:
-    python tools/scale_gate.py [--threshold 15] [extra_query ...]
+    python tools/scale_gate.py [--threshold 15] [--copies N] [extra_query ...]
+
+``--copies 100`` (verdict r7 #8) is the opt-in heavy tier: a 100x
+corpus, the 5 heaviest headline queries only (HEAVY_SET — full-sweep
+cost at 100x is not worth per-round payment), default threshold 150
+(linear + fixed overhead). Each tier writes its OWN section of
+SCALE.md (tier markers), so the 100x data point persists next to the
+per-round 10x table instead of being overwritten by it.
 """
 
 from __future__ import annotations
@@ -66,12 +73,29 @@ DEFAULT_EXTRAS = [
     "bigram_surprise",
     "sq8_topk",
     "bq_rerank_topk",
+    # round 8 (stream_dedup_roundtrip excluded on purpose: its stream
+    # executes inside build(), so the timed tail is only the sink
+    # read-back — the gate would measure nothing)
+    "bq_ivf_rerank_topk",
+    "bq_ivf_indexed_topk",
+    "audio_container_meta",
+]
+
+#: the --copies 100 tier runs ONLY these (the 5 heaviest headline
+#: queries by the BENCH ledger) — a full sweep at 100x costs more
+#: wall-clock than the one data point per round is worth
+HEAVY_SET = [
+    "bigram_surprise",
+    "table_fingerprint",
+    "curation_pipeline",
+    "dedup_minhash_lsh",
+    "gif_frame_features",
 ]
 
 
-def build_10x(spark, src: str, dst: str) -> None:
+def build_nx(spark, src: str, dst: str, copies: int = COPIES) -> None:
     marker = os.path.join(dst, "_BUILT_FROM")
-    fp = data_fingerprint(src)
+    fp = f"{data_fingerprint(src)}:x{copies}"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fp:
@@ -83,7 +107,7 @@ def build_10x(spark, src: str, dst: str) -> None:
                 c: (df.agg(F.max(c)).first()[0] or 0) + 1 for c in SHIFTS[tbl]
             }
             parts = []
-            for k in range(COPIES):
+            for k in range(copies):
                 d = df
                 for c, stride in strides.items():
                     d = d.withColumn(c, F.col(c) + F.lit(k * stride))
@@ -92,6 +116,9 @@ def build_10x(spark, src: str, dst: str) -> None:
         df.write.mode("overwrite").parquet(f"{dst}/{tbl}.parquet")
     with open(marker, "w") as f:
         f.write(fp)
+
+
+build_10x = build_nx  # back-compat alias (tooling tests import it)
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
@@ -106,24 +133,32 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
 
 def main() -> int:
     args = sys.argv[1:]
-    threshold = 15.0
+    copies = COPIES
+    if "--copies" in args:
+        i = args.index("--copies")
+        copies = int(args[i + 1])
+        del args[i : i + 2]
+    threshold = 15.0 * copies / COPIES  # linear + fixed overhead
     if "--threshold" in args:
         i = args.index("--threshold")
         threshold = float(args[i + 1])
         del args[i : i + 2]
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    names = [n for n, q in REGISTRY.items() if q.bench]
-    names += [n for n in DEFAULT_EXTRAS if n not in names]
+    if copies == COPIES:
+        names = [n for n, q in REGISTRY.items() if q.bench]
+        names += [n for n in DEFAULT_EXTRAS if n not in names]
+    else:
+        names = list(args) or list(HEAVY_SET)  # heavy tier: 5 heaviest
     names += [n for n in args if n not in names]
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
     dst = os.path.join(
-        "/tmp", "spark_graft_scale10x", data_fingerprint(src)[:16]
+        "/tmp", f"spark_graft_scale{copies}x", data_fingerprint(src)[:16]
     )
     spark = get_spark("scale-gate")
     t0 = time.perf_counter()
-    build_10x(spark, src, dst)
+    build_nx(spark, src, dst, copies)
     build_s = time.perf_counter() - t0
     # warm both corpora's file listings with a cheap fixed query
     warm = "word_count" if "word_count" in REGISTRY else names[0]
@@ -165,24 +200,44 @@ def main() -> int:
         )
     spark.stop()
     lines = [
-        "# SCALE.md — 10x scale-gate ledger",
+        f"<!-- TIER {copies}x START -->",
+        f"## {copies}x tier",
         "",
-        f"`tools/scale_gate.py`: headline set at sf0.1 vs a 10x corpus "
-        f"({COPIES} key-shifted fact copies, identical payloads — the "
-        f"dedup worst case). Gate: ratio <= {threshold:g}x for queries "
-        f"with sf0.1 time >= {MIN_BASE_S}s (below that, fixed overhead "
-        f"dominates and the ratio is informational). min-of-2 runs each. "
-        f"10x corpus build: {build_s:.1f}s (cached by data fingerprint).",
+        f"Headline {'set' if copies == COPIES else 'HEAVY_SET'} at sf0.1 "
+        f"vs a {copies}x corpus ({copies} key-shifted fact copies, "
+        f"identical payloads — the dedup worst case). Gate: ratio <= "
+        f"{threshold:g}x for queries with sf0.1 time >= {MIN_BASE_S}s "
+        f"(below that, fixed overhead dominates and the ratio is "
+        f"informational). min-of-2 runs each. {copies}x corpus build: "
+        f"{build_s:.1f}s (cached by data fingerprint).",
         "",
-        "| query | sf0.1 s | 10x s | ratio | gate |",
+        f"| query | sf0.1 s | {copies}x s | ratio | gate |",
         "|---|---|---|---|---|",
     ]
     for name, base, big, ratio, gated, ok in rows:
         gate = ("PASS" if ok else "FAIL") if gated else "info"
         lines.append(f"| {name} | {base:.3f} | {big:.3f} | {ratio:.1f}x | {gate} |")
-    lines.append("")
-    with open(os.path.join(_REPO, "SCALE.md"), "w") as f:
-        f.write("\n".join(lines))
+    lines.append(f"<!-- TIER {copies}x END -->")
+    section = "\n".join(lines)
+    path = os.path.join(_REPO, "SCALE.md")
+    header = "# SCALE.md — scale-gate ledger\n"
+    try:
+        old = open(path).read()
+    except OSError:
+        old = ""
+    import re
+
+    start, end = f"<!-- TIER {copies}x START -->", f"<!-- TIER {copies}x END -->"
+    if start in old and end in old:
+        new = old[: old.index(start)] + section + old[old.index(end) + len(end) :]
+    else:
+        # legacy single-tier file (or first run): keep only other tiers
+        kept = "\n\n".join(
+            m.group(0) for m in re.finditer(r"<!-- TIER .*? END -->", old, re.S)
+        )
+        new = header + "\n" + (kept + "\n\n" if kept else "") + section + "\n"
+    with open(path, "w") as f:
+        f.write(new)
     print(
         json.dumps(
             {
