@@ -3998,6 +3998,71 @@ def sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ivf_sq8_topk",
+    oracle=f"""
+    WITH mmx AS (SELECT i.i AS dim,
+                        MIN(CAST(embedding[i.i] AS DOUBLE)) AS mn,
+                        MAX(CAST(embedding[i.i] AS DOUBLE)) AS mx
+                 FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+                 GROUP BY i.i),
+    enc AS (SELECT e.vec_id, e.label AS cell,
+              list(CASE WHEN m.mx <= m.mn THEN CAST(0 AS BIGINT)
+                   ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                        floor((CAST(e.embedding[m.dim] AS DOUBLE) - m.mn)
+                              * CAST(255 AS DOUBLE) / (m.mx - m.mn)
+                              + CAST('0.5' AS DOUBLE)))) AS BIGINT)
+                   END ORDER BY m.dim) AS codes
+            FROM embeddings e, mmx m
+            GROUP BY e.vec_id, e.label),
+    centd AS (SELECT label AS cell, i.i AS dim,
+                     CAST(SUM(CAST(embedding[i.i] AS DECIMAL(27,7))) AS DOUBLE)
+                       / COUNT(*) AS c
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+              GROUP BY label, i.i),
+    cent AS (SELECT cell, list(c ORDER BY dim) AS centroid FROM centd GROUP BY cell),
+    qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    cellrank AS (SELECT query_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
+                 FROM qv, cent),
+    probe AS (SELECT query_id, cell FROM cellrank WHERE crank <= 2),
+    qc AS (SELECT vec_id AS query_id, codes AS qc FROM enc WHERE vec_id < 5),
+    sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(e.codes, q.qc),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x) AS sq_d2
+           FROM enc e JOIN probe p ON e.cell = p.cell
+                JOIN qc q ON q.query_id = p.query_id
+           WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, CAST(sq_d2 AS BIGINT) AS sq_d2,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sq_d2, neighbor_id) AS rn
+          FROM sc)
+    WHERE rn <= 10
+    """,
+    doc="IVF-SQ8 (the FAISS 'IVF,SQ8' index string — the last cell "
+    "of the compression x pruning matrix; sq8_topk is the full-scan "
+    "form): the ann_ivf coarse quantizer picks the top-2 cells per "
+    "query, and within them vectors score by exact BIGINT L2 over "
+    "8-bit scalar codes — but unlike sq8_topk's Arrow kernel "
+    "(every vector x every query amortizes the transfer), each "
+    "probed vector meets ~1 query, so scoring is a JVM zip_with "
+    "fold in whole-stage codegen (the _score_probed_cells x1-"
+    "multiplier measurement). Query codes quantize on the same "
+    "per-dim grid and ride a queries x nprobe broadcast.",
+)
+def ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_sq8_topk(
+        e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=2
+    )
+
+
+@query(
     "bq_rerank_topk",
     oracle=f"""
     WITH comps AS (SELECT vec_id, i.i - 1 AS dim, CAST(embedding[i.i] AS DOUBLE) AS x

@@ -169,6 +169,10 @@ def measure_fixture(spark, sf_dir: str) -> dict[str, float]:
     got = run(SIM.sq8_topk(e, queries, k=K))
     out["sq8"] = _recall(got, truth_l2)
 
+    got = run(SIM.ivf_sq8_topk(e, queries, "label", k=K, nprobe=2))
+    out["ivf_sq8_nprobe2"] = _recall(got, truth_l2)
+    out["ivf_sq8_within_cell"] = _recall(got, within(l2_scores, got))
+
     got = run(SIM.bq_rerank_topk(e, queries, k=K, oversample=5))
     out["bq_rerank"] = _recall(got, truth_cos)
 

@@ -79,6 +79,7 @@ DEFAULT_EXTRAS = [
     "bq_ivf_rerank_topk",
     "bq_ivf_indexed_topk",
     "audio_container_meta",
+    "ivf_sq8_topk",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
