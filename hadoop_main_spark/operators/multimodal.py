@@ -2844,3 +2844,211 @@ def audio_container_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# --- compressed-video CONTAINER walk (ISO BMFF / MP4, metadata only) ----------
+
+
+def _mp4_boxes(p: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each ISO-BMFF box in
+    p[start:end] (ISO/IEC 14496-12 §4.2): 32-bit size, size==1 ->
+    64-bit largesize follows the type, size==0 -> box extends to the
+    container's end. ValueError on truncation or a size that escapes
+    the container."""
+    i = start
+    while i < end:
+        if end - i < 8:
+            raise ValueError("mp4: truncated box header")
+        size = int.from_bytes(p[i : i + 4], "big")
+        btype = p[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if end - i < 16:
+                raise ValueError("mp4: truncated largesize")
+            size = int.from_bytes(p[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < body - i or i + size > end:
+            raise ValueError(f"mp4: box {btype!r} size escapes container")
+        yield btype, body, i + size
+        i += size
+
+
+def _mp4_fullbox(p: bytes, body: int) -> tuple[int, int]:
+    """(version, body-after-version/flags) of a FullBox."""
+    return p[body], body + 4
+
+
+def _mp4_meta(p: bytes) -> dict:
+    """Walk an ISO-BMFF (MP4/MOV family) file's box tree — metadata
+    only, no sample data touched (mdat is skipped whole): ftyp major
+    brand, mvhd timescale/duration (version 0 and 1), per-trak
+    mdhd/hdlr/stsd — the handler type classifies video vs audio and
+    the first stsd entry's fourcc names the codec; tkhd (the 16.16
+    fixed-point width/height) sizes the video track. Returns
+    integer-exact duration_us = 10^6 * duration // timescale plus the
+    first video track's (codec, width, height) and the first audio
+    track's codec. STRICT: truncated boxes, sizes escaping their
+    container, or a missing ftyp/moov/mvhd raise ValueError — the
+    _mp3_meta 'not mp4 vs mp4' determinism contract. Codec PAYLOAD
+    decode (avc1/hev1/mp4a...) stays honestly NotImplementedError in
+    extract_features — this is the ffprobe tier only."""
+    brand = None
+    timescale = duration = None
+    n_tracks = 0
+    video_codec = audio_codec = None
+    width = height = 0
+
+    def walk_trak(b0: int, b1: int):
+        nonlocal video_codec, audio_codec, width, height
+        handler = None
+        codec = None
+        w = h = 0
+        for t, s, e in _mp4_boxes(p, b0, b1):
+            if t == b"tkhd":
+                ver, s2 = _mp4_fullbox(p, s)
+                # width/height: last 8 bytes, 16.16 fixed
+                w = int.from_bytes(p[e - 8 : e - 4], "big") >> 16
+                h = int.from_bytes(p[e - 4 : e], "big") >> 16
+            elif t == b"mdia":
+                for t2, s2, e2 in _mp4_boxes(p, s, e):
+                    if t2 == b"hdlr":
+                        _, s3 = _mp4_fullbox(p, s2)
+                        handler = p[s3 + 4 : s3 + 8]
+                    elif t2 == b"minf":
+                        for t3, s3, e3 in _mp4_boxes(p, s2, e2):
+                            if t3 == b"stbl":
+                                for t4, s4, e4 in _mp4_boxes(p, s3, e3):
+                                    if t4 == b"stsd":
+                                        _, s5 = _mp4_fullbox(p, s4)
+                                        n = int.from_bytes(p[s5 : s5 + 4], "big")
+                                        if n >= 1:
+                                            for t5, _s6, _e6 in _mp4_boxes(
+                                                p, s5 + 4, e4
+                                            ):
+                                                codec = t5.decode(
+                                                    "ascii", "replace"
+                                                )
+                                                break
+        if handler == b"vide":
+            if video_codec is None:
+                video_codec, width, height = codec or "", w, h
+        elif handler == b"soun":
+            if audio_codec is None:
+                audio_codec = codec or ""
+
+    for t, s, e in _mp4_boxes(p, 0, len(p)):
+        if t == b"ftyp":
+            if e - s < 8:
+                raise ValueError("mp4: truncated ftyp")
+            brand = p[s : s + 4].decode("ascii", "replace")
+        elif t == b"moov":
+            for t2, s2, e2 in _mp4_boxes(p, s, e):
+                if t2 == b"mvhd":
+                    ver, s3 = _mp4_fullbox(p, s2)
+                    if ver == 1:
+                        timescale = int.from_bytes(p[s3 + 16 : s3 + 20], "big")
+                        duration = int.from_bytes(p[s3 + 20 : s3 + 28], "big")
+                    else:
+                        timescale = int.from_bytes(p[s3 + 8 : s3 + 12], "big")
+                        duration = int.from_bytes(p[s3 + 12 : s3 + 16], "big")
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    walk_trak(s2, e2)
+    if brand is None:
+        raise ValueError("mp4: no ftyp box")
+    if timescale is None or timescale == 0:
+        raise ValueError("mp4: no moov/mvhd (or zero timescale)")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration_us": 1_000_000 * duration // timescale,
+        "n_tracks": n_tracks,
+        "video_codec": video_codec or "",
+        "width": width,
+        "height": height,
+        "audio_codec": audio_codec or "",
+    }
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    """Encode one box (fixture-side; 32-bit size form)."""
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4_build(
+    brand: str,
+    timescale: int,
+    duration: int,
+    tracks,
+    mvhd_v1: bool = False,
+    trailing_mdat: int = 0,
+) -> bytes:
+    """Build a minimal valid ISO-BMFF file for the metadata walk:
+    ftyp + moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf/stbl/stsd))
+    per track) + optional mdat filler. ``tracks`` is a list of
+    (handler4cc, codec4cc, width, height)."""
+    if mvhd_v1:
+        mvhd = b"\x01" + b"\x00" * 3 + b"\x00" * 16 + timescale.to_bytes(4, "big")
+        mvhd += duration.to_bytes(8, "big") + b"\x00" * 80
+    else:
+        mvhd = b"\x00" * 4 + b"\x00" * 8 + timescale.to_bytes(4, "big")
+        mvhd += duration.to_bytes(4, "big") + b"\x00" * 80
+    traks = b""
+    for handler, codec, w, h in tracks:
+        tkhd = b"\x00" * 4 + b"\x00" * 72 + (w << 16).to_bytes(4, "big") + (
+            (h << 16).to_bytes(4, "big")
+        )
+        mdhd = b"\x00" * 4 + b"\x00" * 8 + timescale.to_bytes(4, "big")
+        mdhd += duration.to_bytes(4, "big") + b"\x55\xc4\x00\x00"
+        hdlr = b"\x00" * 4 + b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00"
+        entry = _mp4_box(codec, b"\x00" * 78)  # opaque sample entry
+        stsd = _mp4_box(b"stsd", b"\x00" * 4 + (1).to_bytes(4, "big") + entry)
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(
+            b"mdia", _mp4_box(b"mdhd", mdhd) + _mp4_box(b"hdlr", hdlr) + minf
+        )
+        traks += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+    out = _mp4_box(b"ftyp", brand.encode() + (0).to_bytes(4, "big") + brand.encode())
+    out += _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + traks)
+    if trailing_mdat:
+        out += _mp4_box(b"mdat", b"\xee" * trailing_mdat)
+    return out
+
+
+def video_container_meta(media: DataFrame) -> DataFrame:
+    """Typed metadata from ISO-BMFF containers via :func:`_mp4_meta`
+    (the video side of audio_container_meta): bad records land on
+    brand='bad' zeros, ~70-byte rows shuffle."""
+    schema = (
+        "media_id long, brand string, timescale long, duration_us long, "
+        "n_tracks long, video_codec string, width long, height long, "
+        "audio_codec string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                pbytes = bytes(payload) if payload is not None else b""
+                try:
+                    m = _mp4_meta(pbytes)
+                except ValueError:
+                    m = {
+                        "brand": "bad", "timescale": 0, "duration_us": 0,
+                        "n_tracks": 0, "video_codec": "", "width": 0,
+                        "height": 0, "audio_codec": "",
+                    }
+                out.append({"media_id": mid, **m})
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "brand", "timescale", "duration_us",
+                    "n_tracks", "video_codec", "width", "height",
+                    "audio_codec",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

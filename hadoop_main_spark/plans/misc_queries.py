@@ -1592,3 +1592,69 @@ def stream_window_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         "total_value",
     )
+
+
+@query(
+    "video_container_meta",
+    oracle="""
+    WITH p AS (SELECT doc_id AS i,
+                      list_value('isom', 'mp42', 'qt  ')[doc_id % 3 + 1] AS brand,
+                      list_value(600, 1000, 90000)[doc_id % 3 + 1] AS ts,
+                      doc_id % 7 + 1 AS secs, doc_id % 5 AS rem,
+                      list_value('avc1', 'hev1', 'vp09')[doc_id % 3 + 1] AS vcodec,
+                      160 * (doc_id % 4 + 1) AS w, 90 * (doc_id % 4 + 1) AS h,
+                      doc_id % 2 = 0 AS has_audio
+               FROM documents)
+    SELECT i AS media_id, brand, CAST(ts AS BIGINT) AS timescale,
+           CAST(1000000 * (ts * secs + rem) // ts AS BIGINT) AS duration_us,
+           CAST(CASE WHEN has_audio THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+           vcodec AS video_codec, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CASE WHEN has_audio THEN 'mp4a' ELSE '' END AS audio_codec
+    FROM p
+    """,
+    doc="ISO-BMFF (MP4) container metadata walk — the video side of "
+    "audio_container_meta's ffprobe tier (ISO/IEC 14496-12 box tree: "
+    "32-bit/largesize/to-EOF box sizes, ftyp major brand, mvhd "
+    "version 0 AND 1 timescale/duration, per-trak hdlr video/audio "
+    "classification, stsd first-entry codec fourcc, tkhd 16.16 "
+    "fixed-point dimensions; mdat skipped whole — zero sample bytes "
+    "touched, codec payload decode stays NotImplementedError). "
+    "Fixtures vary brand/timescale/duration remainder/mvhd version/"
+    "track layout per doc; the oracle recomputes every field in "
+    "closed form including the integer-exact duration_us floor.",
+)
+def video_container_meta(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                brand = ["isom", "mp42", "qt  "][i % 3]
+                ts = [600, 1000, 90000][i % 3]
+                duration = ts * (i % 7 + 1) + i % 5
+                tracks = [
+                    (
+                        b"vide",
+                        [b"avc1", b"hev1", b"vp09"][i % 3],
+                        160 * (i % 4 + 1),
+                        90 * (i % 4 + 1),
+                    )
+                ]
+                if i % 2 == 0:
+                    tracks.append((b"soun", b"mp4a", 0, 0))
+                payloads.append(
+                    MM._mp4_build(
+                        brand, ts, duration, tracks,
+                        mvhd_v1=(i % 2 == 1), trailing_mdat=i % 33,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return MM.video_container_meta(media)

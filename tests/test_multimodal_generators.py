@@ -1297,3 +1297,38 @@ def test_audio_container_meta_dispatch_and_bad_records(spark):
     assert rows[2].codec == "opus" and rows[2].total_samples == 960
     assert rows[3].codec == "bad" and rows[3].duration_us == 0
     assert rows[4].codec == "bad" and rows[4].payload_bytes == 0
+
+
+def test_mp4_meta_walk_and_strictness():
+    """ISO-BMFF box walk: mvhd v0/v1, hdlr-classified tracks, stsd
+    fourcc, tkhd 16.16 dims, mdat skipped; ValueError on truncation,
+    size escaping the container, largesize cut short, missing
+    ftyp/moov."""
+    import pytest as _pytest
+
+    p = MM._mp4_build(
+        "isom", 1000, 5403,
+        [(b"vide", b"avc1", 640, 360), (b"soun", b"mp4a", 0, 0)],
+        trailing_mdat=64,
+    )
+    m = MM._mp4_meta(p)
+    assert m == {
+        "brand": "isom", "timescale": 1000, "duration_us": 5403000,
+        "n_tracks": 2, "video_codec": "avc1", "width": 640,
+        "height": 360, "audio_codec": "mp4a",
+    }
+    # 64-bit mvhd (version 1) duration + audio-only layout
+    m1 = MM._mp4_meta(
+        MM._mp4_build("mp42", 90000, 90000 * 7 + 3, [(b"soun", b"mp4a", 0, 0)],
+                      mvhd_v1=True)
+    )
+    assert m1["duration_us"] == 1_000_000 * (90000 * 7 + 3) // 90000
+    assert m1["n_tracks"] == 1 and m1["video_codec"] == "" and m1["width"] == 0
+    # size==0 (to end of container) form parses
+    tail = MM._mp4_box(b"free", b"x" * 9)
+    zero_sized = p + b"\x00\x00\x00\x00" + b"skip" + b"junkdata"
+    assert MM._mp4_meta(zero_sized)["duration_us"] == 5403000
+    for bad in (p[:-5], p[30:], b"\x00\x00\x00\x01abcd", b"",
+                MM._mp4_box(b"ftyp", b"isom" + b"\x00" * 8)):  # ftyp, no moov
+        with _pytest.raises(ValueError):
+            MM._mp4_meta(bad)

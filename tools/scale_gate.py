@@ -80,6 +80,7 @@ DEFAULT_EXTRAS = [
     "bq_ivf_indexed_topk",
     "audio_container_meta",
     "ivf_sq8_topk",
+    "video_container_meta",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
