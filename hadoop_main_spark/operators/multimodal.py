@@ -3052,3 +3052,229 @@ def video_container_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# --- compressed-video CONTAINER walk #2 (Matroska / WebM EBML, metadata only) -
+
+
+def _ebml_vint(p: bytes, i: int, keep_marker: bool):
+    """Decode one EBML variable-length integer at p[i:] (RFC 8794
+    §4): the leading byte's highest set bit gives the width; element
+    IDs keep the marker bit (class identity), sizes strip it. Returns
+    (value, next_index, all_data_bits_set) — the last flags the
+    reserved 'unknown size' encoding."""
+    if i >= len(p):
+        raise ValueError("ebml: truncated vint")
+    first = p[i]
+    if first == 0:
+        raise ValueError("ebml: invalid vint leading byte 0x00")
+    width = 9 - first.bit_length()
+    if i + width > len(p):
+        raise ValueError("ebml: truncated vint body")
+    raw = int.from_bytes(p[i : i + width], "big")
+    # the VINT_MARKER is the single bit at position 8*width - width;
+    # stripping it leaves the 7*width data bits
+    data = raw ^ (1 << (8 * width - width))
+    all_ones = data == (1 << (8 * width - width)) - 1
+    return (raw if keep_marker else data), i + width, all_ones
+
+
+def _ebml_children(p: bytes, start: int, end: int):
+    """Yield (id, body_start, body_end) for each EBML element in
+    p[start:end]; an unknown-size element extends to the container's
+    end (the streamed-Segment form)."""
+    i = start
+    while i < end:
+        eid, i, _ = _ebml_vint(p, i, keep_marker=True)
+        size, i, unknown = _ebml_vint(p, i, keep_marker=False)
+        if unknown:
+            yield eid, i, end
+            return
+        if i + size > end:
+            raise ValueError(f"ebml: element 0x{eid:X} size escapes container")
+        yield eid, i, i + size
+        i += size
+
+
+def _ebml_uint(p: bytes, s: int, e: int) -> int:
+    return int.from_bytes(p[s:e], "big") if e > s else 0
+
+
+def _ebml_float(p: bytes, s: int, e: int) -> float:
+    import struct
+
+    if e - s == 4:
+        return struct.unpack(">f", p[s:e])[0]
+    if e - s == 8:
+        return struct.unpack(">d", p[s:e])[0]
+    if e == s:
+        return 0.0
+    raise ValueError("ebml: float element must be 0/4/8 bytes")
+
+
+def _mkv_meta(p: bytes) -> dict:
+    """Walk a Matroska/WebM EBML tree (RFC 8794 + the public Matroska
+    element registry) — metadata only, Clusters skipped whole: EBML
+    header DocType, Segment > Info (TimestampScale ns/tick, Duration
+    float ticks), Segment > Tracks > TrackEntry (TrackType 1=video /
+    2=audio, CodecID, Video PixelWidth/Height, Audio Channels).
+    duration_us floors TimestampScale * Duration / 1000 — exact when
+    Duration is integral and the scale divides 1000, which muxers'
+    defaults (1 ms/tick) satisfy. STRICT ValueError discipline like
+    the other walkers; unknown-size Segments (the streamed form) are
+    supported per spec."""
+    import math
+
+    doc_type = None
+    scale_ns = 1_000_000  # spec default: 1 ms/tick
+    duration_ticks = 0.0
+    n_tracks = 0
+    video_codec = audio_codec = None
+    width = height = 0
+    audio_channels = 0
+    saw_segment = False
+    for eid, s, e in _ebml_children(p, 0, len(p)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for cid, cs, ce in _ebml_children(p, s, e):
+                if cid == 0x4282:  # DocType
+                    doc_type = p[cs:ce].decode("ascii", "replace")
+        elif eid == 0x18538067:  # Segment
+            saw_segment = True
+            for cid, cs, ce in _ebml_children(p, s, e):
+                if cid == 0x1549A966:  # Info
+                    for iid, is_, ie in _ebml_children(p, cs, ce):
+                        if iid == 0x2AD7B1:
+                            scale_ns = _ebml_uint(p, is_, ie)
+                        elif iid == 0x4489:
+                            duration_ticks = _ebml_float(p, is_, ie)
+                elif cid == 0x1654AE6B:  # Tracks
+                    for tid, ts, te in _ebml_children(p, cs, ce):
+                        if tid != 0xAE:  # TrackEntry
+                            continue
+                        n_tracks += 1
+                        ttype = 0
+                        codec = None
+                        tw = th = tch = 0
+                        for fid, fs, fe in _ebml_children(p, ts, te):
+                            if fid == 0x83:
+                                ttype = _ebml_uint(p, fs, fe)
+                            elif fid == 0x86:
+                                codec = p[fs:fe].decode("ascii", "replace")
+                            elif fid == 0xE0:  # Video
+                                for vid, vs, ve in _ebml_children(p, fs, fe):
+                                    if vid == 0xB0:
+                                        tw = _ebml_uint(p, vs, ve)
+                                    elif vid == 0xBA:
+                                        th = _ebml_uint(p, vs, ve)
+                            elif fid == 0xE1:  # Audio
+                                for aid, as_, ae in _ebml_children(p, fs, fe):
+                                    if aid == 0x9F:
+                                        tch = _ebml_uint(p, as_, ae)
+                        if ttype == 1 and video_codec is None:
+                            video_codec, width, height = codec or "", tw, th
+                        elif ttype == 2 and audio_codec is None:
+                            audio_codec, audio_channels = codec or "", tch
+    if doc_type is None:
+        raise ValueError("ebml: no EBML header / DocType")
+    if not saw_segment:
+        raise ValueError("ebml: no Segment")
+    if scale_ns == 0:
+        raise ValueError("ebml: zero TimestampScale")
+    return {
+        "doc_type": doc_type,
+        "timestamp_scale_ns": scale_ns,
+        "duration_us": int(math.floor(scale_ns * duration_ticks / 1000.0)),
+        "n_tracks": n_tracks,
+        "video_codec": video_codec or "",
+        "width": width,
+        "height": height,
+        "audio_codec": audio_codec or "",
+        "audio_channels": audio_channels,
+    }
+
+
+def _ebml_enc_vint_id(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_enc_size(n: int) -> bytes:
+    for width in range(1, 9):
+        if n < (1 << (7 * width)) - 1:
+            return ((1 << (7 * width)) | n).to_bytes(width, "big")
+    raise ValueError("ebml: size too large")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    return _ebml_enc_vint_id(eid) + _ebml_enc_size(len(body)) + body
+
+
+def _mkv_build(
+    doc_type: str, scale_ns: int, duration_ticks: float, tracks,
+    unknown_segment_size: bool = False, cluster_bytes: int = 0,
+) -> bytes:
+    """Fixture-side Matroska writer for the metadata walk. ``tracks``
+    is a list of (track_type, codec_id, width, height, channels)."""
+    import struct
+
+    head = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, doc_type.encode()))
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(0x2AD7B1, scale_ns.to_bytes(8, "big").lstrip(b"\x00") or b"\x00")
+        + _ebml_el(0x4489, struct.pack(">d", duration_ticks)),
+    )
+    entries = b""
+    for ttype, codec, w, h, ch in tracks:
+        fields = _ebml_el(0x83, bytes([ttype])) + _ebml_el(0x86, codec.encode())
+        if ttype == 1:
+            fields += _ebml_el(
+                0xE0,
+                _ebml_el(0xB0, w.to_bytes(2, "big"))
+                + _ebml_el(0xBA, h.to_bytes(2, "big")),
+            )
+        elif ttype == 2:
+            fields += _ebml_el(0xE1, _ebml_el(0x9F, bytes([ch])))
+        entries += _ebml_el(0xAE, fields)
+    body = info + _ebml_el(0x1654AE6B, entries)
+    if cluster_bytes:
+        body += _ebml_el(0x1F43B675, b"\xcc" * cluster_bytes)
+    if unknown_segment_size:
+        seg = _ebml_enc_vint_id(0x18538067) + b"\xff" + body
+    else:
+        seg = _ebml_el(0x18538067, body)
+    return head + seg
+
+
+def mkv_container_meta(media: DataFrame) -> DataFrame:
+    """Typed metadata from Matroska/WebM containers via
+    :func:`_mkv_meta`; bad records land on doc_type='bad' zeros."""
+    schema = (
+        "media_id long, doc_type string, timestamp_scale_ns long, "
+        "duration_us long, n_tracks long, video_codec string, "
+        "width long, height long, audio_codec string, audio_channels long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                pbytes = bytes(payload) if payload is not None else b""
+                try:
+                    m = _mkv_meta(pbytes)
+                except ValueError:
+                    m = {
+                        "doc_type": "bad", "timestamp_scale_ns": 0,
+                        "duration_us": 0, "n_tracks": 0, "video_codec": "",
+                        "width": 0, "height": 0, "audio_codec": "",
+                        "audio_channels": 0,
+                    }
+                out.append({"media_id": mid, **m})
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "doc_type", "timestamp_scale_ns",
+                    "duration_us", "n_tracks", "video_codec", "width",
+                    "height", "audio_codec", "audio_channels",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

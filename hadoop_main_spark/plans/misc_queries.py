@@ -1658,3 +1658,84 @@ def video_container_meta(spark: SparkSession, sf: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return MM.video_container_meta(media)
+
+
+@query(
+    "mkv_container_meta",
+    oracle="""
+    WITH p AS (SELECT doc_id AS i,
+                      list_value('webm', 'matroska')[doc_id % 2 + 1] AS doc_type,
+                      list_value(1000000, 100000, 20000)[doc_id % 3 + 1] AS scale_ns,
+                      (doc_id % 9 + 1) * 100 AS dur_ticks,
+                      doc_id % 3 <> 2 AS has_video,
+                      doc_id % 2 = 0 AS has_audio
+               FROM documents)
+    SELECT i AS media_id, doc_type,
+           CAST(scale_ns AS BIGINT) AS timestamp_scale_ns,
+           CAST(scale_ns * dur_ticks // 1000 AS BIGINT) AS duration_us,
+           CAST(CASE WHEN has_video THEN 1 ELSE 0 END
+                + CASE WHEN has_audio THEN 1 ELSE 0 END AS BIGINT) AS n_tracks,
+           CASE WHEN has_video
+                THEN list_value('V_VP9', 'V_MPEG4/ISO/AVC')[i % 2 + 1]
+                ELSE '' END AS video_codec,
+           CAST(CASE WHEN has_video THEN 320 + 16 * (i % 8) ELSE 0 END AS BIGINT)
+             AS width,
+           CAST(CASE WHEN has_video THEN 240 + 8 * (i % 8) ELSE 0 END AS BIGINT)
+             AS height,
+           CASE WHEN has_audio
+                THEN (CASE WHEN i % 4 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END)
+                ELSE '' END AS audio_codec,
+           CAST(CASE WHEN has_audio THEN i % 7 + 1 ELSE 0 END AS BIGINT)
+             AS audio_channels
+    FROM p
+    """,
+    doc="Matroska/WebM CONTAINER metadata walk (RFC 8794 EBML + the "
+    "public Matroska element registry — the third leg of the "
+    "ffprobe tier beside audio_container_meta and "
+    "video_container_meta): variable-length-integer element IDs and "
+    "sizes (marker-bit semantics, the reserved all-ones UNKNOWN-SIZE "
+    "form for streamed Segments supported per spec), EBML DocType, "
+    "Info TimestampScale/Duration (4- and 8-byte floats), TrackEntry "
+    "type/codec/dimensions/channels; Clusters skipped whole — zero "
+    "sample bytes touched, VP9/AVC/Opus PAYLOAD decode stays "
+    "honestly NotImplementedError. Fixtures vary doc type, timestamp "
+    "scale, duration, track layout (including zero-track files), "
+    "streamed-vs-sized Segments, and Cluster filler; the oracle "
+    "recomputes every field in closed form.",
+)
+def mkv_container_meta(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                tracks = []
+                if i % 3 != 2:
+                    tracks.append(
+                        (1, ["V_VP9", "V_MPEG4/ISO/AVC"][i % 2],
+                         320 + 16 * (i % 8), 240 + 8 * (i % 8), 0)
+                    )
+                if i % 2 == 0:
+                    tracks.append(
+                        (2, "A_OPUS" if i % 4 == 0 else "A_VORBIS",
+                         0, 0, i % 7 + 1)
+                    )
+                payloads.append(
+                    MM._mkv_build(
+                        ["webm", "matroska"][i % 2],
+                        [1_000_000, 100_000, 20_000][i % 3],
+                        float((i % 9 + 1) * 100),
+                        tracks,
+                        unknown_segment_size=(i % 5 == 0),
+                        cluster_bytes=i % 77,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return MM.mkv_container_meta(media)

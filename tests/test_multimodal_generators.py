@@ -1332,3 +1332,39 @@ def test_mp4_meta_walk_and_strictness():
                 MM._mp4_box(b"ftyp", b"isom" + b"\x00" * 8)):  # ftyp, no moov
         with _pytest.raises(ValueError):
             MM._mp4_meta(bad)
+
+
+def test_mkv_meta_walk_and_strictness():
+    """EBML walk: vint marker-bit semantics, unknown-size Segment,
+    4/8-byte Duration floats, track classification; ValueError on
+    truncation, size escaping the container, 0x00 vint lead."""
+    import pytest as _pytest
+
+    p = MM._mkv_build(
+        "webm", 1_000_000, 5400.0,
+        [(1, "V_VP9", 640, 360, 0), (2, "A_OPUS", 0, 0, 2)],
+        cluster_bytes=50,
+    )
+    m = MM._mkv_meta(p)
+    assert m == {
+        "doc_type": "webm", "timestamp_scale_ns": 1_000_000,
+        "duration_us": 5_400_000, "n_tracks": 2, "video_codec": "V_VP9",
+        "width": 640, "height": 360, "audio_codec": "A_OPUS",
+        "audio_channels": 2,
+    }
+    # streamed (unknown-size) Segment + non-default scale
+    m2 = MM._mkv_meta(
+        MM._mkv_build("matroska", 100_000, 90_000.0,
+                      [(2, "A_AAC", 0, 0, 6)], unknown_segment_size=True)
+    )
+    assert m2["duration_us"] == 9_000_000 and m2["audio_channels"] == 6
+    assert m2["video_codec"] == "" and m2["n_tracks"] == 1
+    # vint round-trip across widths (marker stripped vs kept)
+    for n in (0, 1, 126, 127, 128, 16382, 16383, 2**20, 2**35):
+        enc = MM._ebml_enc_size(n)
+        val, nxt, unknown = MM._ebml_vint(enc, 0, keep_marker=False)
+        assert (val, nxt, unknown) == (n, len(enc), False)
+    for bad in (p[:-7], b"\x1aE\xdf\xa3", b"", b"\x00junk",
+                MM._mkv_build("webm", 1_000_000, 1.0, [])[:9]):
+        with _pytest.raises(ValueError):
+            MM._mkv_meta(bad)

@@ -81,6 +81,7 @@ DEFAULT_EXTRAS = [
     "audio_container_meta",
     "ivf_sq8_topk",
     "video_container_meta",
+    "mkv_container_meta",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
