@@ -1739,3 +1739,209 @@ def mkv_container_meta(spark: SparkSession, sf: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return MM.mkv_container_meta(media)
+
+
+#: the WARC/HTML fixture template, defined ONCE for both warc queries
+#: (generator side here, oracle side in the SQL CTE below): title
+#: 'Doc &amp; <i>', i%4+1 space-joined nav links, an <h1>, one <p>
+#: per text line (html-escaped), a dropped comment + style block.
+def _warc_html(i: int, text: str) -> str:
+    import html as _h
+
+    n = i % 4 + 1
+    links = " ".join(f'<a href="/l{k}">L{k}</a>' for k in range(n))
+    esc = _h.escape(text or "", quote=False)
+    return (
+        f"<html><head><title>Doc &amp; {i}</title><style>p{{color:red}}</style>"
+        f"</head><body><nav>{links}</nav><h1>H {i}</h1><p>"
+        + esc.replace("\n", "</p><p>")
+        + f"</p><!-- c{i} --></body></html>"
+    )
+
+
+#: the SAME template as a DuckDB expression over (i, text)
+_WARC_HTML_SQL = """
+    '<html><head><title>Doc &amp; ' || i || '</title><style>p{color:red}</style>'
+    || '</head><body><nav>' || links || '</nav><h1>H ' || i || '</h1><p>'
+    || replace(replace(replace(replace(COALESCE(text, ''),
+         '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), chr(10), '</p><p>')
+    || '</p><!-- c' || i || ' --></body></html>'
+"""
+
+_WARC_LINKS_SQL = """
+    CASE i % 4 + 1
+      WHEN 1 THEN '<a href="/l0">L0</a>'
+      WHEN 2 THEN '<a href="/l0">L0</a> <a href="/l1">L1</a>'
+      WHEN 3 THEN '<a href="/l0">L0</a> <a href="/l1">L1</a> <a href="/l2">L2</a>'
+      ELSE '<a href="/l0">L0</a> <a href="/l1">L1</a> <a href="/l2">L2</a> <a href="/l3">L3</a>'
+    END
+"""
+
+
+def _warc_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared generator: one WARC per doc (warcinfo + request +
+    response whose HTTP body is the HTML template over the doc's
+    text); odd docs use the Common Crawl gzip-member-per-record
+    layout."""
+    import pandas as pd
+
+    from hadoop_main_spark.sources import warc as W
+
+    docs = t(spark, sf, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches):
+        for b in batches:
+            out_id, out_p = [], []
+            for i, text in zip(b["doc_id"].astype("int64"), b["text"]):
+                i = int(i)
+                uri = f"http://example.org/doc/{i}"
+                html = _warc_html(i, text if text is not None else "")
+                recs = [
+                    dict(
+                        warc_type="warcinfo",
+                        block=b"software: hadoop-main-spark\r\n",
+                        content_type="application/warc-fields",
+                    ),
+                    dict(
+                        warc_type="request", block=W.http_request(uri),
+                        target_uri=uri,
+                        content_type="application/http; msgtype=request",
+                    ),
+                    dict(
+                        warc_type="response",
+                        block=W.http_response(html.encode("utf-8")),
+                        target_uri=uri,
+                        content_type="application/http; msgtype=response",
+                    ),
+                ]
+                out_id.append(i)
+                out_p.append(W.build_warc(recs, gzip_members=(i % 2 == 1)))
+            yield pd.DataFrame({"media_id": out_id, "payload": out_p})
+
+    return docs.mapInPandas(gen, "media_id long, payload binary")
+
+
+@query(
+    "warc_ingest_meta",
+    oracle=f"""
+    WITH base AS (SELECT doc_id AS i, text FROM documents),
+    h AS (SELECT i, ({_WARC_HTML_SQL.replace('links', _WARC_LINKS_SQL)}) AS html
+          FROM base),
+    recs AS (
+      SELECT i, 0 AS rec_idx, 'warcinfo' AS warc_type, '' AS target_uri,
+             CAST(octet_length(encode('software: hadoop-main-spark' || chr(13) || chr(10)))
+                  AS BIGINT) AS content_length,
+             CAST(0 AS BIGINT) AS http_status, '' AS http_content_type,
+             CAST(octet_length(encode('software: hadoop-main-spark' || chr(13) || chr(10)))
+                  AS BIGINT) AS body_bytes,
+             md5('software: hadoop-main-spark' || chr(13) || chr(10)) AS body_md5
+      FROM h
+      UNION ALL
+      SELECT i, 1, 'request', 'http://example.org/doc/' || i,
+             CAST(octet_length(encode('GET http://example.org/doc/' || i
+               || ' HTTP/1.1' || chr(13) || chr(10) || 'Host: example.org'
+               || chr(13) || chr(10) || chr(13) || chr(10))) AS BIGINT),
+             CAST(0 AS BIGINT), '', CAST(0 AS BIGINT), md5('')
+      FROM h
+      UNION ALL
+      SELECT i, 2, 'response', 'http://example.org/doc/' || i,
+             CAST(octet_length(encode('HTTP/1.1 200 OK' || chr(13) || chr(10)
+               || 'Content-Type: text/html' || chr(13) || chr(10)
+               || 'Content-Length: ' || octet_length(encode(html))
+               || chr(13) || chr(10) || chr(13) || chr(10))) + octet_length(encode(html))
+               AS BIGINT),
+             CAST(200 AS BIGINT), 'text/html',
+             CAST(octet_length(encode(html)) AS BIGINT), md5(html)
+      FROM h)
+    SELECT i AS media_id, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type,
+           target_uri, content_length, http_status, http_content_type,
+           body_bytes, body_md5
+    FROM recs
+    """,
+    doc="WARC (ISO 28500) ingestion ON the driver gate — the Common "
+    "Crawl first mile: each doc becomes a 3-record WARC (warcinfo + "
+    "request + response whose application/http block wraps an HTML "
+    "page built from the doc text), odd docs in the Common Crawl "
+    "gzip-member-per-record layout (concatenated-member inflate with "
+    "a truncation-detecting eof check), and sources/warc.py walks "
+    "records, parses the HTTP message, and emits type/uri/status/"
+    "length/md5 rows — every field recomputed byte-exactly by the "
+    "oracle including Content-Length octet math over the identically "
+    "constructed strings. Bodies never leave the Arrow batch; only "
+    "~100-byte metadata rows shuffle.",
+)
+def warc_ingest_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.sources.warc import warc_records
+
+    return warc_records(_warc_media(spark, sf))
+
+
+@query(
+    "warc_html_text_extract",
+    oracle=f"""
+    WITH base AS (SELECT doc_id AS i, text FROM documents),
+    x AS (SELECT i,
+            trim(regexp_replace(
+              'Doc & ' || i || ' '
+              || CASE i % 4 + 1
+                   WHEN 1 THEN 'L0' WHEN 2 THEN 'L0 L1'
+                   WHEN 3 THEN 'L0 L1 L2' ELSE 'L0 L1 L2 L3' END
+              || ' H ' || i || ' ' || COALESCE(text, ''),
+              '[ \\t\\n\\r\\f]+', ' ', 'g')) AS txt
+          FROM base)
+    SELECT i AS doc_id, 'Doc & ' || i AS title,
+           CAST(i % 4 + 1 AS BIGINT) AS n_links,
+           CAST(length(txt) AS BIGINT) AS n_chars,
+           md5(txt) AS text_md5
+    FROM x
+    """,
+    doc="The FULL Common Crawl text-mining pipeline end to end under "
+    "one oracle: WARC bytes (gzip members on odd docs) -> record "
+    "walk -> HTTP response body -> structural HTML->text extraction "
+    "(operators/html.py: script/style/comment subtrees dropped, "
+    "block tags to spaces, inline tags vanish, HTML5 entity decode "
+    "THEN whitespace collapse) -> per-doc title / link count / "
+    "char count / text digest. The oracle rebuilds the expected "
+    "EXTRACTED text in closed form from the same template (escape "
+    "-> unescape round-trips the raw text, so the recovered body "
+    "must equal the whitespace-collapsed original) — any record-"
+    "walk, HTTP-parse, tag-strip, entity, or whitespace bug moves "
+    "the digest. This is the trafilatura tier of a 100 TB web "
+    "corpus; text crosses no shuffle — only digests and counts.",
+)
+def warc_html_text_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from hadoop_main_spark.operators.html import html_to_text
+    from hadoop_main_spark.sources.warc import parse_warc
+
+    media = _warc_media(spark, sf)
+
+    def extract(batches):
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                recs = parse_warc(bytes(payload))
+                body = next(
+                    r["body"] for r in recs if r["warc_type"] == "response"
+                )
+                text, title, n_links = html_to_text(body.decode("utf-8"))
+                rows.append(
+                    {
+                        "doc_id": mid, "title": title,
+                        "n_links": n_links, "n_chars": len(text),
+                        "text_md5": hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "n_links", "n_chars", "text_md5"]
+            )
+
+    return media.mapInPandas(
+        extract,
+        "doc_id long, title string, n_links long, n_chars long, text_md5 string",
+    )

@@ -1,0 +1,237 @@
+"""WARC (ISO 28500 / WARC-1.0) record walk — the Common Crawl
+ingestion tier: every web-scale training corpus starts as WARC files
+(one gzip member per record in the Common Crawl layout), and the
+first pipeline stage is exactly this — walk records, classify types,
+pull the HTTP response body out for the HTML->text stage
+(operators/html.py).
+
+Reference analog: none in Hadoop core (north-star scope); the format
+is the public ISO 28500 spec: ``WARC/1.0`` version line, CRLF header
+block (Content-Length is the block length in octets), CRLF CRLF, the
+block, CRLF CRLF. ``application/http`` blocks carry a full HTTP
+message (status/request line + headers + body).
+
+STRICT ValueError discipline like the container walkers in
+operators/multimodal.py: a bad magic, truncated block, or missing
+Content-Length raises — 'not WARC' vs 'WARC' must be deterministic.
+Gzip: both the whole-file form and the member-per-record form
+decompress identically via a concatenated-member loop (zlib wbits=31
+per member), so the same parser serves .warc and .warc.gz.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(p: bytes) -> bytes:
+    """Decompress a stream of CONCATENATED gzip members (the Common
+    Crawl record-per-member layout) into one plain byte string."""
+    out = []
+    i = 0
+    while i < len(p):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(p[i:]))
+        except zlib.error as e:
+            raise ValueError(f"warc: bad gzip member at byte {i}: {e}") from e
+        out.append(d.flush())
+        if not d.eof:
+            # flush() is silent on a cut-off member; without this a
+            # truncated .warc.gz would "parse" up to the cut
+            raise ValueError(f"warc: truncated gzip member at byte {i}")
+        consumed = len(p) - i - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("warc: zero-length gzip member")
+        i += consumed
+    return b"".join(out)
+
+
+def _parse_http(block: bytes) -> tuple[int, str, bytes]:
+    """(status, content-type, body) from an application/http block;
+    request messages (no status code) report status 0."""
+    head, sep, body = block.partition(_CRLF + _CRLF)
+    if not sep:
+        raise ValueError("warc: http block missing header terminator")
+    lines = head.split(_CRLF)
+    first = lines[0].decode("latin-1")
+    status = 0
+    if first.startswith("HTTP/"):
+        parts = first.split(" ")
+        if len(parts) < 2 or not parts[1].isdigit():
+            raise ValueError(f"warc: bad http status line {first!r}")
+        status = int(parts[1])
+    ctype = ""
+    for ln in lines[1:]:
+        k, _, v = ln.decode("latin-1").partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, body
+
+
+def parse_warc(p: bytes) -> list[dict]:
+    """Walk every record; returns dicts with warc_type, target_uri,
+    content_length (the WARC block length), and — for
+    ``application/http`` blocks — http_status, http_content_type, and
+    the HTTP body bytes (b'' otherwise; the raw block rides in
+    ``block`` for non-http records)."""
+    if p[:2] == b"\x1f\x8b":
+        p = _gunzip_members(p)
+    recs = []
+    i, n = 0, len(p)
+    while i < n:
+        eol = p.find(_CRLF, i)
+        if eol < 0 or not p[i:eol].startswith(b"WARC/"):
+            raise ValueError(f"warc: missing WARC/ version line at byte {i}")
+        i = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = p.find(_CRLF, i)
+            if eol < 0:
+                raise ValueError("warc: truncated header block")
+            if eol == i:  # empty line ends headers
+                i = eol + 2
+                break
+            k, _, v = p[i:eol].decode("latin-1").partition(":")
+            headers[k.strip().lower()] = v.strip()
+            i = eol + 2
+        if "content-length" not in headers:
+            raise ValueError("warc: record missing Content-Length")
+        clen = int(headers["content-length"])
+        if i + clen > n:
+            raise ValueError("warc: block exceeds payload")
+        block = p[i : i + clen]
+        i += clen
+        if p[i : i + 4] != _CRLF + _CRLF:
+            raise ValueError("warc: record missing trailing CRLFCRLF")
+        i += 4
+        rec = {
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "content_length": clen,
+            "http_status": 0,
+            "http_content_type": "",
+            "body": b"",
+            "block": block,
+            "is_http": headers.get("content-type", "").startswith(
+                "application/http"
+            ),
+        }
+        if rec["is_http"]:
+            rec["http_status"], rec["http_content_type"], rec["body"] = _parse_http(
+                block
+            )
+        recs.append(rec)
+    if not recs:
+        raise ValueError("warc: no records")  # b'' is 'not WARC', not 'empty WARC'
+    return recs
+
+
+def _record_bytes(
+    warc_type: str, block: bytes, target_uri: str = "",
+    content_type: str = "", rec_id: str = "<urn:uuid:0>",
+) -> bytes:
+    head = [
+        b"WARC/1.0",
+        f"WARC-Type: {warc_type}".encode(),
+        f"WARC-Record-ID: {rec_id}".encode(),
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+    ]
+    if target_uri:
+        head.append(f"WARC-Target-URI: {target_uri}".encode())
+    if content_type:
+        head.append(f"Content-Type: {content_type}".encode())
+    head.append(f"Content-Length: {len(block)}".encode())
+    return _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+
+def build_warc(records, gzip_members: bool = False) -> bytes:
+    """Fixture-side writer: ``records`` is a list of kwargs-dicts for
+    :func:`_record_bytes`; gzip_members=True emits the Common Crawl
+    one-member-per-record layout."""
+    parts = [_record_bytes(**r) for r in records]
+    if gzip_members:
+        return b"".join(_gzip_one(part) for part in parts)
+    return b"".join(parts)
+
+
+def _gzip_one(part: bytes) -> bytes:
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return c.compress(part) + c.flush()
+
+
+def http_response(body: bytes, status: int = 200,
+                  ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def http_request(uri: str) -> bytes:
+    return f"GET {uri} HTTP/1.1\r\nHost: example.org\r\n\r\n".encode()
+
+
+def warc_records(media: DataFrame) -> DataFrame:
+    """Record-level metadata rows from WARC payloads (Arrow-batched;
+    the body never leaves the batch — only type/uri/status/length and
+    an md5 digest shuffle). Bad payloads take one warc_type='bad' row
+    (the multimodal bad-record policy)."""
+    import hashlib
+
+    schema = (
+        "media_id long, rec_idx long, warc_type string, target_uri string, "
+        "content_length long, http_status long, http_content_type string, "
+        "body_bytes long, body_md5 string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                pbytes = bytes(payload) if payload is not None else b""
+                try:
+                    recs = parse_warc(pbytes)
+                except ValueError:
+                    out.append(
+                        {
+                            "media_id": mid, "rec_idx": 0, "warc_type": "bad",
+                            "target_uri": "", "content_length": 0,
+                            "http_status": 0, "http_content_type": "",
+                            "body_bytes": 0, "body_md5": "",
+                        }
+                    )
+                    continue
+                for j, r in enumerate(recs):
+                    # http records report the HTTP BODY (empty for a bare GET);
+                    # non-http records report the raw block
+                    body = r["body"] if r["is_http"] else r["block"]
+                    out.append(
+                        {
+                            "media_id": mid, "rec_idx": j,
+                            "warc_type": r["warc_type"],
+                            "target_uri": r["target_uri"],
+                            "content_length": r["content_length"],
+                            "http_status": r["http_status"],
+                            "http_content_type": r["http_content_type"],
+                            "body_bytes": len(body),
+                            "body_md5": hashlib.md5(body).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "rec_idx", "warc_type", "target_uri",
+                    "content_length", "http_status", "http_content_type",
+                    "body_bytes", "body_md5",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

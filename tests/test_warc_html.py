@@ -1,0 +1,83 @@
+"""WARC record walk (sources/warc.py) + structural HTML->text
+extraction (operators/html.py) — the Common Crawl first mile."""
+
+import pytest
+
+from hadoop_main_spark.operators.html import extract_html_text, html_to_text
+from hadoop_main_spark.sources import warc as W
+
+
+def test_html_to_text_contract():
+    h = (
+        '<!DOCTYPE html><html><head><title> Doc &amp; 7 </title>'
+        "<style>body{color:red}</style><script>var x=\"<p>evil</p>\";</script>"
+        '</head><body><nav><a href="/x">Home</a> | <a href="/y">About</a></nav>'
+        "<h1>Head&nbsp;line</h1><p>first   line</p><p><b>bo</b>ld word</p>"
+        "<!-- secret --><div>last</div></body></html>"
+    )
+    text, title, n_links = html_to_text(h)
+    # script/style/comment content never leaks; inline tags vanish
+    # mid-word; blocks separate; entities decode before collapsing
+    assert text == "Doc & 7 Home | About Head line first line bold word last"
+    assert title == "Doc & 7" and n_links == 2
+    assert html_to_text("") == ("", "", 0)
+    assert html_to_text("<p>unclosed <b>stuff") == ("unclosed stuff", "", 0)
+    # a case-twisted script tag still drops its subtree
+    assert "evil" not in html_to_text("<SCRIPT>evil</script>ok")[0]
+
+
+def test_html_extract_spark_pass(spark):
+    pages = spark.createDataFrame(
+        [(1, "<title>t</title><p>a</p><p>b</p>"), (2, None)],
+        "page_id long, markup string",
+    )
+    rows = {r.page_id: r for r in extract_html_text(pages).collect()}
+    assert rows[1].text == "t a b" and rows[1].title == "t"
+    assert rows[2].text == "" and rows[2].n_chars == 0
+
+
+def test_warc_roundtrip_both_layouts():
+    html = b"<html><title>t</title><p>hello &amp; world</p></html>"
+    uri = "http://e.org/1"
+    recs = [
+        dict(warc_type="warcinfo", block=b"software: hms\r\n",
+             content_type="application/warc-fields"),
+        dict(warc_type="request", block=W.http_request(uri), target_uri=uri,
+             content_type="application/http; msgtype=request"),
+        dict(warc_type="response", block=W.http_response(html),
+             target_uri=uri, content_type="application/http; msgtype=response"),
+    ]
+    for gz in (False, True):
+        out = W.parse_warc(W.build_warc(recs, gzip_members=gz))
+        assert [r["warc_type"] for r in out] == ["warcinfo", "request", "response"]
+        assert out[2]["http_status"] == 200
+        assert out[2]["http_content_type"] == "text/html"
+        assert out[2]["body"] == html
+        assert out[1]["is_http"] and out[1]["body"] == b""  # bare GET
+        assert not out[0]["is_http"] and out[0]["block"].startswith(b"software")
+        # Content-Length is the BLOCK length per ISO 28500
+        assert out[2]["content_length"] == len(W.http_response(html))
+
+
+def test_warc_strictness():
+    html = b"<p>x</p>"
+    rec = [dict(warc_type="response", block=W.http_response(html),
+                target_uri="u", content_type="application/http; msgtype=response")]
+    plain, gz = W.build_warc(rec), W.build_warc(rec, gzip_members=True)
+    for bad in (
+        plain[:-3],                      # trailing CRLFCRLF cut
+        gz[:-3],                         # truncated gzip member (eof check)
+        b"HTTP nope",                    # no WARC/ magic
+        plain.replace(b"Content-Length", b"X-Length", 1),  # no length
+        b"WARC/1.0\r\nContent-Length: 99\r\n\r\nxx",       # block escapes
+    ):
+        with pytest.raises(ValueError):
+            W.parse_warc(bad)
+
+
+def test_warc_records_bad_record_row(spark):
+    media = spark.createDataFrame(
+        [(1, b"not a warc"), (2, None)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in W.warc_records(media).collect()}
+    assert rows[1].warc_type == "bad" and rows[2].warc_type == "bad"
