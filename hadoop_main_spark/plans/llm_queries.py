@@ -4264,3 +4264,95 @@ def bq_ivf_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.bq_ivf_rerank_topk_indexed(
         spark, idx, q, "vec_id", "embedding", "query_id", k=10, oversample=5, nprobe=2
     )
+
+
+# --- crawl politeness: RFC 9309 robots decisions over a URL frontier ---------
+
+#: fixed robots rule set (host, allow, pattern) — hosts h5/h6 publish
+#: no robots at all (default-allow path). The ORACLE carries each
+#: pattern's regex as a literal, so the Spark side's declarative
+#: pattern->regex compiler (operators/crawl.robots_pattern_regex) is
+#: what the comparison actually tests.
+_ROBOTS_RULES = [
+    ("h0", False, "/private"),
+    ("h0", True, "/private/files"),
+    ("h1", False, "/"),
+    ("h1", True, "/articles/*.html$"),
+    ("h2", False, "/tmp/*"),
+    ("h3", False, "/private"),
+    ("h3", True, "/privat"),
+    ("h4", False, "/articles/"),
+    ("h4", True, "/articles/"),
+]
+
+_ROBOTS_RULES_SQL = """(VALUES
+    ('h0', FALSE, '/private',           '^/private'),
+    ('h0', TRUE,  '/private/files',     '^/private/files'),
+    ('h1', FALSE, '/',                  '^/'),
+    ('h1', TRUE,  '/articles/*.html$',  '^/articles/.*\\.html$'),
+    ('h2', FALSE, '/tmp/*',             '^/tmp/.*'),
+    ('h3', FALSE, '/private',           '^/private'),
+    ('h3', TRUE,  '/privat',            '^/privat'),
+    ('h4', FALSE, '/articles/',         '^/articles/'),
+    ('h4', TRUE,  '/articles/',         '^/articles/')
+  ) AS r(host, allow, pattern, rx)"""
+
+_ROBOTS_PATHS_SQL = """CASE i % 6
+      WHEN 0 THEN '/public/page' || i
+      WHEN 1 THEN '/private/data' || i
+      WHEN 2 THEN '/private/files/readme.html'
+      WHEN 3 THEN '/tmp/cache' || i % 10
+      WHEN 4 THEN '/articles/' || i || '.html'
+      ELSE '/' END"""
+
+
+@query(
+    "robots_url_filter",
+    oracle=f"""
+    WITH urls AS (SELECT doc_id AS url_id, 'h' || (doc_id % 7) AS host,
+                         {_ROBOTS_PATHS_SQL} AS path
+                  FROM (SELECT doc_id AS i, doc_id FROM documents)),
+    rules AS (SELECT * FROM {_ROBOTS_RULES_SQL}),
+    cand AS (SELECT u.url_id, r.allow, r.pattern,
+                    CAST(octet_length(encode(r.pattern)) AS BIGINT) AS plen
+             FROM urls u JOIN rules r ON r.host = u.host
+             WHERE regexp_matches(u.path, r.rx)),
+    best AS (SELECT url_id, allow, pattern, plen FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY url_id
+                 ORDER BY plen DESC, allow DESC, pattern) AS rn
+               FROM cand) WHERE rn = 1)
+    SELECT u.url_id, u.host, u.path,
+           COALESCE(b.allow, TRUE) AS allowed,
+           COALESCE(b.pattern, '') AS matched_pattern,
+           CAST(COALESCE(b.plen, 0) AS BIGINT) AS matched_len
+    FROM urls u LEFT JOIN best b ON b.url_id = u.url_id
+    """,
+    doc="RFC 9309 robots-exclusion decisions over a URL frontier — "
+    "the crawl-politeness filter between the frontier and the "
+    "WARC-fetch tier (operators/crawl.py): patterns compile to "
+    "anchored regexes with one JVM-side regexp_replace chain "
+    "(metachar escape, * -> .*, trailing $ -> end anchor), matching "
+    "rules arrive by host equi-join, and the decision is the RFC's "
+    "most-specific-match (longest pattern in octets, allow wins "
+    "ties, no-match and no-robots-hosts default to allowed). The "
+    "oracle carries HAND-WRITTEN regex literals per rule, so the "
+    "declarative pattern compiler itself is under test. Fixture "
+    "frontier covers prefix hits, wildcard spans, $-anchored "
+    "extensions, allow-overrides-disallow, exact-length ties, and "
+    "two no-robots hosts.",
+)
+def robots_url_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.crawl import robots_decide
+
+    d = t(spark, sf, "documents").select("doc_id")
+    urls = d.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        F.expr(
+            _ROBOTS_PATHS_SQL.replace("i %", "doc_id %").replace("|| i", "|| doc_id")
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, allow boolean, pattern string"
+    )
+    return robots_decide(urls, F.broadcast(rules))

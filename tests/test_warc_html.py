@@ -81,3 +81,57 @@ def test_warc_records_bad_record_row(spark):
     )
     rows = {r.media_id: r for r in W.warc_records(media).collect()}
     assert rows[1].warc_type == "bad" and rows[2].warc_type == "bad"
+
+
+def test_robots_pattern_regex_and_decide(spark):
+    """RFC 9309 semantics: metachar-escaping compiler, * span, $ end
+    anchor, most-specific wins, allow wins ties, default allow for
+    no-match and no-robots hosts."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators.crawl import (
+        robots_decide,
+        robots_pattern_regex,
+    )
+
+    rx = {
+        r.p: r.rx
+        for r in spark.createDataFrame(
+            [("/articles/*.html$",), ("/a+b(c)*",), ("/x$y",)], "p string"
+        ).select("p", robots_pattern_regex("p").alias("rx")).collect()
+    }
+    assert rx["/articles/*.html$"] == r"^/articles/.*\.html$"
+    assert rx["/a+b(c)*"] == r"^/a\+b\(c\).*"
+    assert rx["/x$y"] == r"^/x\$y"  # mid-pattern $ is literal
+
+    urls = spark.createDataFrame(
+        [
+            (1, "a", "/private/data"),        # disallow /private
+            (2, "a", "/private/files/x"),     # longer allow overrides
+            (3, "a", "/pub"),                 # no match -> allowed
+            (4, "b", "/docs/x.html"),         # $ anchor hits
+            (5, "b", "/docs/x.html?q=1"),     # $ anchor misses -> / disallow
+            (6, "c", "/anything"),            # host without robots
+            (7, "a", "/tie"),                 # equal-length tie -> allow
+        ],
+        "url_id long, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a", False, "/private"),
+            ("a", True, "/private/files"),
+            ("a", False, "/tie"),
+            ("a", True, "/tie"),
+            ("b", False, "/"),
+            ("b", True, "/docs/*.html$"),
+        ],
+        "host string, allow boolean, pattern string",
+    )
+    got = {r.url_id: r for r in robots_decide(urls, F.broadcast(rules)).collect()}
+    assert not got[1].allowed and got[1].matched_pattern == "/private"
+    assert got[2].allowed and got[2].matched_pattern == "/private/files"
+    assert got[3].allowed and got[3].matched_pattern == ""
+    assert got[4].allowed and got[4].matched_pattern == "/docs/*.html$"
+    assert not got[5].allowed and got[5].matched_pattern == "/"
+    assert got[6].allowed and got[6].matched_len == 0
+    assert got[7].allowed  # RFC: tie resolves to allow

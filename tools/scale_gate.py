@@ -82,6 +82,9 @@ DEFAULT_EXTRAS = [
     "ivf_sq8_topk",
     "video_container_meta",
     "mkv_container_meta",
+    "warc_ingest_meta",
+    "warc_html_text_extract",
+    "robots_url_filter",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
