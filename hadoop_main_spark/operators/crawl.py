@@ -81,3 +81,86 @@ def robots_decide(
         F.coalesce(F.col("__rpat"), F.lit("")).alias("matched_pattern"),
         F.coalesce(F.col("__rlen"), F.lit(0)).cast("bigint").alias("matched_len"),
     )
+
+
+def parse_robots_txt(body: str) -> list[tuple[str, bool, str]]:
+    """Parse one robots.txt (RFC 9309 §2.2) into (agent_lowercase,
+    allow, pattern) rows: ``User-agent`` lines open a group (several
+    consecutive ones share the following rules), ``Allow``/
+    ``Disallow`` lines attach to every agent of the current group,
+    keys are case-insensitive, ``#`` starts a comment, unknown keys
+    and blank lines are ignored (blank lines do NOT close a group —
+    only a new User-agent after rules does), and an empty Disallow
+    pattern is a no-op per the RFC. Never raises: robots.txt in the
+    wild is as broken as HTML, and the RFC says parse what you can."""
+    rows: list[tuple[str, bool, str]] = []
+    agents: list[str] = []
+    group_has_rules = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if group_has_rules:
+                agents, group_has_rules = [], False
+            if val:
+                agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            group_has_rules = True
+            if not val:
+                continue  # empty Disallow: allow everything = no rule
+            for a in agents:
+                rows.append((a, key == "allow", val))
+    return rows
+
+
+def select_agent_group(
+    rules: list[tuple[str, bool, str]], product_token: str
+) -> list[tuple[bool, str]]:
+    """RFC 9309 §2.2.1 group selection: the crawler obeys the group
+    whose user-agent EXACTLY matches its product token
+    (case-insensitive), else the ``*`` group, else nothing (crawl
+    allowed). Multiple groups with the same agent merge."""
+    tok = product_token.lower()
+    exact = [(al, p) for a, al, p in rules if a == tok]
+    if exact:
+        return exact
+    return [(al, p) for a, al, p in rules if a == "*"]
+
+
+def robots_rules_from_txt(
+    robots: DataFrame,
+    product_token: str,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, robots.txt body) -> (host, allow, pattern) for the
+    crawler's product token, Arrow-batched (robots files are tiny and
+    per-host; the parse is pure string work that never leaves the
+    batch). Feed the result to :func:`robots_decide`."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hosts, allows, pats = [], [], []
+            for host, body in zip(b[host_col], b[body_col]):
+                grp = select_agent_group(
+                    parse_robots_txt(body if body is not None else ""),
+                    product_token,
+                )
+                for allow, pattern in grp:
+                    hosts.append(host)
+                    allows.append(allow)
+                    pats.append(pattern)
+            yield pd.DataFrame(
+                {"host": hosts, "allow": allows, "pattern": pats},
+                columns=["host", "allow", "pattern"],
+            )
+
+    return robots.select(host_col, body_col).mapInPandas(
+        run, "host string, allow boolean, pattern string"
+    )

@@ -4356,3 +4356,104 @@ def robots_url_filter(spark: SparkSession, sf: str) -> DataFrame:
         _ROBOTS_RULES, "host string, allow boolean, pattern string"
     )
     return robots_decide(urls, F.broadcast(rules))
+
+
+#: raw robots.txt bodies whose PARSED, group-selected rules for
+#: product token 'hms-bot' equal _ROBOTS_RULES exactly — exercising
+#: exact-vs-* group precedence, shared-agent groups, case-insensitive
+#: keys/agents, comments, blank lines, unknown directives, empty
+#: Disallow no-ops, and a rule-less / absent robots.txt.
+_ROBOTS_TXT = [
+    (
+        "h0",
+        "# h0 robots\n"
+        "User-Agent: hms-bot\n"
+        "Disallow: /private\n"
+        "Allow: /private/files\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /everything-else\n",  # shadowed: exact group wins
+    ),
+    (
+        "h1",
+        "User-agent: *\n"
+        "Crawl-delay: 10\n"  # unknown directive ignored
+        "Disallow: /\n"
+        "Allow: /articles/*.html$\n",
+    ),
+    (
+        "h2",
+        "User-agent: HMS-BOT\n"  # agents case-insensitive
+        "User-agent: otherbot\n"  # shared group
+        "Disallow: /tmp/*  # temp junk\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow:\n",  # empty Disallow = no rule
+    ),
+    (
+        "h3",
+        "user-agent: *\n"
+        "disallow: /private\n"
+        "allow: /privat\n",
+    ),
+    (
+        "h4",
+        "User-agent: hms-bot\n"
+        "Disallow: /articles/\n"
+        "Allow: /articles/\n",
+    ),
+    ("h5", "User-agent: *\nCrawl-delay: 5\n"),  # group with no rules
+    ("h6", None),  # no robots.txt at all
+]
+
+
+@query(
+    "robots_txt_pipeline",
+    oracle=f"""
+    WITH urls AS (SELECT doc_id AS url_id, 'h' || (doc_id % 7) AS host,
+                         {_ROBOTS_PATHS_SQL} AS path
+                  FROM (SELECT doc_id AS i, doc_id FROM documents)),
+    rules AS (SELECT * FROM {_ROBOTS_RULES_SQL}),
+    cand AS (SELECT u.url_id, r.allow, r.pattern,
+                    CAST(octet_length(encode(r.pattern)) AS BIGINT) AS plen
+             FROM urls u JOIN rules r ON r.host = u.host
+             WHERE regexp_matches(u.path, r.rx)),
+    best AS (SELECT url_id, allow, pattern, plen FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY url_id
+                 ORDER BY plen DESC, allow DESC, pattern) AS rn
+               FROM cand) WHERE rn = 1)
+    SELECT u.url_id, u.host, u.path,
+           COALESCE(b.allow, TRUE) AS allowed,
+           COALESCE(b.pattern, '') AS matched_pattern,
+           CAST(COALESCE(b.plen, 0) AS BIGINT) AS matched_len
+    FROM urls u LEFT JOIN best b ON b.url_id = u.url_id
+    """,
+    doc="robots.txt END TO END (the completion of robots_url_filter, "
+    "which starts from a rules table): RAW robots.txt text per host "
+    "-> RFC 9309 §2.2 line parse (case-insensitive keys and agents, "
+    "shared User-agent groups, comments, unknown directives, empty-"
+    "Disallow no-ops, rule-less groups) -> §2.2.1 group selection "
+    "for product token 'hms-bot' (exact group beats *, no group "
+    "means crawl-allowed) -> the declarative most-specific-match "
+    "decision over the same URL frontier. The fixture bodies are "
+    "crafted so the selected rules equal robots_url_filter's literal "
+    "table, so the oracle is shared — any parser or group-selection "
+    "bug desynchronizes the decisions.",
+)
+def robots_txt_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.crawl import (
+        robots_decide,
+        robots_rules_from_txt,
+    )
+
+    d = t(spark, sf, "documents").select("doc_id")
+    urls = d.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        F.expr(
+            _ROBOTS_PATHS_SQL.replace("i %", "doc_id %").replace("|| i", "|| doc_id")
+        ).alias("path"),
+    )
+    robots = spark.createDataFrame(_ROBOTS_TXT, "host string, body string")
+    rules = robots_rules_from_txt(robots, "hms-bot")
+    return robots_decide(urls, F.broadcast(rules))

@@ -135,3 +135,36 @@ def test_robots_pattern_regex_and_decide(spark):
     assert not got[5].allowed and got[5].matched_pattern == "/"
     assert got[6].allowed and got[6].matched_len == 0
     assert got[7].allowed  # RFC: tie resolves to allow
+
+
+def test_parse_robots_txt_grammar():
+    from hadoop_main_spark.operators.crawl import (
+        parse_robots_txt,
+        select_agent_group,
+    )
+
+    txt = (
+        "# robots\n"
+        "User-agent: hms-bot\n"
+        "User-agent: otherbot\n"    # shared group
+        "Disallow: /private # inline comment\n"
+        "Allow: /private/files\n"
+        "\n"                        # blank line does NOT close the group
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Crawl-delay: 10\n"         # unknown directive ignored
+        "Disallow:\n"               # empty pattern = no rule
+        "garbage line without colon\n"
+    )
+    rules = parse_robots_txt(txt)
+    assert ("hms-bot", False, "/private") in rules
+    assert ("otherbot", True, "/private/files") in rules
+    assert ("*", False, "/") in rules
+    assert len([r for r in rules if r[2] == ""]) == 0
+    # exact beats *, case-insensitive token; no rules -> empty
+    assert select_agent_group(rules, "HMS-Bot") == [
+        (False, "/private"), (True, "/private/files")
+    ]
+    assert select_agent_group(rules, "nobody") == [(False, "/")]
+    assert select_agent_group([], "x") == []
+    assert parse_robots_txt(None) == []

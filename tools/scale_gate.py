@@ -85,6 +85,7 @@ DEFAULT_EXTRAS = [
     "warc_ingest_meta",
     "warc_html_text_extract",
     "robots_url_filter",
+    "robots_txt_pipeline",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
