@@ -1811,7 +1811,11 @@ def _warc_media(spark: SparkSession, sf: str) -> DataFrame:
                     ),
                     dict(
                         warc_type="response",
-                        block=W.http_response(html.encode("utf-8")),
+                        # every 4th doc ships the body CHUNKED — the
+                        # wire form real crawls actually contain
+                        block=W.http_response(
+                            html.encode("utf-8"), chunked=(i % 4 == 2)
+                        ),
                         target_uri=uri,
                         content_type="application/http; msgtype=response",
                     ),
@@ -1847,11 +1851,21 @@ def _warc_media(spark: SparkSession, sf: str) -> DataFrame:
       FROM h
       UNION ALL
       SELECT i, 2, 'response', 'http://example.org/doc/' || i,
-             CAST(octet_length(encode('HTTP/1.1 200 OK' || chr(13) || chr(10)
-               || 'Content-Type: text/html' || chr(13) || chr(10)
-               || 'Content-Length: ' || octet_length(encode(html))
-               || chr(13) || chr(10) || chr(13) || chr(10))) + octet_length(encode(html))
-               AS BIGINT),
+             CAST(CASE WHEN i % 4 = 2 THEN
+               -- chunked wire form: fixed headers + hex-size line +
+               -- body + CRLF + '0' CRLF CRLF terminator
+               octet_length(encode('HTTP/1.1 200 OK' || chr(13) || chr(10)
+                 || 'Content-Type: text/html' || chr(13) || chr(10)
+                 || 'Transfer-Encoding: chunked'
+                 || chr(13) || chr(10) || chr(13) || chr(10)))
+               + length(printf('%x', octet_length(encode(html)))) + 2
+               + octet_length(encode(html)) + 2 + 5
+             ELSE
+               octet_length(encode('HTTP/1.1 200 OK' || chr(13) || chr(10)
+                 || 'Content-Type: text/html' || chr(13) || chr(10)
+                 || 'Content-Length: ' || octet_length(encode(html))
+                 || chr(13) || chr(10) || chr(13) || chr(10))) + octet_length(encode(html))
+             END AS BIGINT),
              CAST(200 AS BIGINT), 'text/html',
              CAST(octet_length(encode(html)) AS BIGINT), md5(html)
       FROM h)

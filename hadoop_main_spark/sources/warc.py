@@ -54,9 +54,38 @@ def _gunzip_members(p: bytes) -> bytes:
     return b"".join(out)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (RFC 9112 §7.1):
+    hex-size CRLF chunk CRLF ... 0 CRLF [trailers] CRLF."""
+    out = []
+    i = 0
+    while True:
+        eol = body.find(_CRLF, i)
+        if eol < 0:
+            raise ValueError("warc: chunked body missing size line")
+        size_tok = body[i:eol].split(b";", 1)[0].strip()  # ignore extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError(f"warc: bad chunk size {size_tok!r}") from e
+        i = eol + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are ignored
+        if i + size + 2 > len(body):
+            raise ValueError("warc: truncated chunk")
+        out.append(body[i : i + size])
+        if body[i + size : i + size + 2] != _CRLF:
+            raise ValueError("warc: chunk missing trailing CRLF")
+        i += size + 2
+
+
 def _parse_http(block: bytes) -> tuple[int, str, bytes]:
-    """(status, content-type, body) from an application/http block;
-    request messages (no status code) report status 0."""
+    """(status, content-type, DECODED body) from an application/http
+    block; request messages (no status code) report status 0. The
+    wire forms real crawls actually ship are undone here — chunked
+    transfer framing (RFC 9112 §7.1, extensions ignored, trailers
+    dropped) and gzip Content-Encoding (single member) — so
+    downstream stages (HTML->text) always see entity bytes."""
     head, sep, body = block.partition(_CRLF + _CRLF)
     if not sep:
         raise ValueError("warc: http block missing header terminator")
@@ -69,10 +98,20 @@ def _parse_http(block: bytes) -> tuple[int, str, bytes]:
             raise ValueError(f"warc: bad http status line {first!r}")
         status = int(parts[1])
     ctype = ""
+    chunked = gzipped = False
     for ln in lines[1:]:
         k, _, v = ln.decode("latin-1").partition(":")
-        if k.strip().lower() == "content-type":
-            ctype = v.strip()
+        k, v = k.strip().lower(), v.strip()
+        if k == "content-type":
+            ctype = v  # case preserved (charset params are case-sensitive-ish)
+        elif k == "transfer-encoding" and "chunked" in v.lower():
+            chunked = True
+        elif k == "content-encoding" and v.lower() == "gzip":
+            gzipped = True
+    if chunked:
+        body = _dechunk(body)
+    if gzipped:
+        body = _gunzip_members(body)
     return status, ctype, body
 
 
@@ -167,12 +206,28 @@ def _gzip_one(part: bytes) -> bytes:
     return c.compress(part) + c.flush()
 
 
-def http_response(body: bytes, status: int = 200,
-                  ctype: str = "text/html") -> bytes:
+def http_response(body: bytes, status: int = 200, ctype: str = "text/html",
+                  chunked: bool = False, gzip_body: bool = False) -> bytes:
+    """Fixture-side HTTP response writer; ``chunked`` frames the body
+    as ONE chunk + terminator (hex-size CRLF body CRLF 0 CRLF CRLF),
+    ``gzip_body`` applies Content-Encoding: gzip first."""
+    enc_hdr = b""
+    if gzip_body:
+        body = _gzip_one(body)
+        enc_hdr = b"Content-Encoding: gzip\r\n"
+    if chunked:
+        wire = (
+            f"{len(body):x}".encode() + _CRLF + body + _CRLF + b"0" + _CRLF + _CRLF
+        )
+        return (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n".encode()
+            + enc_hdr + b"Transfer-Encoding: chunked\r\n\r\n" + wire
+        )
     return (
-        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode() + body
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n".encode()
+        + enc_hdr
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+    ) + body
 
 
 def http_request(uri: str) -> bytes:

@@ -168,3 +168,31 @@ def test_parse_robots_txt_grammar():
     assert select_agent_group(rules, "nobody") == [(False, "/")]
     assert select_agent_group([], "x") == []
     assert parse_robots_txt(None) == []
+
+
+def test_http_wire_forms_chunked_and_gzip():
+    """RFC 9112 chunked framing and gzip Content-Encoding both undo
+    to the same entity bytes; truncated/malformed chunk streams
+    raise."""
+    body = b"<html><p>" + b"z" * 300 + b"</p></html>"
+    for chunked in (False, True):
+        for gz in (False, True):
+            blk = W.http_response(body, chunked=chunked, gzip_body=gz)
+            rec = [dict(warc_type="response", block=blk, target_uri="u",
+                        content_type="application/http; msgtype=response")]
+            out = W.parse_warc(W.build_warc(rec, gzip_members=True))
+            assert out[0]["body"] == body, (chunked, gz)
+            assert out[0]["http_status"] == 200
+    # multi-chunk stream with a chunk extension, decoded manually
+    wire = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")
+    assert W._parse_http(wire)[2] == b"hello world"
+    import pytest as _pytest
+    for bad_body in (
+        b"5\r\nhel",                 # truncated chunk
+        b"zz\r\nhello\r\n0\r\n\r\n", # bad hex size
+        b"5\r\nhelloXX0\r\n\r\n",    # missing chunk CRLF
+        b"5\r\nhello\r\n",           # no terminator size line... 
+    ):
+        with _pytest.raises(ValueError):
+            W._dechunk(bad_body)
