@@ -4457,3 +4457,161 @@ def robots_txt_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     robots = spark.createDataFrame(_ROBOTS_TXT, "host string, body string")
     rules = robots_rules_from_txt(robots, "hms-bot")
     return robots_decide(urls, F.broadcast(rules))
+
+
+@query(
+    "sitemap_url_frontier",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id AS i, 'h' || (doc_id % 7) AS host,
+                         CASE WHEN doc_id % 3 = 0
+                              THEN '/private/data' || doc_id
+                              ELSE '/articles/' || doc_id || '.html' END AS path,
+                         strftime(DATE '2024-01-01'
+                                  + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d')
+                           AS lastmod,
+                         CAST(doc_id % 10 AS DOUBLE) / 10.0 AS priority
+                  FROM documents),
+    rules AS (SELECT * FROM {_ROBOTS_RULES_SQL}),
+    cand AS (SELECT d.i, r.allow,
+                    CAST(octet_length(encode(r.pattern)) AS BIGINT) AS plen,
+                    r.pattern
+             FROM docs d JOIN rules r ON r.host = d.host
+             WHERE regexp_matches(d.path, r.rx)),
+    best AS (SELECT i, allow FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+                 ORDER BY plen DESC, allow DESC, pattern) AS rn
+               FROM cand) WHERE rn = 1)
+    SELECT d.i AS url_id, d.host,
+           'https://' || d.host || d.path AS loc,
+           d.lastmod, d.priority,
+           COALESCE(b.allow, TRUE) AS allowed
+    FROM docs d LEFT JOIN best b ON b.i = d.i
+    """,
+    doc="Sitemap-driven URL discovery chained into robots decisions "
+    "— the frontier SOURCE side of the crawl family: per host a "
+    "two-level sitemap tree is BUILT (a /sitemap.xml sitemapindex "
+    "naming two child sitemaps, each child a urlset whose <url> "
+    "blocks carry <loc>/<lastmod>/<priority> for that host's docs — "
+    "deterministic halves, sorted string_agg) and then PARSED BACK "
+    "fully declaratively (regexp_extract_all over <sitemap>/<url> "
+    "blocks, per-block field extraction, explode — no Python "
+    "anywhere), and the recovered frontier runs through the RFC "
+    "9309 decision operator against the shared robots rule set. The "
+    "oracle reconstructs the expected frontier + decisions straight "
+    "from documents, so any index-recursion, XML-extraction, field-"
+    "parse, or politeness bug moves rows. One doc in three sits "
+    "under /private, so h0/h1/h3 disallow parts of their frontiers.",
+)
+def sitemap_url_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.crawl import robots_decide
+
+    d = t(spark, sf, "documents").select("doc_id")
+    urls = d.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/private/data"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/articles/"), F.col("doc_id").cast("string"), F.lit(".html")
+            )
+        )
+        .alias("path"),
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 365).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("lastmod"),
+        ((F.col("doc_id") % 10).cast("double") / 10.0).alias("priority"),
+    )
+    # BUILD the two-level sitemap tree: each host's docs split into
+    # two child urlsets (by url_id parity), plus a /sitemap.xml index
+    url_xml = urls.select(
+        "host",
+        (F.col("url_id") % 2).alias("half"),
+        F.col("url_id").alias("uid"),
+        F.concat(
+            F.lit("<url><loc>https://"), F.col("host"), F.col("path"),
+            F.lit("</loc><lastmod>"), F.col("lastmod"),
+            F.lit("</lastmod><priority>"), F.col("priority").cast("string"),
+            F.lit("</priority></url>"),
+        ).alias("u"),
+    )
+    child = url_xml.groupBy("host", "half").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("uid", "u"))),
+                    lambda s: s.getField("u"),
+                ),
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+        F.concat(F.lit("/sm/"), F.col("half").cast("string"), F.lit(".xml")).alias(
+            "path"
+        ),
+    )
+    index = child.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><sitemapindex>'),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat(
+                                F.lit("<sitemap><loc>https://"), F.col("host"),
+                                F.col("path"), F.lit("</loc></sitemap>"),
+                            )
+                        )
+                    ),
+                    lambda s: s,
+                ),
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("xml")
+    )
+    # PARSE BACK, declaratively: index -> child paths -> join child
+    # xml -> <url> blocks -> fields
+    child_refs = index.select(
+        "host",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(xml, '<sitemap><loc>https://[^/]+(/[^<]*)</loc></sitemap>', 1)"
+            )
+        ).alias("path"),
+    )
+    blocks = child_refs.join(child, ["host", "path"]).select(
+        "host",
+        F.explode(
+            F.expr("regexp_extract_all(xml, '<url>(.*?)</url>', 1)")
+        ).alias("b"),
+    )
+    parsed = blocks.select(
+        "host",
+        F.regexp_extract("b", "<loc>https://[^/]+(/[^<]*)</loc>", 1).alias("path"),
+        F.regexp_extract("b", "<loc>(https://[^<]*)</loc>", 1).alias("loc"),
+        F.regexp_extract("b", "<lastmod>([^<]*)</lastmod>", 1).alias("lastmod"),
+        F.regexp_extract("b", "<priority>([^<]*)</priority>", 1)
+        .cast("double")
+        .alias("priority"),
+    )
+    # recover url_id from the loc's trailing doc id (both path forms
+    # end in the id before an optional .html suffix)
+    parsed = parsed.withColumn(
+        "url_id",
+        F.regexp_extract("path", r"(\d+)(\.html)?$", 1).cast("bigint"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, allow boolean, pattern string"
+    )
+    decided = robots_decide(
+        parsed.select("url_id", "host", "path", "loc", "lastmod", "priority"),
+        F.broadcast(rules),
+    )
+    return decided.select(
+        "url_id", "host", "loc", "lastmod", "priority", "allowed"
+    )

@@ -86,6 +86,7 @@ DEFAULT_EXTRAS = [
     "warc_html_text_extract",
     "robots_url_filter",
     "robots_txt_pipeline",
+    "sitemap_url_frontier",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
