@@ -3278,3 +3278,129 @@ def mkv_container_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# --- ID3v2 text frames (mp3 tag metadata, no audio decode) --------------------
+
+
+def _id3v2_frames(p: bytes) -> dict:
+    """Read ID3v2.3/2.4 TEXT frames from an MP3's leading tag
+    (id3.org public spec): 10-byte header with syncsafe tag size,
+    frames of [id(4), size(4 — syncsafe in v2.4, plain in v2.3),
+    flags(2), payload], payload = encoding byte + text. Encodings 0
+    (latin-1), 1 (utf-16 with BOM), 2 (utf-16be), 3 (utf-8) all
+    decode; trailing NULs strip. Returns {frame_id: text}. Raises
+    ValueError on a malformed tag (truncation, non-syncsafe size
+    bytes); returns {} when no ID3v2 tag leads the payload."""
+    if p[:3] != b"ID3":
+        return {}
+    if len(p) < 10:
+        raise ValueError("id3: truncated header")
+    ver = p[3]
+    size = 0
+    for b in p[6:10]:
+        if b & 0x80:
+            raise ValueError("id3: size byte not syncsafe")
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(p):
+        raise ValueError("id3: tag exceeds payload")
+    i = 10
+    if p[5] & 0x40:  # extended header present
+        ext = int.from_bytes(p[10:14], "big")
+        if ver == 4:  # syncsafe in v2.4
+            ext = ((ext >> 24) << 21) | (((ext >> 16) & 0x7F) << 14) | (
+                ((ext >> 8) & 0x7F) << 7) | (ext & 0x7F)
+            i = 10 + ext  # v2.4 ext size INCLUDES itself
+        else:
+            i = 14 + ext  # v2.3 ext size excludes the 4 size bytes
+    out: dict[str, str] = {}
+    while i + 10 <= end:
+        fid = p[i : i + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw = int.from_bytes(p[i + 4 : i + 8], "big")
+        if ver == 4:
+            if any(b & 0x80 for b in p[i + 4 : i + 8]):
+                raise ValueError("id3v2.4: frame size not syncsafe")
+            fsize = ((raw >> 24) << 21) | (((raw >> 16) & 0x7F) << 14) | (
+                ((raw >> 8) & 0x7F) << 7) | (raw & 0x7F)
+        else:
+            fsize = raw
+        body_start = i + 10
+        if body_start + fsize > end:
+            raise ValueError(f"id3: frame {fid!r} exceeds tag")
+        if fid.startswith(b"T") and fsize >= 1:
+            enc = p[body_start]
+            data = p[body_start + 1 : body_start + fsize]
+            if enc == 0:
+                text = data.decode("latin-1")
+            elif enc == 1:
+                text = data.decode("utf-16")  # BOM-led
+            elif enc == 2:
+                text = data.decode("utf-16-be")
+            elif enc == 3:
+                text = data.decode("utf-8")
+            else:
+                raise ValueError(f"id3: unknown text encoding {enc}")
+            out[fid.decode("ascii")] = text.rstrip("\x00")
+        i = body_start + fsize
+    return out
+
+
+def _id3v2_build(frames: dict, ver: int = 4, pad: int = 0) -> bytes:
+    """Fixture-side ID3v2.3/2.4 writer (utf-8 text frames for v2.4,
+    utf-16-BOM for v2.3 — exercising both size forms and encodings)."""
+    body = b""
+    for fid, text in frames.items():
+        if ver == 4:
+            payload = b"\x03" + text.encode("utf-8")
+            n = len(payload)
+            size = bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+            )
+        else:
+            payload = b"\x01\xff\xfe" + text.encode("utf-16-le")
+            size = len(payload).to_bytes(4, "big")
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    body += b"\x00" * pad
+    n = len(body)
+    ssize = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3" + bytes([ver, 0, 0]) + ssize + body
+
+
+def mp3_id3_tags(media: DataFrame) -> DataFrame:
+    """Typed tag columns (title TIT2 / artist TPE1 / album TALB) from
+    MP3 payloads' leading ID3v2 tags — the library-metadata tier next
+    to audio_container_meta's codec tier. Missing tags/frames yield
+    empty strings; malformed tags take the bad-record row."""
+    schema = "media_id long, title string, artist string, album string, ok boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                pbytes = bytes(payload) if payload is not None else b""
+                try:
+                    fr = _id3v2_frames(pbytes)
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "title": fr.get("TIT2", ""),
+                            "artist": fr.get("TPE1", ""),
+                            "album": fr.get("TALB", ""),
+                            "ok": True,
+                        }
+                    )
+                except ValueError:
+                    out.append(
+                        {
+                            "media_id": mid, "title": "", "artist": "",
+                            "album": "", "ok": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "title", "artist", "album", "ok"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -1959,3 +1959,49 @@ def warc_html_text_extract(spark: SparkSession, sf: str) -> DataFrame:
         extract,
         "doc_id long, title string, n_links long, n_chars long, text_md5 string",
     )
+
+
+@query(
+    "mp3_id3_tags",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'Tïtle ' || doc_id AS title,
+           'Ärtist ' || (doc_id % 13) AS artist,
+           CASE doc_id % 3 WHEN 0 THEN 'Gold' WHEN 1 THEN 'Sølv' ELSE 'Brönze' END
+             AS album,
+           TRUE AS ok
+    FROM documents
+    """,
+    doc="ID3v2 TEXT-frame reading (id3.org public spec — the "
+    "library-metadata tier beside audio_container_meta's codec "
+    "tier): leading ID3v2.3 (plain frame sizes, utf-16-BOM text) and "
+    "ID3v2.4 (syncsafe frame sizes, utf-8 text) tags are walked for "
+    "TIT2/TPE1/TALB, with padding skip and trailing-NUL strip; even "
+    "docs carry v2.4, odd docs v2.3, every value includes non-ASCII "
+    "so both encodings' decode paths are value-checked. Audio "
+    "frames behind the tag stay untouched — zero samples decoded.",
+)
+def mp3_id3_tags(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                frames = {
+                    "TIT2": f"Tïtle {i}",
+                    "TPE1": f"Ärtist {i % 13}",
+                    "TALB": ["Gold", "Sølv", "Brönze"][i % 3],
+                }
+                tag = MM._id3v2_build(frames, ver=4 if i % 2 == 0 else 3,
+                                      pad=i % 9)
+                # one dummy audio frame follows the tag (never decoded)
+                payloads.append(tag + b"\xff\xfb\x90\x00" + b"\x00" * 32)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return MM.mp3_id3_tags(media)

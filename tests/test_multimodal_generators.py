@@ -1368,3 +1368,24 @@ def test_mkv_meta_walk_and_strictness():
                 MM._mkv_build("webm", 1_000_000, 1.0, [])[:9]):
         with _pytest.raises(ValueError):
             MM._mkv_meta(bad)
+
+
+def test_id3v2_text_frames_both_versions():
+    """ID3v2.3 (plain sizes, utf-16 BOM) and v2.4 (syncsafe sizes,
+    utf-8) text frames decode identically; padding skipped, trailing
+    NULs stripped, no-tag payloads return {}, malformed tags raise."""
+    import pytest as _pytest
+
+    frames = {"TIT2": "Tïtle 7", "TPE1": "Ärtist", "TALB": "Sølv"}
+    for ver in (3, 4):
+        tag = MM._id3v2_build(frames, ver=ver, pad=13)
+        got = MM._id3v2_frames(tag + b"\xff\xfb" + b"\x00" * 64)
+        assert got == frames, ver
+    assert MM._id3v2_frames(b"\xff\xfbxxxx") == {}
+    for bad in (
+        b"ID3\x04\x00\x00\x00\x00\x00\x80",        # non-syncsafe size
+        MM._id3v2_build({"TIT2": "x"})[:-2],        # frame exceeds tag
+        b"ID3\x04\x00\x00",                         # truncated header
+    ):
+        with _pytest.raises(ValueError):
+            MM._id3v2_frames(bad)

@@ -87,6 +87,7 @@ DEFAULT_EXTRAS = [
     "robots_url_filter",
     "robots_txt_pipeline",
     "sitemap_url_frontier",
+    "mp3_id3_tags",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
