@@ -101,3 +101,24 @@ def extract_html_text(pages: DataFrame, id_col: str = "page_id",
         run,
         f"{id_col} long, text string, title string, n_links long, n_chars long",
     )
+
+
+def decode_http_body(body: bytes, content_type: str = "") -> str:
+    """HTTP entity bytes -> text using the Content-Type charset
+    parameter (case-insensitive; utf-8 default per WHATWG reality,
+    latin-1/iso-8859-1/windows-1252/ascii/utf-16 honored), with
+    errors='replace' — a mojibake'd page is a quality-filter problem,
+    not a pipeline crash (the html_to_text never-raise policy)."""
+    cs = "utf-8"
+    ct = (content_type or "").lower()
+    if "charset=" in ct:
+        raw = ct.split("charset=", 1)[1].split(";", 1)[0].strip().strip('"\'')
+        cs = {
+            "iso-8859-1": "latin-1",
+            "windows-1252": "cp1252",
+            "us-ascii": "ascii",
+        }.get(raw, raw)
+    try:
+        return body.decode(cs, errors="replace")
+    except LookupError:  # unknown charset label -> the default
+        return body.decode("utf-8", errors="replace")

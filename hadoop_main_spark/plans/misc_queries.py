@@ -1930,7 +1930,10 @@ def warc_html_text_extract(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    from hadoop_main_spark.operators.html import html_to_text
+    from hadoop_main_spark.operators.html import (
+        decode_http_body,
+        html_to_text,
+    )
     from hadoop_main_spark.sources.warc import parse_warc
 
     media = _warc_media(spark, sf)
@@ -1940,10 +1943,12 @@ def warc_html_text_extract(spark: SparkSession, sf: str) -> DataFrame:
             rows = []
             for mid, payload in zip(b["media_id"], b["payload"]):
                 recs = parse_warc(bytes(payload))
-                body = next(
-                    r["body"] for r in recs if r["warc_type"] == "response"
-                )
-                text, title, n_links = html_to_text(body.decode("utf-8"))
+                rec = next(r for r in recs if r["warc_type"] == "response")
+                # charset-aware decode off the Content-Type header
+                # (the fixture is utf-8-default; latin-1/utf-16 paths
+                # are unit-tested in test_warc_html.py)
+                markup = decode_http_body(rec["body"], rec["http_content_type"])
+                text, title, n_links = html_to_text(markup)
                 rows.append(
                     {
                         "doc_id": mid, "title": title,

@@ -196,3 +196,16 @@ def test_http_wire_forms_chunked_and_gzip():
     ):
         with _pytest.raises(ValueError):
             W._dechunk(bad_body)
+
+
+def test_decode_http_body_charsets():
+    from hadoop_main_spark.operators.html import decode_http_body
+
+    assert decode_http_body(
+        "héllo".encode("latin-1"), "text/html; charset=ISO-8859-1"
+    ) == "héllo"
+    assert decode_http_body("héllo".encode("utf-8"), "text/html") == "héllo"
+    assert decode_http_body(b"\xff\xfeh\x00i\x00", 'text/html; charset="utf-16"') == "hi"
+    # unknown labels and broken bytes degrade, never raise
+    assert decode_http_body(b"x\xff", "text/html; charset=bogus-enc") == "x�"
+    assert decode_http_body(b"\xff", "text/html") == "�"
