@@ -888,3 +888,26 @@ def read_residual_codes_inc(spark: SparkSession, path: str) -> DataFrame:
     dropped; (id, cell, codes) — union-compatible with the base
     index's codes for cell-keyed ADC scoring)."""
     return spark.read.parquet(f"{path}/codes_inc").drop("batch")
+
+
+def warc_records_stream_parquet(
+    warc_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming WARC ingest: arriving (media_id, payload) WARC files
+    unpack to record-level metadata rows AS THEY LAND —
+    sources/warc.warc_records is a stateless Arrow-batched pass, so
+    the SAME operator (gzip-member inflate, ISO 28500 record walk,
+    chunked/gzip HTTP wire-form decode) runs unchanged inside
+    Structured Streaming, paired with the exactly-once parquet file
+    sink (the media_features_stream shape). Per-batch output equals
+    the batch operator on that batch's rows (stream==batch pytest),
+    so an interrupted crawl-ingest resumes from the commit log."""
+    from hadoop_main_spark.sources.warc import warc_records
+
+    return write_stream_parquet(
+        warc_records(warc_stream), path, checkpoint,
+        trigger_available_now=trigger_available_now,
+    )

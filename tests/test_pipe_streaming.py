@@ -1240,3 +1240,57 @@ def test_residual_codes_stream_equals_batch_encode(spark, tmp_path):
         for r in W.read_residual_codes_inc(spark, idx).collect()
     }
     assert got2 == want
+
+
+def test_warc_records_stream_equals_batch(spark, tmp_path):
+    """WARC record walk in Structured Streaming: streaming
+    warc_records over mixed plain/gzip-member WARC payloads (incl.
+    chunked HTTP responses and bad records) must produce EXACTLY the
+    batch operator's rows."""
+    import pandas as pd
+
+    from hadoop_main_spark.sources import warc as WA
+
+    def gen(batches):
+        for b in batches:
+            ids = b["media_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % 11 == 0:
+                    payloads.append(b"junk, not warc")
+                    continue
+                body = f"<p>doc {i}</p>".encode() * (i % 4 + 1)
+                recs = [
+                    dict(
+                        warc_type="response",
+                        block=WA.http_response(body, chunked=(i % 3 == 0)),
+                        target_uri=f"http://e.org/{i}",
+                        content_type="application/http; msgtype=response",
+                    )
+                ]
+                payloads.append(WA.build_warc(recs, gzip_members=(i % 2 == 1)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    src = str(tmp_path / "warcsrc")
+    (
+        spark.range(120)
+        .selectExpr("id AS media_id")
+        .mapInPandas(gen, "media_id long, payload binary")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "recs"), str(tmp_path / "ck")
+    q = W.warc_records_stream_parquet(
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out, ckpt,
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    key = lambda r: (r.media_id, r.rec_idx)  # noqa: E731
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, WA.warc_records(spark.read.parquet(src)).collect()))
+    assert got == want and len(got) == 120
