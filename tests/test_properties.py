@@ -536,3 +536,89 @@ def test_gif_roundtrip_property(nf, h, w, ncolors, interlace, seed):
     # full-frame opaque draws: composited frame f == palette[frames[f]]
     for idx, rgb in zip(frames, got):
         assert (rgb == pal[idx]).all()
+
+
+# --- round-8 walkers: EBML vints, WARC round-trip, robots matching -----------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**49 - 2))
+def test_ebml_vint_roundtrip_model(n):
+    """Size encode -> decode is the identity across every vint width;
+    the all-ones reserved value is never emitted for a real size."""
+    from hadoop_main_spark.operators import multimodal as MM
+
+    enc = MM._ebml_enc_size(n)
+    val, nxt, unknown = MM._ebml_vint(enc, 0, keep_marker=False)
+    assert (val, nxt, unknown) == (n, len(enc), False)
+
+
+_warc_bodies = st.lists(
+    st.binary(min_size=0, max_size=120), min_size=1, max_size=5
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_warc_bodies, st.booleans(), st.booleans())
+def test_warc_roundtrip_model(bodies, gz_members, chunked):
+    """build -> parse returns every record with its exact entity
+    bytes under ANY combination of gzip-member layout and chunked
+    transfer framing, for arbitrary binary bodies (including CRLF
+    and gzip-magic bytes INSIDE bodies — Content-Length framing must
+    never resync on content)."""
+    from hadoop_main_spark.sources import warc as W
+
+    recs = [
+        dict(
+            warc_type="response",
+            block=W.http_response(b, chunked=chunked),
+            target_uri=f"http://e/{j}",
+            content_type="application/http; msgtype=response",
+        )
+        for j, b in enumerate(bodies)
+    ]
+    out = W.parse_warc(W.build_warc(recs, gzip_members=gz_members))
+    assert [r["body"] for r in out] == bodies
+    assert all(r["http_status"] == 200 for r in out)
+
+
+def _robots_match_ref(pattern: str, path: str) -> bool:
+    """Pure-Python reference for RFC 9309 pattern semantics: prefix
+    match, * spans anything, trailing $ anchors the end."""
+    import re as _re
+
+    anchored_end = pattern.endswith("$")
+    core = pattern[:-1] if anchored_end else pattern
+    rx = "".join(".*" if c == "*" else _re.escape(c) for c in core)
+    rx = "^" + rx + ("$" if anchored_end else "")
+    return _re.search(rx, path) is not None
+
+
+_pat_alpha = st.text(alphabet="/abc.*$+()x", min_size=1, max_size=10)
+_path_alpha = st.text(alphabet="/abc.x$", min_size=1, max_size=12)
+
+
+@_slow
+@given(st.lists(_pat_alpha, min_size=1, max_size=8, unique=True),
+       st.lists(_path_alpha, min_size=1, max_size=8, unique=True))
+def test_robots_regex_compiler_matches_reference(spark, patterns, paths):
+    """The declarative pattern->regex compiler must agree with the
+    pure-Python RFC reference on every (pattern, path) pair —
+    including metacharacters inside patterns and mid-pattern $."""
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators.crawl import robots_pattern_regex
+
+    pats = spark.createDataFrame([(p,) for p in patterns], "p string")
+    compiled = {
+        r.p: r.rx
+        for r in pats.select("p", robots_pattern_regex("p").alias("rx")).collect()
+    }
+    import re as _re
+
+    for p in patterns:
+        got_rx = compiled[p]
+        for path in paths:
+            want = _robots_match_ref(p, path)
+            got = _re.search(got_rx, path) is not None
+            assert got == want, (p, path, got_rx)
