@@ -57,13 +57,16 @@ def html_to_text(markup: str) -> tuple[str, str, int]:
     """(text, title, n_links) per the module contract. Never raises."""
     if not markup:
         return "", "", 0
-    m = _TITLE.search(markup)
+    # Drop non-content subtrees FIRST so a <title> string literal inside a
+    # <script> can never become the page title and commented-out anchors
+    # never inflate n_links ("content never leaks" contract).
+    s = _DROP_SUBTREE.sub(" ", markup)
+    s = _COMMENT.sub(" ", s)
+    m = _TITLE.search(s)
     title = ""
     if m:
         title = _WS.sub(" ", _html.unescape(_ANY_TAG.sub(" ", m.group(1)))).strip()
-    n_links = len(_HREF.findall(markup))
-    s = _DROP_SUBTREE.sub(" ", markup)
-    s = _COMMENT.sub(" ", s)
+    n_links = len(_HREF.findall(s))
     s = _BLOCK_TAG.sub(" ", s)
     s = _ANY_TAG.sub("", s)  # inline tags vanish: "<b>w</b>ord" stays one word
     s = _html.unescape(s)

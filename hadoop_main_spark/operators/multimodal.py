@@ -2674,14 +2674,28 @@ def _mp3_meta(p: bytes) -> dict:
     }
 
 
-def _ogg_crc(data: bytes) -> int:
-    """Ogg page CRC32 (RFC 3533): poly 0x04C11DB7, no reflection,
-    init/xorout 0 — NOT zlib's crc32."""
-    c = 0
-    for b in data:
-        c ^= b << 24
+def _make_ogg_crc_table() -> list[int]:
+    tbl = []
+    for byte in range(256):
+        c = byte << 24
         for _ in range(8):
             c = ((c << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if c & 0x80000000 else (c << 1) & 0xFFFFFFFF
+        tbl.append(c)
+    return tbl
+
+
+_OGG_CRC_TABLE = _make_ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC32 (RFC 3533): poly 0x04C11DB7, no reflection,
+    init/xorout 0 — NOT zlib's crc32. Table-driven (one lookup per
+    byte, not 8 shift/xor iterations) so CRC verification doesn't
+    dominate the Arrow-batched page walk on large payloads."""
+    c = 0
+    tbl = _OGG_CRC_TABLE
+    for b in data:
+        c = ((c << 8) & 0xFFFFFFFF) ^ tbl[((c >> 24) ^ b) & 0xFF]
     return c
 
 

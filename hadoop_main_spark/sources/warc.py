@@ -64,10 +64,11 @@ def _dechunk(body: bytes) -> bytes:
         if eol < 0:
             raise ValueError("warc: chunked body missing size line")
         size_tok = body[i:eol].split(b";", 1)[0].strip()  # ignore extensions
-        try:
-            size = int(size_tok, 16)
-        except ValueError as e:
-            raise ValueError(f"warc: bad chunk size {size_tok!r}") from e
+        # RFC 9112 chunk-size is 1*HEXDIG — int(x, 16) alone would also
+        # accept '-2', '0x1f' and '1_0', silently mis-framing the body.
+        if not size_tok or not all(c in b"0123456789abcdefABCDEF" for c in size_tok):
+            raise ValueError(f"warc: bad chunk size {size_tok!r}")
+        size = int(size_tok, 16)
         i = eol + 2
         if size == 0:
             return b"".join(out)  # trailers (if any) are ignored
@@ -143,7 +144,13 @@ def parse_warc(p: bytes) -> list[dict]:
             i = eol + 2
         if "content-length" not in headers:
             raise ValueError("warc: record missing Content-Length")
-        clen = int(headers["content-length"])
+        clen_tok = headers["content-length"]
+        # ISO 28500 Content-Length is 1*DIGIT — a bare int() would accept
+        # '-4' (stepping the cursor backwards into the header block) and
+        # '+4'/'4_0', breaking the strict not-WARC-must-raise contract.
+        if not clen_tok or not all("0" <= c <= "9" for c in clen_tok):
+            raise ValueError(f"warc: bad Content-Length {clen_tok!r}")
+        clen = int(clen_tok)
         if i + clen > n:
             raise ValueError("warc: block exceeds payload")
         block = p[i : i + clen]

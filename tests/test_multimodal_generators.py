@@ -1389,3 +1389,20 @@ def test_id3v2_text_frames_both_versions():
     ):
         with _pytest.raises(ValueError):
             MM._id3v2_frames(bad)
+
+
+def test_ogg_crc_table_matches_bitwise_reference():
+    # the table-driven CRC must equal the straight RFC 3533 bit loop
+    def bitwise(data):
+        c = 0
+        for b in data:
+            c ^= b << 24
+            for _ in range(8):
+                c = ((c << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if c & 0x80000000 else (c << 1) & 0xFFFFFFFF
+        return c
+
+    import random
+    rng = random.Random(93)
+    for n in (0, 1, 7, 255, 1024):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert MM._ogg_crc(data) == bitwise(data)

@@ -209,3 +209,43 @@ def test_decode_http_body_charsets():
     # unknown labels and broken bytes degrade, never raise
     assert decode_http_body(b"x\xff", "text/html; charset=bogus-enc") == "x�"
     assert decode_http_body(b"\xff", "text/html") == "�"
+
+
+def test_dechunk_rejects_nonhex_tokens():
+    # RFC 9112 chunk-size is 1*HEXDIG: int(x, 16) alone would accept
+    # negatives, 0x prefixes, and underscores and silently mis-frame.
+    for bad_body in (
+        b"-2\r\n0\r\n\r\n",
+        b"0x5\r\nhello\r\n0\r\n\r\n",
+        b"1_0\r\n0123456789abcdef\r\n0\r\n\r\n",
+        b"\r\n0\r\n\r\n",  # empty size token
+        b"+5\r\nhello\r\n0\r\n\r\n",
+    ):
+        with pytest.raises(ValueError):
+            W._dechunk(bad_body)
+
+
+def test_warc_rejects_bad_content_length():
+    html = b"<p>x</p>"
+    rec = [dict(warc_type="response", block=W.http_response(html),
+                target_uri="u", content_type="application/http; msgtype=response")]
+    plain = W.build_warc(rec)
+    real = next(ln for ln in plain.split(b"\r\n") if ln.startswith(b"Content-Length:"))
+    # a negative / signed / underscored length must raise, never step the
+    # cursor backwards into the header block
+    for bad_val in (b"-4", b"+4", b"4_0", b" ", b""):
+        bad = plain.replace(real, b"Content-Length: " + bad_val, 1)
+        with pytest.raises(ValueError):
+            W.parse_warc(bad)
+
+
+def test_html_metadata_from_cleaned_markup():
+    # title inside a <script> string literal must NOT become the page
+    # title; commented-out anchors must not inflate n_links
+    h = ('<script>document.write("<title>fake</title>")</script>'
+         "<title>real</title><!-- <a href=x>dead</a> -->"
+         '<p><a href="/live">live</a></p>')
+    text, title, n_links = html_to_text(h)
+    assert title == "real"
+    assert n_links == 1
+    assert "fake" not in text
