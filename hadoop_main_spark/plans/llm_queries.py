@@ -280,7 +280,7 @@ def ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
                   ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY {_cos("centroid", "qv")} DESC, cell) AS crank
            FROM q, cent),
-         probe AS (SELECT query_id, cell, qv FROM cellrank WHERE crank <= 2),
+         probe AS (SELECT query_id, cell, qv FROM cellrank WHERE crank <= 8),
          scored AS (
            SELECT p.query_id, e.vec_id AS neighbor_id, {_cos("e.embedding", "p.qv")} AS cosine
            FROM embeddings e JOIN probe p ON e.label = p.cell
@@ -291,7 +291,10 @@ def ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
     """,
     doc="IVF ANN: decimal-exact per-cell centroids (cell = label), "
-    "probe top-2 cells, brute force within — scans ~nprobe/ncells of "
+    "probe top-8 cells (RECALL.md knee: recall@10 0.90 on this weakly-"
+    "clustered 10-cell fixture; nprobe is the published quality/cost "
+    "dial — see the recall-vs-nprobe curve), brute force within — "
+    "scans ~nprobe/ncells of "
     "the corpus; the 100 TB path with cells as partition keys.",
 )
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -299,7 +302,7 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.ivf_topk(e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=2)
+    return SIM.ivf_topk(e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=8)
 
 
 @query(
@@ -320,7 +323,7 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
                   ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY {_cos("centroid", "qv")} DESC, cell) AS crank
            FROM q, cent),
-         probe AS (SELECT query_id, cell, qv FROM cellrank WHERE crank <= 3),
+         probe AS (SELECT query_id, cell, qv FROM cellrank WHERE crank <= 8),
          scored AS (
            SELECT p.query_id, e.vec_id AS neighbor_id, {_cos("e.embedding", "p.qv")} AS cosine
            FROM embeddings e JOIN probe p ON e.label = p.cell
@@ -336,7 +339,8 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     "(build-if-absent), and the probe reads the persisted centroids "
     "and statically prunes the vector scan to the top-3 probed cells "
     "per query — the per-query exact-DECIMAL centroid rebuild is off "
-    "the query path. Distinct query set (vec_id 10..17, nprobe 3) "
+    "the query path. Distinct query set (vec_id 10..17, nprobe 8 per "
+    "the RECALL.md curve) "
     "from ann_ivf.",
 )
 def ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
@@ -351,7 +355,7 @@ def ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivf_topk_indexed(
-        spark, idx, q, "vec_id", "embedding", "query_id", k=10, nprobe=3
+        spark, idx, q, "vec_id", "embedding", "query_id", k=10, nprobe=8
     )
 
 
@@ -3256,7 +3260,7 @@ def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
                         ROW_NUMBER() OVER (PARTITION BY query_id
                           ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
                  FROM qv, cent),
-    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 2),
+    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 4),
     dt AS (SELECT p.query_id, cb.m, cb.code,
                   {_SQ_L2_INT.format(a='list_slice(p.qq, cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')} AS d
            FROM (SELECT DISTINCT query_id, qq FROM probe) p CROSS JOIN cb),
@@ -3276,7 +3280,8 @@ def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="IVF-PQ search (IVFADC — Jegou et al. TPAMI'11 §IV, the FAISS "
     "IndexIVFPQ shape): the coarse quantizer (decimal-exact per-label "
-    "centroids, top-2 cells per query by cosine) prunes the scan, and "
+    "centroids, top-4 cells per query by cosine — past this the PQ "
+    "code loss dominates probe loss per RECALL.md) prunes the scan, and "
     "within probed cells every vector scores by ASYMMETRIC distance — "
     "m=4 integer lookups into the query's broadcast m x k distance "
     "table against its PQ codes, never its floats. The full-scale "
@@ -3291,7 +3296,7 @@ def ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivfpq_topk(
-        e, q, "label", cb, "vec_id", "embedding", "query_id", k=10, nprobe=2
+        e, q, "label", cb, "vec_id", "embedding", "query_id", k=10, nprobe=4
     )
 
 
@@ -3364,7 +3369,7 @@ def _ivfpq_index_dir(sf: str) -> str:
                         ROW_NUMBER() OVER (PARTITION BY query_id
                           ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
                  FROM qv, cent),
-    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 2),
+    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 4),
     dt AS (SELECT p.query_id, cb.m, cb.code,
                   {_SQ_L2_INT.format(a='list_slice(p.qq, cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')} AS d
            FROM (SELECT DISTINCT query_id, qq FROM probe) p CROSS JOIN cb),
@@ -3406,7 +3411,7 @@ def ivfpq_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.ivfpq_topk_indexed(spark, idx, q, cb, k=10, nprobe=2)
+    return SIM.ivfpq_topk_indexed(spark, idx, q, cb, k=10, nprobe=4)
 
 
 # --- entity resolution end-to-end: fuzzy pairs -> entity clusters -------------
@@ -3693,7 +3698,7 @@ def embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
                         ROW_NUMBER() OVER (PARTITION BY query_id
                           ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
                  FROM qv, qcent),
-    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 2),
+    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 4),
     dt AS (SELECT p.query_id, p.cell, cb.m, cb.code,
                   {_SQ_L2_INT.format(a='list_slice(list_transform(list_zip(p.qq, x.qc), z -> z[1] - z[2]), cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')} AS d
            FROM probe p JOIN qcent x ON x.cell = p.cell CROSS JOIN cb),
@@ -3732,7 +3737,7 @@ def ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivfpq_residual_topk(
-        e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=2
+        e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=4
     )
 
 
@@ -3775,7 +3780,7 @@ def _ivfpqres_index_dir(sf: str) -> str:
                         ROW_NUMBER() OVER (PARTITION BY query_id
                           ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
                  FROM qv, qcent),
-    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 2),
+    probe AS (SELECT query_id, cell, qq FROM cellrank WHERE crank <= 4),
     dt AS (SELECT p.query_id, p.cell, cb.m, cb.code,
                   {_SQ_L2_INT.format(a='list_slice(list_transform(list_zip(p.qq, x.qc), z -> z[1] - z[2]), cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')} AS d
            FROM probe p JOIN qcent x ON x.cell = p.cell CROSS JOIN cb),
@@ -3817,7 +3822,7 @@ def ivfpq_residual_indexed(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.ivfpq_residual_topk_indexed(spark, idx, q, k=10, nprobe=2)
+    return SIM.ivfpq_residual_topk_indexed(spark, idx, q, k=10, nprobe=4)
 
 
 @query(
@@ -4025,7 +4030,7 @@ def sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
                         ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
                  FROM qv, cent),
-    probe AS (SELECT query_id, cell FROM cellrank WHERE crank <= 2),
+    probe AS (SELECT query_id, cell FROM cellrank WHERE crank <= 8),
     qc AS (SELECT vec_id AS query_id, codes AS qc FROM enc WHERE vec_id < 5),
     sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -4043,7 +4048,7 @@ def sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="IVF-SQ8 (the FAISS 'IVF,SQ8' index string — the last cell "
     "of the compression x pruning matrix; sq8_topk is the full-scan "
-    "form): the ann_ivf coarse quantizer picks the top-2 cells per "
+    "form): the ann_ivf coarse quantizer picks the top-8 cells per "
     "query, and within them vectors score by exact BIGINT L2 over "
     "8-bit scalar codes — but unlike sq8_topk's Arrow kernel "
     "(every vector x every query amortizes the transfer), each "
@@ -4058,7 +4063,7 @@ def ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivf_sq8_topk(
-        e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=2
+        e, q, "label", "vec_id", "embedding", "query_id", k=10, nprobe=8
     )
 
 
@@ -4141,7 +4146,7 @@ def bq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
                         ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
                  FROM qv, cent),
-    probe AS (SELECT query_id, cell FROM cellrank WHERE crank <= 2),
+    probe AS (SELECT query_id, cell FROM cellrank WHERE crank <= 8),
     ham AS (SELECT q.query_id, c.vec_id AS neighbor_id,
               list_reduce(list_prepend(CAST(0 AS BIGINT),
                 list_transform(list_zip(c.codes, q.qcodes),
@@ -4168,7 +4173,7 @@ def bq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     doc="IVF-pruned binary quantization + exact re-rank (verdict-r7 "
     "#3 — the last ANN variant whose candidate stage scanned the full "
     "corpus): the ann_ivf coarse quantizer ranks cells by "
-    "query-centroid cosine, the top-2 cells' 1-bit codes are "
+    "query-centroid cosine, the top-8 cells' 1-bit codes are "
     "equi-joined to the Hamming shortlist (bit_count(xor), pure "
     "codegen — never a corpus-wide cross join), and exact "
     "sequential-fold cosine re-ranks only k x 5 candidates. With "
@@ -4184,7 +4189,7 @@ def bq_ivf_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.bq_ivf_rerank_topk(
-        e, q, "label", "vec_id", "embedding", "query_id", k=10, oversample=5, nprobe=2
+        e, q, "label", "vec_id", "embedding", "query_id", k=10, oversample=5, nprobe=8
     )
 
 
@@ -4214,7 +4219,7 @@ def bq_ivf_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
                         ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY {_cos("centroid", "qvec")} DESC, cell) AS crank
                  FROM qv, cent),
-    probe AS (SELECT query_id, cell FROM cellrank WHERE crank <= 2),
+    probe AS (SELECT query_id, cell FROM cellrank WHERE crank <= 8),
     ham AS (SELECT q.query_id, c.vec_id AS neighbor_id,
               list_reduce(list_prepend(CAST(0 AS BIGINT),
                 list_transform(list_zip(c.codes, q.qcodes),
@@ -4262,7 +4267,7 @@ def bq_ivf_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.bq_ivf_rerank_topk_indexed(
-        spark, idx, q, "vec_id", "embedding", "query_id", k=10, oversample=5, nprobe=2
+        spark, idx, q, "vec_id", "embedding", "query_id", k=10, oversample=5, nprobe=8
     )
 
 

@@ -48,6 +48,17 @@ LEDGER = os.path.join(REPO, "RECALL.md")
 K = 10
 N_QUERIES = 10
 TOL = 0.005
+NPROBE_SWEEP = (1, 2, 4, 8)
+# probe depth each REGISTRY query ships with (must match the plans/
+# llm_queries.py defaults AND the oracle SQL's `crank <= N`); the
+# within-cell pin is measured here so it reflects user experience
+REGISTRY_NPROBE = {
+    "ivf": 8,
+    "ivf_sq8": 8,
+    "bq_ivf_rerank": 8,
+    "ivfpq_seed": 4,
+    "ivfpq_residual_seed": 4,
+}
 
 
 def _topk_sets(rows, k=K):
@@ -143,9 +154,6 @@ def measure_fixture(spark, sf_dir: str) -> dict[str, float]:
     def run(df):
         return _topk_sets(df.collect())
 
-    got = run(SIM.ivf_topk(e, queries, "label", k=K, nprobe=2))
-    out["ivf_nprobe2"] = _recall(got, truth_cos)
-
     cb, _ = SIM.pq_codebook(e.select("vec_id", "embedding"))
     enc = SIM.pq_encode(e.select("vec_id", "embedding"), cb)
     qs = [(int(q), [float(x) for x in X[ids == q][0]]) for q in qids]
@@ -158,27 +166,35 @@ def measure_fixture(spark, sf_dir: str) -> dict[str, float]:
     )
     out["pq_seed"] = _recall(run(pq_df), truth_l2q)
 
-    got = run(SIM.ivfpq_topk(e, queries, "label", cb, k=K, nprobe=2))
-    out["ivfpq_seed_nprobe2"] = _recall(got, truth_l2q)
-    out["ivfpq_seed_within_cell"] = _recall(got, within(l2q_scores, got))
-
-    got = run(SIM.ivfpq_residual_topk(e, queries, "label", k=K, nprobe=2))
-    out["ivfpq_residual_seed_nprobe2"] = _recall(got, truth_l2q)
-    out["ivfpq_residual_seed_within_cell"] = _recall(got, within(l2q_scores, got))
-
     got = run(SIM.sq8_topk(e, queries, k=K))
     out["sq8"] = _recall(got, truth_l2)
-
-    got = run(SIM.ivf_sq8_topk(e, queries, "label", k=K, nprobe=2))
-    out["ivf_sq8_nprobe2"] = _recall(got, truth_l2)
-    out["ivf_sq8_within_cell"] = _recall(got, within(l2_scores, got))
 
     got = run(SIM.bq_rerank_topk(e, queries, k=K, oversample=5))
     out["bq_rerank"] = _recall(got, truth_cos)
 
-    got = run(SIM.bq_ivf_rerank_topk(e, queries, "label", k=K, oversample=5, nprobe=2))
-    out["bq_ivf_rerank_nprobe2"] = _recall(got, truth_cos)
-    out["bq_ivf_rerank_within_cell"] = _recall(got, within(cos_scores, got))
+    # --- recall-vs-nprobe sweep (verdict r8 #1): global recall per
+    # probe depth for every cell-probing variant, so the cost/quality
+    # dial is a published curve, not a buried default. Within-cell
+    # recall is pinned at the REGISTRY default probe depth (the number
+    # a user of the registry queries actually experiences).
+    sweep = {
+        "ivf": (lambda np_: SIM.ivf_topk(e, queries, "label", k=K, nprobe=np_),
+                truth_cos, cos_scores),
+        "ivf_sq8": (lambda np_: SIM.ivf_sq8_topk(e, queries, "label", k=K, nprobe=np_),
+                    truth_l2, l2_scores),
+        "bq_ivf_rerank": (lambda np_: SIM.bq_ivf_rerank_topk(
+            e, queries, "label", k=K, oversample=5, nprobe=np_), truth_cos, cos_scores),
+        "ivfpq_seed": (lambda np_: SIM.ivfpq_topk(e, queries, "label", cb, k=K, nprobe=np_),
+                       truth_l2q, l2q_scores),
+        "ivfpq_residual_seed": (lambda np_: SIM.ivfpq_residual_topk(
+            e, queries, "label", k=K, nprobe=np_), truth_l2q, l2q_scores),
+    }
+    for name, (build, truth, scores_fn) in sweep.items():
+        for np_ in NPROBE_SWEEP:
+            got = run(build(np_))
+            out[f"{name}_nprobe{np_}"] = _recall(got, truth)
+            if np_ == REGISTRY_NPROBE[name]:
+                out[f"{name}_within_cell"] = _recall(got, within(scores_fn, got))
     return out
 
 
@@ -263,6 +279,33 @@ def render(sf_dir: str, vals: dict[str, float]) -> str:
         "Everything is deterministic, so these are exact pins, not noisy",
         "estimates: the gate fails on any drop > 0.005, and improvements",
         "are re-pinned with `--write`.",
+        "",
+        "## Recall vs nprobe (the quality/cost dial)",
+        "",
+        "Global recall@10 per probe depth for every cell-probing variant.",
+        "The fixture's 10 cells are the `label` column (weakly clustered",
+        "w.r.t. the metric), so probe loss is ~linear in the probed-cell",
+        "fraction — there is no sharp knee; on a k-means-trained corpus",
+        "(see `clustered_*`) the curve saturates much earlier. Registry",
+        "defaults (last column): the exact-scoring variants (ivf, ivf_sq8,",
+        "bq_ivf) default to nprobe=8, where global recall@10 >= 0.6; the",
+        "PQ family defaults to nprobe=4, past which CODE loss (the",
+        "within_cell pins) dominates probe loss and more probing buys",
+        "little. nprobe is a per-call kwarg on every operator.",
+        "",
+        "| variant | " + " | ".join(f"nprobe={n}" for n in NPROBE_SWEEP)
+        + " | registry default |",
+        "|---|" + "---|" * (len(NPROBE_SWEEP) + 1),
+    ]
+    for name in sorted(REGISTRY_NPROBE):
+        cells = " | ".join(
+            f"{vals.get(f'{name}_nprobe{n}', float('nan')):.2f}"
+            for n in NPROBE_SWEEP
+        )
+        lines.append(f"| {name} | {cells} | {REGISTRY_NPROBE[name]} |")
+    lines += [
+        "",
+        "## All pinned variants",
         "",
         "| variant | recall@10 |",
         "|---|---|",
