@@ -776,6 +776,83 @@ def cross_doc_spans(
     )
 
 
+def max_shared_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    min_span: int | None = None,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MAXIMAL cross-document shared token spans — the distributed
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    arXiv:2107.06499), which removes the LONGEST duplicated spans,
+    not fixed windows (:func:`cross_doc_spans` reports the fixed
+    windows themselves). Window-hash chaining: every ``window``-token
+    rolling hash carries its token offset; hash hits between two
+    documents that sit at a CONSTANT alignment difference
+    (pos_b - pos_a) and at consecutive pos_a chain into one run, and
+    a run covering pos_a = s..e is a shared span of e - s + window
+    tokens. A shared substring of L >= window tokens yields exactly
+    L - window + 1 consecutive window matches at one alignment, so
+    the merged run recovers the FULL maximal span at token
+    granularity — the suffix-array semantics, without a suffix array
+    (which is not Spark-shaped; this is one equi-join plus one
+    windowed gaps-and-islands pass).
+
+    Output: (id_a, id_b, start_a, start_b, span_len) per maximal
+    span, id_a < id_b, 0-based token offsets, span_len >= min_span
+    (default = window).
+
+    Scale shape: span TEXT never shuffles — (id, pos, hash64) triples
+    do. One shuffle on the window hash for the banded join (hot
+    boilerplate hashes capped at ``max_bucket`` occurrences, the LSH
+    skew-guard contract: a license header shared by 10^6 docs must
+    not become a 10^12-row join), one shuffle on (id_a, id_b, diff)
+    for the chaining window; both keys are high-cardinality. The
+    row_number-over-pos_a run id is the classic gaps-and-islands
+    merge: (id_a, id_b, diff, pos_a) is unique by construction, so
+    the run assignment is deterministic."""
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    if min_span is None:
+        min_span = window
+    wh = (
+        fan_out(df.select(id_col, text_col), [id_col])
+        .select(
+            F.col(id_col),
+            F.posexplode(word_shingles(text_col, window)).alias("pos", "__span"),
+        )
+        .select(F.col(id_col), "pos", hash64("__span").alias("wh"))
+    )
+    sized = wh.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("wh"))
+    ).filter(F.col("__bn") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "wh")
+    b = sized.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "wh")
+    hits = (
+        a.join(b, "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "pos_a", (F.col("pos_b") - F.col("pos_a")).alias("diff")
+        )
+    )
+    runw = Window.partitionBy("id_a", "id_b", "diff").orderBy("pos_a")
+    runs = hits.withColumn("__rid", F.col("pos_a") - F.row_number().over(runw))
+    return (
+        runs.groupBy("id_a", "id_b", "diff", "__rid")
+        .agg(F.min("pos_a").alias("__s"), F.max("pos_a").alias("__e"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__s").cast("bigint").alias("start_a"),
+            (F.col("__s") + F.col("diff")).cast("bigint").alias("start_b"),
+            (F.col("__e") - F.col("__s") + window).cast("bigint").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_span)
+    )
+
+
 def lsh_pairs_across(
     sig_new: DataFrame,
     sig_corpus: DataFrame,

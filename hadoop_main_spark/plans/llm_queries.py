@@ -1875,6 +1875,42 @@ def repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "exact_substr_spans",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {D.shingles_sql("text", 20)} AS s FROM documents),
+    win AS (SELECT doc_id, i.i - 1 AS pos, s[i.i] AS span
+            FROM sh, unnest(generate_series(1, len(s))) AS i(i)),
+    h AS (SELECT doc_id, pos, {hash64_sql("span")} AS wh FROM win),
+    sized AS (SELECT *, COUNT(*) OVER (PARTITION BY wh) AS bn FROM h),
+    hits AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+                    b.pos - a.pos AS diff
+             FROM sized a JOIN sized b ON a.wh = b.wh AND a.doc_id < b.doc_id
+             WHERE a.bn <= 200 AND b.bn <= 200),
+    runs AS (SELECT *, pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY id_a, id_b, diff ORDER BY pos_a) AS rid
+             FROM hits),
+    sp AS (SELECT id_a, id_b, diff, rid, MIN(pos_a) AS s, MAX(pos_a) AS e
+           FROM runs GROUP BY id_a, id_b, diff, rid)
+    SELECT id_a, id_b, CAST(s AS BIGINT) AS start_a,
+           CAST(s + diff AS BIGINT) AS start_b,
+           CAST(e - s + 20 AS BIGINT) AS span_len
+    FROM sp
+    """,
+    doc="ExactSubstr dedup at the PUBLISHED granularity (Lee et al. "
+    "2022, arXiv:2107.06499): maximal duplicated token spans per doc "
+    "pair, not fixed windows — repeated_spans' window hits merged by "
+    "window-hash chaining (constant alignment diff + consecutive "
+    "offsets = one gaps-and-islands run; a shared substring of L >= "
+    "20 tokens chains into exactly one span of L tokens). The span "
+    "removal step every C4/FineWeb-class recipe cites, as one "
+    "equi-join on the window hash (hot-boilerplate bucket cap 200) "
+    "plus one windowed chaining pass; span text never shuffles.",
+)
+def exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
+    return D.max_shared_spans(t(spark, sf, "documents"), "doc_id", "text", window=20)
+
+
+@query(
     "domain_mix_apply",
     oracle=f"""
     WITH {_MIX_SRC_CTE},

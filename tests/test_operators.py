@@ -2124,3 +2124,44 @@ def test_sq8_quantizer_edges_and_recall(spark):
         hits += len(set(t10) & neigh)
         tot += 10
     assert hits / tot >= 0.8, f"sq8 recall {hits/tot:.2f}"
+
+
+def test_max_shared_spans_recovers_maximal_spans(spark):
+    """ExactSubstr semantics: a shared substring of L >= window tokens
+    merges into ONE span of exactly L tokens at the true offsets; two
+    disjoint shared regions stay two spans; sub-window overlap emits
+    nothing; a hot window shared by > max_bucket docs is skew-capped."""
+    from hadoop_main_spark.operators.dedup import max_shared_spans
+
+    w = 5
+    shared = [f"s{i}" for i in range(12)]        # 12-token shared run
+    other = [f"o{i}" for i in range(7)]          # second 7-token shared run
+    doc_a = ["a0", "a1"] + shared + ["a2"] + other + ["a3"]
+    doc_b = ["b0"] + shared + ["b1", "b2", "b3"] + other
+    doc_c = ["c0", "c1", "c2"] + shared[:4]      # only 4 shared tokens: < w
+    docs = [
+        (1, " ".join(doc_a)),
+        (2, " ".join(doc_b)),
+        (3, " ".join(doc_c)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = max_shared_spans(df, "doc_id", "text", window=w).collect()
+    spans = {(r.id_a, r.id_b, r.start_a, r.start_b, r.span_len) for r in out}
+    # shared run: doc_a offset 2, doc_b offset 1, exactly 12 tokens
+    assert (1, 2, 2, 1, 12) in spans
+    # second run: doc_a offset 15 (2+12+1), doc_b offset 16 (1+12+3)
+    assert (1, 2, 15, 16, 7) in spans
+    # nothing else between 1-2, nothing involving doc 3
+    assert len(spans) == 2
+
+    # min_span raises the reporting floor without changing chaining
+    out2 = max_shared_spans(df, "doc_id", "text", window=w, min_span=10).collect()
+    assert {(r.start_a, r.span_len) for r in out2} == {(2, 12)}
+
+    # skew cap: a window in > max_bucket docs is dropped entirely
+    hot = " ".join(f"h{i}" for i in range(w))
+    many = [(i, hot) for i in range(10)]
+    dfh = spark.createDataFrame(many, "doc_id int, text string")
+    assert max_shared_spans(dfh, "doc_id", "text", window=w, max_bucket=9).count() == 0
+    # and below the cap the pairs all appear (10 docs -> 45 pairs)
+    assert max_shared_spans(dfh, "doc_id", "text", window=w, max_bucket=10).count() == 45
