@@ -1333,6 +1333,10 @@ def _stream_dedup_oracle() -> str:
     "union-over-batch-partitions invariant — so the oracle is "
     "dedup_minhash_lsh's oracle verbatim; any watermark, "
     "checkpoint-replay, or cross-batch-probe bug surfaces as a "
+    "BUILD-COST NOTE: this builder EXECUTES the full streaming job "
+    "at plan-build time (write + awaitTermination) and returns a "
+    "batch read of the sink — plans-only tooling (dump_plans, "
+    "plan_lint) pays a multi-second stream execution per call. "
     "missing/duplicated pair. LOCAL-MODE CONTRACT: "
     "tempfile.mkdtemp() sinks (shared FS on a real cluster).",
 )
@@ -1505,6 +1509,44 @@ def audio_container_meta(spark: SparkSession, sf: str) -> DataFrame:
     return MM.audio_container_meta(media)
 
 
+def _timesplit_stream(
+    spark: SparkSession, df: DataFrame, ts_col: str, src: str, parts: int = 4
+) -> DataFrame:
+    """Replay ``df`` as a ``parts``-micro-batch file stream in EVENT-
+    TIME order: contiguous time-range slices, one single-file batch
+    each, mtimes strictly increasing so FileStreamSource (oldest-
+    first) feeds them in order — the watermark-contract replay shared
+    by every stream_*_roundtrip driver gate. Returns the readStream
+    DataFrame (maxFilesPerTrigger=1)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src)
+    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    span = (hi - lo).total_seconds()
+    for k in range(parts):
+        a = lo if k == 0 else lo + datetime.timedelta(seconds=span * k / parts)
+        b = hi if k == parts - 1 else lo + datetime.timedelta(
+            seconds=span * (k + 1) / parts
+        )
+        cond = (F.col(ts_col) >= F.lit(a)) & (
+            F.col(ts_col) <= F.lit(b) if k == parts - 1 else F.col(ts_col) < F.lit(b)
+        )
+        part_dir = f"{src}__part{k}"
+        df.filter(cond).coalesce(1).write.parquet(part_dir)
+        (pf,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/q{k}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + k * 60, 1_700_000_000 + k * 60))
+    return (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
 @query(
     "stream_window_roundtrip",
     oracle="""
@@ -1536,13 +1578,14 @@ def audio_container_meta(spark: SparkSession, sf: str) -> DataFrame:
     "of the corpus late beyond any finite watermark and append mode "
     "rightly DROPS it (measured: 2711 of 3370 windows survive a "
     "random 4-way split), which is exactly the semantics the "
+    "BUILD-COST NOTE: this builder EXECUTES the full streaming job "
+    "at plan-build time (write + awaitTermination) and returns a "
+    "batch read of the sink — plans-only tooling (dump_plans, "
+    "plan_lint) pays a multi-second stream execution per call. "
     "watermark promises, not a bug. LOCAL-MODE CONTRACT: "
     "tempfile.mkdtemp() sinks.",
 )
 def stream_window_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from hadoop_main_spark.streaming.windows import (
@@ -1552,34 +1595,7 @@ def stream_window_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     e = t(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="streamwrt_")
-    src = f"{base}/src"
-    os.makedirs(src)
-    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo).total_seconds()
-    # 4 contiguous event-time quartiles, one single-file batch each,
-    # mtimes strictly increasing so FileStreamSource (oldest-first)
-    # replays them in event-time order
-    for k in range(4):
-        a = lo if k == 0 else lo + __import__("datetime").timedelta(
-            seconds=span * k / 4
-        )
-        b = hi if k == 3 else lo + __import__("datetime").timedelta(
-            seconds=span * (k + 1) / 4
-        )
-        cond = (F.col("ts") >= F.lit(a)) & (
-            F.col("ts") <= F.lit(b) if k == 3 else F.col("ts") < F.lit(b)
-        )
-        part_dir = f"{base}/part{k}"
-        e.filter(cond).coalesce(1).write.parquet(part_dir)
-        (pf,) = glob.glob(f"{part_dir}/part-*.parquet")
-        dst = f"{src}/q{k}.parquet"
-        shutil.move(pf, dst)
-        os.utime(dst, (1_700_000_000 + k * 60, 1_700_000_000 + k * 60))
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    stream = _timesplit_stream(spark, e, "ts", f"{base}/src")
     q = write_stream_parquet(
         tumbling_counts(stream, window="1 hour", watermark="2 hours"),
         f"{base}/out",
@@ -1592,6 +1608,125 @@ def stream_window_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         "total_value",
     )
+
+
+@query(
+    "stream_session_roundtrip",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sid AS (
+      SELECT user_id, ts,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM b)
+    SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sid GROUP BY user_id, session_id
+    """,
+    doc="CUSTOM STATEFUL streaming ON the driver gate (the third "
+    "§2.12 certification — stream_dedup_roundtrip covers foreachBatch, "
+    "stream_window_roundtrip the native watermark state path; this "
+    "covers applyInPandasWithState arbitrary state): events replay as "
+    "a 4-micro-batch event-time-ordered file stream through "
+    "gap_sessions (30-min gap sessionization, open session carried in "
+    "the state store across batches), per-batch partition-overwrite "
+    "sink (replay-idempotent), and the reconstructed FINAL session "
+    "set — per (user, session_start) the greatest emission; closed "
+    "beats open — must equal the batch sessionize oracle PER SESSION "
+    "(start/end/n exact), not just per user. A state carry, batch-"
+    "BUILD-COST NOTE: this builder EXECUTES the full streaming job "
+    "at plan-build time (write + awaitTermination) and returns a "
+    "batch read of the sink — plans-only tooling (dump_plans, "
+    "plan_lint) pays a multi-second stream execution per call. "
+    "boundary merge, or session-splitting bug moves rows. LOCAL-MODE "
+    "CONTRACT: tempfile.mkdtemp() sinks (shared FS on a real cluster).",
+)
+def stream_session_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+    from hadoop_main_spark.streaming.stateful import gap_sessions
+
+    e = t(spark, sf, "events").select("user_id", "ts", "event_id")
+    base = tempfile.mkdtemp(prefix="streamsess_")
+    stream = _timesplit_stream(spark, e, "ts", f"{base}/src")
+    out = f"{base}/out"
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = (
+        gap_sessions(stream, "user_id", "ts", "event_id")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.col("closed").desc(), F.col("n_events").desc(), F.col("session_end").desc()
+    )
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query(
+    "stream_interval_join_roundtrip",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+    doc="STREAM-STREAM interval join ON the driver gate (the fourth "
+    "§2.12 certification): clicks and purchases replay as TWO "
+    "watermarked 4-micro-batch file streams (event-time-ordered, the "
+    "watermark-contract replay) through interval_join (purchases "
+    "within 1 hour after the click, 2-hour watermark bounding both "
+    "state stores) into an append parquet sink; the emitted pair set "
+    "must equal the batch range join exactly. Cross-batch pairs — a "
+    "click in quartile k matching a purchase in k+1 — certify the "
+    "BUILD-COST NOTE: this builder EXECUTES the full streaming job "
+    "at plan-build time (write + awaitTermination) and returns a "
+    "batch read of the sink — plans-only tooling (dump_plans, "
+    "plan_lint) pays a multi-second stream execution per call. "
+    "join state survives exactly as long as the watermark promises; "
+    "a premature state eviction or a dropped late row moves pairs. "
+    "LOCAL-MODE CONTRACT: tempfile.mkdtemp() sinks.",
+)
+def stream_interval_join_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.streaming.joins import interval_join
+    from hadoop_main_spark.streaming.windows import write_stream_parquet
+
+    e = t(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="streamssj_")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+    )
+    sl = _timesplit_stream(spark, clicks, "l_ts", f"{base}/src_l")
+    sr = _timesplit_stream(spark, buys, "r_ts", f"{base}/src_r")
+    j = interval_join(sl, sr, "user_id").select("click_id", "purchase_id")
+    q = write_stream_parquet(j, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select("click_id", "purchase_id")
 
 
 @query(

@@ -1294,3 +1294,80 @@ def test_warc_records_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, WA.warc_records(spark.read.parquet(src)).collect()))
     assert got == want and len(got) == 120
+
+
+def test_gap_sessions_state_carry_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: a session spanning three
+    micro-batches reconstructs as ONE session; a gap inside a batch
+    splits; the open-session snapshot is superseded by its closed
+    emission (same (key, session_start), greater-or-equal n)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from hadoop_main_spark.streaming.stateful import gap_sessions
+
+    US = 1_000_000
+    MIN = 60 * US
+
+    def ev(eid, uid, ts_us):
+        import datetime
+        return (eid, uid, datetime.datetime(2024, 1, 1) +
+                datetime.timedelta(microseconds=ts_us))
+
+    # user 1: events at 0, 10min | 40min | 70min -> one session (gaps 30min
+    #   exactly = not > gap with gap=30min? use gap 29min to split; keep 30min gap op:
+    #   boundary is STRICTLY greater than gap) so 30-min spacing chains.
+    # user 2: events at 0 | 200min -> two sessions (gap > 30min).
+    batches = [
+        [ev(1, 1, 0), ev(2, 1, 10 * MIN), ev(10, 2, 0)],
+        [ev(3, 1, 40 * MIN)],
+        [ev(4, 1, 70 * MIN), ev(11, 2, 200 * MIN)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for k, rows in enumerate(batches):
+        d = str(tmp_path / f"b{k}")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(d)
+        (pf,) = glob.glob(f"{d}/part-*.parquet")
+        dst = f"{src}/q{k}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + k * 60, 1_700_000_000 + k * 60))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out")
+
+    def sink(b, i):
+        b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+
+    q = (
+        gap_sessions(stream, "user_id", "ts", "event_id",
+                     gap_us=30 * MIN)
+        .writeStream.foreachBatch(sink).outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.col("closed").desc(), F.col("n_events").desc(),
+        F.col("session_end").desc())
+    final = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in emitted.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").collect()
+    }
+    base = 1704067200 * US  # 2024-01-01 epoch us
+    assert final == {
+        (1, base, base + 70 * MIN, 4),          # one session across 3 batches
+        (2, base, base, 1),                      # closed by the later gap
+        (2, base + 200 * MIN, base + 200 * MIN, 1),
+    }
+    # the spanning session emitted open snapshots in earlier batches
+    opens = emitted.filter((F.col("user_id") == 1) & (~F.col("closed"))).count()
+    assert opens >= 2
