@@ -164,3 +164,62 @@ def robots_rules_from_txt(
     return robots.select(host_col, body_col).mapInPandas(
         run, "host string, allow boolean, pattern string"
     )
+
+
+def resolve_redirects(
+    frontier: DataFrame,
+    redirects: DataFrame,
+    url_col: str = "url",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 5,
+) -> DataFrame:
+    """Bounded-depth HTTP 3xx Location-chain resolution — the hop
+    between URL discovery (sitemap_url_frontier) and fetch/ingest
+    (WARC): every frontier url follows its redirect edges up to
+    ``max_hops``, so the frontier can dedup on the FINAL url and a
+    moved page is fetched once.
+
+    ``frontier`` keeps all its columns; ``redirects`` is the
+    (src, dst) Location edge table (one row per 3xx response). Adds:
+    ``final_url`` (the chain's end, = the input url when it never
+    redirects), ``n_hops``, and ``resolved`` (false when the chain
+    still has an outgoing edge after ``max_hops`` — a redirect LOOP
+    of any length or an over-deep chain, exactly the curl
+    --max-redirs give-up contract; no per-row visited-set state
+    needed, loops simply never run out of edges).
+
+    Scale shape: ``max_hops`` is a small constant (browsers cap ~20),
+    so the resolution is max_hops+1 UNROLLED left equi-joins on the
+    url key — the entity_clusters pointer-jump discipline applied to
+    a bounded depth. Each hop shuffles only (frontier keys x current
+    url); broadcast the edge table instead when the redirect set is
+    small relative to the frontier (it usually is: 3xx rows only)."""
+    cur = frontier.withColumn("__cur", F.col(url_col)).withColumn(
+        "__hops", F.lit(0).cast("long")
+    )
+    keep = frontier.columns
+    for k in range(max_hops):
+        e = redirects.select(
+            F.col(src_col).alias("__cur"), F.col(dst_col).alias(f"__nxt{k}")
+        )
+        cur = (
+            cur.join(e, "__cur", "left")
+            .withColumn(
+                "__hops",
+                F.col("__hops")
+                + F.when(F.col(f"__nxt{k}").isNull(), 0).otherwise(1),
+            )
+            .withColumn("__cur", F.coalesce(F.col(f"__nxt{k}"), F.col("__cur")))
+            .drop(f"__nxt{k}")
+        )
+    probe = redirects.select(
+        F.col(src_col).alias("__cur"), F.lit(True).alias("__more")
+    ).distinct()
+    cur = cur.join(probe, "__cur", "left")
+    return cur.select(
+        *keep,
+        F.col("__cur").alias("final_url"),
+        F.col("__hops").alias("n_hops"),
+        F.col("__more").isNull().alias("resolved"),
+    )

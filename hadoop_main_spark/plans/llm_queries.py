@@ -4656,3 +4656,98 @@ def sitemap_url_frontier(spark: SparkSession, sf: str) -> DataFrame:
     return decided.select(
         "url_id", "host", "loc", "lastmod", "priority", "allowed"
     )
+
+
+@query(
+    "redirect_frontier",
+    oracle=f"""
+    WITH ids AS (SELECT doc_id AS i FROM documents),
+    e AS (SELECT i AS src, CASE WHEN i % 10 = 8 THEN i + 1 ELSE i - 1 END AS dst
+          FROM ids WHERE i % 10 IN (1, 2, 3, 8, 9)),
+    h0 AS (SELECT i AS url_id, i AS cur, CAST(0 AS BIGINT) AS hops FROM ids),
+    h1 AS (SELECT url_id, COALESCE(e.dst, h0.cur) AS cur,
+                      hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+               FROM h0 LEFT JOIN e ON e.src = h0.cur),
+    h2 AS (SELECT url_id, COALESCE(e.dst, h1.cur) AS cur,
+                      hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+               FROM h1 LEFT JOIN e ON e.src = h1.cur),
+    h3 AS (SELECT url_id, COALESCE(e.dst, h2.cur) AS cur,
+                      hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+               FROM h2 LEFT JOIN e ON e.src = h2.cur),
+    h4 AS (SELECT url_id, COALESCE(e.dst, h3.cur) AS cur,
+                      hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+               FROM h3 LEFT JOIN e ON e.src = h3.cur),
+    h5 AS (SELECT url_id, COALESCE(e.dst, h4.cur) AS cur,
+                      hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+               FROM h4 LEFT JOIN e ON e.src = h4.cur),
+    fin AS (SELECT h5.url_id, h5.cur, h5.hops, s.src IS NULL AS resolved
+            FROM h5 LEFT JOIN (SELECT DISTINCT src FROM e) s ON s.src = h5.cur),
+    canon AS (SELECT url_id,
+                     CASE WHEN resolved THEN 'https://h' || CAST(cur % 7 AS VARCHAR)
+                          || '.example.com/page/' || CAST(cur AS VARCHAR) END AS final_url,
+                     hops AS n_hops, resolved
+              FROM fin)
+    SELECT url_id, final_url, n_hops, resolved,
+           resolved AND url_id = MIN(url_id) OVER (PARTITION BY final_url) AS fetch
+    FROM canon
+    """,
+    doc="HTTP 3xx redirect-chain resolution + canonical dedup — the "
+    "missing hop between sitemap_url_frontier and WARC ingest: a "
+    "synthetic Location edge set (url_id mod 10 in 1..3 chains down "
+    "1-3 hops to a terminal; 8 and 9 redirect at each other, a "
+    "permanent 2-cycle) resolves through resolve_redirects "
+    "(operators/crawl.py — max_hops=5 unrolled left equi-joins, the "
+    "bounded pointer-jump; a chain still holding an outgoing edge "
+    "after 5 hops is unresolved = loop detection without visited-set "
+    "state, the curl --max-redirs contract), the FINAL url runs "
+    "through the url_canonicalize regex chain (scheme/case/www/"
+    "fragment/utm normalization), and the frontier dedups on it: "
+    "fetch = resolved and first url_id per canonical final url. The "
+    "oracle recomputes chains/loops/canonical forms in closed form, "
+    "so an off-by-one hop, a missed loop, or a canon regex bug moves "
+    "rows.",
+)
+def redirect_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.operators.crawl import resolve_redirects
+
+    d = t(spark, sf, "documents").select(F.col("doc_id").alias("url_id"))
+    m = F.col("url_id") % 10
+    edges = d.filter(m.isin(1, 2, 3, 8, 9)).select(
+        F.col("url_id").alias("src"),
+        F.when(m == 8, F.col("url_id") + 1)
+        .otherwise(F.col("url_id") - 1)
+        .alias("dst"),
+    )
+    res = resolve_redirects(d, edges, url_col="url_id", max_hops=5)
+    raw = F.concat(
+        F.lit("HTTPS://WWW.h"),
+        (F.col("final_url") % 7).cast("string"),
+        F.lit(".Example.COM/page/"),
+        F.col("final_url").cast("string"),
+        F.lit("?utm_source=r&ref=x#frag"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(raw), "#.*$", ""),
+                "(utm_[a-z]+|ref)=[^&]*&?",
+                "",
+            ),
+            "[?&]+$",
+            "",
+        ),
+        "^https://www\\.",
+        "https://",
+    )
+    out = res.select(
+        "url_id",
+        F.when(F.col("resolved"), canon).alias("final_url"),
+        F.col("n_hops").cast("bigint").alias("n_hops"),
+        "resolved",
+    )
+    w = Window.partitionBy("final_url")
+    return out.withColumn(
+        "fetch", F.col("resolved") & (F.col("url_id") == F.min("url_id").over(w))
+    )

@@ -2165,3 +2165,37 @@ def test_max_shared_spans_recovers_maximal_spans(spark):
     assert max_shared_spans(dfh, "doc_id", "text", window=w, max_bucket=9).count() == 0
     # and below the cap the pairs all appear (10 docs -> 45 pairs)
     assert max_shared_spans(dfh, "doc_id", "text", window=w, max_bucket=10).count() == 45
+
+
+def test_resolve_redirects_chains_loops_and_depth(spark):
+    """Bounded-depth Location-chain resolution: terminal urls pass
+    through with 0 hops, chains resolve with exact hop counts, a
+    chain of exactly max_hops resolves, max_hops+1 does not, and
+    loops of any length are unresolved."""
+    from hadoop_main_spark.operators.crawl import resolve_redirects
+
+    frontier = spark.createDataFrame(
+        [("t",), ("a",), ("x1",), ("loop_a",), ("tri_a",)], "url string"
+    )
+    edges = [
+        ("a", "t"),                       # 1 hop
+        # 6-long chain x1 -> ... -> x6 -> t: 6 hops > max_hops=5
+        ("x1", "x2"), ("x2", "x3"), ("x3", "x4"), ("x4", "x5"),
+        ("x5", "x6"), ("x6", "t"),
+        ("loop_a", "loop_b"), ("loop_b", "loop_a"),   # 2-cycle
+        ("tri_a", "tri_b"), ("tri_b", "tri_c"), ("tri_c", "tri_a"),  # 3-cycle
+    ]
+    red = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.url: (r.final_url, r.n_hops, r.resolved)
+        for r in resolve_redirects(frontier, red, max_hops=5).collect()
+    }
+    assert got["t"] == ("t", 0, True)
+    assert got["a"] == ("t", 1, True)
+    assert got["x1"][2] is False and got["x1"][1] == 5
+    assert got["loop_a"][2] is False
+    assert got["tri_a"][2] is False
+    # a 5-hop chain resolves exactly at the bound
+    f2 = spark.createDataFrame([("x2",)], "url string")
+    got2 = resolve_redirects(f2, red, max_hops=5).collect()[0]
+    assert (got2.final_url, got2.n_hops, got2.resolved) == ("t", 5, True)
