@@ -3418,3 +3418,240 @@ def mp3_id3_tags(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# --- image: JPEG EXIF (APP1 / TIFF-IFD) metadata walk --------------------------
+# Public framings only: JFIF/JPEG marker segments (ITU T.81 §B), the
+# EXIF APP1 payload = "Exif\0\0" + a TIFF 6.0 byte stream (Adobe 1992
+# §2 both-endian IFDs — the same structure _tiff_decode walks), tag
+# ids per the EXIF 2.32 specification (CIPA DC-008). This is the
+# camera/orientation/timestamp tier a media-curation pipeline mines
+# WITHOUT decoding one pixel.
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _exif_ifd(entries, e: str, ifd_off: int, next_ifd: int = 0) -> bytes:
+    """Serialize one IFD at absolute TIFF offset ``ifd_off``:
+    ``entries`` = [(tag, typ, count, payload_bytes)], sorted by tag
+    per TIFF 6.0; values wider than 4 bytes land in a heap directly
+    after the next-IFD pointer."""
+    import struct
+
+    entries = sorted(entries)
+    heap_off = ifd_off + 2 + 12 * len(entries) + 4
+    head = struct.pack(f"{e}H", len(entries))
+    heap = b""
+    for tag, typ, count, payload in entries:
+        if len(payload) <= 4:
+            raw = payload.ljust(4, b"\x00")
+        else:
+            raw = struct.pack(f"{e}I", heap_off + len(heap))
+            heap += payload
+        head += struct.pack(f"{e}HHI", tag, typ, count) + raw
+    return head + struct.pack(f"{e}I", next_ifd) + heap
+
+
+def _exif_app1(
+    make: str,
+    model: str,
+    orientation: int,
+    datetime_str: str,
+    exposure: tuple[int, int],
+    fnumber: tuple[int, int],
+    iso: int,
+    pix_x: int,
+    pix_y: int,
+    big_endian: bool = False,
+) -> bytes:
+    """Encode a complete EXIF APP1 segment (marker + length +
+    "Exif\\0\\0" + TIFF stream with IFD0 and the Exif sub-IFD) — the
+    fixture-side encoder for the metadata walk."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    bo = b"MM" if big_endian else b"II"
+
+    def ascii_entry(tag, s):
+        b = s.encode("ascii") + b"\x00"
+        return (tag, 2, len(b), b)
+
+    def short_entry(tag, v):
+        return (tag, 3, 1, struct.pack(f"{e}H", v))
+
+    def long_entry(tag, v):
+        return (tag, 4, 1, struct.pack(f"{e}I", v))
+
+    def rational_entry(tag, num, den):
+        return (tag, 5, 1, struct.pack(f"{e}II", num, den))
+
+    ifd0_entries = [
+        ascii_entry(0x010F, make),
+        ascii_entry(0x0110, model),
+        short_entry(0x0112, orientation),
+        ascii_entry(0x0132, datetime_str),
+        long_entry(0x8769, 0),  # placeholder, patched below
+    ]
+    # IFD0's serialized size is independent of the pointer VALUE, so
+    # the sub-IFD offset is computable before the final pass
+    ifd0_probe = _exif_ifd(ifd0_entries, e, 8)
+    sub_off = 8 + len(ifd0_probe)
+    ifd0_entries[-1] = long_entry(0x8769, sub_off)
+    ifd0 = _exif_ifd(ifd0_entries, e, 8)
+    sub = _exif_ifd(
+        [
+            rational_entry(0x829A, *exposure),
+            rational_entry(0x829D, *fnumber),
+            short_entry(0x8827, iso),
+            long_entry(0xA002, pix_x),
+            long_entry(0xA003, pix_y),
+        ],
+        e,
+        sub_off,
+    )
+    tiff = bo + struct.pack(f"{e}HI", 42, 8) + ifd0 + sub
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _exif_meta(p: bytes) -> dict:
+    """Walk a JPEG's marker segments to the EXIF APP1 and parse the
+    TIFF stream inside (both endians): IFD0 carries Make/Model/
+    Orientation/DateTime and the 0x8769 pointer to the Exif sub-IFD
+    (ExposureTime, FNumber, ISO, PixelX/YDimension). Strict: a
+    non-JPEG stream, missing APP1, bad byte-order mark, or truncated
+    IFD raises ValueError — not-EXIF vs EXIF must be deterministic."""
+    import struct
+
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        raise ValueError("exif: not a JPEG stream (no SOI)")
+    i, seg = 2, None
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            raise ValueError(f"exif: bad marker byte at {i}")
+        m = p[i + 1]
+        if m in (0xD9, 0xDA):  # EOI / SOS — entropy data follows, stop
+            break
+        (ln,) = struct.unpack(">H", p[i + 2 : i + 4])
+        if ln < 2 or i + 2 + ln > len(p):
+            raise ValueError("exif: truncated marker segment")
+        if m == 0xE1 and p[i + 4 : i + 10] == b"Exif\x00\x00":
+            seg = p[i + 10 : i + 2 + ln]
+            break
+        i += 2 + ln
+    if seg is None:
+        raise ValueError("exif: no EXIF APP1 segment")
+    t = seg
+    if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+        raise ValueError("exif: bad TIFF byte-order mark")
+    e = "<" if t[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(f"{e}HI", t[2:8])
+    if magic != 42:
+        raise ValueError(f"exif: bad TIFF magic {magic}")
+
+    def read_ifd(off: int) -> dict:
+        if off + 2 > len(t):
+            raise ValueError("exif: IFD offset out of range")
+        (n,) = struct.unpack(f"{e}H", t[off : off + 2])
+        if off + 2 + 12 * n + 4 > len(t):
+            raise ValueError("exif: truncated IFD")
+        tags = {}
+        for k in range(n):
+            base = off + 2 + 12 * k
+            tag, typ, count = struct.unpack(f"{e}HHI", t[base : base + 8])
+            if typ not in _EXIF_TYPE_SIZE:
+                raise ValueError(f"exif: unsupported type {typ}")
+            total = _EXIF_TYPE_SIZE[typ] * count
+            raw = t[base + 8 : base + 12]
+            if total > 4:
+                (voff,) = struct.unpack(f"{e}I", raw)
+                raw = t[voff : voff + total]
+                if len(raw) != total:
+                    raise ValueError("exif: tag value out of range")
+            else:
+                raw = raw[:total]
+            tags[tag] = (typ, count, raw)
+        return tags
+
+    def ascii_val(tags, tag):
+        typ, _count, raw = tags[tag]
+        if typ != 2:
+            raise ValueError(f"exif: tag {tag:#x} not ASCII")
+        return raw.rstrip(b"\x00").decode("ascii", errors="replace")
+
+    def int_val(tags, tag):
+        typ, _count, raw = tags[tag]
+        if typ == 3:
+            return struct.unpack(f"{e}H", raw[:2])[0]
+        if typ == 4:
+            return struct.unpack(f"{e}I", raw[:4])[0]
+        raise ValueError(f"exif: tag {tag:#x} not integer")
+
+    def rational_val(tags, tag):
+        typ, _count, raw = tags[tag]
+        if typ != 5:
+            raise ValueError(f"exif: tag {tag:#x} not RATIONAL")
+        return struct.unpack(f"{e}II", raw)
+
+    ifd0 = read_ifd(ifd_off)
+    for req in (0x010F, 0x0110, 0x0112, 0x0132, 0x8769):
+        if req not in ifd0:
+            raise ValueError(f"exif: missing IFD0 tag {req:#x}")
+    sub = read_ifd(int_val(ifd0, 0x8769))
+    for req in (0x829A, 0x829D, 0x8827, 0xA002, 0xA003):
+        if req not in sub:
+            raise ValueError(f"exif: missing Exif-IFD tag {req:#x}")
+    exp = rational_val(sub, 0x829A)
+    fnum = rational_val(sub, 0x829D)
+    return {
+        "endian": "MM" if e == ">" else "II",
+        "make": ascii_val(ifd0, 0x010F),
+        "model": ascii_val(ifd0, 0x0110),
+        "orientation": int_val(ifd0, 0x0112),
+        "datetime": ascii_val(ifd0, 0x0132),
+        "exposure_num": exp[0],
+        "exposure_den": exp[1],
+        "fnumber_num": fnum[0],
+        "fnumber_den": fnum[1],
+        "iso": int_val(sub, 0x8827),
+        "pix_x": int_val(sub, 0xA002),
+        "pix_y": int_val(sub, 0xA003),
+    }
+
+
+_EXIF_COLS = [
+    "endian", "make", "model", "orientation", "datetime",
+    "exposure_num", "exposure_den", "fnumber_num", "fnumber_den",
+    "iso", "pix_x", "pix_y",
+]
+
+
+def image_exif_meta(media: DataFrame) -> DataFrame:
+    """Typed camera metadata columns from JPEG EXIF APP1 segments, no
+    pixel decode anywhere (the exiftool tier beside the container
+    walks): Arrow-batched marker walk + both-endian TIFF-IFD parse;
+    malformed payloads take the bad-record path (endian='bad', zeros/
+    empties) so one corrupt file never kills a 100 TB walk. ~100-byte
+    rows shuffle; JPEG bytes stay inside the batch."""
+    schema = (
+        "media_id long, endian string, make string, model string, "
+        "orientation long, datetime string, exposure_num long, "
+        "exposure_den long, fnumber_num long, fnumber_den long, "
+        "iso long, pix_x long, pix_y long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    m = _exif_meta(p)
+                except ValueError:
+                    m = {c: ("bad" if c == "endian" else "" if c in
+                             ("make", "model", "datetime") else 0)
+                         for c in _EXIF_COLS}
+                out.append({"media_id": mid, **m})
+            yield pd.DataFrame(out, columns=["media_id", *_EXIF_COLS])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -1406,3 +1406,43 @@ def test_ogg_crc_table_matches_bitwise_reference():
     for n in (0, 1, 7, 255, 1024):
         data = bytes(rng.randrange(256) for _ in range(n))
         assert MM._ogg_crc(data) == bitwise(data)
+
+
+def test_exif_walk_roundtrip_and_strictness():
+    """Both-endian EXIF APP1 roundtrip through a real JPEG; truncated
+    IFDs, bad byte-order marks, out-of-range value offsets, and
+    missing required tags all raise."""
+    import numpy as np
+    import struct
+
+    jpg = MM._jpeg_encode(np.zeros((8, 8), dtype=np.uint8))
+    for be in (False, True):
+        app1 = MM._exif_app1(
+            "Canon", "EOS R5", 6, "2023:12:31 23:59:58",
+            (1, 8000), (12, 10), 51200, 8192, 5464, big_endian=be,
+        )
+        m = MM._exif_meta(jpg[:2] + app1 + jpg[2:])
+        assert m == {
+            "endian": "MM" if be else "II", "make": "Canon",
+            "model": "EOS R5", "orientation": 6,
+            "datetime": "2023:12:31 23:59:58", "exposure_num": 1,
+            "exposure_den": 8000, "fnumber_num": 12, "fnumber_den": 10,
+            "iso": 51200, "pix_x": 8192, "pix_y": 5464,
+        }
+    app1 = MM._exif_app1("M", "N", 1, "2024:01:01 00:00:00",
+                         (1, 2), (3, 4), 100, 10, 10)
+    good = jpg[:2] + app1 + jpg[2:]
+    for bad in (
+        b"not a jpeg",
+        jpg,                                   # no APP1
+        good[:2] + good[2:].replace(b"Exif\x00\x00", b"Ex1f\x00\x00", 1),
+        good[:2] + good[2:].replace(b"II", b"XX", 1),         # byte order
+        good[:20],                             # truncated mid-segment
+    ):
+        with pytest.raises(ValueError):
+            MM._exif_meta(bad)
+    # magic != 42
+    corrupt = good.replace(b"II" + struct.pack("<HI", 42, 8),
+                           b"II" + struct.pack("<HI", 43, 8), 1)
+    with pytest.raises(ValueError):
+        MM._exif_meta(corrupt)
