@@ -1730,6 +1730,73 @@ def stream_interval_join_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_running_totals_roundtrip",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Per-key RUNNING state ON the driver gate (the fifth §2.12 "
+    "certification; completes stateful.py — gap_sessions is gated by "
+    "stream_session_roundtrip, this gates running_totals): events "
+    "replay as a 4-micro-batch file stream (any split — totals "
+    "commute) through the applyInPandasWithState running (count, sum) "
+    "fold on an EXACT integer grid (value is on the 1-cent grid, so "
+    "summing cents keeps cross-engine float parity regardless of "
+    "accumulation order), per-batch partition-overwrite sink, and the "
+    "LAST emission per key — n_events strictly grows, so max wins — "
+    "must equal the batch groupBy exactly. A lost batch, a stale "
+    "state read, or a double-applied replay moves a count. "
+    "BUILD-COST NOTE: this builder EXECUTES the full streaming job "
+    "at plan-build time. LOCAL-MODE CONTRACT: tempfile.mkdtemp() "
+    "sinks.",
+)
+def stream_running_totals_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+    from hadoop_main_spark.streaming.stateful import running_totals
+
+    e = t(spark, sf, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    base = tempfile.mkdtemp(prefix="streamrun_")
+    src = f"{base}/src"
+    e.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = f"{base}/out"
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = (
+        running_totals(stream, "user_id", "cents")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_value") / 100).alias("total_value"),
+        )
+    )
+
+
+@query(
     "video_container_meta",
     oracle="""
     WITH p AS (SELECT doc_id AS i,

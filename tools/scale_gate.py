@@ -88,6 +88,11 @@ DEFAULT_EXTRAS = [
     "robots_txt_pipeline",
     "sitemap_url_frontier",
     "mp3_id3_tags",
+    # round 9 (stream_session/interval_join roundtrips excluded for the
+    # same reason as stream_dedup: the stream executes inside build())
+    "exact_substr_spans",
+    "redirect_frontier",
+    "image_exif_meta",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
@@ -99,6 +104,14 @@ HEAVY_SET = [
     "curation_pipeline",
     "dedup_minhash_lsh",
     "gif_frame_features",
+    # round 9 (verdict r8 #5): the crawl first mile, an ANN
+    # index-build+probe, and the driver-side-seed-cap query — 100x is
+    # where driver bounds (semantic seed cap, probe frames) actually
+    # bind, so they belong in the heavy tier
+    "warc_ingest_meta",
+    "warc_html_text_extract",
+    "ivfpq_indexed_topk",
+    "semantic_dedup",
 ]
 
 
