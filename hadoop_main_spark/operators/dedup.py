@@ -853,6 +853,68 @@ def max_shared_spans(
     )
 
 
+def exact_substr_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The REMOVAL step of ExactSubstr dedup (Lee et al. 2022): for
+    every maximal shared span found by :func:`max_shared_spans`, the
+    LATER document (greater id) loses the span — the earliest
+    occurrence corpus-wide survives, the published "remove all but
+    one occurrence" policy at doc-pair granularity. A document's cut
+    ranges from all its pairs are UNION-merged (overlapping [s, e)
+    intervals collapse via the running-max gaps-and-islands pass —
+    the same discipline as the span finder, one windowed pass per
+    doc), so double-counting across pairs is impossible. Output per
+    document: (id, n_tokens, n_removed, n_kept) — the shrinkage
+    report a curation pipeline thresholds on before rebuilding text.
+
+    Scale shape: inherits max_shared_spans' two shuffles, then one
+    (id, s, e) interval table — three ints per span — shuffles on the
+    doc id for the merge window; the token counts are a second scan
+    of the corpus but only (id, count) survives it. Text never
+    shuffles anywhere."""
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    spans = max_shared_spans(
+        df, id_col, text_col, window=window, max_bucket=max_bucket
+    )
+    cuts = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").alias("__s"),
+        (F.col("start_b") + F.col("span_len")).alias("__e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__s", "__e")
+    runmax = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.when(runmax.isNull() | (F.col("__s") > runmax), 1).otherwise(0)
+    merged = (
+        cuts.withColumn(
+            "__g", F.sum(island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "__g")
+        .agg(F.min("__s").alias("__s"), F.max("__e").alias("__e"))
+    )
+    removed = merged.groupBy(id_col).agg(
+        F.sum(F.col("__e") - F.col("__s")).alias("n_removed")
+    )
+    toks = df.select(
+        F.col(id_col), F.size(tokenize(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return toks.join(removed, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_removed"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
 def lsh_pairs_across(
     sig_new: DataFrame,
     sig_corpus: DataFrame,

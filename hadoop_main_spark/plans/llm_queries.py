@@ -1911,6 +1911,60 @@ def exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "exact_substr_dedup",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {D.shingles_sql("text", 20)} AS s FROM documents),
+    win AS (SELECT doc_id, i.i - 1 AS pos, s[i.i] AS span
+            FROM sh, unnest(generate_series(1, len(s))) AS i(i)),
+    h AS (SELECT doc_id, pos, {hash64_sql("span")} AS wh FROM win),
+    sized AS (SELECT *, COUNT(*) OVER (PARTITION BY wh) AS bn FROM h),
+    hits AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+                    b.pos - a.pos AS diff
+             FROM sized a JOIN sized b ON a.wh = b.wh AND a.doc_id < b.doc_id
+             WHERE a.bn <= 200 AND b.bn <= 200),
+    runs AS (SELECT *, pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY id_a, id_b, diff ORDER BY pos_a) AS rid
+             FROM hits),
+    sp AS (SELECT id_a, id_b, diff, rid, MIN(pos_a) AS s, MAX(pos_a) AS e
+           FROM runs GROUP BY id_a, id_b, diff, rid),
+    cuts AS (SELECT id_b AS doc_id, s + diff AS cs, e + diff + 20 AS ce FROM sp),
+    ordd AS (SELECT *, MAX(ce) OVER (PARTITION BY doc_id ORDER BY cs, ce
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+             FROM cuts),
+    isl AS (SELECT *, SUM(CASE WHEN rm IS NULL OR cs > rm THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY cs, ce
+                       ROWS UNBOUNDED PRECEDING) AS g
+            FROM ordd),
+    mrg AS (SELECT doc_id, g, MIN(cs) AS cs, MAX(ce) AS ce
+            FROM isl GROUP BY doc_id, g),
+    rem AS (SELECT doc_id, SUM(ce - cs) AS n_removed FROM mrg GROUP BY doc_id),
+    tok AS (SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents)
+    SELECT tk.doc_id, tk.n_tokens,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(tk.n_tokens - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+    FROM tok tk LEFT JOIN rem r ON r.doc_id = tk.doc_id
+    """,
+    doc="ExactSubstr REMOVAL (Lee et al. 2022's actual dedup step, "
+    "completing exact_substr_spans): every maximal shared span is cut "
+    "from the LATER document so the earliest occurrence survives; a "
+    "doc's cut ranges from all its pairs UNION-merge via the "
+    "running-max gaps-and-islands pass, so overlapping spans never "
+    "double-count. Per-doc shrinkage report (n_tokens / n_removed / "
+    "n_kept) — what a curation pipeline thresholds before rebuilding "
+    "text. Oracle replays the full chain including the interval "
+    "merge, so an off-by-window cut length or a double-counted "
+    "overlap moves a sum.",
+)
+def exact_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_substr_removal(
+        t(spark, sf, "documents"), "doc_id", "text", window=20
+    )
+
+
+@query(
     "domain_mix_apply",
     oracle=f"""
     WITH {_MIX_SRC_CTE},

@@ -2199,3 +2199,36 @@ def test_resolve_redirects_chains_loops_and_depth(spark):
     f2 = spark.createDataFrame([("x2",)], "url string")
     got2 = resolve_redirects(f2, red, max_hops=5).collect()[0]
     assert (got2.final_url, got2.n_hops, got2.resolved) == ("t", 5, True)
+
+
+def test_exact_substr_removal_interval_merge(spark):
+    """Removal semantics: the LATER doc loses each shared span; a
+    doc's overlapping cut ranges union-merge (no double-count); a doc
+    that is only ever the EARLIER side loses nothing."""
+    from hadoop_main_spark.operators.dedup import exact_substr_removal
+
+    w = 5
+    shared = [f"s{i}" for i in range(9)]
+    # doc 1 (earliest) holds the span; docs 2 and 3 copy it; doc 3's
+    # copy also overlaps a second shared run with doc 2 -> doc 3's
+    # cuts from the two pairs overlap and must merge
+    doc1 = ["a"] + shared + ["b"]
+    doc2 = shared + ["x1", "x2", "y0", "y1", "y2", "y3", "y4"]
+    doc3 = ["z"] + shared + ["y0", "y1", "y2", "y3", "y4"]
+    # wait: make doc3 share s-run with 1 AND 2, plus the y-run with 2;
+    # the s-run cut [1,10) and y-run cut [10,15) are adjacent-overlap
+    df = spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3))],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_removed, r.n_kept)
+           for r in exact_substr_removal(df, "doc_id", "text", window=w).collect()}
+    # doc 1 is always the earlier side: loses nothing
+    assert out[1] == (11, 0, 11)
+    # doc 2: loses the 9-token s-run (to doc 1); its y-run is EARLIER
+    # than doc 3's so it keeps the ys
+    assert out[2] == (16, 9, 7)
+    # doc 3: loses the s-run (vs docs 1 and 2, same tokens once) AND
+    # the y-run (vs doc 2) -> 9 + 5 removed, no double-count of the
+    # s-run despite two pairs cutting it
+    assert out[3] == (15, 14, 1)
