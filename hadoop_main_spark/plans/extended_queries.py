@@ -490,9 +490,7 @@ def _cm_bucket(expr: str, j: int) -> str:
     return f"{hash64_sql(expr, f'cm{j}')} % 256"
 
 
-@query(
-    "count_min_heavy_hitters",
-    oracle=f"""
+_CM_ORACLE = f"""
     WITH words AS (
       SELECT word FROM (
         SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
@@ -513,7 +511,12 @@ def _cm_bucket(expr: str, j: int) -> str:
     SELECT p.item, MIN(coalesce(s.cnt, 0)) AS est_count
     FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
     GROUP BY p.item
-    """,
+    """
+
+
+@query(
+    "count_min_heavy_hitters",
+    oracle=_CM_ORACLE,
     doc="Count-min sketch heavy hitters: 4x256 integer counter table "
     "(mergeable across partitions/streams), point-queried for the true "
     "top-10 tokens. hash64 buckets + integer counters make even the "
@@ -536,6 +539,59 @@ def count_min_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .select("word")
     )
     return count_min_estimate(words, "word", top, "word")
+
+
+@query(
+    "stream_sketch_roundtrip",
+    oracle=_CM_ORACLE,
+    doc="Mergeable-sketch streaming sink ON the driver gate (the "
+    "sixth §2.12 certification — covers the additive-merge foreachBatch "
+    "sink family: count-min/HLL/span-count share the high-water-mark + "
+    "rename-aside-swap machinery this exercises): documents replay as "
+    "a 4-micro-batch file stream, each batch's token count-min table "
+    "merges ADDITIVELY into the parquet sketch (sum-merge is not "
+    "idempotent, so the checkpoint-scoped last_batch high-water mark "
+    "is what a replayed batch bounces off), and the accumulated "
+    "sketch probed for the true top-10 tokens must equal the one-shot "
+    "batch sketch — count_min_heavy_hitters' oracle verbatim, the "
+    "sketch-mergeability invariant. A double-merged replay or a "
+    "dropped batch moves a counter. BUILD-COST NOTE: this builder "
+    "EXECUTES the full streaming job at plan-build time. LOCAL-MODE "
+    "CONTRACT: tempfile.mkdtemp() sinks.",
+)
+def stream_sketch_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.functions.sketches import count_min_probe
+    from hadoop_main_spark.operators.partitioning import fan_out
+    from hadoop_main_spark.operators.transforms import tokenize
+    from hadoop_main_spark.streaming.windows import (
+        count_min_stream_parquet,
+        read_count_min_sketch,
+    )
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="streamsk_")
+    src = f"{base}/src"
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.explode(tokenize("text")).alias("word"))
+    )
+    q = count_min_stream_parquet(stream, "word", f"{base}/sketch", f"{base}/ckpt")
+    q.awaitTermination()
+    sketch = read_count_min_sketch(spark, f"{base}/sketch")
+    words = fan_out(docs.select("text")).select(F.explode(tokenize("text")).alias("word"))
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(10)
+        .select("word")
+    )
+    return count_min_probe(sketch, top, "word")
 
 
 @query(
