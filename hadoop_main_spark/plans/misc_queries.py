@@ -1797,6 +1797,58 @@ def stream_running_totals_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_window_roundtrip",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+    exp AS (
+      SELECT date_trunc('hour', ts) - INTERVAL (t.k) HOUR AS ws, event_type, value
+      FROM events, unnest([0, 1]) AS t(k)),
+    agg AS (SELECT ws, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                     AS avg_value
+            FROM exp GROUP BY 1, 2)
+    SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start, event_type, avg_value
+    FROM agg, mx
+    WHERE ws + INTERVAL 2 HOUR <= mt - INTERVAL 4 HOUR
+    """,
+    doc="SLIDING (overlapping) event-time windows ON the driver gate "
+    "(the seventh §2.12 certification — tumbling is gated by "
+    "stream_window_roundtrip; overlapping windows keep one state row "
+    "PER COVERING WINDOW per key, a different eviction shape): events "
+    "replay as the 4-batch event-time-ordered file stream through "
+    "sliding_avg (2h window / 1h slide / 4h watermark) into the "
+    "append-mode exactly-once sink; each event lands in exactly two "
+    "windows (the unnest([0,1]) expansion in the oracle) and the sink "
+    "must hold exactly the windows with window_end <= max(ts) - 4h "
+    "with batch-identical decimal-exact averages. BUILD-COST NOTE: "
+    "this builder EXECUTES the full streaming job at plan-build time. "
+    "LOCAL-MODE CONTRACT: tempfile.mkdtemp() sinks.",
+)
+def stream_sliding_window_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.streaming.windows import (
+        sliding_avg,
+        write_stream_parquet,
+    )
+
+    e = t(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="streamslw_")
+    stream = _timesplit_stream(spark, e, "ts", f"{base}/src")
+    q = write_stream_parquet(
+        sliding_avg(stream, window="2 hours", slide="1 hour", watermark="4 hours"),
+        f"{base}/out",
+        f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start"),
+        "event_type",
+        "avg_value",
+    )
+
+
+@query(
     "video_container_meta",
     oracle="""
     WITH p AS (SELECT doc_id AS i,
