@@ -622,3 +622,189 @@ def test_robots_regex_compiler_matches_reference(spark, patterns, paths):
             want = _robots_match_ref(p, path)
             got = _re.search(got_rx, path) is not None
             assert got == want, (p, path, got_rx)
+
+
+# --- round 9: max_shared_spans vs a brute-force span model --------------------
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+    min_size=2,
+    max_size=4,
+)
+
+
+@_slow
+@given(_span_docs)
+def test_max_shared_spans_model(spark, docs):
+    """Window-hash chaining must equal the brute-force maximal-run
+    model: for every doc pair and alignment diff, the maximal runs of
+    consecutive matching windows."""
+    from hadoop_main_spark.operators.dedup import max_shared_spans
+
+    w = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.span_len)
+        for r in max_shared_spans(df, "doc_id", "text", window=w).collect()
+    }
+
+    def windows(toks):
+        return [tuple(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            wa, wb = windows(docs[a]), windows(docs[b])
+            matches = {
+                (i, j - i) for i, x in enumerate(wa)
+                for j, y in enumerate(wb) if x == y
+            }
+            for (i, d) in matches:
+                if (i - 1, d) in matches:
+                    continue  # not a run start
+                e = i
+                while (e + 1, d) in matches:
+                    e += 1
+                want.add((a, b, i, i + d, e - i + w))
+    assert got == want
+
+
+# --- round 9: resolve_redirects vs a pure-Python chain follower --------------
+
+_edges = st.dictionaries(
+    st.integers(0, 9), st.integers(0, 9), min_size=0, max_size=8
+)
+
+
+@_slow
+@given(_edges)
+def test_resolve_redirects_model(spark, edge_map):
+    """Unrolled-join resolution must equal the sequential follower:
+    final node, hop count capped at max_hops, resolved iff the chain
+    ends within the bound (loops never do)."""
+    from hadoop_main_spark.operators.crawl import resolve_redirects
+
+    max_hops = 4
+    frontier = spark.createDataFrame([(u,) for u in range(10)], "url int")
+    red = spark.createDataFrame(
+        [(s, d) for s, d in edge_map.items()] or [(99, 98)], "src int, dst int"
+    )
+    got = {
+        r.url: (r.final_url, r.n_hops, r.resolved)
+        for r in resolve_redirects(frontier, red, url_col="url",
+                                   max_hops=max_hops).collect()
+    }
+    for u in range(10):
+        cur, hops = u, 0
+        while hops < max_hops and cur in edge_map:
+            cur, hops = edge_map[cur], hops + 1
+        want = (cur, hops, cur not in edge_map)
+        assert got[u] == want, (u, got[u], want)
+
+
+# --- round 9: gap_sessions final reconstruction == batch model ---------------
+
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 400)),  # (user, minute)
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(_events)
+def test_gap_sessions_model(spark, tmp_path_factory, evs):
+    """Stateful sessionization reconstructed from a 3-batch time-split
+    replay must equal the single-pass batch model (30-min gap)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.streaming.stateful import gap_sessions
+
+    US = 1_000_000
+    MIN = 60 * US
+    GAP = 30 * MIN
+    base_dt = datetime.datetime(2024, 1, 1)
+    rows = [
+        (eid, u, base_dt + datetime.timedelta(minutes=m))
+        for eid, (u, m) in enumerate(evs)
+    ]
+    # batch model: per user, sort minutes, split on gap > 30 min
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for _eid, (u, m) in zip(range(len(evs)), evs):
+        per_user[u].append(m)
+    want = set()
+    for u, ms in per_user.items():
+        ms.sort()
+        start = prev = ms[0]
+        n = 1
+        for m in ms[1:]:
+            if (m - prev) * MIN > GAP:
+                want.add((u, start, prev, n))
+                start, n = m, 0
+            prev = m
+            n += 1
+        want.add((u, start, prev, n))
+    base_us = int(base_dt.replace(tzinfo=datetime.timezone.utc).timestamp()) * US
+    want = {(u, base_us + s * MIN, base_us + e * MIN, n) for u, s, e, n in want}
+
+    tmp = tmp_path_factory.mktemp("gs")
+    # 3 time-range batches (thirds of the minute range), in order
+    ms_all = sorted(m for _u, m in evs)
+    cut1, cut2 = ms_all[len(ms_all) // 3], ms_all[2 * len(ms_all) // 3]
+    batches = [
+        [r for r in rows if (r[2] - base_dt).total_seconds() / 60 <= cut1],
+        [r for r in rows
+         if cut1 < (r[2] - base_dt).total_seconds() / 60 <= cut2],
+        [r for r in rows if (r[2] - base_dt).total_seconds() / 60 > cut2],
+    ]
+    src = str(tmp / "src")
+    os.makedirs(src)
+    k_out = 0
+    for rows_k in batches:
+        if not rows_k:
+            continue
+        d = str(tmp / f"b{k_out}")
+        spark.createDataFrame(
+            rows_k, "event_id long, user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(d)
+        (pf,) = glob.glob(f"{d}/part-*.parquet")
+        dst = f"{src}/q{k_out}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + k_out * 60,) * 2)
+        k_out += 1
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp / "out")
+
+    def sink(b, i):
+        b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+
+    q = (
+        gap_sessions(stream, "user_id", "ts", "event_id", gap_us=GAP)
+        .writeStream.foreachBatch(sink).outputMode("update")
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.col("closed").desc(), F.col("n_events").desc(),
+        F.col("session_end").desc())
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in emitted.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").collect()
+    }
+    assert got == want
