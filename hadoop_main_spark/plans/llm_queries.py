@@ -1876,6 +1876,7 @@ def repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "exact_substr_spans",
+    bench=True,
     oracle=f"""
     WITH sh AS (SELECT doc_id, {D.shingles_sql("text", 20)} AS s FROM documents),
     win AS (SELECT doc_id, i.i - 1 AS pos, s[i.i] AS span
