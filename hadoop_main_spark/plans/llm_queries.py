@@ -1245,6 +1245,102 @@ def kmeans_two_steps(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_trained",
+    oracle=f"""
+    WITH seeds AS (SELECT vec_id AS cluster, embedding AS seed
+                   FROM embeddings WHERE vec_id < 8),
+         d1 AS (SELECT e.vec_id, s.cluster,
+                       {_SQ_L2.format(a='e.embedding', b='s.seed')} AS d2
+                FROM embeddings e CROSS JOIN seeds s),
+         b1 AS (SELECT vec_id, cluster FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                  FROM d1) WHERE rn = 1),
+         comp1 AS (
+           SELECT b1.cluster, i.i AS dim, e.embedding[i.i] AS x
+           FROM b1 JOIN embeddings e USING (vec_id),
+                unnest(generate_series(1, len(e.embedding))) AS i(i)),
+         centd1 AS (
+           SELECT cluster, dim,
+                  CAST(((SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
+                         + COUNT(*) * 160000000) // COUNT(*)) - 160000000 AS DOUBLE)
+                  / 10000000 AS c
+           FROM comp1 GROUP BY cluster, dim),
+         cent1 AS (SELECT cluster, list(c ORDER BY dim) AS centroid
+                   FROM centd1 GROUP BY cluster),
+         d2t AS (SELECT e.vec_id, c.cluster,
+                        {_SQ_L2.format(a='e.embedding', b='c.centroid')} AS d2
+                 FROM embeddings e CROSS JOIN cent1 c),
+         cells AS (SELECT vec_id, cluster FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                     FROM d2t) WHERE rn = 1),
+         comps AS (
+           SELECT cells.cluster AS cell, i.i AS dim, e.embedding[i.i] AS x
+           FROM cells JOIN embeddings e USING (vec_id),
+                unnest(generate_series(1, len(e.embedding))) AS i(i)),
+         centd AS (
+           SELECT cell, dim,
+                  CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS c
+           FROM comps GROUP BY cell, dim),
+         cent AS (SELECT cell, list(c ORDER BY dim) AS centroid FROM centd GROUP BY cell),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         cellrank AS (
+           SELECT query_id, cell, qv,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY {_cos("centroid", "qv")} DESC, cell) AS crank
+           FROM q, cent),
+         probe AS (SELECT query_id, cell, qv FROM cellrank WHERE crank <= 4),
+         scored AS (
+           SELECT p.query_id, e.vec_id AS neighbor_id, {_cos("e.embedding", "p.qv")} AS cosine
+           FROM embeddings e JOIN cells ON cells.vec_id = e.vec_id
+                JOIN probe p ON cells.cluster = p.cell
+           WHERE e.vec_id <> p.query_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+    doc="IVF with a TRAINED coarse quantizer, end-to-end under the "
+    "exact oracle — the FAISS train+search loop the label-cell "
+    "variants approximate: two Lloyd iterations (seed-assign -> "
+    "1e-7-grid integer-exact centroid recompute -> re-assign, the "
+    "kmeans_two_steps trajectory) produce the cell map, then the "
+    "standard IVF probe (per-cell decimal-exact centroids, top-4 of "
+    "8 trained cells by query-centroid cosine) prunes the scan. "
+    "Trained cells track the metric where label cells cannot, so "
+    "this is the quality path RECALL.md's curve points at; the k x "
+    "dim centroid table is driver-collected between iterations "
+    "(MLlib KMeans' pattern, tiny by definition).",
+)
+def ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    ]
+    a1 = kmeans_assign(e, seeds, "vec_id", "embedding")
+    cents1 = [
+        (int(r.cluster), [float(x) for x in r.centroid])
+        for r in kmeans_centroids(a1, "cluster", "embedding").collect()
+    ]
+    cells = kmeans_assign(e, cents1, "vec_id", "embedding").select(
+        "vec_id", "embedding", "cluster"
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(
+        cells, q, "cluster", "vec_id", "embedding", "query_id", k=10, nprobe=4
+    )
+
+
+@query(
     "decontaminate",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

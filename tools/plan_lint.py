@@ -188,6 +188,11 @@ ALLOWLIST: dict[str, str] = {
         "not statistics; the corpus side is never hinted. The lint "
         "cannot see that the filter is an id-list bound."
     ),
+    "ann_ivf_trained": (
+        "same shape as ann_ivf: _probe_cells hints the query-vector side "
+        "(embeddings filtered to the 10 probe ids — bounded by the probe "
+        "contract); the trained-cell corpus side is never hinted."
+    ),
     "ivfpq_topk": (
         "same shape as ann_ivf: the hinted subtree is the filter-bounded "
         "probe-vector set; the codes/corpus sides are unhinted."
