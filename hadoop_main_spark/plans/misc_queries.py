@@ -1849,6 +1849,71 @@ def stream_sliding_window_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_upsert_roundtrip",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_id % 4 AS b FROM events),
+    lastb AS (SELECT user_id, MAX(b) AS b FROM e GROUP BY user_id),
+    agg AS (SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(ts) AS max_ts
+            FROM e GROUP BY user_id, b)
+    SELECT a.user_id, a.n_events,
+           CAST(epoch_us(a.max_ts) AS BIGINT) AS max_ts_us
+    FROM agg a JOIN lastb l ON a.user_id = l.user_id AND a.b = l.b
+    """,
+    doc="Keyed UPSERT sink ON the driver gate (the eighth §2.12 "
+    "certification — the read+merge+rename-aside-swap last-write-wins "
+    "machinery, the dimension-table sink shape): events split into 4 "
+    "DETERMINISTIC batches (event_id mod 4, mtime-ordered so the "
+    "file source replays them in order), each batch pre-reduced to "
+    "one (user_id, n_events, max_ts) row per user, upserted on "
+    "user_id; the final table must hold, for every user, exactly the "
+    "row from the LAST batch containing that user — which the oracle "
+    "recomputes from the mod-4 split in closed form. A lost "
+    "accumulated key, a stale read of the being-replaced dir, or a "
+    "double-applied replay moves a row. BUILD-COST NOTE: this "
+    "builder EXECUTES the full streaming job at plan-build time. "
+    "LOCAL-MODE CONTRACT: tempfile.mkdtemp() sinks.",
+)
+def stream_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_main_spark.streaming.windows import upsert_stream_parquet
+
+    e = t(spark, sf, "events").select("user_id", "event_id", "ts")
+    base = tempfile.mkdtemp(prefix="streamup_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    for k in range(4):
+        part_dir = f"{base}/part{k}"
+        (
+            e.filter(F.col("event_id") % 4 == k)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), F.max("ts").alias("max_ts"))
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        (pf,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/q{k}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = upsert_stream_parquet(stream, f"{base}/out", f"{base}/ckpt", key="user_id")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.unix_micros("max_ts").alias("max_ts_us"),
+    )
+
+
+@query(
     "video_container_meta",
     oracle="""
     WITH p AS (SELECT doc_id AS i,

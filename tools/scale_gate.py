@@ -93,6 +93,8 @@ DEFAULT_EXTRAS = [
     "exact_substr_spans",
     "redirect_frontier",
     "image_exif_meta",
+    "exact_substr_dedup",
+    "ann_ivf_trained",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
