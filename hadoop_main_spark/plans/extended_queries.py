@@ -1216,6 +1216,107 @@ def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     return d.groupBy("status").agg(F.count("*").cast("bigint").alias("n_keys"))
 
 
+_MERGE_CANON = (
+    "concat_ws(chr(31), "
+    "coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(o_orderstatus AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(price AS VARCHAR), chr(0) || 'NULL'), "
+    "coalesce(CAST(o_orderpriority AS VARCHAR), chr(0) || 'NULL'))"
+)
+
+
+@query(
+    "merge_upsert",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(20,2)) AS price, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(20,2))
+               + CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END AS price,
+             o_orderpriority,
+             (o_orderkey % 13 = 0) AS is_delete
+      FROM orders
+      WHERE o_orderkey % 7 = 0 OR o_orderkey % 97 = 0 OR o_orderkey % 13 = 0),
+    merged AS (
+      SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                  ELSE t.o_custkey END AS o_custkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.price
+                  ELSE t.price END AS price,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+                  ELSE t.o_orderpriority END AS o_orderpriority
+      FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey IS NOT NULL AND s.is_delete))
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({hash64_sql(_MERGE_CANON)})
+                % 2305843009213693951 AS BIGINT) AS fingerprint
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="Batch MERGE INTO (operators/aggregate.py:merge_into — the "
+    "lakehouse upsert primitive, ANSI SQL:2003 MERGE / Delta-style "
+    "semantics; the write-side counterpart to snapshot_diff): a "
+    "deterministic change set derived from orders (updates on keys "
+    "% 7 = 0 with price bumped +10, inserts on keys % 97 = 0 absent "
+    "from the target, delete markers on keys % 13 = 0 — deletes win "
+    "on overlap, and not-matched deletes exercise the no-op branch) "
+    "merges into the target snapshot via ONE co-partitioned "
+    "full-outer join; all five action branches (update / insert / "
+    "delete / no-op delete / keep) resolve from a presence flag. The "
+    "merged table is certified by content, not by counts: per order "
+    "status, n_rows + the order-independent mod-2^61-1 row "
+    "fingerprint over every column, so a single mis-merged row "
+    "anywhere fails the oracle.",
+)
+def merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.aggregate import merge_into, table_fingerprint
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(20,2)").alias("price0"),
+        "o_orderpriority",
+    )
+    target = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("price0").alias("price"),
+        "o_orderpriority",
+    )
+    k = F.col("o_orderkey")
+    source = o.filter((k % 7 == 0) | (k % 97 == 0) | (k % 13 == 0)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (
+            F.col("price0")
+            + F.when(k % 7 == 0, F.lit(10)).otherwise(F.lit(0))
+        ).alias("price"),
+        "o_orderpriority",
+        (k % 13 == 0).alias("is_delete"),
+    )
+    merged = merge_into(
+        target,
+        source,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "price", "o_orderpriority"],
+        delete_col="is_delete",
+    )
+    return table_fingerprint(
+        merged,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "price", "o_orderpriority"],
+        ["o_orderstatus"],
+    )
+
+
 @query(
     "dq_audit",
     oracle="""

@@ -1811,6 +1811,45 @@ def test_keyed_snapshot_diff_statuses(spark):
     }
 
 
+def test_merge_into_action_branches(spark):
+    """All five MERGE branches: matched update, matched delete,
+    not-matched insert, not-matched delete (no-op), target-only keep —
+    plus a NULL value surviving an update and a delete marker that is
+    NULL in the source (treated as false)."""
+    from hadoop_main_spark.operators.aggregate import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "B", False),   # matched update
+            (3, "dead", True), # matched delete
+            (5, "e", False),   # not-matched insert
+            (6, "x", True),    # not-matched delete -> no-op
+            (7, None, None),   # NULL delete marker -> insert with NULL value
+        ],
+        "k int, v string, is_delete boolean",
+    )
+    got = {
+        r.k: r.v
+        for r in merge_into(
+            target, source, ["k"], ["v"], delete_col="is_delete"
+        ).collect()
+    }
+    assert got == {1: "a", 2: "B", 4: None, 5: "e", 7: None}
+
+
+def test_merge_into_without_delete_col(spark):
+    """Pure upsert form: no delete marker column at all."""
+    from hadoop_main_spark.operators.aggregate import merge_into
+
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    source = spark.createDataFrame([(2, 99), (3, 30)], "k int, v int")
+    got = {r.k: r.v for r in merge_into(target, source, ["k"], ["v"]).collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+
+
 def test_winnow_fingerprints_vs_python_reference(spark):
     """Independent pure-Python winnowing (Schleimer et al. SIGMOD'03,
     Fig. 5 semantics: min of each w-window of k-gram hashes, RIGHTMOST
