@@ -976,6 +976,106 @@ def avro_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip_agg",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           md5(CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS VARCHAR))
+             AS text_checksum
+    FROM documents WHERE n_chars >= 200 GROUP BY lang
+    """,
+    doc="ORC round trip ON the driver gate (the warehouse column "
+    "format beside parquet — Spark's built-in orc source, ORC v1 "
+    "zlib-compressed stripes): documents written as ORC, read back, "
+    "filtered n_chars >= 200 so the ORC reader's predicate pushdown "
+    "path executes (stripe/row-group stats prune on the min/max of "
+    "n_chars), then per-language counts, char sums, and the "
+    "order-independent 60-bit text checksum must match the oracle on "
+    "the ORIGINAL parquet. LOCAL-MODE CONTRACT: tempfile.mkdtemp() as "
+    "the write target (shared FS on a real cluster — the write_avro "
+    "caveat).",
+)
+def orc_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    d = t(spark, sf, "documents").select("doc_id", "lang", "n_chars", "text")
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/documents.orc"
+    d.write.option("compression", "zlib").orc(out)
+    back = spark.read.orc(out).filter(F.col("n_chars") >= 200)
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.md5(F.sum(h60.cast("decimal(38,0)")).cast("string")).alias("text_checksum"),
+    )
+
+
+# Adversarial suffix exercising every CSV metacharacter: embedded
+# newline, the quote char, the delimiter, a backslash, a tab. Spark
+# side and oracle side must build the IDENTICAL bytes.
+_CSV_EVIL = '\n",\\\t'
+
+
+@query(
+    "csv_roundtrip_agg",
+    oracle=f"""
+    WITH evil AS (
+      SELECT lang, n_chars,
+             concat(text, chr(10) || '",' || chr(92) || chr(9)) AS text
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           md5(CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS VARCHAR))
+             AS text_checksum
+    FROM evil GROUP BY lang
+    """,
+    doc="CSV round trip ON the driver gate with every RFC 4180 "
+    "metacharacter planted in every row (embedded newline, the quote "
+    "character itself, the delimiter, a backslash, a tab appended to "
+    "each document): written with Spark's csv sink (quoteAll + "
+    'escape=\'"\' — RFC 4180 doubled-quote form), read back with '
+    "multiLine=true and an explicit schema, and checksummed per "
+    "language against the oracle computing the same adversarial text "
+    "directly on the parquet — so the quoting/escaping machinery "
+    "itself is what is verified, not just happy-path values. "
+    "LOCAL-MODE CONTRACT: tempfile.mkdtemp() write target.",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat(F.col("text"), F.lit(_CSV_EVIL)).alias("text"),
+    )
+    out = tempfile.mkdtemp(prefix="csv_rt_") + "/documents.csv"
+    (
+        d.write.option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        # the csv SINK trims cell whitespace by default — the planted
+        # trailing tab would silently vanish without these
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("doc_id long, lang string, n_chars long, text string")
+        .csv(out)
+    )
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.md5(F.sum(h60.cast("decimal(38,0)")).cast("string")).alias("text_checksum"),
+    )
+
+
+@query(
     "seqfile_roundtrip_agg",
     oracle="""
     SELECT l.layout,
