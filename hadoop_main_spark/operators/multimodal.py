@@ -1020,7 +1020,7 @@ def _wav_decode(p: bytes):
     if len(p) < 12 or p[0:4] != b"RIFF" or p[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i, n = 12, len(p)
-    rate = channels = bits = None
+    rate = channels = bits = fmt = None
     data = None
     while i + 8 <= n:
         cid = p[i : i + 4]
@@ -1030,7 +1030,7 @@ def _wav_decode(p: bytes):
             if len(body) < 16:
                 raise ValueError("truncated fmt chunk")
             fmt = int.from_bytes(body[0:2], "little")
-            if fmt != 1:
+            if fmt not in (1, 6, 7):  # PCM, G.711 A-law, G.711 mu-law
                 raise ValueError(f"compressed WAV (format {fmt}) not supported")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
@@ -1040,10 +1040,19 @@ def _wav_decode(p: bytes):
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    if bits != 16:
-        raise ValueError(f"{bits}-bit PCM not supported (16-bit only)")
     if channels < 1:
         raise ValueError("invalid channel count")
+    if fmt in (6, 7):
+        # G.711 companded telephony audio (RFC 2361 format tags):
+        # 8-bit codes expand to 16-bit linear on the data path.
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        frames = len(data) // channels
+        codes = np.frombuffer(data, dtype=np.uint8, count=frames * channels)
+        expand = _g711_mulaw_decode if fmt == 7 else _g711_alaw_decode
+        return rate, channels, expand(codes).reshape(frames, channels)
+    if bits != 16:
+        raise ValueError(f"{bits}-bit PCM not supported (16-bit only)")
     frames = len(data) // (2 * channels)
     pcm = np.frombuffer(data, dtype="<i2", count=frames * channels)
     return rate, channels, pcm.reshape(frames, channels)
@@ -1063,6 +1072,89 @@ def _wav_encode(rate: int, samples) -> bytes:
         + (rate * block).to_bytes(4, "little")
         + block.to_bytes(2, "little")
         + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _g711_mulaw_decode(codes):
+    """ITU-T G.711 μ-law expansion, vectorized (uint8 codes → int16
+    linear). Closed-form bit math (the table in G.711 Table 2a/2b,
+    the same algebra every public implementation uses, e.g. CPython's
+    former audioop.ulaw2lin): complement, then
+    t = ((mant<<3)+0x84)<<exp; sample = sign ? 0x84-t : t-0x84."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32)
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _g711_mulaw_encode(samples):
+    """μ-law compression (int16 linear → uint8 codes), vectorized:
+    bias the magnitude by 0x84, find the segment (position of the top
+    set bit above bit 7), take the 4 mantissa bits below it,
+    complement. Exact inverse of the decoder on decoder outputs
+    (pinned by the all-256-codes roundtrip test)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # segment = floor(log2(mag)) - 7, in [0, 7]; mag >= 0x84 so the
+    # top bit is at least bit 7
+    seg = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant)).astype(np.uint8)
+
+
+def _g711_alaw_decode(codes):
+    """ITU-T G.711 A-law expansion, vectorized (uint8 → int16): xor
+    0x55, then seg 0 → (q<<4)+8, seg 1 → (q<<4)+0x108, seg k>=2 →
+    ((q<<4)+0x108)<<(k-1); the sign bit SET means positive."""
+    import numpy as np
+
+    a = np.asarray(codes, dtype=np.uint8).astype(np.int32) ^ 0x55
+    q = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0, q + 8, np.where(seg == 1, q + 0x108, (q + 0x108) << np.maximum(seg - 1, 0))
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _g711_alaw_encode(samples):
+    """A-law compression (int16 → uint8), vectorized: segment from the
+    top set bit above bit 8, 4 mantissa bits, xor 0x55 (even-bit
+    inversion). Exact inverse of the decoder on decoder outputs."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    top = np.zeros_like(mag)
+    nz = mag > 0
+    top[nz] = np.floor(np.log2(mag[nz])).astype(np.int32)
+    seg = (top - 7).clip(0, 7)
+    mant = np.where(seg == 0, mag >> 4, mag >> (seg + 3)) & 0x0F
+    return ((sign | (seg << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def _wav_encode_g711(rate: int, codes, law: str) -> bytes:
+    """Write raw G.711 code bytes as a mono WAV (format tag 7 = μ-law,
+    6 = A-law, 8 bits/sample — the RIFF registration in RFC 2361)."""
+    import numpy as np
+
+    data = np.ascontiguousarray(np.asarray(codes, dtype=np.uint8)).tobytes()
+    tag = {"mulaw": 7, "alaw": 6}[law]
+    fmt = (
+        b"fmt \x10\x00\x00\x00"
+        + tag.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
     )
     body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
     return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -874,6 +874,82 @@ def wav_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "wav_g711_decode_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 50 + 40 AS n FROM documents),
+    m AS (SELECT doc_id, n, unnest([0, 1]) AS law FROM p),
+    b AS (SELECT doc_id, n, law, unnest(generate_series(0, 3)) AS band FROM m),
+    r AS (SELECT doc_id, n, law, band,
+            (band * n) // 4 AS lo,
+            greatest(((band + 1) * n) // 4, (band * n) // 4 + 1) AS hi
+          FROM b),
+    s AS (SELECT doc_id, law, band,
+            unnest(generate_series(least(lo, n - 1), least(hi, n) - 1)) AS j
+          FROM r),
+    c AS (SELECT doc_id, law, band, (doc_id * 11 + j * 5) % 256 AS code FROM s),
+    mu AS (SELECT doc_id, law, band, 255 - code AS u FROM c WHERE law = 0),
+    mudec AS (SELECT doc_id, law, band,
+                CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS samp
+              FROM (SELECT doc_id, law, band, u,
+                      ((u % 16) * 8 + 132) * (CAST(1 AS BIGINT) << ((u // 16) % 8)) AS t
+                    FROM mu)),
+    al AS (SELECT doc_id, law, band, xor(code, 85) AS a FROM c WHERE law = 1),
+    aldec AS (SELECT doc_id, law, band,
+                CASE WHEN a >= 128 THEN t ELSE -t END AS samp
+              FROM (SELECT doc_id, law, band, a,
+                      CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                           WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+                           ELSE ((a % 16) * 16 + 264)
+                                * (CAST(1 AS BIGINT) << ((a // 16) % 8 - 1))
+                      END AS t
+                    FROM al)),
+    d AS (SELECT * FROM mudec UNION ALL SELECT * FROM aldec)
+    SELECT doc_id * 2 + law AS media_id, CAST(band AS BIGINT) AS band,
+           AVG(CAST(abs(samp) AS DOUBLE)) / 32768.0 AS amp_mean
+    FROM d GROUP BY doc_id, law, band
+    """,
+    doc="REAL G.711 telephony-audio decode on the data path (ITU-T "
+    "G.711 mu-law AND A-law, RIFF format tags 7/6 per RFC 2361 — the "
+    "codec every callcenter/voicemail corpus arrives in): per doc, "
+    "code byte j = (doc_id*11 + j*5) % 256 sweeps all 256 codes "
+    "across the corpus; both laws' WAVs are container-encoded "
+    "(_wav_encode_g711), chunk-walked and EXPANDED to 16-bit linear "
+    "inside the Arrow batch (vectorized complement/segment/mantissa "
+    "bit math — operators/multimodal.py:_g711_mulaw_decode/"
+    "_g711_alaw_decode), then per-time-window mean absolute "
+    "amplitudes. The oracle re-derives the companding expansion in "
+    "pure SQL from the code formula, so the G.711 bit math itself is "
+    "what is verified, bit-exactly, for every code value. media_id = "
+    "doc_id*2 + law (0 = mu-law, 1 = A-law).",
+)
+def wav_g711_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            out_ids, payloads = [], []
+            for i in ids:
+                i = int(i)
+                n = i % 50 + 40
+                codes = ((i * 11 + np.arange(n) * 5) % 256).astype(np.uint8)
+                for law, name in ((0, "mulaw"), (1, "alaw")):
+                    out_ids.append(i * 2 + law)
+                    payloads.append(MM._wav_encode_g711(8000, codes, name))
+            yield pd.DataFrame({"media_id": out_ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = MM.extract_features(media, decoder="wav", dim=4)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("band", "amp_mean")
+    ).select("media_id", F.col("band").cast("long").alias("band"), "amp_mean")
+
+
+@query(
     "image_dhash_dup_groups",
     oracle="""
     WITH b AS (SELECT doc_id, doc_id % 40 AS cls FROM documents),

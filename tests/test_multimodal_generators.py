@@ -1446,3 +1446,57 @@ def test_exif_walk_roundtrip_and_strictness():
                            b"II" + struct.pack("<HI", 43, 8), 1)
     with pytest.raises(ValueError):
         MM._exif_meta(corrupt)
+
+
+def test_g711_codec_identities_and_reference_values():
+    """ITU-T G.711 companding: A-law encode(decode(c)) == c for ALL
+    256 codes (A-law has no signed zero); mu-law the same except the
+    single -0 code 0x7F (which decodes to 0 and canonically re-encodes
+    as +0 = 0xFF) — value-level identity holds for all 256. Extreme
+    decode values pin the published tables: mu-law +-32124, A-law
+    +-32256, A-law minimum magnitude 8."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    codes = np.arange(256, dtype=np.uint8)
+    mu = MM._g711_mulaw_decode(codes)
+    re_mu = MM._g711_mulaw_encode(mu)
+    mismatch = codes[re_mu != codes]
+    assert mismatch.tolist() == [0x7F]
+    assert np.array_equal(MM._g711_mulaw_decode(re_mu), mu)
+    al = MM._g711_alaw_decode(codes)
+    assert np.array_equal(MM._g711_alaw_encode(al), codes)
+    assert int(mu.max()) == 32124 and int(mu.min()) == -32124
+    assert int(al.max()) == 32256 and int(al.min()) == -32256
+    assert int(np.abs(al).min()) == 8
+    # mu-law decodes both zero codes to exactly 0
+    assert int(MM._g711_mulaw_decode(np.array([0xFF], np.uint8))[0]) == 0
+    assert int(MM._g711_mulaw_decode(np.array([0x7F], np.uint8))[0]) == 0
+
+
+def test_g711_wav_walk_and_strictness():
+    """G.711 WAVs (format tags 7/6) decode through the real RIFF chunk
+    walk to 16-bit linear; a G.711 fmt chunk claiming 16 bits raises;
+    unrelated compressed formats still raise."""
+    import numpy as np
+    import pytest
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    codes = np.arange(256, dtype=np.uint8)
+    for law, dec in (("mulaw", MM._g711_mulaw_decode), ("alaw", MM._g711_alaw_decode)):
+        p = MM._wav_encode_g711(8000, codes, law)
+        rate, ch, pcm = MM._wav_decode(p)
+        assert (rate, ch) == (8000, 1)
+        assert np.array_equal(pcm[:, 0], dec(codes))
+    # corrupt bits field: G.711 must be 8-bit
+    p = bytearray(MM._wav_encode_g711(8000, codes, "mulaw"))
+    p[34] = 16  # fmt chunk bits/sample lives at offset 34 in this layout
+    with pytest.raises(ValueError, match="8-bit"):
+        MM._wav_decode(bytes(p))
+    # an unsupported compressed format tag still raises
+    q = bytearray(MM._wav_encode_g711(8000, codes, "alaw"))
+    q[20] = 2  # format tag -> ADPCM
+    with pytest.raises(ValueError, match="not supported"):
+        MM._wav_decode(bytes(q))
