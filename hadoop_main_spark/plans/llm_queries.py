@@ -2669,6 +2669,92 @@ def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Hand-pinned BPE merge list for the encode gate (the robots_url_filter
+# pattern: the oracle carries the same literals, so the APPLY machinery
+# is what is under test — bpe_train's own merge choice is pinned
+# merge-for-merge against a pure-Python reference in pytest). Chosen
+# from the corpus's real top pair statistics, with a two-level chain
+# (t+h, then th+e) so replay ORDER is exercised.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("s", "t"),
+    ("o", "r"),
+    ("o", "w"),
+    ("a", "n"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB SQL replaying _BPE_MERGES over every corpus word.
+
+    Representation: token sequence t1..tn as '\\x1f't1'\\x1f''\\x1f't2...
+    (each token wrapped in chr(31) on BOTH sides), so one merge is ONE
+    non-overlapping left-to-right replace() of '\\x1fL\\x1f\\x1fR\\x1f'
+    with '\\x1fLR\\x1f' — token boundaries cannot false-match inside a
+    longer token, and consecutive merge sites don't share delimiter
+    characters. A single replace() pass equals BPE's one greedy pass,
+    which is exhaustive for one merge (the fused token differs from
+    both halves, so no new site of the SAME pair can appear).
+    """
+    d = "chr(31)"
+    expr = f"regexp_replace(word, '(.)', {d} || '\\1' || {d}, 'g')"
+    for l_, r_ in _BPE_MERGES:
+        pat = f"{d} || '{l_}' || {d} || {d} || '{r_}' || {d}"
+        rep = f"{d} || '{l_}{r_}' || {d}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return rf"""
+    WITH w AS (
+      SELECT word FROM (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    enc AS (SELECT {expr} AS s FROM w),
+    toks AS (
+      SELECT unnest(string_split(trim(s, chr(31)), chr(31) || chr(31))) AS token
+      FROM enc
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY token
+    ORDER BY cnt DESC, token LIMIT 50
+    """
+
+
+@query(
+    "bpe_encode_stats",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE tokenizer APPLY over the corpus (operators/bpe.py:"
+    "bpe_apply — the encode pass a training pipeline runs after "
+    "bpe_train): every document word is encoded by replaying the "
+    "pinned 8-merge list in order (greedy left-to-right per merge, "
+    "the Sennrich/GPT-2 apply contract; includes the two-level "
+    "t+h -> th+e chain so replay ORDER is verified), Arrow-batched "
+    "with a per-worker distinct-word memo; output is the resulting "
+    "token distribution's top-50 under the (cnt desc, token) total "
+    "order. The oracle replays the SAME merges in pure SQL via "
+    "delimiter-wrapped non-overlapping replace() — so the greedy "
+    "merge semantics themselves are cross-verified on every word of "
+    "the corpus. Merge-list literals are hand-pinned (the "
+    "robots_url_filter pattern); the trainer's merge CHOICE is "
+    "separately pinned merge-for-merge against a pure-Python "
+    "reference in pytest.",
+)
+def bpe_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators import bpe as B
+
+    docs = t(spark, sf, "documents")
+    enc = B.bpe_apply(docs, [(l_, r_, 0) for l_, r_ in _BPE_MERGES])
+    return (
+        enc.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(50)
+    )
+
+
 @query(
     "train_shuffle_order",
     oracle=f"""
