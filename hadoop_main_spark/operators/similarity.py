@@ -35,6 +35,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StructField,
@@ -2103,6 +2104,116 @@ def pq_adc_scores(
         .groupBy("query_id", id_col)
         .agg(F.sum("d").cast("bigint").alias("pq_d2"))
     )
+
+
+def opq_rotation(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    qscale: int = PQ_QSCALE,
+):
+    """Parametric OPQ rotation (Ge et al. CVPR'13 §4, "Optimized
+    Product Quantization", the OPQ_P recipe FAISS exposes as
+    OPQMatrix): PCA basis from the EXACT distributed covariance
+    (:func:`gram_matrix_exact` — 100 TB of vectors reduce to dim^2
+    BIGINT cells before anything touches the driver), then
+    EIGENVALUE ALLOCATION — eigenvectors are dealt, in descending
+    eigenvalue order, to the PQ subspace with the smallest current
+    eigenvalue product (log-sum form), so every subspace carries
+    comparable variance and the independent sub-quantizers stop
+    wasting codes on lopsided energy.
+
+    Determinism: covariance is exact integer arithmetic; eigvec sign
+    is normalized (largest-|component| entry made positive, lowest
+    index on ties) and the allocation tie-breaks by bucket index, so
+    the rotation is reproducible run-to-run.
+
+    Returns the (dim, dim) orthogonal float64 matrix R, rows arranged
+    so subspace j owns rows [j*dsub, (j+1)*dsub): rotated vector =
+    R @ x.
+    """
+    import math
+
+    import numpy as np
+
+    rows = gram_matrix_exact(corpus, vec_col, qscale).collect()
+    if not rows:
+        raise ValueError("opq_rotation needs a non-empty corpus")
+    dim = max(r.j for r in rows) + 1
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    S = np.zeros((dim, dim), dtype=np.float64)
+    sx = np.zeros(dim, dtype=np.float64)
+    n = 0
+    for r in rows:
+        S[r.i, r.j] = S[r.j, r.i] = float(r.sum_xy)
+        sx[r.i] = float(r.sum_x)
+        sx[r.j] = float(r.sum_y)
+        n = int(r.n)
+    cov = (S - np.outer(sx, sx) / n) / (n * float(qscale) ** 2)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    for c in range(dim):
+        col = evecs[:, c]
+        if col[int(np.argmax(np.abs(col)))] < 0:
+            evecs[:, c] = -col
+    dsub = dim // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    for idx in range(dim):
+        open_ = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(open_, key=lambda b: (logs[b], b))
+        buckets[b].append(idx)
+        logs[b] += math.log(max(float(evals[idx]), 1e-30))
+    perm = [i for bucket in buckets for i in bucket]
+    return evecs[:, perm].T
+
+
+def rotate_vectors(
+    vectors: DataFrame,
+    rotation,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply an OPQ rotation corpus-side: Arrow-batched x → R @ x
+    (one float64 matmul per batch — dim^2 madds/row, far past the
+    Arrow crossover; R rides the closure, dim^2 floats, the
+    broadcast-small-dims shape). Output mirrors the input schema
+    (id_col, vec_col as array<float>), so every downstream PQ/IVF
+    path consumes rotated vectors unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    Rm = np.asarray(rotation, dtype=np.float64)
+    dim = Rm.shape[0]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField(vec_col, ArrayType(FloatType(), False), False),
+        ]
+    )
+
+    def _rot(batches):
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = batch.column(1).flatten()
+            x = flat.to_numpy(zero_copy_only=False).reshape(nrows, dim)
+            y = x.astype(np.float64) @ Rm.T
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(y.reshape(-1).astype(np.float32)), dim
+                    ).cast(pa.list_(pa.float32())),
+                ],
+                names=[id_col, vec_col],
+            )
+
+    return vectors.select(id_col, vec_col).mapInArrow(_rot, out_schema)
 
 
 def gram_matrix_exact(

@@ -3175,6 +3175,49 @@ def pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "opq_pq_topk",
+    oracle=None,
+    doc="OPQ-rotated product quantization (Ge et al. CVPR'13, the "
+    "FAISS 'OPQ{m},PQ{m}' index string — completes the ANN matrix's "
+    "TRAINING axis beside pq_trained_codebook and ann_ivf_trained): "
+    "the parametric OPQ_P rotation — PCA basis from the EXACT "
+    "distributed covariance (similarity.gram_matrix_exact, dim^2 "
+    "BIGINT cells), eigenvalue allocation balancing per-subspace "
+    "variance products — is applied corpus-side as an Arrow-batched "
+    "matmul (similarity.rotate_vectors); trained per-subspace "
+    "codebooks (pq_trained_codebook) then encode the ROTATED "
+    "vectors, and queries rotate driver-side before the standard "
+    "broadcast ADC scoring. NO SQL ORACLE by design: the "
+    "eigendecomposition step is genuinely non-SQL-expressible (the "
+    "driver records the weaker rows-only check); the rotation's "
+    "properties (orthogonality, determinism, norm preservation, "
+    "variance balance) are pinned in pytest and the recall payoff on "
+    "an anisotropic corpus is pinned in RECALL.md.",
+)
+def opq_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    import numpy as np
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    R = SIM.opq_rotation(e, m=4)
+    rot = SIM.rotate_vectors(e, R)
+    cb, _ = SIM.pq_trained_codebook(rot, k=16, m=4, max_iter=3)
+    enc = SIM.pq_encode(rot, cb)
+    qs = [
+        (int(r.vec_id), [float(v) for v in (R @ np.asarray(r.embedding, np.float64))])
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    ]
+    sc = SIM.pq_adc_scores(enc, qs, cb)
+    w = Window.partitionBy("query_id").orderBy("pq_d2", "vec_id")
+    return (
+        sc.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 10)
+        .orderBy("query_id", "rn")
+    )
+
+
 # --- C4-style exact line dedup (rebuild docs minus boilerplate lines) --------
 
 LINE_LEN = 8  # tokens per pseudo-line (the corpus has no newlines)

@@ -2042,6 +2042,55 @@ def test_gram_matrix_exact_pca_roundtrip(spark, sf_dir):
     assert np.array_equal(w1, w2) and np.array_equal(v1, v2)
 
 
+def test_opq_rotation_properties(spark, sf_dir):
+    """Parametric OPQ rotation (Ge et al. CVPR'13): R must be exactly
+    orthogonal, deterministic across calls, subspace-variance balanced
+    (eigenvalue allocation: every subspace's log-variance product
+    within the spread of the single largest eigenvalue), and
+    rotate_vectors must apply R @ x (norm-preserving) with the input
+    schema mirrored."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import similarity as SIM
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    m = 4
+    R = SIM.opq_rotation(e, m=m)
+    dim = R.shape[0]
+    assert R.shape == (dim, dim)
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-10)
+    assert np.array_equal(R, SIM.opq_rotation(e, m=m))
+    # R is the PCA basis under an allocation PERMUTATION: the rotated
+    # covariance is diagonal (off-diagonal energy vanishes) and its
+    # diagonal is a permutation of the original eigenvalues — and the
+    # top eigenvalue lands in subspace 0 (the greedy deals the largest
+    # eigenvector first, to the first empty bucket)
+    x = np.array([[float(v) for v in r.embedding] for r in e.collect()])
+    # the operator's covariance lives on the integer micro-grid —
+    # recompute it the same way before comparing spectra
+    q = np.floor(x * SIM.PQ_QSCALE + 0.5)
+    n = q.shape[0]
+    cov = (q.T @ q - np.outer(q.sum(0), q.sum(0)) / n) / n / SIM.PQ_QSCALE**2
+    cov_rot = R @ cov @ R.T
+    d = np.diag(cov_rot).copy()
+    off = cov_rot - np.diag(d)
+    assert np.abs(off).max() <= 1e-9 * max(d.max(), 1.0)
+    evals = np.linalg.eigvalsh(cov)
+    assert np.allclose(np.sort(d), np.sort(evals), rtol=1e-8, atol=1e-10)
+    dsub = dim // m
+    assert np.argmax(d) < dsub
+    # rotate_vectors == R @ x, norms preserved, schema mirrored
+    rot = SIM.rotate_vectors(e, R)
+    assert [f.name for f in rot.schema.fields] == ["vec_id", "embedding"]
+    sample = {int(r.vec_id): np.array(r.embedding) for r in rot.limit(20).collect()}
+    orig = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in e.filter(F.col("vec_id").isin(*sample)).collect()}
+    for vid, y in sample.items():
+        assert np.allclose(R @ orig[vid], y, atol=1e-3)
+        assert abs(np.linalg.norm(orig[vid]) - np.linalg.norm(y)) < 1e-2
+
+
 def test_ivfpq_residual_wins_on_clustered_corpus(spark):
     """True IVFADC's payoff case: a corpus of tight clusters around
     far-apart centers. Residual energy << vector energy, so trained
