@@ -3389,17 +3389,16 @@ def mkv_container_meta(media: DataFrame) -> DataFrame:
 # --- ID3v2 text frames (mp3 tag metadata, no audio decode) --------------------
 
 
-def _id3v2_frames(p: bytes) -> dict:
-    """Read ID3v2.3/2.4 TEXT frames from an MP3's leading tag
-    (id3.org public spec): 10-byte header with syncsafe tag size,
-    frames of [id(4), size(4 — syncsafe in v2.4, plain in v2.3),
-    flags(2), payload], payload = encoding byte + text. Encodings 0
-    (latin-1), 1 (utf-16 with BOM), 2 (utf-16be), 3 (utf-8) all
-    decode; trailing NULs strip. Returns {frame_id: text}. Raises
-    ValueError on a malformed tag (truncation, non-syncsafe size
-    bytes); returns {} when no ID3v2 tag leads the payload."""
+def _id3v2_raw_frames(p: bytes):
+    """Walk an MP3's leading ID3v2.3/2.4 tag (id3.org public spec):
+    10-byte header with syncsafe tag size, frames of [id(4), size(4 —
+    syncsafe in v2.4, plain in v2.3), flags(2), payload]. Yields
+    (frame_id bytes, body bytes); yields nothing when no ID3v2 tag
+    leads the payload; raises ValueError on a malformed tag
+    (truncation, non-syncsafe size bytes). Shared by the TEXT-frame
+    and APIC readers."""
     if p[:3] != b"ID3":
-        return {}
+        return
     if len(p) < 10:
         raise ValueError("id3: truncated header")
     ver = p[3]
@@ -3420,7 +3419,6 @@ def _id3v2_frames(p: bytes) -> dict:
             i = 10 + ext  # v2.4 ext size INCLUDES itself
         else:
             i = 14 + ext  # v2.3 ext size excludes the 4 size bytes
-    out: dict[str, str] = {}
     while i + 10 <= end:
         fid = p[i : i + 4]
         if fid == b"\x00\x00\x00\x00":
@@ -3436,9 +3434,20 @@ def _id3v2_frames(p: bytes) -> dict:
         body_start = i + 10
         if body_start + fsize > end:
             raise ValueError(f"id3: frame {fid!r} exceeds tag")
-        if fid.startswith(b"T") and fsize >= 1:
-            enc = p[body_start]
-            data = p[body_start + 1 : body_start + fsize]
+        yield fid, p[body_start : body_start + fsize]
+        i = body_start + fsize
+
+
+def _id3v2_frames(p: bytes) -> dict:
+    """Read ID3v2.3/2.4 TEXT frames (payload = encoding byte + text;
+    encodings 0 latin-1 / 1 utf-16-BOM / 2 utf-16be / 3 utf-8 all
+    decode; trailing NULs strip). Returns {frame_id: text}; {} when no
+    tag; ValueError on malformed tags (see _id3v2_raw_frames)."""
+    out: dict[str, str] = {}
+    for fid, body in _id3v2_raw_frames(p):
+        if fid.startswith(b"T") and len(body) >= 1:
+            enc = body[0]
+            data = body[1:]
             if enc == 0:
                 text = data.decode("latin-1")
             elif enc == 1:
@@ -3450,13 +3459,44 @@ def _id3v2_frames(p: bytes) -> dict:
             else:
                 raise ValueError(f"id3: unknown text encoding {enc}")
             out[fid.decode("ascii")] = text.rstrip("\x00")
-        i = body_start + fsize
     return out
 
 
-def _id3v2_build(frames: dict, ver: int = 4, pad: int = 0) -> bytes:
+def _id3v2_apic(p: bytes):
+    """First APIC (attached picture, id3.org §4.14) frame's embedded
+    image bytes, or None when the payload has no tag / no APIC. APIC
+    body = encoding(1) + mime(NUL-terminated latin-1) + picture
+    type(1) + description (NUL-terminated per encoding — double NUL
+    for the utf-16 forms) + image data. Malformed APIC bodies raise
+    ValueError like any other tag corruption."""
+    for fid, body in _id3v2_raw_frames(p):
+        if fid != b"APIC":
+            continue
+        try:
+            enc = body[0]
+            j = body.index(b"\x00", 1) + 1  # mime terminator
+            j += 1  # picture type byte
+            if enc in (1, 2):  # utf-16 description ends at double NUL
+                while body[j : j + 2] != b"\x00\x00":
+                    if j + 2 > len(body):
+                        raise ValueError
+                    j += 2
+                j += 2
+            else:
+                j = body.index(b"\x00", j) + 1
+        except (IndexError, ValueError):
+            raise ValueError("id3: malformed APIC frame") from None
+        return bytes(body[j:])
+    return None
+
+
+def _id3v2_build(
+    frames: dict, ver: int = 4, pad: int = 0, apic: bytes | None = None
+) -> bytes:
     """Fixture-side ID3v2.3/2.4 writer (utf-8 text frames for v2.4,
-    utf-16-BOM for v2.3 — exercising both size forms and encodings)."""
+    utf-16-BOM for v2.3 — exercising both size forms and encodings;
+    ``apic`` embeds an attached-picture frame: latin-1 'image/png'
+    mime, picture type 3 = front cover, 'cover' description)."""
     body = b""
     for fid, text in frames.items():
         if ver == 4:
@@ -3469,6 +3509,16 @@ def _id3v2_build(frames: dict, ver: int = 4, pad: int = 0) -> bytes:
             payload = b"\x01\xff\xfe" + text.encode("utf-16-le")
             size = len(payload).to_bytes(4, "big")
         body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    if apic is not None:
+        payload = b"\x00image/png\x00\x03cover\x00" + apic
+        n = len(payload)
+        if ver == 4:
+            size = bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+            )
+        else:
+            size = n.to_bytes(4, "big")
+        body += b"APIC" + size + b"\x00\x00" + payload
     body += b"\x00" * pad
     n = len(body)
     ssize = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
@@ -3508,6 +3558,33 @@ def mp3_id3_tags(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 out, columns=["media_id", "title", "artist", "album", "ok"]
             )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def id3_album_art(media: DataFrame) -> DataFrame:
+    """Extract embedded album art from MP3 payloads' ID3v2 APIC
+    frames (id3.org §4.14) as a binary column — the bridge from the
+    audio-library tier into the IMAGE pipeline: extracted art feeds
+    decode_to_rgb / image_dhash / pixel dedup unchanged, so cover-art
+    near-dup detection is a composition, not a new code path. Output
+    (media_id, art, ok): art NULL when the payload has no tag or no
+    APIC frame; ok=false on malformed tags (bad-record policy — one
+    corrupt file must not kill a corpus pass)."""
+    schema = "media_id long, art binary, ok boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                pbytes = bytes(payload) if payload is not None else b""
+                try:
+                    out.append(
+                        {"media_id": mid, "art": _id3v2_apic(pbytes), "ok": True}
+                    )
+                except ValueError:
+                    out.append({"media_id": mid, "art": None, "ok": False})
+            yield pd.DataFrame(out, columns=["media_id", "art", "ok"])
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
 

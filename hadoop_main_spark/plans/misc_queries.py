@@ -1008,6 +1008,74 @@ def image_dhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "id3_apic_art_dedup",
+    oracle="""
+    WITH b AS (SELECT doc_id, doc_id % 40 AS cls FROM documents),
+    g AS (SELECT doc_id, cls, r.r, c.c FROM b,
+          unnest(generate_series(0, 6)) AS r(r),
+          unnest(generate_series(0, 7)) AS c(c)),
+    bits AS (SELECT doc_id,
+             CASE WHEN (cls*17 + 6*r + 10*c + 10) % 200
+                       > (cls*17 + 6*r + 10*c) % 200
+                  THEN (CAST(1 AS BIGINT) << (r*8 + c)) ELSE 0 END AS bv
+             FROM g),
+    dh AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS dhash FROM bits
+           GROUP BY doc_id)
+    SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc
+    FROM dh GROUP BY dhash
+    """,
+    doc="Cover-art near-dup across an MP3 library — the AUDIO->IMAGE "
+    "composition (operators/multimodal.py:id3_album_art -> "
+    "image_dhash): each doc's MP3 carries image_dhash_dup_groups' "
+    "exact per-class/brightness-shifted PNG embedded in an ID3v2 "
+    "APIC frame (v2.3 plain / v2.4 syncsafe frame sizes alternate by "
+    "doc parity, latin-1 mime + description walk), art is extracted "
+    "by the APIC reader inside the Arrow batch and flows UNCHANGED "
+    "into the perceptual-hash pipeline — same-cover libraries group "
+    "despite byte- and brightness-different files. The oracle is "
+    "image_dhash_dup_groups' closed-form 56-bit hash verbatim: the "
+    "APIC extraction must be byte-exact or every downstream hash "
+    "moves. Only (media_id, dhash) ever shuffles.",
+)
+def id3_apic_art_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls, shift = i % 40, (i % 7) * 4
+                r = np.arange(14)[:, None]
+                c = np.arange(18)[None, :]
+                arr = ((cls * 17 + r * 3 + c * 5) % 200 + shift).astype(np.uint8)
+                png = MM._png_encode(arr, row_filter="mixed")
+                payloads.append(
+                    MM._id3v2_build(
+                        {"TIT2": f"track {i}"},
+                        ver=3 if i % 2 else 4,
+                        apic=png,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    art = MM.id3_album_art(media).filter(
+        F.col("ok") & F.col("art").isNotNull()
+    ).select("media_id", F.col("art").alias("payload"))
+    dh = MM.image_dhash(art, decoder="png")
+    return dh.groupBy("dhash").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("media_id").alias("min_doc"),
+    )
+
+
+@query(
     "avro_roundtrip_agg",
     oracle="""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1500,3 +1500,41 @@ def test_g711_wav_walk_and_strictness():
     q[20] = 2  # format tag -> ADPCM
     with pytest.raises(ValueError, match="not supported"):
         MM._wav_decode(bytes(q))
+
+
+def test_id3v2_apic_walk_and_strictness():
+    """APIC extraction: both tag versions, utf-16 description walk,
+    coexistence with text frames, None when absent, ValueError on a
+    malformed (unterminated-mime) body."""
+    import pytest
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    art = b"\x89PNG fake image bytes \x00\x01\x02"
+    for ver in (3, 4):
+        p = MM._id3v2_build({"TIT2": "t", "TALB": "a"}, ver=ver, apic=art)
+        assert MM._id3v2_apic(p) == art
+        assert MM._id3v2_frames(p)["TIT2"] == "t"  # text frames still read
+    # no APIC / no tag -> None
+    assert MM._id3v2_apic(MM._id3v2_build({"TIT2": "t"}, ver=4)) is None
+    assert MM._id3v2_apic(b"\xff\xfbnot a tag") is None
+    # utf-16 description (enc 1, double-NUL terminator)
+    payload = b"\x01image/png\x00\x03" + "cov".encode("utf-16") + b"\x00\x00" + art
+    n = len(payload)
+    size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    frame = b"APIC" + size + b"\x00\x00" + payload
+    tn = len(frame)
+    tsize = bytes([(tn >> 21) & 0x7F, (tn >> 14) & 0x7F, (tn >> 7) & 0x7F, tn & 0x7F])
+    tag = b"ID3" + bytes([4, 0, 0]) + tsize + frame
+    assert MM._id3v2_apic(tag) == art
+    # malformed: mime never NUL-terminates
+    bad_payload = b"\x00image/png-no-terminator"
+    bn = len(bad_payload)
+    bsize = bytes([(bn >> 21) & 0x7F, (bn >> 14) & 0x7F, (bn >> 7) & 0x7F, bn & 0x7F])
+    bframe = b"APIC" + bsize + b"\x00\x00" + bad_payload
+    btn = len(bframe)
+    btsize = bytes(
+        [(btn >> 21) & 0x7F, (btn >> 14) & 0x7F, (btn >> 7) & 0x7F, btn & 0x7F]
+    )
+    with pytest.raises(ValueError, match="APIC"):
+        MM._id3v2_apic(b"ID3" + bytes([4, 0, 0]) + btsize + bframe)
