@@ -106,6 +106,42 @@ def extract_html_text(pages: DataFrame, id_col: str = "page_id",
     )
 
 
+_HREF_VAL = re.compile(
+    r"""<a\b[^>]*\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE,
+)
+
+
+def extract_links(pages: DataFrame, id_col: str = "page_id",
+                  html_col: str = "markup") -> DataFrame:
+    """Outlink extraction — the link-graph side of the HTML tier
+    (html_to_text counts anchors; this returns their href VALUES, one
+    (id, href) row per anchor, double/single/unquoted attribute forms
+    all parsed). The same content-never-leaks contract applies:
+    script/style/template subtrees and comments drop BEFORE href
+    extraction, so commented-out or script-string anchors never enter
+    the web graph. Arrow-batched; never raises (broken markup yields
+    whatever anchors still parse)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, hrefs = [], []
+            for pid, mk in zip(b[id_col], b[html_col]):
+                s = _DROP_SUBTREE.sub(" ", mk if mk is not None else "")
+                s = _COMMENT.sub(" ", s)
+                for m in _HREF_VAL.finditer(s):
+                    ids.append(pid)
+                    hrefs.append(m.group(1) or m.group(2) or m.group(3) or "")
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "href": pd.Series(hrefs, dtype="object")}
+            )
+
+    return pages.select(id_col, html_col).mapInPandas(
+        run, f"{id_col} long, href string"
+    )
+
+
 def decode_http_body(body: bytes, content_type: str = "") -> str:
     """HTTP entity bytes -> text using the Content-Type charset
     parameter (case-insensitive; utf-8 default per WHATWG reality,

@@ -2657,3 +2657,117 @@ def image_exif_meta(spark: SparkSession, sf: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return MM.image_exif_meta(media)
+
+
+@query(
+    "html_link_graph",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 50 AS s FROM documents),
+    lnk AS (SELECT doc_id, s, unnest(generate_series(1, doc_id % 5)) AS j FROM d),
+    e AS (SELECT DISTINCT 'h' || s AS src,
+                 'h' || ((doc_id * 7 + j * 13) % 50) AS dst
+          FROM lnk WHERE 'h' || s <> 'h' || ((doc_id * 7 + j * 13) % 50)),
+    nodes AS (SELECT DISTINCT v FROM (
+        SELECT 'h' || s AS v FROM d
+        UNION SELECT dst AS v FROM e)),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+    r0 AS (SELECT v, 1000000000000 // n_nodes AS r FROM nodes CROSS JOIN n),
+    c1 AS (SELECT dst AS v, SUM(r0.r // deg.dg) AS cs
+           FROM e JOIN deg USING (src) JOIN r0 ON r0.v = e.src GROUP BY dst),
+    r1 AS (SELECT nodes.v,
+                  150000000000 // n_nodes + (85 * coalesce(cs, 0)) // 100 AS r
+           FROM nodes LEFT JOIN c1 USING (v) CROSS JOIN n),
+    c2 AS (SELECT dst AS v, SUM(r1.r // deg.dg) AS cs
+           FROM e JOIN deg USING (src) JOIN r1 ON r1.v = e.src GROUP BY dst),
+    r2 AS (SELECT nodes.v,
+                  150000000000 // n_nodes + (85 * coalesce(cs, 0)) // 100 AS r
+           FROM nodes LEFT JOIN c2 USING (v) CROSS JOIN n)
+    SELECT v AS host, CAST(r AS BIGINT) AS rank
+    FROM r2 ORDER BY r DESC, v LIMIT 20
+    """,
+    doc="Host-level web link graph from REAL HTML outlink extraction "
+    "(operators/html.py:extract_links -> operators/graph.py:"
+    "pagerank_int — the web-family composition that closes the loop "
+    "from markup to graph analytics): each doc's page at host "
+    "h(doc_id%50) links to doc_id%5 computed targets through all "
+    "THREE href attribute forms (double-quoted, single-quoted, "
+    "unquoted), plus a relative href (host-filtered out identically "
+    "on both sides) and two LEAK-GUARD anchors — one commented out, "
+    "one inside a script string — pointing at a host the oracle does "
+    "NOT model: if extraction ever leaked non-content anchors, "
+    "'hleak' would enter the graph and every rank would move. Edges "
+    "dedup to (src_host, dst_host); 2 integer PageRank iterations "
+    "(damping 0.85, BIGINT 1e12-units, bit-identical across "
+    "engines); top-20 hosts. Markup never shuffles — only (id, href) "
+    "rows leave the Arrow batch.",
+)
+def html_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+    from hadoop_main_spark.operators.graph import pagerank_int
+    from hadoop_main_spark.operators.html import extract_links
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            urls, markups = [], []
+            for i in ids:
+                i = int(i)
+                anchors = []
+                for j in range(1, i % 5 + 1):
+                    tgt = f"https://h{(i * 7 + j * 13) % 50}.example/p{j}"
+                    form = j % 3
+                    if form == 0:
+                        anchors.append(f'<a href="{tgt}">l{j}</a>')
+                    elif form == 1:
+                        anchors.append(f"<a href='{tgt}'>l{j}</a>")
+                    else:
+                        anchors.append(f"<a href={tgt}>l{j}</a>")
+                markups.append(
+                    f"<html><head><title>Page {i}</title>"
+                    "<script>var x = '<a href=\"https://hleak.example/y\">';"
+                    "</script></head><body>"
+                    '<!-- <a href="https://hleak.example/x">c</a> -->'
+                    f"<p>doc {i}</p><a href=\"/about\">about</a>"
+                    + " ".join(anchors)
+                    + "</body></html>"
+                )
+                urls.append(f"https://h{i % 50}.example/doc{i}")
+            yield pd.DataFrame(
+                {"page_id": ids, "page_url": urls, "markup": markups}
+            )
+
+    pages = docs.mapInPandas(
+        gen, "page_id long, page_url string, markup string"
+    )
+    host_of = lambda c: F.regexp_extract(c, r"^https://([^/.]+)\.example/", 1)  # noqa: E731
+    links = extract_links(pages)
+    page_hosts = pages.select(host_of(F.col("page_url")).alias("src"), "page_id")
+    edges = (
+        links.join(page_hosts, "page_id")
+        .select("src", host_of(F.col("href")).alias("dst"))
+        .filter((F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    # lazy-checkpointed like pagerank_top20: the iteration consumes
+    # edges/nodes from many branches; both tables are host-bounded
+    edges = supersede_checkpoint(
+        "html_link_graph.edges", edges.localCheckpoint(eager=False)
+    )
+    nodes = supersede_checkpoint(
+        "html_link_graph.nodes",
+        page_hosts.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False),
+    )
+    ranked = pagerank_int(edges, nodes, iterations=2, scale=10**12)
+    return (
+        ranked.select(F.col("v").alias("host"), F.col("rank").cast("bigint").alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("host"))
+        .limit(20)
+    )
