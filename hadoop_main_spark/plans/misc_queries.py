@@ -2390,9 +2390,9 @@ def _warc_media(spark: SparkSession, sf: str) -> DataFrame:
     return docs.mapInPandas(gen, "media_id long, payload binary")
 
 
-@query(
-    "warc_ingest_meta",
-    oracle=f"""
+# Shared verbatim by warc_ingest_meta (batch) and stream_warc_roundtrip
+# (the streaming ingest must reproduce the batch walk exactly).
+_WARC_META_ORACLE = f"""
     WITH base AS (SELECT doc_id AS i, text FROM documents),
     h AS (SELECT i, ({_WARC_HTML_SQL.replace('links', _WARC_LINKS_SQL)}) AS html
           FROM base),
@@ -2436,7 +2436,12 @@ def _warc_media(spark: SparkSession, sf: str) -> DataFrame:
            target_uri, content_length, http_status, http_content_type,
            body_bytes, body_md5
     FROM recs
-    """,
+    """
+
+
+@query(
+    "warc_ingest_meta",
+    oracle=_WARC_META_ORACLE,
     doc="WARC (ISO 28500) ingestion ON the driver gate — the Common "
     "Crawl first mile: each doc becomes a 3-record WARC (warcinfo + "
     "request + response whose application/http block wraps an HTML "
@@ -2770,4 +2775,64 @@ def html_link_graph(spark: SparkSession, sf: str) -> DataFrame:
         ranked.select(F.col("v").alias("host"), F.col("rank").cast("bigint").alias("rank"))
         .orderBy(F.desc("rank"), F.asc("host"))
         .limit(20)
+    )
+
+
+@query(
+    "stream_warc_roundtrip",
+    oracle=_WARC_META_ORACLE,
+    doc="Streaming WARC ingest ON the driver gate (the ninth §2.12 "
+    "certification — the crawl-ingest resume path): the per-doc WARC "
+    "payloads are written to 4 DETERMINISTIC parquet batches "
+    "(media_id mod 4, mtime-ordered so the file source replays them "
+    "in order) and replayed one file per trigger through the "
+    "PRODUCTION streaming ingest (streaming/windows.py:"
+    "warc_records_stream_parquet — the stateless ISO 28500 record "
+    "walk + gzip-member inflate + chunked/gzip HTTP wire-form decode "
+    "unchanged inside Structured Streaming, exactly-once parquet "
+    "sink). The accumulated sink must equal the batch walk VERBATIM "
+    "— warc_ingest_meta's byte-exact oracle, shared verbatim: a "
+    "record lost at a batch boundary, a replayed file, or any "
+    "divergence between the streaming and batch code paths moves a "
+    "row. BUILD-COST NOTE: this builder EXECUTES the full streaming "
+    "job at plan-build time — plans-only tooling (dump_plans, "
+    "plan_lint) pays a multi-second stream execution per call. "
+    "LOCAL-MODE CONTRACT: tempfile.mkdtemp() sinks.",
+)
+def stream_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_main_spark.streaming.windows import warc_records_stream_parquet
+
+    media = _warc_media(spark, sf)
+    base = tempfile.mkdtemp(prefix="streamwarc_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    for k in range(4):
+        part_dir = f"{base}/part{k}"
+        media.filter(F.col("media_id") % 4 == k).coalesce(1).write.parquet(part_dir)
+        (pf,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/q{k}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = warc_records_stream_parquet(stream, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select(
+        "media_id",
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        "http_status",
+        "http_content_type",
+        "body_bytes",
+        "body_md5",
     )
