@@ -1318,6 +1318,118 @@ def merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "versioned_time_travel",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(20,2)) AS price, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(20,2))
+               + CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END AS price,
+             o_orderpriority,
+             (o_orderkey % 13 = 0) AS is_delete
+      FROM orders
+      WHERE o_orderkey % 7 = 0 OR o_orderkey % 97 = 0 OR o_orderkey % 13 = 0),
+    merged AS (
+      SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                  ELSE t.o_custkey END AS o_custkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.price
+                  ELSE t.price END AS price,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+                  ELSE t.o_orderpriority END AS o_orderpriority
+      FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey IS NOT NULL AND s.is_delete)),
+    both_v AS (
+      SELECT 1 AS version, * FROM tgt
+      UNION ALL
+      SELECT 2 AS version, * FROM merged)
+    SELECT CAST(version AS BIGINT) AS version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({hash64_sql(_MERGE_CANON)})
+                % 2305843009213693951 AS BIGINT) AS fingerprint
+    FROM both_v GROUP BY version, o_orderstatus
+    """,
+    doc="Versioned table snapshots with TIME TRAVEL (sources/"
+    "versioned.py — the lakehouse-lite commit protocol: every commit "
+    "is an immutable v=N parquet snapshot whose manifest entry is "
+    "written LAST, so readers never see a torn write; Delta/Iceberg's "
+    "snapshot-isolation idea reduced to the single-writer case): "
+    "version 1 commits the target snapshot, merge_version applies "
+    "merge_upsert's exact change set as version 2, and BOTH versions "
+    "are then read back THROUGH the manifest — version 1 after "
+    "version 2 exists, which is the time-travel property itself. "
+    "Certified by content: per (version, status), n_rows + the "
+    "mod-2^61-1 row fingerprint; a stale read, a leaked tombstone, "
+    "or any cross-version contamination moves a row. LOCAL-MODE "
+    "CONTRACT: tempfile.mkdtemp() table root.",
+)
+def versioned_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.operators.aggregate import table_fingerprint
+    from hadoop_main_spark.sources.versioned import (
+        merge_version,
+        read_version,
+        write_version,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(20,2)").alias("price0"),
+        "o_orderpriority",
+    )
+    target = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("price0").alias("price"),
+        "o_orderpriority",
+    )
+    k = F.col("o_orderkey")
+    source = o.filter((k % 7 == 0) | (k % 97 == 0) | (k % 13 == 0)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (
+            F.col("price0")
+            + F.when(k % 7 == 0, F.lit(10)).otherwise(F.lit(0))
+        ).alias("price"),
+        "o_orderpriority",
+        (k % 13 == 0).alias("is_delete"),
+    )
+    table = tempfile.mkdtemp(prefix="versioned_") + "/orders_tbl"
+    v1 = write_version(target, table)
+    v2 = merge_version(
+        spark,
+        table,
+        source,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "price", "o_orderpriority"],
+        delete_col="is_delete",
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "price", "o_orderpriority"]
+    out = None
+    for v in (v1, v2):  # v1 read AFTER the v2 commit — time travel
+        fp = table_fingerprint(
+            read_version(spark, table, v), cols, ["o_orderstatus"]
+        ).select(
+            F.lit(v).cast("bigint").alias("version"),
+            "o_orderstatus",
+            "n_rows",
+            "fingerprint",
+        )
+        out = fp if out is None else out.unionByName(fp)
+    return out
+
+
+@query(
     "dq_audit",
     oracle="""
     SELECT 'null_custkey' AS rule,

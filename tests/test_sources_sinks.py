@@ -369,3 +369,47 @@ def test_avro_rejects_null_free_unions():
         )
         with pytest.raises(ValueError, match="union"):
             A.avro_json_to_schema(sj)
+
+
+def test_versioned_snapshots_time_travel_and_commit_protocol(spark, tmp_path):
+    """Versioned sink: sequential versions, time travel to any
+    committed version, latest = last commit, unknown version raises,
+    and a TORN WRITE (data directory present, manifest entry absent)
+    is invisible to readers — the manifest is the commit point."""
+    import pytest
+
+    from hadoop_main_spark.sources.versioned import (
+        merge_version,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "tbl")
+    v1 = write_version(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), table)
+    v2 = write_version(spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k int, v string"), table)
+    assert (v1, v2) == (1, 2)
+    assert {r.k: r.v for r in read_version(spark, table, 1).collect()} == {1: "a", 2: "b"}
+    assert {r.k: r.v for r in read_version(spark, table).collect()} == {
+        1: "a", 2: "B", 3: "c",
+    }
+    with pytest.raises(ValueError, match="not committed"):
+        read_version(spark, table, 99)
+    # merge_version composes merge_into on the latest snapshot
+    src = spark.createDataFrame(
+        [(2, "Z", False), (3, "dead", True), (4, "d", False)],
+        "k int, v string, is_delete boolean",
+    )
+    v3 = merge_version(spark, table, src, ["k"], ["v"], delete_col="is_delete")
+    assert v3 == 3
+    assert {r.k: r.v for r in read_version(spark, table, 3).collect()} == {
+        1: "a", 2: "Z", 4: "d",
+    }
+    # history intact after the merge commit
+    assert {r.k: r.v for r in read_version(spark, table, 1).collect()} == {1: "a", 2: "b"}
+    # torn write: a v=4 data dir with NO manifest entry must be invisible
+    spark.createDataFrame([(9, "torn")], "k int, v string").write.parquet(
+        f"{table}/v=4"
+    )
+    assert read_version(spark, table).select("k").distinct().count() == 3
+    with pytest.raises(ValueError, match="not committed"):
+        read_version(spark, table, 4)

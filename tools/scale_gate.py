@@ -95,6 +95,15 @@ DEFAULT_EXTRAS = [
     "image_exif_meta",
     "exact_substr_dedup",
     "ann_ivf_trained",
+    # round 9 second block (stream_warc_roundtrip excluded: stream
+    # executes inside build(), same as the other stream roundtrips)
+    "merge_upsert",
+    "orc_roundtrip_agg",
+    "csv_roundtrip_agg",
+    "wav_g711_decode_features",
+    "bpe_encode_stats",
+    "id3_apic_art_dedup",
+    "html_link_graph",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
