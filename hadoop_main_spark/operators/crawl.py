@@ -166,6 +166,126 @@ def robots_rules_from_txt(
     )
 
 
+def parse_robots_delays(body: str) -> list[tuple[str, int]]:
+    """Group-scoped ``Crawl-delay`` lines from one robots.txt — the
+    de-facto extension Bing/Yandex honor (RFC 9309 leaves it out;
+    Google ignores it). Returns (agent_lowercase, delay_ms) rows:
+    decimal seconds accepted and stored as EXACT integer milliseconds
+    (int(round(s*1000)) — engine-portable, no float at rest); the same
+    group/line discipline as :func:`parse_robots_txt` (a Crawl-delay
+    line closes a group like a rule line does); malformed or negative
+    values skip — never raises."""
+    rows: list[tuple[str, int]] = []
+    agents: list[str] = []
+    group_has_rules = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if group_has_rules:
+                agents, group_has_rules = [], False
+            if val:
+                agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            group_has_rules = True
+        elif key == "crawl-delay":
+            group_has_rules = True
+            try:
+                ms = int(round(float(val) * 1000))
+            except ValueError:
+                continue
+            if ms < 0:
+                continue
+            for a in agents:
+                rows.append((a, ms))
+    return rows
+
+
+def select_crawl_delay(
+    rows: list[tuple[str, int]], product_token: str
+) -> int | None:
+    """Delay selection mirroring §2.2.1 group selection on the delay
+    rows: the product token's exact delay if any (first wins), else
+    the ``*`` delay, else None (caller applies its default politeness
+    interval) — the way crawlers that honor Crawl-delay implement it."""
+    tok = product_token.lower()
+    for a, ms in rows:
+        if a == tok:
+            return ms
+    for a, ms in rows:
+        if a == "*":
+            return ms
+    return None
+
+
+def crawl_delays_from_txt(
+    robots: DataFrame,
+    product_token: str,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, robots.txt body) -> (host, delay_ms) for the crawler's
+    product token (hosts whose robots set no applicable delay are
+    absent — the scheduler coalesces its default). Arrow-batched like
+    :func:`robots_rules_from_txt`."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hosts, delays = [], []
+            for host, body in zip(b[host_col], b[body_col]):
+                ms = select_crawl_delay(
+                    parse_robots_delays(body if body is not None else ""),
+                    product_token,
+                )
+                if ms is not None:
+                    hosts.append(host)
+                    delays.append(ms)
+            yield pd.DataFrame(
+                {"host": hosts, "delay_ms": pd.Series(delays, dtype="int64")},
+                columns=["host", "delay_ms"],
+            )
+
+    return robots.select(host_col, body_col).mapInPandas(
+        run, "host string, delay_ms long"
+    )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    default_delay_ms: int = 1000,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness scheduler — the hop between the (robots-filtered)
+    frontier and the fetcher fleet: per host, FIFO fetch offsets at
+    that host's Crawl-delay spacing (deterministic url order), so a
+    1000-executor crawl never hammers one origin. ONE host-keyed
+    window over the frontier; the per-host delay table is
+    host-bounded and broadcasts. Output: (url, host, delay_ms,
+    fetch_offset_ms)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    d = F.coalesce(F.col("delay_ms"), F.lit(int(default_delay_ms)))
+    return (
+        frontier.join(broadcast(delays), host_col, "left")
+        .select(
+            F.col(url_col).alias("url"),
+            F.col(host_col).alias("host"),
+            d.cast("bigint").alias("delay_ms"),
+            ((F.row_number().over(w) - 1) * d).cast("bigint").alias("fetch_offset_ms"),
+        )
+    )
+
+
 def resolve_redirects(
     frontier: DataFrame,
     redirects: DataFrame,

@@ -4781,6 +4781,72 @@ def robots_txt_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "crawl_schedule",
+    oracle="""
+    WITH f AS (SELECT 'https://h' || (doc_id % 40) || '.example/p' || doc_id AS url,
+                      'h' || (doc_id % 40) AS host, doc_id % 40 AS h
+               FROM documents),
+    d AS (SELECT url, host,
+                 CASE WHEN h % 5 = 0 THEN (h % 3 + 1) * 1000
+                      WHEN h % 11 = 0 THEN 1000
+                      ELSE (h % 7) * 500 END AS delay_ms
+          FROM f)
+    SELECT url, host, CAST(delay_ms AS BIGINT) AS delay_ms,
+           CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1)
+                * delay_ms AS BIGINT) AS fetch_offset_ms
+    FROM d
+    """,
+    doc="Crawl politeness SCHEDULING — the hop between the robots-"
+    "filtered frontier and the fetcher fleet (operators/crawl.py:"
+    "parse_robots_delays/select_crawl_delay/fetch_schedule): "
+    "group-scoped Crawl-delay parsing (the de-facto extension "
+    "Bing/Yandex honor — decimal seconds stored as EXACT integer "
+    "milliseconds, exact-token group beats *, malformed and negative "
+    "values skip to the crawler's default interval; a Crawl-delay "
+    "line closes a group exactly like a rule line), then per-host "
+    "FIFO fetch offsets at that host's spacing — ONE host-keyed "
+    "window, host-bounded delay table broadcast. The fixture plants "
+    "all the parser traps (comments on delay lines, 'oops' and "
+    "negative values, exact-vs-* precedence) and the oracle "
+    "recomputes every offset in closed form.",
+)
+def crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.crawl import (
+        crawl_delays_from_txt,
+        fetch_schedule,
+    )
+
+    rows = []
+    for h in range(40):
+        if h % 5 == 0:
+            body = (
+                f"User-agent: hms-bot\nCrawl-delay: {h % 3 + 1}\nDisallow: /x\n"
+                "\nUser-agent: *\nCrawl-delay: 9\n"
+            )
+        elif h % 11 == 0:
+            body = (
+                "User-agent: *\nDisallow: /private\n"
+                "Crawl-delay: oops\nCrawl-delay: -3\n"
+            )
+        else:
+            body = f"User-agent: *\nCrawl-delay: {(h % 7) * 0.5:.1f} # be nice\n"
+        rows.append((f"h{h}", body))
+    robots = spark.createDataFrame(rows, "host string, body string")
+    delays = crawl_delays_from_txt(robots, "hms-bot")
+    d = t(spark, sf, "documents").select("doc_id")
+    frontier = d.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+    )
+    return fetch_schedule(frontier, delays, default_delay_ms=1000)
+
+
+@query(
     "sitemap_url_frontier",
     oracle=f"""
     WITH docs AS (SELECT doc_id AS i, 'h' || (doc_id % 7) AS host,
