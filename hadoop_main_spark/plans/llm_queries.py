@@ -594,6 +594,56 @@ FROM comp
 """
 
 
+# the CTE chain up THROUGH the components table (no final select) —
+# reused by leakage_safe_split's oracle
+_CC_MID = _CC_SUFFIX.split("\nSELECT doc_id, canonical_id")[0]
+
+
+@query(
+    "leakage_safe_split",
+    oracle=_MINHASH_PREFIX.replace("WITH", "WITH RECURSIVE", 1)
+    + _CC_MID
+    + f"""
+ , canon AS (
+    SELECT d.doc_id, d.lang, COALESCE(c.canonical_id, d.doc_id) AS gk
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+  s AS (SELECT lang, gk, {hash64_sql('gk', 'split')} % 100 AS h FROM canon)
+SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT gk) AS BIGINT) AS n_groups
+FROM s GROUP BY 1, 2
+""",
+    doc="LEAKAGE-SAFE train/val/test split — the assignment a "
+    "benchmark-honest training pipeline actually needs: hashing by "
+    "doc_id (train_split_assign) puts near-duplicate documents on "
+    "BOTH sides of the train/test boundary, silently inflating eval; "
+    "here the split key is the document's near-dup CLUSTER canonical "
+    "id (MinHash-LSH pairs -> connected components, singletons their "
+    "own group), so an entire duplicate cluster lands in ONE split by "
+    "construction. Same salted-hash 90/5/5 discipline; output per "
+    "(split, lang): doc count + GROUP count. The oracle replays the "
+    "full chain — signatures, banded candidates, exact-agreement "
+    "verify, recursive-CTE components, canonical coalesce, split "
+    "hash — so the composition, not just the pieces, is verified.",
+)
+def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+
+    d = t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", min_est_jaccard=0.5)
+    comp = D.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    canon = d.select("doc_id", "lang").join(comp, "doc_id", "left").select(
+        "lang", F.coalesce(F.col("component"), F.col("doc_id")).alias("gk")
+    )
+    h = hash64("gk", "split") % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    return canon.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("gk").cast("bigint").alias("n_groups"),
+    )
+
+
 @query(
     "dedup_clusters",
     oracle=_MINHASH_PREFIX.replace("WITH", "WITH RECURSIVE", 1) + _CC_SUFFIX,
