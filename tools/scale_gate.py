@@ -123,6 +123,9 @@ HEAVY_SET = [
     "warc_html_text_extract",
     "ivfpq_indexed_topk",
     "semantic_dedup",
+    # round 9 second block: graph iteration at 100x (PageRank over the
+    # host graph — the web-family composition's scalability question)
+    "html_link_graph",
 ]
 
 
