@@ -2216,6 +2216,106 @@ def rotate_vectors(
     return vectors.select(id_col, vec_col).mapInArrow(_rot, out_schema)
 
 
+def nndescent_knn_graph(
+    vectors: DataFrame,
+    k: int = 10,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = PQ_QSCALE,
+) -> DataFrame:
+    """k-NN GRAPH construction by NN-Descent (Dong et al. WWW'11,
+    "Efficient K-Nearest Neighbor Graph Construction for Generic
+    Similarity Measures") — the graph-based ANN paradigm (the batch
+    analog of an HNSW/NSG index build, the one ANN family the
+    compression x pruning matrix doesn't cover). Principle: *a
+    neighbor of my neighbor is probably my neighbor* — start from
+    deterministic pseudo-random neighbors and iterate: candidates =
+    forward neighbors ∪ REVERSE neighbors ∪ neighbors-of-neighbors,
+    keep the k best per node by EXACT integer-grid L2.
+
+    Determinism (so the registry oracle can replay the whole
+    trajectory as a CTE chain, the ann_ivf_trained discipline): the
+    j-th seed neighbor of node v is the node at 1-based id-rank
+    ``hash64(v || '#' || j, 'nnd') % n + 1`` (ranks via
+    :func:`~hadoop_main_spark.operators.sorting.global_rank` — the
+    TotalOrderPartitioner pattern, no single-task window); distances
+    are BIGINT on the 1e-4 grid; per-node top-k tie-breaks by
+    (d2, nbr_id).
+
+    Scale shape: never all-pairs — each iteration touches O(n·k²)
+    candidate edges (k² neighbors-of-neighbors per node), the
+    NN-Descent bound; dedup BEFORE scoring; scoring is a JVM
+    ``zip_with`` fold at multiplier ~1 (the _score_probed_cells
+    measurement); one id-keyed window per iteration. Output:
+    (id, rank 1..k, nbr_id, d2).
+    """
+    ids = vectors.select(F.col(id_col).alias("id"))
+    n = ids.count()  # one scalar to the driver (the kmeans-collect shape)
+    if n < 2:
+        raise ValueError("nndescent_knn_graph needs >= 2 vectors")
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.operators.sorting import global_rank
+
+    q = vectors.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+            f"* {qscale} + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    ranked = global_rank(ids, "id", rank_col="r")  # 1-based
+    slots = ids.select(
+        "id", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
+    )
+    seed_rank = (
+        hash64(F.concat(F.col("id").cast("string"), F.lit("#"), F.col("j").cast("string")), "nnd")
+        % n + 1
+    )
+    nbr = (
+        slots.select("id", seed_rank.alias("r"))
+        .join(ranked.select(F.col("id").alias("nbr"), "r"), "r")
+        .select("id", "nbr")
+        .filter(F.col("id") != F.col("nbr"))
+        .distinct()
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(q, qn, "
+        "(a, b) -> CAST(a - b AS BIGINT) * CAST(a - b AS BIGINT)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    w = Window.partitionBy("id").orderBy("d2", "nbr")
+    out = None
+    for _ in range(iterations):
+        rev = nbr.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+        nn2 = (
+            nbr.alias("a")
+            .join(nbr.alias("b"), F.col("a.nbr") == F.col("b.id"))
+            .select(F.col("a.id").alias("id"), F.col("b.nbr").alias("nbr"))
+        )
+        cand = (
+            nbr.unionByName(rev)
+            .unionByName(nn2)
+            .filter(F.col("id") != F.col("nbr"))
+            .distinct()
+        )
+        scored = (
+            cand.join(q, "id")
+            .join(q.select(F.col("id").alias("nbr"), F.col("q").alias("qn")), "nbr")
+            .select("id", "nbr", d2.alias("d2"))
+        )
+        out = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        nbr = out.select("id", "nbr")
+    return out.select(
+        "id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("nbr").alias("nbr_id"),
+        "d2",
+    )
+
+
 def gram_matrix_exact(
     corpus: DataFrame,
     vec_col: str = "embedding",

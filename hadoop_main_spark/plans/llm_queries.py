@@ -3268,6 +3268,72 @@ def opq_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _nnd_oracle(k: int = 10, iters: int = 2) -> str:
+    """NN-Descent full-trajectory oracle: seeds + every iteration's
+    candidate expansion, scoring, and top-k replayed as a CTE chain
+    (the ann_ivf_trained discipline, one level deeper)."""
+    l2 = _SQ_L2_INT.format(a="qa.q", b="qb.q")
+    sql = f"""
+    WITH emb AS (SELECT vec_id AS id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM emb),
+    ranked AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS r FROM emb),
+    slots AS (SELECT id, unnest(generate_series(0, {k - 1})) AS j FROM emb),
+    seeds AS (SELECT s.id,
+                ({hash64_sql("s.id || '#' || s.j", 'nnd')} % nn.n) + 1 AS tr
+              FROM slots s CROSS JOIN nn),
+    nbr0 AS (SELECT DISTINCT s.id, rk.id AS nbr
+             FROM seeds s JOIN ranked rk ON rk.r = s.tr
+             WHERE s.id <> rk.id)"""
+    prev = "nbr0"
+    for i in range(1, iters + 1):
+        sql += f"""
+ , rev{i} AS (SELECT nbr AS id, id AS nbr FROM {prev}),
+   nn{i} AS (SELECT a.id, b.nbr FROM {prev} a JOIN {prev} b ON a.nbr = b.id),
+   cand{i} AS (SELECT DISTINCT id, nbr FROM (
+       SELECT id, nbr FROM {prev}
+       UNION ALL SELECT id, nbr FROM rev{i}
+       UNION ALL SELECT id, nbr FROM nn{i}) WHERE id <> nbr),
+   sc{i} AS (SELECT c.id, c.nbr, CAST({l2} AS BIGINT) AS d2
+             FROM cand{i} c
+             JOIN emb qa ON qa.id = c.id JOIN emb qb ON qb.id = c.nbr),
+   top{i} AS (SELECT id, nbr, d2,
+                ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, nbr) AS rn
+              FROM sc{i}),
+   nbr{i} AS (SELECT id, nbr FROM top{i} WHERE rn <= {k})"""
+        prev = f"nbr{i}"
+    sql += f"""
+    SELECT id, CAST(rn AS BIGINT) AS rank, nbr AS nbr_id, d2
+    FROM top{iters} WHERE rn <= {k}
+    """
+    return sql
+
+
+@query(
+    "knn_graph_nndescent",
+    oracle=_nnd_oracle(),
+    doc="k-NN GRAPH construction by NN-Descent (Dong et al. WWW'11 — "
+    "the graph-based ANN paradigm, the batch analog of an HNSW/NSG "
+    "index build and the one ANN family the compression x pruning "
+    "matrix didn't cover): deterministic pseudo-random seed "
+    "neighbors (the j-th seed of node v = the node at id-rank "
+    "hash64(v||'#'||j) mod n — ranks via the TotalOrderPartitioner "
+    "global_rank, no single-task window), then 2 iterations of "
+    "'a neighbor of my neighbor is probably my neighbor': forward ∪ "
+    "reverse ∪ neighbors-of-neighbors candidates (O(n·k²) edges, "
+    "never all-pairs), exact BIGINT grid-L2 scoring in a JVM "
+    "zip_with fold, per-node top-k. The oracle replays the ENTIRE "
+    "trajectory — seeds, both candidate expansions, scoring, both "
+    "top-k passes — as one CTE chain, so every hop is bit-exact. "
+    "RECALL.md pins graph quality per iteration (the descent curve).",
+)
+def knn_graph_nndescent(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return SIM.nndescent_knn_graph(e, k=10, iterations=2)
+
+
 # --- C4-style exact line dedup (rebuild docs minus boilerplate lines) --------
 
 LINE_LEN = 8  # tokens per pseudo-line (the corpus has no newlines)

@@ -2320,3 +2320,44 @@ def test_exact_substr_removal_interval_merge(spark):
     # the y-run (vs doc 2) -> 9 + 5 removed, no double-count of the
     # s-run despite two pairs cutting it
     assert out[3] == (15, 14, 1)
+
+
+def test_nndescent_descent_invariant_and_determinism(spark):
+    """NN-Descent (similarity.nndescent_knn_graph): each iteration's
+    candidate set CONTAINS the previous neighbor list, so every node's
+    top-k distance sum is non-increasing iteration over iteration (the
+    descent invariant); two runs are bit-identical; self-edges never
+    appear; at most k neighbors per node."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(23)
+    centers = rng.uniform(-30, 30, (4, 16))
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(50):
+            v = centers[c] + rng.normal(0, 1.0, 16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def sums(iters):
+        g = SIM.nndescent_knn_graph(corpus, k=5, iterations=iters).collect()
+        per = {}
+        for r in g:
+            assert r.id != r.nbr_id
+            per.setdefault(int(r.id), []).append(int(r.d2))
+        assert all(len(v) <= 5 for v in per.values())
+        return {i: sum(v) for i, v in per.items()}, {
+            (int(r.id), int(r.rank), int(r.nbr_id), int(r.d2)) for r in g
+        }
+
+    s1, g1 = sums(1)
+    s2, g2 = sums(2)
+    assert set(s2) == set(s1)
+    assert all(s2[i] <= s1[i] for i in s1)
+    assert sum(s2.values()) < sum(s1.values())  # it actually descends
+    _, g2b = sums(2)
+    assert g2 == g2b  # deterministic

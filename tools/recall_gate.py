@@ -346,6 +346,40 @@ def measure_opq(spark) -> dict[str, float]:
     }
 
 
+def measure_nndescent(spark, sf_dir: str) -> dict[str, float]:
+    """NN-Descent k-NN-graph quality per iteration (the descent
+    curve): recall@10 of every node's graph neighbors vs the exact
+    grid-L2 top-10 (self excluded). Iteration 1 already folds in
+    reverse + neighbor-of-neighbor candidates; iteration 2 must not
+    regress (monotone by construction — candidates only grow)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hadoop_main_spark.operators import similarity as SIM
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = e.orderBy("vec_id").collect()
+    ids = np.array([int(r.vec_id) for r in rows])
+    Xq = np.floor(
+        np.array([[float(x) for x in r.embedding] for r in rows]) * 10000 + 0.5
+    ).astype(np.int64)
+    truth = {}
+    for i, vid in enumerate(ids):
+        d = ((Xq - Xq[i]) ** 2).sum(axis=1)
+        order = [j for j in np.lexsort((ids, d)) if ids[j] != vid][:K]
+        truth[int(vid)] = set(int(ids[j]) for j in order)
+    out = {}
+    for iters in (1, 2, 3):
+        g = SIM.nndescent_knn_graph(e, k=K, iterations=iters).collect()
+        got: dict[int, set] = {}
+        for r in g:
+            got.setdefault(int(r.id), set()).add(int(r.nbr_id))
+        out[f"nndescent_iter{iters}"] = _recall(got, truth)
+    return out
+
+
 def render(sf_dir: str, vals: dict[str, float]) -> str:
     lines = [
         "# RECALL — ANN retrieval-quality ledger",
@@ -421,6 +455,7 @@ def main() -> int:
     vals = measure_fixture(spark, sf_dir)
     vals.update(measure_clustered(spark))
     vals.update(measure_opq(spark))
+    vals.update(measure_nndescent(spark, sf_dir))
     spark.stop()
     print(json.dumps(vals, sort_keys=True))
     pinned = load_pinned()

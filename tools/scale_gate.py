@@ -104,6 +104,7 @@ DEFAULT_EXTRAS = [
     "bpe_encode_stats",
     "id3_apic_art_dedup",
     "html_link_graph",
+    "knn_graph_nndescent",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
