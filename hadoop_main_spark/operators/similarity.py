@@ -2316,6 +2316,96 @@ def nndescent_knn_graph(
     )
 
 
+def knn_graph_search(
+    graph: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 20,
+    hops: int = 3,
+    entries: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    qscale: int = PQ_QSCALE,
+) -> DataFrame:
+    """Greedy BEAM SEARCH over a prebuilt k-NN graph — the query side
+    of the graph-ANN paradigm (HNSW's layer-0 search, Malkov &
+    Yashunin TPAMI'18 §4, reduced to deterministic batch form): every
+    query starts from the same ``entries`` fixed entry points (the
+    lowest vector ids — the single-entry-point idea), then ``hops``
+    rounds of *expand the pool by its graph neighbors, score exactly,
+    keep the best ``beam``*; top-k of the final pool answers the
+    query. Pairs with :func:`nndescent_knn_graph` (build) exactly the
+    way a vector store pairs build and search.
+
+    Determinism: exact BIGINT grid-L2 scores, (d2, node) tie-break at
+    every beam cut, so the whole trajectory is CTE-replayable (the
+    registry oracle does). Scale shape: the query frame (queries x
+    grid codes) and the per-hop pool (queries x beam) are bounded
+    broadcasts; each hop is ONE graph equi-join + one query-keyed
+    window — never a corpus scan, which is the entire point of a
+    graph index at 100 TB.
+    """
+    spark = vectors.sparkSession
+    q = vectors.select(
+        F.col(id_col).alias("node"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+            f"* {qscale} + 0.5) AS BIGINT))"
+        ).alias("qn"),
+    )
+    q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:
+        raise ValueError("knn_graph_search needs at least one query")
+    import math
+
+    qframe = spark.createDataFrame(
+        [
+            (r[0], [int(math.floor(float(x) * qscale + 0.5)) for x in r[1]])
+            for r in q_rows
+        ],
+        f"{query_id} {dict(queries.dtypes)[query_id]}, qq array<bigint>",
+    )
+    entry_ids = [
+        r[0]
+        for r in vectors.select(id_col).orderBy(id_col).limit(entries).collect()
+    ]
+    pool = spark.createDataFrame(
+        [(r[0], e) for r in q_rows for e in entry_ids],
+        f"{query_id} {dict(queries.dtypes)[query_id]}, node {dict(vectors.dtypes)[id_col]}",
+    )
+    edges = graph.select(F.col("id"), F.col("nbr_id").alias("nbr"))
+    d2 = F.expr(
+        "aggregate(zip_with(qn, qq, "
+        "(a, b) -> CAST(a - b AS BIGINT) * CAST(a - b AS BIGINT)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    w = Window.partitionBy(query_id).orderBy("d2", "node")
+    scored = None
+    for _ in range(hops):
+        nbrs = pool.join(edges, pool["node"] == edges["id"]).select(
+            query_id, F.col("nbr").alias("node")
+        )
+        cand = pool.unionByName(nbrs).distinct()
+        scored = (
+            cand.join(q, "node")
+            .join(broadcast(qframe), query_id)
+            .select(query_id, "node", d2.alias("d2"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= beam)
+        )
+        pool = scored.select(query_id, "node")
+    final_w = Window.partitionBy(query_id).orderBy("d2", "node")
+    return (
+        scored.filter(F.col("node") != F.col(query_id))
+        .select(query_id, "node", "d2")
+        .withColumn("rank", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col("node").alias("neighbor_id"), "d2", "rank")
+    )
+
+
 def gram_matrix_exact(
     corpus: DataFrame,
     vec_col: str = "embedding",

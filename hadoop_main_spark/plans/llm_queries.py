@@ -3311,6 +3311,77 @@ def _nnd_oracle(k: int = 10, iters: int = 2) -> str:
     return sql
 
 
+def _nnd_search_oracle(
+    k: int = 10,
+    iters: int = 2,
+    beam: int = 20,
+    hops: int = 3,
+    entries: int = 4,
+    n_queries: int = 5,
+) -> str:
+    """Graph build (NN-Descent CTEs) + beam-search trajectory in one
+    chain: fixed entry points, per-hop expand/score/beam-cut, final
+    top-k with self-exclusion — every hop bit-exact."""
+    base = _nnd_oracle(k, iters)
+    # keep the CTE chain, drop the final SELECT of the build oracle
+    chain = base[: base.rindex("\n    SELECT id,")]
+    l2q = _SQ_L2_INT.format(a="qn.q", b="qv.qq")
+    sql = chain + f"""
+ , qv AS (SELECT id AS query_id, q AS qq FROM emb WHERE id < {n_queries}),
+   entry AS (SELECT id AS node FROM ranked WHERE r <= {entries}),
+   pool0 AS (SELECT qv.query_id, e.node FROM qv CROSS JOIN entry e)"""
+    prev = "pool0"
+    for h in range(1, hops + 1):
+        sql += f"""
+ , nb{h} AS (SELECT p.query_id, g.nbr AS node
+             FROM {prev} p JOIN nbr{iters} g ON g.id = p.node),
+   u{h} AS (SELECT DISTINCT query_id, node FROM (
+       SELECT query_id, node FROM {prev}
+       UNION ALL SELECT query_id, node FROM nb{h})),
+   sc_s{h} AS (SELECT u.query_id, u.node, CAST({l2q} AS BIGINT) AS d2
+               FROM u{h} u JOIN emb qn ON qn.id = u.node
+               JOIN qv ON qv.query_id = u.query_id),
+   pool{h} AS (SELECT query_id, node, d2 FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2, node) AS rn
+       FROM sc_s{h}) WHERE rn <= {beam})"""
+        prev = f"pool{h}"
+    sql += f"""
+    SELECT query_id, node AS neighbor_id, d2, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, node) AS rn
+      FROM pool{hops} WHERE node <> query_id)
+    WHERE rn <= {k}
+    """
+    return sql
+
+
+@query(
+    "knn_graph_search",
+    oracle=_nnd_search_oracle(),
+    doc="Graph-ANN SEARCH — beam search over the NN-Descent k-NN "
+    "graph (similarity.knn_graph_search; HNSW layer-0 search, Malkov "
+    "& Yashunin TPAMI'18 §4, in deterministic batch form — build + "
+    "search is the complete graph-index story beside knn_graph_"
+    "nndescent): every query starts at the same 4 fixed entry points "
+    "(lowest ids), 3 hops of expand-by-graph-neighbors / exact "
+    "BIGINT grid-L2 scoring / beam-20 cut, then top-10 of the final "
+    "pool with self-exclusion. NEVER scans the corpus — each hop is "
+    "one graph equi-join + one query-keyed window over a bounded "
+    "pool, which is the entire point of a graph index at 100 TB. The "
+    "oracle replays BOTH trajectories (the graph build and every "
+    "search hop) as one CTE chain; RECALL.md pins recall per hop "
+    "count (the routing curve).",
+)
+def knn_graph_search(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    g = SIM.nndescent_knn_graph(e, k=10, iterations=2)
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.knn_graph_search(g, e, qs, k=10, beam=20, hops=3, entries=4)
+
+
 @query(
     "knn_graph_nndescent",
     oracle=_nnd_oracle(),

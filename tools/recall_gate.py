@@ -371,12 +371,34 @@ def measure_nndescent(spark, sf_dir: str) -> dict[str, float]:
         order = [j for j in np.lexsort((ids, d)) if ids[j] != vid][:K]
         truth[int(vid)] = set(int(ids[j]) for j in order)
     out = {}
+    graph2 = None
     for iters in (1, 2, 3):
-        g = SIM.nndescent_knn_graph(e, k=K, iterations=iters).collect()
+        gdf = SIM.nndescent_knn_graph(e, k=K, iterations=iters)
+        if iters == 2:
+            graph2 = gdf
+        g = gdf.collect()
         got: dict[int, set] = {}
         for r in g:
             got.setdefault(int(r.id), set()).add(int(r.nbr_id))
         out[f"nndescent_iter{iters}"] = _recall(got, truth)
+    # graph-search routing curve: beam search over the 2-iteration
+    # graph, recall vs the N_QUERIES queries' exact top-10 (self
+    # excluded) per hop count
+    from pyspark.sql import functions as F
+
+    qids = ids[:N_QUERIES]
+    qs = e.filter(F.col("vec_id") < int(qids[-1]) + 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qtruth = {int(v): truth[int(v)] for v in qids}
+    for hops in (1, 2, 3):
+        res = SIM.knn_graph_search(
+            graph2, e, qs, k=K, beam=20, hops=hops, entries=4
+        ).collect()
+        got = {}
+        for r in res:
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        out[f"graph_search_hops{hops}"] = _recall(got, qtruth)
     return out
 
 

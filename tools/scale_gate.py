@@ -105,6 +105,7 @@ DEFAULT_EXTRAS = [
     "id3_apic_art_dedup",
     "html_link_graph",
     "knn_graph_nndescent",
+    "knn_graph_search",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
