@@ -2406,6 +2406,49 @@ def knn_graph_search(
     )
 
 
+def build_knn_graph_index(
+    vectors: DataFrame,
+    path: str,
+    k: int = 10,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the graph-ANN index: the NN-Descent k-NN graph
+    (edges with their exact BIGINT distances) + the node vectors, both
+    parquet — the persist-once shape every other ANN family here
+    already has (build_ivf_index / build_ivfpq_index / build_bq_index):
+    the O(n·k²)-candidate build is paid at ingest, and every search
+    after that is pure bounded joins over the edge table
+    (:func:`knn_graph_search_indexed`)."""
+    g = nndescent_knn_graph(vectors, k, iterations, id_col, vec_col)
+    g.write.mode("overwrite").parquet(f"{path}/graph")
+    vectors.select(id_col, vec_col).write.mode("overwrite").parquet(f"{path}/nodes")
+
+
+def knn_graph_search_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 20,
+    hops: int = 3,
+    entries: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Beam-search a materialized k-NN graph (see
+    :func:`build_knn_graph_index`): the graph build is off the query
+    path entirely — search touches only the persisted edge table and
+    the pooled nodes' vectors."""
+    g = spark.read.parquet(f"{path}/graph")
+    nodes = spark.read.parquet(f"{path}/nodes")
+    return knn_graph_search(
+        g, nodes, queries, k, beam, hops, entries, id_col, vec_col, query_id
+    )
+
+
 def gram_matrix_exact(
     corpus: DataFrame,
     vec_col: str = "embedding",

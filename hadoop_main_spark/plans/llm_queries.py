@@ -3317,7 +3317,8 @@ def _nnd_search_oracle(
     beam: int = 20,
     hops: int = 3,
     entries: int = 4,
-    n_queries: int = 5,
+    q_lo: int = 0,
+    q_hi: int = 5,
 ) -> str:
     """Graph build (NN-Descent CTEs) + beam-search trajectory in one
     chain: fixed entry points, per-hop expand/score/beam-cut, final
@@ -3327,7 +3328,8 @@ def _nnd_search_oracle(
     chain = base[: base.rindex("\n    SELECT id,")]
     l2q = _SQ_L2_INT.format(a="qn.q", b="qv.qq")
     sql = chain + f"""
- , qv AS (SELECT id AS query_id, q AS qq FROM emb WHERE id < {n_queries}),
+ , qv AS (SELECT id AS query_id, q AS qq FROM emb
+          WHERE id >= {q_lo} AND id < {q_hi}),
    entry AS (SELECT id AS node FROM ranked WHERE r <= {entries}),
    pool0 AS (SELECT qv.query_id, e.node FROM qv CROSS JOIN entry e)"""
     prev = "pool0"
@@ -3380,6 +3382,34 @@ def knn_graph_search(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.knn_graph_search(g, e, qs, k=10, beam=20, hops=3, entries=4)
+
+
+@query(
+    "knn_graph_indexed",
+    oracle=_nnd_search_oracle(q_lo=10, q_hi=15),
+    doc="Beam search over a MATERIALIZED k-NN graph "
+    "(similarity.build_knn_graph_index / knn_graph_search_indexed — "
+    "the persist-once shape every other ANN family here has): the "
+    "NN-Descent build writes the edge table + node vectors at ingest "
+    "(build-if-absent here, keyed on the data fingerprint), and the "
+    "query path touches ONLY the persisted graph — no corpus scan, "
+    "no rebuild. Distinct query set (vec_id 10..14) from "
+    "knn_graph_search; identical trajectory oracle.",
+)
+def knn_graph_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    idx = _index_dir(sf, "knngraph")
+    if not (
+        os.path.exists(f"{idx}/graph/_SUCCESS")
+        and os.path.exists(f"{idx}/nodes/_SUCCESS")
+    ):
+        SIM.build_knn_graph_index(e, idx, k=10, iterations=2)
+    qs = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.knn_graph_search_indexed(
+        spark, idx, qs, k=10, beam=20, hops=3, entries=4
+    )
 
 
 @query(

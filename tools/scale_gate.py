@@ -106,6 +106,7 @@ DEFAULT_EXTRAS = [
     "html_link_graph",
     "knn_graph_nndescent",
     "knn_graph_search",
+    "knn_graph_indexed",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
