@@ -84,6 +84,31 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return spark.read.parquet(os.path.join(path, entry["dir"]))
 
 
+def vacuum_versions(path: str, keep_last: int = 1) -> list[int]:
+    """Retention: drop all but the last ``keep_last`` committed
+    versions — manifest entries removed FIRST (readers lose access at
+    that instant), data directories deleted after, and any
+    uncommitted (torn-write) ``v=*`` directories are swept too.
+    Returns the dropped version numbers. Time travel only reaches
+    what retention keeps — the Delta VACUUM contract, stated plainly."""
+    import shutil
+
+    versions = _read_manifest(path)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    keep = versions[-keep_last:]
+    drop = versions[: -keep_last] if keep_last < len(versions) else []
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(keep, fh)
+    os.replace(tmp, _manifest_path(path))
+    kept_dirs = {e["dir"] for e in keep}
+    for name in os.listdir(path):
+        if name.startswith("v=") and name not in kept_dirs:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    return [e["version"] for e in drop]
+
+
 def merge_version(
     spark: SparkSession,
     path: str,

@@ -413,3 +413,43 @@ def test_versioned_snapshots_time_travel_and_commit_protocol(spark, tmp_path):
     assert read_version(spark, table).select("k").distinct().count() == 3
     with pytest.raises(ValueError, match="not committed"):
         read_version(spark, table, 4)
+
+
+def test_versioned_vacuum_retention(spark, tmp_path):
+    """vacuum_versions: only the last keep_last versions stay readable,
+    dropped data dirs and torn-write dirs are deleted from disk, new
+    commits continue the version sequence after a vacuum."""
+    import os
+
+    import pytest
+
+    from hadoop_main_spark.sources.versioned import (
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    table = str(tmp_path / "tbl")
+    for i in range(1, 5):
+        write_version(
+            spark.createDataFrame([(i, f"v{i}")], "k int, v string"), table
+        )
+    # torn write alongside the committed versions
+    spark.createDataFrame([(0, "torn")], "k int, v string").write.parquet(
+        f"{table}/v=99"
+    )
+    dropped = vacuum_versions(table, keep_last=2)
+    assert dropped == [1, 2]
+    assert not os.path.exists(f"{table}/v=1")
+    assert not os.path.exists(f"{table}/v=99")
+    assert os.path.exists(f"{table}/v=3") and os.path.exists(f"{table}/v=4")
+    with pytest.raises(ValueError, match="not committed"):
+        read_version(spark, table, 1)
+    assert read_version(spark, table, 3).collect()[0].v == "v3"
+    assert read_version(spark, table).collect()[0].v == "v4"
+    # version numbering continues past the vacuum
+    assert write_version(
+        spark.createDataFrame([(5, "v5")], "k int, v string"), table
+    ) == 5
+    with pytest.raises(ValueError):
+        vacuum_versions(table, keep_last=0)
