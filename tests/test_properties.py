@@ -808,3 +808,71 @@ def test_gap_sessions_model(spark, tmp_path_factory, evs):
         .filter("rn = 1").collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200)
+)
+@settings(max_examples=60, deadline=None)
+def test_g711_companding_model(samples):
+    """G.711 companding properties on arbitrary int16 signals, both
+    laws: (1) code idempotence — encode(decode(encode(x))) ==
+    encode(x); (2) quantization error bounded by the segment step at
+    that magnitude (mu-law: half-step 4<<exp against the 16-bit
+    tables; A-law: 8<<max(seg-1,0)); (3) sign preserved for
+    magnitudes above the first step."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import multimodal as MM
+
+    x = np.array(samples, dtype=np.int16)
+    for enc, dec, step0 in (
+        (MM._g711_mulaw_encode, MM._g711_mulaw_decode, 8),
+        (MM._g711_alaw_encode, MM._g711_alaw_decode, 16),
+    ):
+        c = enc(x)
+        y = dec(c)
+        assert np.array_equal(enc(y), c)  # code idempotence
+        err = np.abs(y.astype(np.int64) - x.astype(np.int64))
+        # segment step at |x|: both laws double the step per segment;
+        # bound by one full step at the sample's own magnitude scale
+        mag = np.abs(x.astype(np.int64))
+        seg = np.maximum(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0)
+        bound = step0 * (1 << (seg + 1))  # generous one-step bound
+        assert np.all(err <= bound), (x[err > bound], y[err > bound])
+        big = mag > 64
+        assert np.all(np.sign(y[big]) == np.sign(x[big]))
+
+
+@given(
+    st.dictionaries(st.integers(0, 30), st.integers(-5, 5), max_size=15),
+    st.dictionaries(
+        st.integers(0, 30),
+        st.tuples(st.integers(-5, 5), st.booleans()),
+        max_size=15,
+    ),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_into_dict_model(spark, target, source):
+    """merge_into == the obvious dict model: apply updates/inserts,
+    drop deletes, keep untouched target rows."""
+    from hadoop_main_spark.operators.aggregate import merge_into
+
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in target.items()], "k int, v int"
+    ) if target else spark.createDataFrame([], "k int, v int")
+    sdf = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in source.items()],
+        "k int, v int, is_delete boolean",
+    ) if source else spark.createDataFrame([], "k int, v int, is_delete boolean")
+    got = {
+        r.k: r.v
+        for r in merge_into(tdf, sdf, ["k"], ["v"], delete_col="is_delete").collect()
+    }
+    model = dict(target)
+    for k, (v, d) in source.items():
+        if d:
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == model
