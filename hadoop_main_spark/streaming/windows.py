@@ -890,6 +890,95 @@ def read_residual_codes_inc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/codes_inc").drop("batch")
 
 
+def knn_graph_stream_parquet(
+    vec_stream: DataFrame,
+    base_index: str,
+    path: str,
+    checkpoint: str,
+    k: int = 10,
+    beam: int = 20,
+    hops: int = 3,
+    entries: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Incremental GRAPH-ANN ingest — the HNSW INSERT path (Malkov &
+    Yashunin §4: a new element's links = the results of searching the
+    current graph for it, added bidirectionally) in micro-batch form:
+    each arriving vector batch beam-searches the CURRENT graph (the
+    materialized base index + every prior batch's edges and nodes),
+    and lands its forward edges, the REVERSE edges that make the new
+    nodes reachable, and its node vectors under ``batch=<id>``
+    partitions. Newly ingested vectors become searchable per batch;
+    the base graph is never rebuilt.
+
+    Replay safety: Structured Streaming replays at most the last
+    uncommitted batch, and when batch b replays no batch > b has run —
+    so the graph state batch b searches is identical on replay and
+    the ``batch=<id>`` overwrite is idempotent (the
+    dedup_ingest_stream argument). Degree note: reverse edges grow an
+    old node's list by at most k per ingest wave (HNSW trims on
+    insert; here the trim is a read-time/compaction concern, stated
+    honestly — search handles variable degree by construction).
+    """
+    from hadoop_main_spark.operators.similarity import knn_graph_search
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new = batch.select(id_col, vec_col)
+        if new.isEmpty():
+            return
+        edges = spark.read.parquet(f"{base_index}/graph")
+        nodes = spark.read.parquet(f"{base_index}/nodes")
+        if _hadoop_path_exists(spark, f"{path}/edges"):
+            edges = edges.unionByName(
+                spark.read.parquet(f"{path}/edges").drop("batch")
+            )
+            nodes = nodes.unionByName(
+                spark.read.parquet(f"{path}/nodes").drop("batch")
+            )
+        qs = new.select(F.col(id_col).alias("__qid"), vec_col)
+        res = knn_graph_search(
+            edges, nodes, qs, k, beam, hops, entries,
+            id_col, vec_col, query_id="__qid",
+        )
+        fwd = res.select(
+            F.col("__qid").alias("id"), "rank",
+            F.col("neighbor_id").alias("nbr_id"), "d2",
+        )
+        rev = res.select(
+            F.col("neighbor_id").alias("id"), "rank",
+            F.col("__qid").alias("nbr_id"), "d2",
+        )
+        fwd.unionByName(rev).write.mode("overwrite").parquet(
+            f"{path}/edges/batch={batch_id}"
+        )
+        new.write.mode("overwrite").parquet(f"{path}/nodes/batch={batch_id}")
+
+    w = (
+        vec_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_knn_graph_inc(spark: SparkSession, base_index: str, path: str):
+    """The accumulated incremental graph: (edges, nodes) = base index
+    unioned with every ingested batch (batch partition dropped) —
+    exactly what :func:`knn_graph_stream_parquet.merge` searches, and
+    what ad-hoc queries search between ingest waves."""
+    edges = spark.read.parquet(f"{base_index}/graph")
+    nodes = spark.read.parquet(f"{base_index}/nodes")
+    if _hadoop_path_exists(spark, f"{path}/edges"):
+        edges = edges.unionByName(spark.read.parquet(f"{path}/edges").drop("batch"))
+        nodes = nodes.unionByName(spark.read.parquet(f"{path}/nodes").drop("batch"))
+    return edges, nodes
+
+
 def warc_records_stream_parquet(
     warc_stream: DataFrame,
     path: str,

@@ -1371,3 +1371,114 @@ def test_gap_sessions_state_carry_across_batches(spark, tmp_path):
     # the spanning session emitted open snapshots in earlier batches
     opens = emitted.filter((F.col("user_id") == 1) & (~F.col("closed"))).count()
     assert opens >= 2
+
+
+def test_knn_graph_stream_insert_equals_sequential_batch(spark, tmp_path):
+    """Streaming graph-ANN ingest contract (the HNSW insert path):
+    each micro-batch's edges equal the same beam-search run
+    sequentially in batch over the identical graph states; newly
+    ingested vectors are REACHABLE (a duplicate of an ingested vector
+    finds it at rank 1 through the reverse links); a checkpoint
+    re-run reprocesses nothing."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators import similarity as SIM
+
+    def mkvecs(lo, n):
+        # two coprime moduli -> no two ids within 8900 share a vector
+        # (a single modulus made stream id 1040 collide with base id 43)
+        return (
+            spark.range(lo, lo + n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(16)),
+                    lambda i: (
+                        F.pmod(F.col("id") * 37 + i * 11, F.lit(100)) / 25.0
+                        + F.pmod(F.col("id") * 53 + i * 7, F.lit(89)) / 250.0
+                        - 2.0
+                    ),
+                ).alias("embedding"),
+            )
+        )
+
+    base = mkvecs(0, 120)
+    idx = str(tmp_path / "gidx")
+    SIM.build_knn_graph_index(base, idx, k=5, iterations=2)
+
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    batches = [mkvecs(1000, 20), mkvecs(1020, 20), mkvecs(1040, 20)]
+    for bi, bdf in enumerate(batches):
+        part = str(tmp_path / f"part{bi}")
+        bdf.coalesce(1).write.parquet(part)
+        (pf,) = glob.glob(f"{part}/part-*.parquet")
+        dst = f"{src}/b{bi}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + bi * 60,) * 2)
+
+    inc, ck = str(tmp_path / "inc"), str(tmp_path / "gck")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = W.knn_graph_stream_parquet(
+        stream, idx, inc, ck, k=5, beam=12, hops=3, entries=4
+    )
+    assert q.awaitTermination(600)
+
+    # sequential batch reference: identical per-batch graph states
+    edges = spark.read.parquet(f"{idx}/graph")
+    nodes = spark.read.parquet(f"{idx}/nodes")
+    for bi, bdf in enumerate(batches):
+        qs = bdf.select(F.col("vec_id").alias("__qid"), "embedding")
+        res = SIM.knn_graph_search(
+            edges, nodes, qs, 5, 12, 3, 4, "vec_id", "embedding", "__qid"
+        )
+        want = set()
+        for r in res.collect():
+            want.add((int(r["__qid"]), int(r.rank), int(r.neighbor_id), int(r.d2)))
+            want.add((int(r.neighbor_id), int(r.rank), int(r["__qid"]), int(r.d2)))
+        got = {
+            (int(r.id), int(r.rank), int(r.nbr_id), int(r.d2))
+            for r in spark.read.parquet(f"{inc}/edges/batch={bi}").collect()
+        }
+        assert got == want, f"batch {bi}"
+        fwd = res.select(
+            F.col("__qid").alias("id"), "rank",
+            F.col("neighbor_id").alias("nbr_id"), "d2",
+        )
+        rev = res.select(
+            F.col("neighbor_id").alias("id"), "rank",
+            F.col("__qid").alias("nbr_id"), "d2",
+        )
+        edges = edges.unionByName(fwd.unionByName(rev))
+        nodes = nodes.unionByName(bdf)
+
+    # searchability: a duplicate of an ingested vector must find it at
+    # rank 1 through the reverse links
+    e2, n2 = W.read_knn_graph_inc(spark, idx, inc)
+    probe = mkvecs(1040, 1).select(
+        F.lit(77777).cast("long").alias("query_id"), "embedding"
+    )
+    top = SIM.knn_graph_search(e2, n2, probe, k=3, beam=12, hops=3, entries=4)
+    top1 = top.filter(F.col("rank") == 1).collect()[0]
+    assert int(top1.neighbor_id) == 1040 and int(top1.d2) == 0
+
+    # checkpoint re-run: nothing reprocessed
+    n_dirs = len(os.listdir(f"{inc}/edges"))
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = W.knn_graph_stream_parquet(
+        stream2, idx, inc, ck, k=5, beam=12, hops=3, entries=4
+    )
+    assert q2.awaitTermination(600)
+    assert len(os.listdir(f"{inc}/edges")) == n_dirs
