@@ -2449,6 +2449,23 @@ def knn_graph_search_indexed(
     )
 
 
+def knn_graph_compact(edges: DataFrame, k: int = 10) -> DataFrame:
+    """Degree re-trim — the maintenance pass after incremental graph
+    ingest (streaming/windows.py:knn_graph_stream_parquet grows old
+    nodes' lists by the reverse links of every wave; HNSW trims on
+    insert, a batch system trims on compaction): per node, keep the k
+    best edges by (d2, nbr_id) and re-number ranks. ONE node-keyed
+    window; run it when the average degree drifts past ~2k."""
+    w = Window.partitionBy("id").orderBy("d2", "nbr_id")
+    return (
+        edges.select("id", "nbr_id", "d2")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "nbr_id", "d2")
+    )
+
+
 def gram_matrix_exact(
     corpus: DataFrame,
     vec_col: str = "embedding",

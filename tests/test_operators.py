@@ -2361,3 +2361,26 @@ def test_nndescent_descent_invariant_and_determinism(spark):
     assert sum(s2.values()) < sum(s1.values())  # it actually descends
     _, g2b = sums(2)
     assert g2 == g2b  # deterministic
+
+
+def test_knn_graph_compact_retrim(spark):
+    """knn_graph_compact: per-node top-k by (d2, nbr) with dense
+    re-ranking, duplicate edges collapse, under-full nodes keep all."""
+    from hadoop_main_spark.operators import similarity as SIM
+
+    edges = spark.createDataFrame(
+        [
+            (1, 9, 10, 30), (1, 2, 20, 10), (1, 3, 21, 20), (1, 4, 99, 20),
+            (1, 4, 99, 20),  # duplicate edge
+            (2, 7, 1, 5),
+        ],
+        "id long, rank long, nbr_id long, d2 long",
+    )
+    got = sorted(
+        (r.id, r.rank, r.nbr_id, r.d2)
+        for r in SIM.knn_graph_compact(edges, k=3).collect()
+    )
+    assert got == [
+        (1, 1, 20, 10), (1, 2, 21, 20), (1, 3, 99, 20),
+        (2, 1, 1, 5),
+    ]
