@@ -125,3 +125,35 @@ def pagerank_int(
             )
         )
     return r.select("v", F.col("__r").alias("rank"))
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 6
+) -> DataFrame:
+    """Multi-source BFS shortest hop distances — the other classic
+    chained-MapReduce graph benchmark beside PageRank (the
+    single-source-shortest-paths pattern every MapReduce graph text
+    unrolls; GraphFrames ships it as ``shortestPaths`` landmarks).
+    ``edges``: directed (src, dst) deduplicated; ``sources``: one
+    ``lm`` row per landmark. Returns (lm, v, dist) for every node
+    reachable within ``max_hops`` (dist 0 = the landmark itself).
+
+    Shape: ``max_hops`` unrolled rounds of ONE frontier-keyed equi-join
+    + one (lm, v) min partial-agg — no state beyond the distance
+    table, lineage flattened per round (the connected-components
+    localCheckpoint discipline, eager=False so unexecuted branches
+    cost nothing)."""
+    dist = sources.select(F.col("lm"), F.col("lm").alias("v"), F.lit(0).alias("dist"))
+    for h in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("dist") == h - 1)
+        step = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .select("lm", F.col("dst").alias("v"), F.lit(h).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("lm", "v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

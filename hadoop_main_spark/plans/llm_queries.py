@@ -2673,6 +2673,57 @@ def pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "graph_shortest_paths",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT {_TOKS} AS tk FROM documents),
+    bg AS (SELECT unnest(list_transform(
+             generate_series(1, greatest(len(tk) - 1, 0)),
+             i -> [tk[i], tk[i+1]])) AS pr
+           FROM toks),
+    e AS (SELECT DISTINCT pr[1] AS src, pr[2] AS dst FROM bg WHERE pr[1] <> pr[2]),
+    lms AS (SELECT src AS lm FROM (SELECT DISTINCT src FROM e)
+            ORDER BY src LIMIT 3),
+    reach(lm, v, d) AS (
+      SELECT lm, lm, 0 FROM lms
+      UNION
+      SELECT r.lm, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.v
+      WHERE r.d < 6
+    )
+    SELECT lm, v AS token, CAST(MIN(d) AS BIGINT) AS dist
+    FROM reach GROUP BY lm, v
+    """,
+    doc="Multi-source BFS shortest paths (operators/graph.py:"
+    "bfs_distances — the other classic chained-MapReduce graph "
+    "benchmark beside pagerank_top20; GraphFrames' shortestPaths "
+    "landmarks): hop distances from the 3 lexicographically-smallest "
+    "source tokens over the SAME directed token-adjacency graph "
+    "PageRank uses, bounded at 6 hops. Each round is ONE "
+    "frontier-keyed equi-join + one (landmark, node) min partial-agg "
+    "with per-round lineage flattening — the textbook distributed "
+    "BFS step. The oracle is a depth-bounded recursive CTE closure "
+    "with MIN over arrival depths, which equals BFS by definition.",
+)
+def graph_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+    from hadoop_main_spark.operators.graph import bfs_distances
+
+    d = t(spark, sf, "documents")
+    bg = d.select(F.explode(D.word_shingles("text", 2)).alias("bigram")).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("src"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("dst"),
+    )
+    edges = supersede_checkpoint(
+        "graph_shortest_paths.edges",
+        bg.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False),
+    )
+    lms = edges.select("src").distinct().orderBy("src").limit(3).select(
+        F.col("src").alias("lm")
+    )
+    out = bfs_distances(edges, lms, max_hops=6)
+    return out.select("lm", F.col("v").alias("token"), F.col("dist").cast("bigint").alias("dist"))
+
+
+@query(
     "bpe_pair_counts",
     oracle=r"""
     WITH w AS (

@@ -107,6 +107,7 @@ DEFAULT_EXTRAS = [
     "knn_graph_nndescent",
     "knn_graph_search",
     "knn_graph_indexed",
+    "graph_shortest_paths",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
