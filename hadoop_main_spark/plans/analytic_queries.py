@@ -2277,3 +2277,125 @@ def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(viol, F.col("grp")).otherwise(0)).cast("bigint").alias("exposed_rows"),
         F.min("grp").cast("bigint").alias("min_class_size"),
     )
+
+
+_LDIV_L = 3
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(DISTINCT c_mktsegment) AS div_l,
+             COUNT(*) AS grp
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN div_l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_classes,
+           CAST(SUM(CASE WHEN div_l < {_LDIV_L} THEN grp ELSE 0 END) AS BIGINT)
+             AS exposed_rows,
+           CAST(MIN(div_l) AS BIGINT) AS min_diversity
+    FROM cls
+    """,
+    doc="l-diversity audit (Machanavajjhala et al. ICDE'06 — the "
+    "stronger release check k-anonymity alone misses: a class can be "
+    "k-large yet leak its members' sensitive value when every row "
+    "agrees on it). Quasi-identifiers (nation, balance band) form "
+    "classes; the sensitive attribute (market segment) must take at "
+    "least l = 3 distinct values per class. Reports class count, "
+    "violating classes, exposed rows, and the table's actual minimum "
+    "diversity. One partial-aggregated groupBy with a distinct-count "
+    "— class cardinality bounded by the QI domain.",
+)
+def l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.countDistinct("c_mktsegment").alias("div_l"),
+        F.count("*").alias("grp"),
+    )
+    viol = F.col("div_l") < _LDIV_L
+    return cls.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(viol.cast("bigint")).cast("bigint").alias("violating_classes"),
+        F.sum(F.when(viol, F.col("grp")).otherwise(0)).cast("bigint").alias("exposed_rows"),
+        F.min("div_l").cast("bigint").alias("min_diversity"),
+    )
+
+
+_EWMA_LAGS = 16  # alpha = 1/2, weights 2^(15-j) for lag j
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(cents, {j}) OVER uw, 0) * {1 << (_EWMA_LAGS - 1 - j)}"
+        if j else f"cents * {1 << (_EWMA_LAGS - 1)}"
+        for j in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cents, {j}) OVER uw IS NOT NULL "
+        f"THEN {1 << (_EWMA_LAGS - 1 - j)} ELSE 0 END"
+        if j else f"{1 << (_EWMA_LAGS - 1)}"
+        for j in range(_EWMA_LAGS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT user_id, event_id,
+             ({num}) AS num, ({den}) AS den,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM e
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(num // den AS BIGINT) AS ewma_cents
+    FROM w WHERE rd = 1
+    """
+
+
+@query(
+    "ewma_user_value",
+    oracle=_ewma_oracle(),
+    doc="Exponentially weighted moving average, EXACT (the quant "
+    "signal every float implementation drifts on): per user, the "
+    "trailing-16-event EWMA with alpha = 1/2 as integer arithmetic — "
+    "cent-scaled values, power-of-two weights 2^(15-j) per lag, "
+    "missing lags dropped from BOTH numerator and denominator "
+    "(proper warm-up normalization), one floor quotient at the end — "
+    "so the value is bit-identical across engines and partitionings "
+    "(the TWAP discipline; values are non-negative, so Spark's "
+    "truncating div equals the oracle's flooring //). ONE user-keyed "
+    "window serves the 16 lag terms AND the latest-row pick; emits "
+    "one row per user.",
+)
+def ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("cents") * (1 << (_EWMA_LAGS - 1))
+    den = F.lit(1 << (_EWMA_LAGS - 1)).cast("bigint")
+    for j in range(1, _EWMA_LAGS):
+        lj = F.lag("cents", j).over(uw)
+        wj = 1 << (_EWMA_LAGS - 1 - j)
+        num = num + F.coalesce(lj, F.lit(0)) * wj
+        den = den + F.when(lj.isNotNull(), F.lit(wj)).otherwise(F.lit(0))
+    rd = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    return (
+        e.select("user_id", num.alias("num"), den.alias("den"), rd.alias("rd"))
+        .filter(F.col("rd") == 1)
+        .select("user_id", F.expr("num div den").cast("bigint").alias("ewma_cents"))
+    )
