@@ -3409,6 +3409,157 @@ def _nnd_search_oracle(
     return sql
 
 
+def _graph_stream_oracle(
+    k: int = 5, iters: int = 2, beam: int = 12, hops: int = 2, entries: int = 4
+) -> str:
+    """The streaming-graph-insert trajectory, replayed whole: base
+    NN-Descent build over vec_id >= 40, then TWO insert waves
+    (id < 20, then 20 <= id < 40), each wave's beam search running
+    over the graph AS OF that wave (base + prior waves' forward AND
+    reverse edges, entry points re-derived from the grown node set) —
+    the deepest CTE chain in the registry, and exactly what
+    knn_graph_stream_parquet computes batch by batch."""
+    l2 = _SQ_L2_INT.format(a="qa.q", b="qb.q")
+    l2q = _SQ_L2_INT.format(a="qn.q", b="qv.qq")
+    sql = f"""
+    WITH emb AS (SELECT vec_id AS id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+    base AS (SELECT id, q FROM emb WHERE id >= 40),
+    nn AS (SELECT COUNT(*) AS n FROM base),
+    ranked AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS r FROM base),
+    slots AS (SELECT id, unnest(generate_series(0, {k - 1})) AS j FROM base),
+    seeds AS (SELECT s.id,
+                ({hash64_sql("s.id || '#' || s.j", 'nnd')} % nn.n) + 1 AS tr
+              FROM slots s CROSS JOIN nn),
+    nbr0 AS (SELECT DISTINCT s.id, rk.id AS nbr
+             FROM seeds s JOIN ranked rk ON rk.r = s.tr
+             WHERE s.id <> rk.id)"""
+    prev = "nbr0"
+    for i in range(1, iters + 1):
+        sql += f"""
+ , rev{i} AS (SELECT nbr AS id, id AS nbr FROM {prev}),
+   nn{i} AS (SELECT a.id, b.nbr FROM {prev} a JOIN {prev} b ON a.nbr = b.id),
+   cand{i} AS (SELECT DISTINCT id, nbr FROM (
+       SELECT id, nbr FROM {prev}
+       UNION ALL SELECT id, nbr FROM rev{i}
+       UNION ALL SELECT id, nbr FROM nn{i}) WHERE id <> nbr),
+   sc{i} AS (SELECT c.id, c.nbr, CAST({l2} AS BIGINT) AS d2
+             FROM cand{i} c
+             JOIN emb qa ON qa.id = c.id JOIN emb qb ON qb.id = c.nbr),
+   top{i} AS (SELECT id, nbr, d2,
+                ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, nbr) AS rn
+              FROM sc{i}),
+   nbr{i} AS (SELECT id, nbr FROM top{i} WHERE rn <= {k})"""
+        prev = f"nbr{i}"
+    sql += f"""
+ , g0 AS (SELECT id, nbr FROM nbr{iters})"""
+    waves = [(0, "id < 20", "id >= 40"), (1, "id >= 20 AND id < 40", "id >= 40 OR id < 20")]
+    for w, qpred, node_pred in waves:
+        sql += f"""
+ , qv{w} AS (SELECT id AS query_id, q AS qq FROM emb WHERE {qpred}),
+   ent{w} AS (SELECT id AS node FROM emb WHERE {node_pred}
+              ORDER BY id LIMIT {entries}),
+   p{w}_0 AS (SELECT qv.query_id, e.node FROM qv{w} qv CROSS JOIN ent{w} e)"""
+        prev_p = f"p{w}_0"
+        for h in range(1, hops + 1):
+            sql += f"""
+ , nb{w}_{h} AS (SELECT p.query_id, g.nbr AS node
+                 FROM {prev_p} p JOIN g{w} g ON g.id = p.node),
+   u{w}_{h} AS (SELECT DISTINCT query_id, node FROM (
+       SELECT query_id, node FROM {prev_p}
+       UNION ALL SELECT query_id, node FROM nb{w}_{h})),
+   scs{w}_{h} AS (SELECT u.query_id, u.node, CAST({l2q} AS BIGINT) AS d2
+                  FROM u{w}_{h} u JOIN emb qn ON qn.id = u.node
+                  JOIN qv{w} qv ON qv.query_id = u.query_id),
+   p{w}_{h} AS (SELECT query_id, node, d2 FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2, node) AS rn
+       FROM scs{w}_{h}) WHERE rn <= {beam})"""
+            prev_p = f"p{w}_{h}"
+        sql += f"""
+ , res{w} AS (SELECT query_id, node, d2, rn FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2, node) AS rn
+       FROM p{w}_{hops} WHERE node <> query_id)
+     WHERE rn <= {k}),
+   fr{w} AS (SELECT query_id AS id, rn AS rank, node AS nbr_id, d2 FROM res{w}
+             UNION ALL
+             SELECT node AS id, rn AS rank, query_id AS nbr_id, d2 FROM res{w}),
+   g{w + 1} AS (SELECT id, nbr FROM g{w}
+                UNION ALL SELECT id, nbr_id AS nbr FROM fr{w})"""
+    sql += """
+    SELECT CAST(0 AS BIGINT) AS batch, id, CAST(rank AS BIGINT) AS rank,
+           nbr_id, d2 FROM fr0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), id, CAST(rank AS BIGINT), nbr_id, d2 FROM fr1
+    """
+    return sql
+
+
+@query(
+    "stream_graph_insert_roundtrip",
+    oracle=_graph_stream_oracle(),
+    doc="Streaming GRAPH-ANN ingest ON the driver gate (the tenth "
+    "§2.12 certification, and the only driver-gated incremental ANN "
+    "index maintenance): the base NN-Descent graph is built over "
+    "vec_id >= 40, the remaining vectors replay as two mtime-ordered "
+    "parquet waves through the production insert path (streaming/"
+    "windows.py:knn_graph_stream_parquet — each wave beam-searches "
+    "the graph AS OF that wave and lands forward + REVERSE edges "
+    "under its batch partition), and the accumulated per-batch edge "
+    "sets must equal the oracle's replay of BOTH trajectories — the "
+    "graph build and every wave's search over the grown graph, "
+    "entry points re-derived from the grown node set — the deepest "
+    "CTE chain in the registry. A wave searching the wrong graph "
+    "state, a lost reverse link, or a replayed batch moves a row. "
+    "BUILD-COST NOTE: this builder EXECUTES the full streaming job "
+    "at plan-build time. LOCAL-MODE CONTRACT: tempfile.mkdtemp().",
+)
+def stream_graph_insert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_main_spark.streaming.windows import knn_graph_stream_parquet
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="streamgraph_")
+    idx = f"{root}/idx"
+    SIM.build_knn_graph_index(
+        e.filter(F.col("vec_id") >= 40), idx, k=5, iterations=2
+    )
+    src = f"{root}/src"
+    os.makedirs(src)
+    for w, pred in ((0, F.col("vec_id") < 20),
+                    (1, (F.col("vec_id") >= 20) & (F.col("vec_id") < 40))):
+        part = f"{root}/part{w}"
+        e.filter(pred).coalesce(1).write.parquet(part)
+        (pf,) = glob.glob(f"{part}/part-*.parquet")
+        dst = f"{src}/w{w}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + w * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = knn_graph_stream_parquet(
+        stream, idx, f"{root}/inc", f"{root}/ckpt",
+        k=5, beam=12, hops=2, entries=4,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/inc/edges").select(
+        F.col("batch").cast("bigint").alias("batch"),
+        "id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "nbr_id",
+        "d2",
+    )
+
+
 @query(
     "knn_graph_search",
     oracle=_nnd_search_oracle(),
