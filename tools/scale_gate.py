@@ -108,6 +108,8 @@ DEFAULT_EXTRAS = [
     "knn_graph_search",
     "knn_graph_indexed",
     "graph_shortest_paths",
+    "l_diversity_audit",
+    "ewma_user_value",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
