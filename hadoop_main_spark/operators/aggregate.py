@@ -469,7 +469,13 @@ def merge_into(
 
     Precondition (same as Delta Lake's MERGE): source keys are unique —
     multiple source matches per target key make the merge
-    nondeterministic, so dedup the change set first.
+    nondeterministic. ENFORCED, not just documented (Delta raises
+    "multiple source rows matched"): a count window over the source
+    keys feeds a ``raise_error`` guard, so a duplicated change set
+    fails the job loudly instead of silently fanning out target rows.
+    The window partitions on the same keys as the join, so it rides
+    the source's existing key shuffle — no extra exchange of the
+    (typically much larger) target.
 
     Shape: each side projects to keys+values at the scan, then ONE
     co-partitioned full-outer join on the keys decides all five action
@@ -478,16 +484,33 @@ def merge_into(
     100 TB the join partitions on the primary key exactly like the
     snapshot-diff audit that typically precedes it.
     """
+    from pyspark.sql import Window
+
     keys = list(key_cols)
     vals = list(value_cols)
+    n_dup = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    del_raw = (
+        F.coalesce(F.col(delete_col), F.lit(False))
+        if delete_col
+        else F.lit(False)
+    )
     src = source.select(
         *keys,
         *[F.col(c).alias(f"__s_{c}") for c in vals],
-        (
-            F.coalesce(F.col(delete_col), F.lit(False))
-            if delete_col
-            else F.lit(False)
-        ).alias("__del"),
+        F.when(
+            n_dup > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_into: multiple source rows share key ("),
+                    F.concat_ws(
+                        ", ", *[F.col(k).cast("string") for k in keys]
+                    ),
+                    F.lit(") — dedup the change set first"),
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(del_raw)
+        .alias("__del"),
     )
     j = target.select(*keys, *vals).join(src, keys, "full_outer")
     # __del is non-null exactly on rows that have a source side.

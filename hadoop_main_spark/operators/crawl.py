@@ -21,8 +21,14 @@ per-host and tiny next to frontiers; broadcast when small)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# One year in milliseconds — far above any sane Crawl-delay, far below
+# int64 overflow; values past this are treated as malformed and skipped.
+_MAX_DELAY_MS = 365 * 24 * 3600 * 1000
 
 
 def robots_pattern_regex(pattern: Column | str) -> Column:
@@ -195,10 +201,15 @@ def parse_robots_delays(body: str) -> list[tuple[str, int]]:
         elif key == "crawl-delay":
             group_has_rules = True
             try:
-                ms = int(round(float(val) * 1000))
-            except ValueError:
+                s = float(val)
+            except (ValueError, OverflowError):
                 continue
-            if ms < 0:
+            if not math.isfinite(s):
+                continue  # 'inf'/'nan' parse as floats; round() would raise
+            ms = int(round(s * 1000))
+            # int64-safe politeness cap: a delay that doesn't fit the
+            # scheduler's int64 ms column is adversarial, not a policy.
+            if ms < 0 or ms > _MAX_DELAY_MS:
                 continue
             for a in agents:
                 rows.append((a, ms))

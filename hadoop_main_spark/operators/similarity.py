@@ -2200,7 +2200,15 @@ def rotate_vectors(
             if nrows == 0:
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = batch.column(1).flatten()
+            emb = batch.column(1)
+            flat = emb.flatten()
+            if emb.null_count != 0 or flat.null_count != 0:
+                raise ValueError("rotate_vectors requires non-null vectors")
+            if len(flat) != nrows * dim:
+                raise ValueError(
+                    f"rotate_vectors requires fixed dim={dim} vectors "
+                    f"(got {len(flat)} values for {nrows} rows)"
+                )
             x = flat.to_numpy(zero_copy_only=False).reshape(nrows, dim)
             y = x.astype(np.float64) @ Rm.T
             yield pa.RecordBatch.from_arrays(

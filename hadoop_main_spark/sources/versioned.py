@@ -54,7 +54,11 @@ def write_version(df: DataFrame, path: str) -> int:
     versions = _read_manifest(path)
     v = (versions[-1]["version"] + 1) if versions else 1
     data_dir = os.path.join(path, f"v={v}")
-    df.write.parquet(data_dir)
+    # overwrite: a crash after the data write but before the manifest
+    # append leaves an uncommitted v=N directory; under the stated
+    # single-writer contract the next commit recomputes the same N and
+    # must reclaim it rather than wedge on errorIfExists.
+    df.write.mode("overwrite").parquet(data_dir)
     versions.append({"version": v, "dir": f"v={v}"})
     os.makedirs(path, exist_ok=True)
     tmp = _manifest_path(path) + ".tmp"

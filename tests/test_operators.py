@@ -2384,3 +2384,53 @@ def test_knn_graph_compact_retrim(spark):
         (1, 1, 20, 10), (1, 2, 21, 20), (1, 3, 99, 20),
         (2, 1, 1, 5),
     ]
+
+
+def test_rotate_vectors_rejects_null_and_ragged(spark):
+    """r9 ADVICE: rotate_vectors must mirror gram_matrix_exact's input
+    validation — null embedding elements or a ragged dim must raise
+    loudly instead of flowing NaN into every downstream PQ consumer."""
+    import numpy as np
+    import pytest
+
+    from hadoop_main_spark.operators import similarity as SIM
+
+    R = np.eye(4)
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 2.0, None, 4.0]), (2, [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        SIM.rotate_vectors(with_null, R).collect()
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="fixed dim"):
+        SIM.rotate_vectors(ragged, R).collect()
+    # clean input still rotates
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    got = SIM.rotate_vectors(ok, R).collect()[0]
+    assert list(got.embedding) == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_merge_into_raises_on_duplicate_source_keys(spark):
+    """r9 ADVICE: the unique-source-keys precondition is now ENFORCED —
+    duplicate source keys raise (Delta's 'multiple source rows matched'
+    behavior) instead of silently fanning out target rows."""
+    import pytest
+
+    from hadoop_main_spark.operators.aggregate import merge_into
+
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    dup_src = spark.createDataFrame(
+        [(2, 99), (2, 77), (3, 30)], "k int, v int"
+    )
+    with pytest.raises(Exception, match="multiple source rows"):
+        merge_into(target, dup_src, ["k"], ["v"]).collect()
+    # unique keys still merge cleanly through the guarded path
+    ok_src = spark.createDataFrame([(2, 99), (3, 30)], "k int, v int")
+    got = {r.k: r.v for r in merge_into(target, ok_src, ["k"], ["v"]).collect()}
+    assert got == {1: 10, 2: 99, 3: 30}

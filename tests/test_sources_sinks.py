@@ -453,3 +453,23 @@ def test_versioned_vacuum_retention(spark, tmp_path):
     ) == 5
     with pytest.raises(ValueError):
         vacuum_versions(table, keep_last=0)
+
+
+def test_versioned_torn_write_reclaimed_by_next_commit(spark, tmp_path):
+    """A crash between the data write and the manifest append leaves an
+    uncommitted v=N directory; under the single-writer contract the
+    NEXT write_version recomputes the same N and must overwrite the
+    orphan instead of wedging on errorIfExists (r9 ADVICE)."""
+    from hadoop_main_spark.sources.versioned import read_version, write_version
+
+    table = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), table)
+    # simulate the torn write: v=2 data on disk, no manifest entry
+    spark.createDataFrame([(9, "torn")], "k int, v string").write.parquet(
+        f"{table}/v=2"
+    )
+    v = write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"), table
+    )
+    assert v == 2
+    assert {r.k: r.v for r in read_version(spark, table, 2).collect()} == {2: "b"}

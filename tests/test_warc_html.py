@@ -249,3 +249,37 @@ def test_html_metadata_from_cleaned_markup():
     assert title == "real"
     assert n_links == 1
     assert "fake" not in text
+
+
+def test_parse_robots_delays_adversarial_values():
+    """'never raises' contract on untrusted robots.txt (r9 ADVICE):
+    inf/nan round() would raise OverflowError/ValueError, and a huge
+    finite value would overflow the scheduler's int64 ms column —
+    all must be skipped, while sane decimal delays still parse."""
+    from hadoop_main_spark.operators.crawl import (
+        parse_robots_delays,
+        select_crawl_delay,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Crawl-delay: inf\n"
+        "User-agent: *\n"
+        "Crawl-delay: nan\n"
+        "User-agent: *\n"
+        "Crawl-delay: -inf\n"
+        "User-agent: *\n"
+        "Crawl-delay: 1e30\n"
+        "User-agent: *\n"
+        "Crawl-delay: 1e400\n"
+        "User-agent: *\n"
+        "Crawl-delay: -3\n"
+        "User-agent: bot\n"
+        "Crawl-delay: 2.5\n"
+    )
+    rows = parse_robots_delays(body)
+    assert rows == [("bot", 2500)]
+    assert select_crawl_delay(rows, "Bot") == 2500
+    assert select_crawl_delay(rows, "other") is None
+    # every surviving delay fits int64 milliseconds
+    assert all(0 <= ms <= 365 * 24 * 3600 * 1000 for _, ms in rows)
