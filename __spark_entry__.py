@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 _ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _ROOT)
 
-from hadoop_main_spark.plans.registry import REGISTRY  # noqa: E402
+from hadoop_main_spark.plans.registry import REGISTRY, resolve_oracle  # noqa: E402
+
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 from hadoop_main_spark.session import tune  # noqa: E402
 
 
@@ -84,9 +86,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted where not
-    SQL-expressible → driver records a rows-only check)."""
-    return {
-        name: REGISTRY[name].oracle
+    SQL-expressible → driver records a rows-only check). Callable
+    oracle templates resolve against the driver's correctness scale
+    (sf0.01) — they derive data-dependent literals Spark-free via
+    pyarrow, see registry.resolve_oracle."""
+    resolved = {
+        name: resolve_oracle(REGISTRY[name], _DRIVER_SF_DIR)
         for name in _driver_order()
-        if REGISTRY[name].oracle is not None
     }
+    return {name: sql for name, sql in resolved.items() if sql is not None}

@@ -1626,6 +1626,169 @@ def pq_trained_codebook(
     return cb, dsub
 
 
+def pq_trained_codebook_all(
+    vectors: DataFrame,
+    k: int = 16,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = PQ_QSCALE,
+    max_iter: int = 5,
+):
+    """Semantically identical to :func:`pq_trained_codebook` (pytest
+    pins codebook equality), restructured for LATENCY: all ``m``
+    per-subspace Lloyd k-means runs advance together, ONE Spark job
+    per iteration instead of 2 jobs x m subspaces x iterations. The
+    Arrow kernel assigns every subspace (dim-sequential float64
+    accumulation — kmeans_assign's fold order, so distances are
+    bit-identical) AND emits per-batch centroid partials
+    (mi, cluster, dim, micro-sum, count); one groupBy reduces them and
+    the driver applies kmeans_centroids' exact offset floor-div on the
+    1e-7 grid. Empty clusters keep their previous centroid and
+    convergence early-stops, both exactly as kmeans_fit. The training
+    corpus is bounded by contract (sample at 100 TB), so the k x m x
+    dsub state rides the closure like kmeans_assign's centroids."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    seeds = vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"pq_trained_codebook_all needs >= {k} vectors")
+    dim = len(seeds[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # cents[mi] = list of (cluster_id, comps float64[dsub]), cluster
+    # ids ascending (= seed ids, the tie-break order)
+    cents = [
+        [
+            (int(r[id_col]), np.array([float(x) for x in r[vec_col]])[
+                mi * dsub : (mi + 1) * dsub
+            ])
+            for r in seeds
+        ]
+        for mi in range(m)
+    ]
+    part_schema = StructType(
+        [
+            StructField("mi", IntegerType(), False),
+            StructField("cluster", LongType(), False),
+            StructField("dimn", IntegerType(), False),
+            StructField("su", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+    def _stats_kernel(cmats, cids):
+        def _run(batches):
+            for batch in batches:
+                nrows = batch.num_rows
+                if nrows == 0:
+                    continue
+                emb = batch.column(1)
+                flat = emb.flatten()
+                if emb.null_count != 0 or flat.null_count != 0:
+                    raise ValueError(
+                        "pq_trained_codebook_all requires non-null vectors"
+                    )
+                if len(flat) != nrows * dim:
+                    raise ValueError(
+                        f"pq_trained_codebook_all requires fixed dim={dim}"
+                    )
+                x = (
+                    flat.to_numpy(zero_copy_only=False)
+                    .reshape(nrows, dim)
+                    .astype(np.float64)
+                )
+                micro = np.floor(x * 1e7 + 0.5).astype(np.int64)
+                out_mi, out_cl, out_d, out_su, out_n = [], [], [], [], []
+                for mi in range(m):
+                    sub = x[:, mi * dsub : (mi + 1) * dsub]
+                    best_d2 = None
+                    best_j = None
+                    for j in range(k):
+                        sq = sub - cmats[mi][j]
+                        sq *= sq
+                        acc = np.zeros(nrows, dtype=np.float64)
+                        for d in range(dsub):
+                            acc = acc + sq[:, d]
+                        if best_d2 is None:
+                            best_d2 = acc
+                            best_j = np.zeros(nrows, dtype=np.int64)
+                        else:
+                            better = acc < best_d2  # strict: ties keep earlier
+                            best_d2 = np.where(better, acc, best_d2)
+                            best_j = np.where(better, j, best_j)
+                    msub = micro[:, mi * dsub : (mi + 1) * dsub]
+                    for j in range(k):
+                        sel = best_j == j
+                        cnt = int(sel.sum())
+                        if cnt == 0:
+                            continue
+                        su = msub[sel].sum(axis=0)
+                        out_mi += [mi] * dsub
+                        out_cl += [cids[mi][j]] * dsub
+                        out_d += list(range(dsub))
+                        out_su += [int(v) for v in su]
+                        out_n += [cnt] * dsub
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_mi, pa.int32()),
+                        pa.array(out_cl, pa.int64()),
+                        pa.array(out_d, pa.int32()),
+                        pa.array(out_su, pa.int64()),
+                        pa.array(out_n, pa.int64()),
+                    ],
+                    names=["mi", "cluster", "dimn", "su", "n"],
+                )
+
+        return _run
+
+    src = vectors.select(id_col, vec_col)
+    for _ in range(max_iter):
+        cmats = [np.array([c for _, c in cents[mi]]) for mi in range(m)]
+        cids = [[cid for cid, _ in cents[mi]] for mi in range(m)]
+        stats = (
+            src.mapInArrow(_stats_kernel(cmats, cids), part_schema)
+            .groupBy("mi", "cluster", "dimn")
+            .agg(F.sum("su").alias("su"), F.sum("n").alias("n"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in stats:
+            acc.setdefault((r.mi, r.cluster), {})[r.dimn] = (int(r.su), int(r.n))
+        new_cents = []
+        changed = False
+        for mi in range(m):
+            row = []
+            for cid, prev in cents[mi]:
+                got = acc.get((mi, cid))
+                if got is None:
+                    row.append((cid, prev))  # empty cluster keeps previous
+                    continue
+                comps = np.array(
+                    [
+                        float((got[d][0] + got[d][1] * KM_OFF) // got[d][1] - KM_OFF)
+                        / KM_SCALE
+                        for d in range(dsub)
+                    ]
+                )
+                if not np.array_equal(comps, prev):
+                    changed = True
+                row.append((cid, comps))
+            new_cents.append(row)
+        cents = new_cents
+        if not changed:
+            break
+    cb = np.empty((m, k, dsub), dtype=np.int64)
+    for mi in range(m):
+        for code, (_cid, comps) in enumerate(sorted(cents[mi], key=lambda t: t[0])):
+            cb[mi, code] = [math.floor(float(c) * qscale + 0.5) for c in comps]
+    return cb, dsub
+
+
 def pq_encode_residual(
     corpus_with_cell: DataFrame,
     codebook,
@@ -2132,16 +2295,12 @@ def opq_rotation(
     so subspace j owns rows [j*dsub, (j+1)*dsub): rotated vector =
     R @ x.
     """
-    import math
-
     import numpy as np
 
     rows = gram_matrix_exact(corpus, vec_col, qscale).collect()
     if not rows:
         raise ValueError("opq_rotation needs a non-empty corpus")
     dim = max(r.j for r in rows) + 1
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
     S = np.zeros((dim, dim), dtype=np.float64)
     sx = np.zeros(dim, dtype=np.float64)
     n = 0
@@ -2150,6 +2309,21 @@ def opq_rotation(
         sx[r.i] = float(r.sum_x)
         sx[r.j] = float(r.sum_y)
         n = int(r.n)
+    return _opq_rotation_from_stats(S, sx, n, dim, m, qscale)
+
+
+def _opq_rotation_from_stats(S, sx, n: int, dim: int, m: int, qscale: int):
+    """Eigen + eigenvalue-allocation tail shared by the distributed
+    (:func:`opq_rotation`) and Spark-free (:func:`opq_rotation_local`)
+    paths — both feed the IDENTICAL float64 moment matrices derived
+    from exact integers, so the two paths return the bit-same R (a
+    pytest pins the equivalence)."""
+    import math
+
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     cov = (S - np.outer(sx, sx) / n) / (n * float(qscale) ** 2)
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1]
@@ -2168,6 +2342,126 @@ def opq_rotation(
         logs[b] += math.log(max(float(evals[idx]), 1e-30))
     perm = [i for bucket in buckets for i in bucket]
     return evecs[:, perm].T
+
+
+def opq_rotation_local(
+    parquet_path: str,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    qscale: int = PQ_QSCALE,
+):
+    """Spark-free twin of :func:`opq_rotation` for ORACLE-side use:
+    reads the embeddings parquet with pyarrow, accumulates the same
+    exact-integer moments numpy-side (q = floor(x*qscale + 0.5) int64,
+    S = q^T q), and runs the shared eigen/allocation tail — so an
+    oracle generator can derive the identical rotation without a
+    SparkSession. The moments are exact integers in both paths, the
+    float chain after them is the same code, so R matches opq_rotation
+    bitwise (pinned by pytest)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[vec_col])
+    col = tbl.column(vec_col).combine_chunks()
+    if tbl.num_rows == 0:
+        raise ValueError("opq_rotation_local needs a non-empty corpus")
+    flat = col.flatten()
+    if col.null_count != 0 or flat.null_count != 0:
+        raise ValueError("opq_rotation_local requires non-null vectors")
+    n = tbl.num_rows
+    x = flat.to_numpy(zero_copy_only=False)
+    dim = x.size // n
+    if x.size != n * dim:
+        raise ValueError("opq_rotation_local requires fixed-dim vectors")
+    q = np.floor(x.reshape(n, dim).astype(np.float64) * qscale + 0.5).astype(
+        np.int64
+    )
+    S = (q.T @ q).astype(np.float64)
+    sx = q.sum(axis=0).astype(np.float64)
+    return _opq_rotation_from_stats(S, sx, n, dim, m, qscale)
+
+
+ROT_SHIFT = 20  # rotation fixed-point: Rq = floor(R * 2^20 + 0.5)
+
+
+def quantize_rotation(rotation, shift: int = ROT_SHIFT):
+    """Snap an orthogonal float64 rotation to the 2^-shift fixed-point
+    grid (int64 matrix). At shift=20 the quantization perturbs each
+    entry by <= 2^-21 (~5e-7) — orthogonality holds to ~1e-5 and the
+    OPQ recall payoff is unchanged (RECALL.md) — and in exchange the
+    rotated corpus becomes EXACT integer arithmetic, replayable
+    bit-identically by any engine (the micro-grid discipline the whole
+    PQ family rides)."""
+    import numpy as np
+
+    R = np.asarray(rotation, dtype=np.float64)
+    return np.floor(R * float(1 << shift) + 0.5).astype(np.int64)
+
+
+def rotate_vectors_exact(
+    vectors: DataFrame,
+    rotation_q,
+    shift: int = ROT_SHIFT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = PQ_QSCALE,
+) -> DataFrame:
+    """EXACT fixed-point rotation onto the PQ micro-grid: input floats
+    quantize to q = floor(x*qscale + 0.5) (the pq_encode discipline),
+    s = Rq @ q accumulates in int64 (|s| <= dim * 2^shift * qscale *
+    max|x| — ~7e10 at the defaults, 8 orders under int64), and the
+    result rounds back to the micro-grid with an arithmetic shift
+    ((s + 2^(shift-1)) >> shift == floor((s + half) / 2^shift) for
+    negative s too). Every output component is an integer a SQL engine
+    reproduces exactly — the step that makes the whole OPQ->PQ->ADC
+    pipeline oracle-verifiable downstream of the eigendecomposition.
+
+    Output: (id_col, qvec array<bigint>) — micro-grid integers; feed
+    pq_trained_codebook/pq_encode/pq_adc_scores with qscale=1 /
+    pre_quantized=True."""
+    import numpy as np
+    import pyarrow as pa
+
+    Rq = np.asarray(rotation_q, dtype=np.int64)
+    dim = Rq.shape[0]
+    half = 1 << (shift - 1)
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("qvec", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def _rot(batches):
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            emb = batch.column(1)
+            flat = emb.flatten()
+            if emb.null_count != 0 or flat.null_count != 0:
+                raise ValueError("rotate_vectors_exact requires non-null vectors")
+            if len(flat) != nrows * dim:
+                raise ValueError(
+                    f"rotate_vectors_exact requires fixed dim={dim} vectors "
+                    f"(got {len(flat)} values for {nrows} rows)"
+                )
+            x = flat.to_numpy(zero_copy_only=False).reshape(nrows, dim)
+            q = np.floor(x.astype(np.float64) * qscale + 0.5).astype(np.int64)
+            s = q @ Rq.T  # exact int64 matmul
+            qrot = (s + half) >> shift  # arithmetic shift == floor-div
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(qrot.reshape(-1), pa.int64()), dim
+                    ).cast(pa.list_(pa.int64())),
+                ],
+                names=[id_col, "qvec"],
+            )
+
+    return vectors.select(id_col, vec_col).mapInArrow(_rot, out_schema)
 
 
 def rotate_vectors(

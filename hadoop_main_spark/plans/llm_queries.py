@@ -3276,39 +3276,155 @@ def pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _opq_oracle(sf_dir: str) -> str:
+    """FULL-PIPELINE oracle for opq_pq_topk (closes the registry's one
+    r9 oracle hole). Only the rotation TRAINING (exact covariance →
+    eigendecomposition → eigenvalue allocation, property-pinned in
+    pytest) stays outside SQL: this template derives the identical
+    rotation Spark-free (similarity.opq_rotation_local — pyarrow +
+    numpy over the same parquet, bit-equal R pinned by pytest), snaps
+    it to the 2^-20 fixed-point grid, injects the int64 matrix as SQL
+    literals, and replays EVERYTHING downstream — fixed-point
+    rotation, per-subspace trained k-means (3 unrolled Lloyd
+    iterations, the ann_ivf_trained centroid discipline), PQ encode,
+    broadcast-ADC scoring, top-k — as a CTE chain over the base
+    embeddings view. Every rotated component is an exact integer
+    (s = Rq @ q in BIGINT, floor((s + half) / 2^shift) — power-of-two
+    division is exact in DOUBLE), so both engines proceed from
+    bit-identical micro-grid values."""
+    from hadoop_main_spark.operators.similarity import (
+        ROT_SHIFT,
+        opq_rotation_local,
+        quantize_rotation,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    Rq = quantize_rotation(opq_rotation_local(path, m=4))
+    half, denom = 1 << (ROT_SHIFT - 1), float(1 << ROT_SHIFT)
+    rq_rows = ",\n      ".join(
+        f"({i}, [{', '.join(str(int(v)) for v in Rq[i])}])"
+        for i in range(Rq.shape[0])
+    )
+    idot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(r.rv, e.q), "
+        "p -> CAST(p[1] * p[2] AS BIGINT))), (acc, x) -> acc + x)"
+    )
+    sql = f"""
+    WITH rq(i, rv) AS (VALUES
+      {rq_rows}),
+    emb AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+    rotc AS (SELECT e.vec_id, r.i,
+               CAST(floor(({idot} + {half}) / {denom}) AS BIGINT) AS c
+             FROM emb e CROSS JOIN rq r),
+    rotv AS (SELECT vec_id, list(c ORDER BY i) AS q FROM rotc GROUP BY vec_id),
+    mm AS (SELECT unnest([0, 1, 2, 3]) AS mi),
+    isubs AS (SELECT v.vec_id, mm.mi,
+                     list_slice(v.q, mm.mi * 16 + 1, mm.mi * 16 + 16) AS iv
+              FROM rotv v CROSS JOIN mm),
+    fsubs AS (SELECT vec_id, mi,
+                     list_transform(iv, v -> CAST(v AS DOUBLE) / 10000) AS sv
+              FROM isubs),
+    seedids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+                FROM (SELECT vec_id FROM rotv ORDER BY vec_id LIMIT 16)),
+    cb0 AS (SELECT sd.vec_id AS cluster, sd.code, f.mi, f.sv AS cent
+            FROM seedids sd JOIN fsubs f ON f.vec_id = sd.vec_id)"""
+    prev = "cb0"
+    for it in (1, 2, 3):
+        sql += f""",
+    d{it} AS (SELECT s.vec_id, s.mi, c.cluster,
+                {_SQ_L2.format(a='s.sv', b='c.cent')} AS d2
+              FROM fsubs s JOIN {prev} c ON c.mi = s.mi),
+    a{it} AS (SELECT vec_id, mi, cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, mi ORDER BY d2, cluster) AS rn
+                FROM d{it}) WHERE rn = 1),
+    cd{it} AS (SELECT a.cluster, a.mi, ii.i AS dimn,
+                CAST(((SUM(CAST(floor(CAST(s.sv[ii.i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
+                       + COUNT(*) * 160000000) // COUNT(*)) - 160000000 AS DOUBLE)
+                / 10000000 AS comp
+               FROM a{it} a JOIN fsubs s ON s.vec_id = a.vec_id AND s.mi = a.mi,
+                    unnest(generate_series(1, 16)) AS ii(i)
+               GROUP BY a.cluster, a.mi, ii.i),
+    cm{it} AS (SELECT cluster, mi, list(comp ORDER BY dimn) AS cent
+               FROM cd{it} GROUP BY cluster, mi),
+    cb{it} AS (SELECT p.cluster, p.code, p.mi, COALESCE(n.cent, p.cent) AS cent
+               FROM {prev} p LEFT JOIN cm{it} n
+                 ON n.cluster = p.cluster AND n.mi = p.mi)"""
+        prev = f"cb{it}"
+    sql += f""",
+    cbf AS (SELECT mi, code,
+                   list_transform(cent, c -> CAST(floor(c * 10000 + 0.5) AS BIGINT)) AS icent
+            FROM {prev}),
+    enc AS (SELECT vec_id, mi, code FROM (
+              SELECT s.vec_id, s.mi, cb.code,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.mi
+                       ORDER BY {_SQ_L2_INT.format(a='s.iv', b='cb.icent')}, cb.code) AS rn
+              FROM isubs s JOIN cbf cb ON cb.mi = s.mi)
+            WHERE rn = 1),
+    dt AS (SELECT qv.vec_id AS query_id, cb.mi, cb.code,
+                  {_SQ_L2_INT.format(a='qv.iv', b='cb.icent')} AS d
+           FROM (SELECT * FROM isubs WHERE vec_id < 5) qv
+                JOIN cbf cb ON cb.mi = qv.mi),
+    sc AS (SELECT dt.query_id, enc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS pq_d2
+           FROM enc JOIN dt ON dt.mi = enc.mi AND dt.code = enc.code
+           GROUP BY 1, 2)
+    SELECT query_id, vec_id, pq_d2, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY pq_d2, vec_id) AS rn
+      FROM sc)
+    WHERE rn <= 10
+    ORDER BY query_id, rn
+    """
+    return sql
+
+
 @query(
     "opq_pq_topk",
-    oracle=None,
+    oracle=_opq_oracle,
     doc="OPQ-rotated product quantization (Ge et al. CVPR'13, the "
     "FAISS 'OPQ{m},PQ{m}' index string — completes the ANN matrix's "
     "TRAINING axis beside pq_trained_codebook and ann_ivf_trained): "
     "the parametric OPQ_P rotation — PCA basis from the EXACT "
     "distributed covariance (similarity.gram_matrix_exact, dim^2 "
     "BIGINT cells), eigenvalue allocation balancing per-subspace "
-    "variance products — is applied corpus-side as an Arrow-batched "
-    "matmul (similarity.rotate_vectors); trained per-subspace "
-    "codebooks (pq_trained_codebook) then encode the ROTATED "
-    "vectors, and queries rotate driver-side before the standard "
-    "broadcast ADC scoring. NO SQL ORACLE by design: the "
-    "eigendecomposition step is genuinely non-SQL-expressible (the "
-    "driver records the weaker rows-only check); the rotation's "
-    "properties (orthogonality, determinism, norm preservation, "
-    "variance balance) are pinned in pytest and the recall payoff on "
-    "an anisotropic corpus is pinned in RECALL.md.",
+    "variance products — snaps to a 2^-20 FIXED-POINT grid "
+    "(similarity.quantize_rotation; <=5e-7 per entry, recall "
+    "unchanged) and applies corpus-side as an exact int64 matmul "
+    "(similarity.rotate_vectors_exact), landing every rotated "
+    "component back on the 1e-4 micro-grid; trained per-subspace "
+    "codebooks (pq_trained_codebook) then encode the rotated "
+    "vectors, and queries share the same rotated values before the "
+    "standard broadcast ADC scoring. FULLY ORACLE-GATED since r10 "
+    "(_opq_oracle): only the eigendecomposition is derived outside "
+    "SQL — Spark-free via opq_rotation_local, bit-equality with the "
+    "distributed path pinned in pytest — and the entire downstream "
+    "(rotation, 3-iteration trained k-means, encode, ADC, top-k) "
+    "replays as a CTE chain in exact arithmetic.",
 )
 def opq_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    import numpy as np
-
     e = t(spark, sf, "embeddings").select("vec_id", "embedding")
     R = SIM.opq_rotation(e, m=4)
-    rot = SIM.rotate_vectors(e, R)
-    cb, _ = SIM.pq_trained_codebook(rot, k=16, m=4, max_iter=3)
+    rotq = SIM.rotate_vectors_exact(e, SIM.quantize_rotation(R))
+    # back to the standard micro-grid floats: v/1e4 is correctly
+    # rounded IEEE division, identical in Spark and the oracle, and
+    # floor(x*1e4+0.5) recovers the exact integer everywhere downstream
+    rot = rotq.select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda v: v.cast("double") / F.lit(10000.0)
+        ).alias("embedding"),
+    ).persist()  # the codebook TRAINING loop scans rot per iteration;
+    # without this each scan replays the rotation lineage
+    cb, _ = SIM.pq_trained_codebook_all(rot, k=16, m=4, max_iter=3)
     enc = SIM.pq_encode(rot, cb)
     qs = [
-        (int(r.vec_id), [float(v) for v in (R @ np.asarray(r.embedding, np.float64))])
-        for r in e.filter(F.col("vec_id") < 5).collect()
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in rot.filter(F.col("vec_id") < 5).collect()
     ]
     sc = SIM.pq_adc_scores(enc, qs, cb)
     w = Window.partitionBy("query_id").orderBy("pq_d2", "vec_id")

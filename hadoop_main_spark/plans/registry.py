@@ -29,7 +29,11 @@ from hadoop_main_spark.tables import load_table
 class Query:
     name: str
     build: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL over pre-registered views, or None
+    # DuckDB SQL over the pre-registered table views; either a static
+    # string, or a callable (sf_dir) -> str for oracles whose text
+    # depends on the data (e.g. a trained rotation injected as SQL
+    # literals — resolve with resolve_oracle), or None (rows-only).
+    oracle: str | Callable[[str], str] | None
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
 
@@ -37,7 +41,17 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
+def resolve_oracle(q: Query, sf_dir: str) -> str | None:
+    """Oracle SQL text for ``q`` at ``sf_dir`` — static strings pass
+    through; callable templates are invoked with the sf dir (they
+    derive any data-dependent literals Spark-free, e.g. via
+    pyarrow+numpy, so resolution never needs a SparkSession)."""
+    if q.oracle is None or isinstance(q.oracle, str):
+        return q.oracle
+    return q.oracle(sf_dir)
+
+
+def query(name: str, oracle=None, doc: str = "", bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             # a dict assignment would SILENTLY drop the earlier query

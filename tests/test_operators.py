@@ -2434,3 +2434,99 @@ def test_merge_into_raises_on_duplicate_source_keys(spark):
     ok_src = spark.createDataFrame([(2, 99), (3, 30)], "k int, v int")
     got = {r.k: r.v for r in merge_into(target, ok_src, ["k"], ["v"]).collect()}
     assert got == {1: 10, 2: 99, 3: 30}
+
+
+def test_opq_rotation_local_matches_distributed(spark, sf_dir):
+    """The Spark-free oracle-side rotation (opq_rotation_local:
+    pyarrow + numpy over the same parquet) must equal the distributed
+    opq_rotation BITWISE — both derive identical exact-integer moments
+    and share the eigen/allocation tail, so the oracle template for
+    opq_pq_topk injects the very rotation the engine used."""
+    import os
+
+    import numpy as np
+
+    from hadoop_main_spark.operators import similarity as SIM
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    R_dist = SIM.opq_rotation(e, m=4)
+    R_local = SIM.opq_rotation_local(
+        os.path.join(sf_dir, "embeddings.parquet"), m=4
+    )
+    assert np.array_equal(R_dist, R_local)
+    # fixed-point snap is deterministic and int64
+    Rq = SIM.quantize_rotation(R_dist)
+    assert Rq.dtype == np.int64
+    assert np.array_equal(Rq, SIM.quantize_rotation(R_local))
+
+
+def test_pq_trained_codebook_all_matches_per_subspace(spark, sf_dir):
+    """pq_trained_codebook_all (one Spark job per Lloyd iteration for
+    ALL m subspaces) must produce the exact codebook of the
+    per-subspace pq_trained_codebook/kmeans_fit loop — same seeds,
+    same fold-order distances, same 1e-7-grid centroid arithmetic,
+    same empty-cluster and tie rules."""
+    import numpy as np
+
+    from hadoop_main_spark.operators import similarity as SIM
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb_ref, dsub_ref = SIM.pq_trained_codebook(e, k=16, m=4, max_iter=3)
+    cb_all, dsub_all = SIM.pq_trained_codebook_all(e, k=16, m=4, max_iter=3)
+    assert dsub_ref == dsub_all
+    assert np.array_equal(cb_ref, cb_all)
+
+
+def test_rotate_vectors_exact_model_and_validation(spark):
+    """rotate_vectors_exact == the integer model floor((Rq @ q + half)
+    / 2^shift) with floor semantics on NEGATIVE sums too; null /
+    ragged inputs raise like the float variant."""
+    import numpy as np
+    import pytest
+
+    from hadoop_main_spark.operators import similarity as SIM
+
+    rng_rows = [
+        (1, [0.5, -0.25, 0.125, -1.0]),
+        (2, [-0.33333, 0.99999, -0.00005, 0.00004]),
+    ]
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    Rq = np.array(
+        [[-(1 << 20), 3, 0, 7],
+         [5, 1 << 19, -9, 2],
+         [0, 0, 1 << 20, 0],
+         [11, -13, 17, -(1 << 18)]],
+        dtype=np.int64,
+    )
+    got = {
+        int(r.vec_id): list(r.qvec)
+        for r in SIM.rotate_vectors_exact(df, Rq).collect()
+    }
+    import math
+
+    for vid, comps in rng_rows:
+        q = np.array(
+            [math.floor(float(np.float32(x)) * 10000 + 0.5) for x in comps],
+            dtype=np.int64,
+        )
+        s = Rq @ q
+        want = [int(v) for v in ((s + (1 << 19)) >> 20)]
+        assert got[vid] == want, (vid, got[vid], want)
+        # floor semantics: negative components must round toward -inf
+        assert any(v < 0 for v in got[1])
+    with pytest.raises(Exception, match="non-null"):
+        SIM.rotate_vectors_exact(
+            spark.createDataFrame(
+                [(1, [1.0, None, 0.0, 0.0])], "vec_id long, embedding array<float>"
+            ),
+            Rq,
+        ).collect()
+    with pytest.raises(Exception, match="fixed dim"):
+        SIM.rotate_vectors_exact(
+            spark.createDataFrame(
+                [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+            ),
+            Rq,
+        ).collect()

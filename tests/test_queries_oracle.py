@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from check_correctness import compare, duck_connection
 
-from hadoop_main_spark.plans.registry import REGISTRY
+from hadoop_main_spark.plans.registry import REGISTRY, resolve_oracle
 
 
 @pytest.fixture(scope="module")
@@ -29,10 +29,11 @@ def duck(sf_dir):
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     q = REGISTRY[name]
     sdf = q.build(spark, sf_dir).toPandas()
-    if q.oracle is None:
+    oracle = resolve_oracle(q, sf_dir)
+    if oracle is None:
         assert len(sdf) >= 0  # rows-only check
         return
-    ddf = duck.execute(q.oracle).df()
+    ddf = duck.execute(oracle).df()
     r = compare(sdf, ddf)
     assert r["rows_match"], f"{name}: rows {r['rows']} vs oracle {r['oracle_rows']}"
     assert r["cols_match"], f"{name}: column mismatch"

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-from hadoop_main_spark.plans.registry import REGISTRY
+from hadoop_main_spark.plans.registry import REGISTRY, resolve_oracle
 from hadoop_main_spark.session import get_spark
 from hadoop_main_spark.tables import TABLE_NAMES
 
@@ -172,10 +172,14 @@ def check_one(spark, con, name, q, sf_dir, use_cache, data_fp="") -> tuple[str, 
         sdf = q.build(spark, sf_dir).toPandas()
     except Exception as e:
         return f"FAIL  {name}: spark error: {e}", "fail"
-    if q.oracle is None:
+    try:
+        oracle = resolve_oracle(q, sf_dir)
+    except Exception as e:
+        return f"FAIL  {name}: oracle resolve error: {e}", "fail"
+    if oracle is None:
         return f"ok?   {name}: rows={len(sdf)} (no oracle — rows-only)", "rows_only"
     try:
-        ddf, duck_types = oracle_result(con, name, sf_dir, q.oracle, use_cache, data_fp)
+        ddf, duck_types = oracle_result(con, name, sf_dir, oracle, use_cache, data_fp)
     except Exception as e:
         return f"FAIL  {name}: oracle error: {e}", "fail"
     huge = [t for t in duck_types if "HUGEINT" in t.upper()]

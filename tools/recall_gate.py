@@ -321,13 +321,14 @@ def measure_opq(spark) -> dict[str, float]:
     qids = ids[:N_QUERIES]
     truth = _truth_sets(ids, lambda q: ((X - X[q]) ** 2).sum(axis=1), qids)
 
-    def adc_topk(vecs_df, R):
+    def adc_topk(vecs_df, R, qs=None):
         cb, _ = SIM.pq_trained_codebook(vecs_df, 16, 4, max_iter=2)
         enc = SIM.pq_encode(vecs_df, cb)
-        qs = [
-            (int(q), [float(v) for v in (X[q] if R is None else R @ X[q])])
-            for q in qids
-        ]
+        if qs is None:
+            qs = [
+                (int(q), [float(v) for v in (X[q] if R is None else R @ X[q])])
+                for q in qids
+            ]
         sc = SIM.pq_adc_scores(enc, qs, cb)
         w = Window.partitionBy("query_id").orderBy("pq_d2", "vec_id")
         df = (
@@ -340,9 +341,24 @@ def measure_opq(spark) -> dict[str, float]:
     raw = adc_topk(corpus, None)
     R = SIM.opq_rotation(corpus, m=4)
     opq = adc_topk(SIM.rotate_vectors(corpus, R), R)
+    # the registry's opq_pq_topk path: 2^-20 FIXED-POINT rotation
+    # (exact integers, oracle-replayable) — payoff must match the
+    # float rotation's to within the gate tolerance
+    rotf = SIM.rotate_vectors_exact(corpus, SIM.quantize_rotation(R)).select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda v: v.cast("double") / F.lit(10000.0)
+        ).alias("embedding"),
+    )
+    qmap = {
+        int(r.vec_id): [float(v) for v in r.embedding]
+        for r in rotf.filter(F.col("vec_id") < int(qids.max()) + 1).collect()
+    }
+    opq_exact = adc_topk(rotf, None, qs=[(int(q), qmap[int(q)]) for q in qids])
     return {
         "aniso_pq_trained": _recall(raw, truth),
         "aniso_opq_pq_trained": _recall(opq, truth),
+        "aniso_opq_pq_exact": _recall(opq_exact, truth),
     }
 
 
