@@ -890,6 +890,77 @@ def read_residual_codes_inc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/codes_inc").drop("batch")
 
 
+def graph_insert_edges(
+    edges: DataFrame,
+    nodes: DataFrame,
+    new: DataFrame,
+    k: int = 10,
+    beam: int = 20,
+    hops: int = 3,
+    entries: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_wave: int = 4096,
+) -> DataFrame:
+    """Edges for one graph-ANN insert wave: every new vector
+    beam-searches the CURRENT graph and its top-k become forward +
+    reverse edges (HNSW insert, Malkov & Yashunin §4). The wave is
+    CHUNK-CAPPED: knn_graph_search collects its query frame to the
+    driver (the bounded-query contract), so a bulk backfill replayed
+    through the stream path must not become one unbounded collect —
+    waves larger than ``max_wave`` split into deterministic
+    id-ordered chunks of at most ``max_wave`` queries, each searched
+    against the SAME pre-wave graph (chunks never see each other's
+    edges), so the result is exactly the single-wave result
+    regardless of chunking (pinned by pytest; the semantic-dedup seed
+    cap discipline). Returns (id, rank, nbr_id, d2) edge rows."""
+    import math as _math
+
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.operators.similarity import knn_graph_search
+
+    n_wave = new.count()
+    if n_wave == 0:
+        raise ValueError("graph_insert_edges needs a non-empty wave")
+    if max_wave < 1:
+        raise ValueError("max_wave must be >= 1")
+    if n_wave <= max_wave:
+        chunks = [new]
+    else:
+        # deterministic id-ordered split; the single-task window sort
+        # is bounded by the wave itself and far cheaper than the
+        # unbounded driver collect it prevents
+        ranked = new.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(id_col))
+        )
+        chunks = [
+            ranked.filter(
+                (F.col("__rn") > c * max_wave)
+                & (F.col("__rn") <= (c + 1) * max_wave)
+            ).drop("__rn")
+            for c in range(_math.ceil(n_wave / max_wave))
+        ]
+    out = None
+    for chunk in chunks:
+        qs = chunk.select(F.col(id_col).alias("__qid"), vec_col)
+        res = knn_graph_search(
+            edges, nodes, qs, k, beam, hops, entries,
+            id_col, vec_col, query_id="__qid",
+        )
+        fwd = res.select(
+            F.col("__qid").alias("id"), "rank",
+            F.col("neighbor_id").alias("nbr_id"), "d2",
+        )
+        rev = res.select(
+            F.col("neighbor_id").alias("id"), "rank",
+            F.col("__qid").alias("nbr_id"), "d2",
+        )
+        part = fwd.unionByName(rev)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def knn_graph_stream_parquet(
     vec_stream: DataFrame,
     base_index: str,
@@ -902,6 +973,7 @@ def knn_graph_stream_parquet(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
+    max_wave: int = 4096,
 ):
     """Incremental GRAPH-ANN ingest — the HNSW INSERT path (Malkov &
     Yashunin §4: a new element's links = the results of searching the
@@ -921,8 +993,16 @@ def knn_graph_stream_parquet(
     old node's list by at most k per ingest wave (HNSW trims on
     insert; here the trim is a read-time/compaction concern, stated
     honestly — search handles variable degree by construction).
+
+    Wave bound (``max_wave``, default 4096): the search collects each
+    wave's query frame to the driver, so a bulk backfill replayed
+    through this path is CHUNKED by :func:`graph_insert_edges` into
+    id-ordered sub-waves of at most ``max_wave`` vectors — never an
+    unbounded collect; chunking provably doesn't change the result
+    (all chunks search the pre-wave graph). Bulk loads should still
+    prefer the batch build (build_knn_graph_index), which has no
+    driver frame at all.
     """
-    from hadoop_main_spark.operators.similarity import knn_graph_search
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -938,22 +1018,10 @@ def knn_graph_stream_parquet(
             nodes = nodes.unionByName(
                 spark.read.parquet(f"{path}/nodes").drop("batch")
             )
-        qs = new.select(F.col(id_col).alias("__qid"), vec_col)
-        res = knn_graph_search(
-            edges, nodes, qs, k, beam, hops, entries,
-            id_col, vec_col, query_id="__qid",
-        )
-        fwd = res.select(
-            F.col("__qid").alias("id"), "rank",
-            F.col("neighbor_id").alias("nbr_id"), "d2",
-        )
-        rev = res.select(
-            F.col("neighbor_id").alias("id"), "rank",
-            F.col("__qid").alias("nbr_id"), "d2",
-        )
-        fwd.unionByName(rev).write.mode("overwrite").parquet(
-            f"{path}/edges/batch={batch_id}"
-        )
+        graph_insert_edges(
+            edges, nodes, new, k, beam, hops, entries, id_col, vec_col,
+            max_wave,
+        ).write.mode("overwrite").parquet(f"{path}/edges/batch={batch_id}")
         new.write.mode("overwrite").parquet(f"{path}/nodes/batch={batch_id}")
 
     w = (

@@ -1482,3 +1482,64 @@ def test_knn_graph_stream_insert_equals_sequential_batch(spark, tmp_path):
     )
     assert q2.awaitTermination(600)
     assert len(os.listdir(f"{inc}/edges")) == n_dirs
+
+
+def test_graph_insert_wave_chunking_equals_single_wave(spark, tmp_path):
+    """r9 verdict #3: the graph-ANN ingest wave's driver-side query
+    frame is now CHUNK-CAPPED (graph_insert_edges max_wave). Chunks
+    all search the PRE-WAVE graph, so a wave split into 2+ chunks must
+    emit exactly the single-wave edge set; degenerate caps raise."""
+    import pytest
+
+    from hadoop_main_spark.operators import similarity as SIM
+    from hadoop_main_spark.streaming import windows as W
+
+    def mkvecs(lo, n):
+        return (
+            spark.range(lo, lo + n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(16)),
+                    lambda i: (
+                        F.pmod(F.col("id") * 37 + i * 11, F.lit(100)) / 25.0
+                        + F.pmod(F.col("id") * 53 + i * 7, F.lit(89)) / 250.0
+                        - 2.0
+                    ),
+                ).alias("embedding"),
+            )
+        )
+
+    base = mkvecs(0, 80)
+    idx = str(tmp_path / "gidx")
+    SIM.build_knn_graph_index(base, idx, k=5, iterations=2)
+    edges = spark.read.parquet(f"{idx}/graph")
+    nodes = spark.read.parquet(f"{idx}/nodes")
+    wave = mkvecs(1000, 25)
+
+    def edge_set(df):
+        return {
+            (int(r.id), int(r.rank), int(r.nbr_id), int(r.d2))
+            for r in df.collect()
+        }
+
+    one = edge_set(
+        W.graph_insert_edges(edges, nodes, wave, k=5, beam=12, max_wave=4096)
+    )
+    assert one  # non-trivial wave
+    for cap in (10, 7):  # 3 chunks / 4 chunks (with remainder)
+        chunked = edge_set(
+            W.graph_insert_edges(edges, nodes, wave, k=5, beam=12, max_wave=cap)
+        )
+        assert chunked == one, f"max_wave={cap}"
+    # degenerate cap=1 (every query its own chunk) on a small wave
+    small = mkvecs(2000, 3)
+    assert edge_set(
+        W.graph_insert_edges(edges, nodes, small, k=5, beam=12, max_wave=1)
+    ) == edge_set(
+        W.graph_insert_edges(edges, nodes, small, k=5, beam=12, max_wave=4096)
+    )
+    with pytest.raises(ValueError, match="max_wave"):
+        W.graph_insert_edges(edges, nodes, wave, max_wave=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        W.graph_insert_edges(edges, nodes, wave.filter(F.lit(False)))
