@@ -3676,6 +3676,190 @@ def stream_graph_insert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _write_parity_waves(df, root: str, order_col: str = "vec_id") -> str:
+    """Two mtime-ordered single-file parquet waves (even ids then odd
+    ids) for maxFilesPerTrigger=1 streaming fixtures — wave w holds
+    rows with ``order_col % 2 == w``, so the oracle derives the batch
+    id in closed form (id parity)."""
+    import glob
+    import os
+    import shutil
+
+    src = f"{root}/src"
+    os.makedirs(src)
+    for w in (0, 1):
+        part = f"{root}/part{w}"
+        df.filter(F.pmod(F.col(order_col), F.lit(2)) == w).coalesce(1).write.parquet(part)
+        (pf,) = glob.glob(f"{part}/part-*.parquet")
+        dst = f"{src}/w{w}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + w * 60,) * 2)
+    return src
+
+
+@query(
+    "stream_pq_codes_roundtrip",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+    mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    cb AS (SELECT CAST(s.vec_id AS INT) AS code, mm.m,
+                  list_slice(s.q, mm.m * 16 + 1, mm.m * 16 + 16) AS cent
+           FROM (SELECT vec_id, q FROM emb WHERE vec_id < 16) s CROSS JOIN mm),
+    enc AS (SELECT vec_id, m, code FROM (
+              SELECT e.vec_id, cb.m, cb.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m
+                       ORDER BY {_SQ_L2_INT.format(a='list_slice(e.q, cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')}, cb.code) AS rn
+              FROM emb e CROSS JOIN cb)
+            WHERE rn = 1)
+    SELECT CAST(vec_id % 2 AS BIGINT) AS batch, vec_id,
+           CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+    FROM enc
+    """,
+    doc="Streaming PQ-code ingest ON the driver gate (r9 verdict "
+    "missing#3 — the incremental-ANN-index ingest loop, previously "
+    "stream==batch-pytest-only): the corpus replays as two "
+    "mtime-ordered parity waves through the production path "
+    "(streaming/windows.py:pq_codes_stream_parquet — each micro-batch "
+    "encodes against the broadcast seeded codebook and lands under "
+    "its batch=<id> partition), and the accumulated code table, WITH "
+    "its batch lineage, must equal the oracle's seeded-codebook "
+    "argmin replay with batch derived from id parity. A re-encoded "
+    "corpus row, a wave landing in the wrong partition, or a replay "
+    "that double-writes moves a row. BUILD-COST NOTE: executes the "
+    "streaming job at plan-build time. LOCAL-MODE CONTRACT: "
+    "tempfile.mkdtemp().",
+)
+def stream_pq_codes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.streaming.windows import pq_codes_stream_parquet
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cb, _ = SIM.pq_codebook(e)
+    root = tempfile.mkdtemp(prefix="streampq_")
+    src = _write_parity_waves(e, root)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pq_codes_stream_parquet(stream, cb, f"{root}/codes", f"{root}/ckpt")
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{root}/codes")
+        .select(
+            F.col("batch").cast("bigint").alias("batch"),
+            "vec_id",
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .select(
+            "batch", "vec_id",
+            F.col("m").cast("bigint").alias("m"),
+            F.col("code").cast("bigint").alias("code"),
+        )
+    )
+
+
+@query(
+    "stream_residual_codes_roundtrip",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+    comps AS (SELECT label AS cell, i.i AS dim, embedding[i.i] AS x
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)),
+    centd AS (SELECT cell, dim,
+                     CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS c
+              FROM comps GROUP BY cell, dim),
+    qcent AS (SELECT cell,
+                     list_transform(list(c ORDER BY dim),
+                       c -> CAST(floor(c * 10000 + 0.5) AS BIGINT)) AS qc
+              FROM centd GROUP BY cell),
+    remb AS (SELECT e.vec_id, e.label,
+                    list_transform(list_zip(e.q, x.qc), p -> p[1] - p[2]) AS rq
+             FROM emb e JOIN qcent x ON x.cell = e.label),
+    mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    cb AS (SELECT CAST(s.vec_id AS INT) AS code, mm.m,
+                  list_slice(s.rq, mm.m * 16 + 1, mm.m * 16 + 16) AS cent
+           FROM (SELECT vec_id, rq FROM remb WHERE vec_id < 16) s CROSS JOIN mm),
+    cent AS (SELECT cell, list(c ORDER BY dim) AS centroid
+             FROM centd GROUP BY cell),
+    assigned AS (SELECT vec_id, cell FROM (
+                   SELECT e.vec_id, c.cell,
+                          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_SQ_L2.format(a='e.embedding', b='c.centroid')}, c.cell) AS rn
+                   FROM embeddings e CROSS JOIN cent c)
+                 WHERE rn = 1),
+    semb AS (SELECT e.vec_id, a.cell,
+                    list_transform(list_zip(e.q, x.qc), p -> p[1] - p[2]) AS rq
+             FROM emb e JOIN assigned a ON a.vec_id = e.vec_id
+                  JOIN qcent x ON x.cell = a.cell),
+    enc AS (SELECT vec_id, cell, m, code FROM (
+              SELECT e.vec_id, e.cell, cb.m, cb.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m
+                       ORDER BY {_SQ_L2_INT.format(a='list_slice(e.rq, cb.m * 16 + 1, cb.m * 16 + 16)', b='cb.cent')}, cb.code) AS rn
+              FROM semb e CROSS JOIN cb)
+            WHERE rn = 1)
+    SELECT CAST(vec_id % 2 AS BIGINT) AS batch, vec_id,
+           CAST(cell AS BIGINT) AS cell,
+           CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+    FROM enc
+    """,
+    doc="Streaming TRUE-IVFADC ingest ON the driver gate (r9 verdict "
+    "missing#3, the residual twin of stream_pq_codes_roundtrip): the "
+    "base index (per-cell DECIMAL-exact centroids + serialized "
+    "seed-residual codebook) is built once, then the corpus replays "
+    "as two parity waves through streaming/windows.py:"
+    "residual_codes_stream_parquet — each micro-batch routes through "
+    "the coarse quantizer (kmeans_assign against the PERSISTED "
+    "centroids), residual-encodes against the SERIALIZED codebook, "
+    "and lands cell-keyed codes under batch=<id>. The accumulated "
+    "codes_inc table with batch lineage must equal the oracle's "
+    "replay of the full chain: exact centroid means -> integer "
+    "residuals -> seed-residual codebook -> per-subspace argmin, "
+    "batch from id parity. A wrong cell route (centroid drift), a "
+    "residual computed against the wrong centroid grid, or a replay "
+    "double-write moves a row. BUILD-COST NOTE: builds the index AND "
+    "executes the streaming job at plan-build time. LOCAL-MODE "
+    "CONTRACT: tempfile.mkdtemp().",
+)
+def stream_residual_codes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.streaming.windows import residual_codes_stream_parquet
+
+    e = t(spark, sf, "embeddings")
+    root = tempfile.mkdtemp(prefix="streamres_")
+    idx = f"{root}/idx"
+    SIM.build_ivfpq_residual_index(e, idx, "label")
+    src = _write_parity_waves(e.select("vec_id", "embedding"), root)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = residual_codes_stream_parquet(stream, idx, f"{root}/ckpt")
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{idx}/codes_inc")
+        .select(
+            F.col("batch").cast("bigint").alias("batch"),
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .select(
+            "batch", "vec_id", "cell",
+            F.col("m").cast("bigint").alias("m"),
+            F.col("code").cast("bigint").alias("code"),
+        )
+    )
+
+
 @query(
     "knn_graph_search",
     oracle=_nnd_search_oracle(),

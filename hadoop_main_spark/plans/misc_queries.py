@@ -2836,3 +2836,96 @@ def stream_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "body_bytes",
         "body_md5",
     )
+
+
+@query(
+    "stream_media_features_roundtrip",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 12 + 4 AS h FROM documents),
+    b AS (SELECT doc_id, h, unnest(generate_series(0, 3)) AS band FROM p),
+    r AS (SELECT doc_id, band, h,
+            (band * h) // 4 AS lo,
+            greatest(((band + 1) * h) // 4, (band * h) // 4 + 1) AS hi
+          FROM b),
+    rows_ AS (SELECT doc_id, band,
+                unnest(generate_series(least(lo, h - 1), least(hi, h) - 1)) AS rr
+              FROM r)
+    SELECT doc_id AS media_id, CAST(band AS BIGINT) AS band,
+           AVG(CAST((doc_id * 31 + rr) % 256 AS DOUBLE)) / 255.0 AS gray_mean
+    FROM rows_
+    GROUP BY doc_id, band
+    """,
+    doc="Streaming MULTIMODAL ingest ON the driver gate (r9 verdict "
+    "missing#3 — the media-decode ingest loop, previously "
+    "stream==batch-pytest-only): per-doc gray PNGs with MIXED "
+    "scanline filters (types 0-4 cycling — every defilter path incl. "
+    "Paeth exercises inside Structured Streaming) replay as two "
+    "mtime-ordered parity waves through the production path "
+    "(streaming/windows.py:media_features_stream — the SAME "
+    "Arrow-batched extract_features kernel as the batch operator, "
+    "exactly-once file sink), and the accumulated per-band gray "
+    "means must equal png_decode_features' closed-form oracle "
+    "(pixel rows are (doc_id*31 + r) % 256). A dropped wave, a "
+    "replayed file double-write, or any stream-vs-batch decoder "
+    "divergence moves a row. BUILD-COST NOTE: executes the streaming "
+    "job at plan-build time. LOCAL-MODE CONTRACT: "
+    "tempfile.mkdtemp().",
+)
+def stream_media_features_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from hadoop_main_spark.streaming.windows import media_features_stream
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = i % 12 + 4, i % 16 + 4
+                col = ((i * 31 + np.arange(h)) % 256).astype(np.uint8)
+                payloads.append(
+                    MM._png_encode(
+                        np.repeat(col[:, None], w, axis=1), row_filter="mixed"
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    base = tempfile.mkdtemp(prefix="streammedia_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    for w in (0, 1):
+        part_dir = f"{base}/part{w}"
+        media.filter(F.pmod(F.col("media_id"), F.lit(2)) == w).coalesce(
+            1
+        ).write.parquet(part_dir)
+        (pf,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/w{w}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + w * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = media_features_stream(
+        stream, f"{base}/out", f"{base}/ckpt", decoder="png", dim=4
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("media_id", F.posexplode("features").alias("band", "gray_mean"))
+        .select(
+            "media_id", F.col("band").cast("long").alias("band"), "gray_mean"
+        )
+    )
