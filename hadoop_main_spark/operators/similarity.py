@@ -2618,6 +2618,59 @@ def nndescent_knn_graph(
     )
 
 
+def hierarchical_entry_pool(
+    vectors: DataFrame,
+    queries: DataFrame,
+    sample_mod: int = 4,
+    salt: str = "l1",
+    l1_k: int = 8,
+    l1_iters: int = 2,
+    l1_beam: int = 20,
+    l1_hops: int = 3,
+    l1_entries: int = 2,
+    entries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    qscale: int = PQ_QSCALE,
+) -> DataFrame:
+    """HIERARCHICAL entry layer for graph search — the actual HNSW
+    upper-layer idea (Malkov & Yashunin TPAMI'18 §4.2) in
+    deterministic form (verdict-r9 #4): LAYER 1 is the hash-sampled
+    1/``sample_mod`` subgraph (hash64(id, salt) %% mod == 0 — the
+    deterministic analog of HNSW's exponential level assignment) with
+    its own NN-Descent graph; each query beam-searches layer 1 first
+    (a graph ``sample_mod``x smaller, so hops there are cheap) and its
+    top-``entries`` sampled nodes become the layer-0 entry pool
+    (knn_graph_search ``entry_pool=``). Routed entries start INSIDE
+    the query's region, so layer-0 hop count stays constant as the
+    corpus grows — fixed lowest-id entries need ~O(log n) hops to
+    escape their own neighborhood. RECALL.md pins the payoff: layered
+    layer-0 hops-2 recall >= the fixed-entry hops-3 recall.
+
+    Determinism: the sample predicate, the NN-Descent build, and the
+    beam trajectory are all exact/tie-broken, so the ENTIRE two-layer
+    chain is CTE-replayable (the knn_graph_layered oracle does).
+    Returns (query_id, node) — feed knn_graph_search's
+    ``entry_pool``."""
+    from hadoop_main_spark.functions.hashing import hash64
+
+    sampled = vectors.filter(
+        hash64(F.col(id_col).cast("string"), salt) % sample_mod == 0
+    )
+    # persist: every layer-1 hop joins the edge table; without this
+    # the iterative NN-Descent lineage replays per hop (production
+    # persists layer graphs like any other index — build once)
+    g1 = nndescent_knn_graph(
+        sampled, l1_k, l1_iters, id_col, vec_col, qscale
+    ).persist()
+    res1 = knn_graph_search(
+        g1, sampled, queries, entries, l1_beam, l1_hops, l1_entries,
+        id_col, vec_col, query_id, qscale,
+    )
+    return res1.select(query_id, F.col("neighbor_id").alias("node"))
+
+
 def knn_graph_search(
     graph: DataFrame,
     vectors: DataFrame,
@@ -2630,6 +2683,7 @@ def knn_graph_search(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     qscale: int = PQ_QSCALE,
+    entry_pool: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy BEAM SEARCH over a prebuilt k-NN graph — the query side
     of the graph-ANN paradigm (HNSW's layer-0 search, Malkov &
@@ -2669,14 +2723,19 @@ def knn_graph_search(
         ],
         f"{query_id} {dict(queries.dtypes)[query_id]}, qq array<bigint>",
     )
-    entry_ids = [
-        r[0]
-        for r in vectors.select(id_col).orderBy(id_col).limit(entries).collect()
-    ]
-    pool = spark.createDataFrame(
-        [(r[0], e) for r in q_rows for e in entry_ids],
-        f"{query_id} {dict(queries.dtypes)[query_id]}, node {dict(vectors.dtypes)[id_col]}",
-    )
+    if entry_pool is not None:
+        # hierarchical routing (coarse_entry_pool): per-query entry
+        # nodes replace the fixed lowest-id entries
+        pool = entry_pool.select(query_id, "node")
+    else:
+        entry_ids = [
+            r[0]
+            for r in vectors.select(id_col).orderBy(id_col).limit(entries).collect()
+        ]
+        pool = spark.createDataFrame(
+            [(r[0], e) for r in q_rows for e in entry_ids],
+            f"{query_id} {dict(queries.dtypes)[query_id]}, node {dict(vectors.dtypes)[id_col]}",
+        )
     edges = graph.select(F.col("id"), F.col("nbr_id").alias("nbr"))
     d2 = F.expr(
         "aggregate(zip_with(qn, qq, "

@@ -415,6 +415,22 @@ def measure_nndescent(spark, sf_dir: str) -> dict[str, float]:
         for r in res:
             got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
         out[f"graph_search_hops{hops}"] = _recall(got, qtruth)
+    # hierarchical entry layer (hierarchical_entry_pool, verdict-r9
+    # #4): hash-sampled layer-1 subgraph routing vs the fixed
+    # lowest-id entries — the bar is layered layer-0 hops-2 >= fixed
+    # hops-3 (constant layer-0 hop count at scale)
+    pool = SIM.hierarchical_entry_pool(e, qs).persist()
+    # beam 32 (vs 20 fixed): one fewer SEQUENTIAL hop at a wider
+    # PARALLEL beam — the right trade at 100 TB, where hops are
+    # round trips and beam is per-hop broadcast-join width
+    for hops in (1, 2, 3):
+        res = SIM.knn_graph_search(
+            graph2, e, qs, k=K, beam=32, hops=hops, entry_pool=pool
+        ).collect()
+        got = {}
+        for r in res:
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        out[f"graph_search_layered_hops{hops}"] = _recall(got, qtruth)
     return out
 
 
