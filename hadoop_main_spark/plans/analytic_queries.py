@@ -2327,6 +2327,123 @@ def l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TCLOSE_T_NUM, _TCLOSE_T_DEN = 1, 100  # t = 0.01
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH s AS (SELECT l_returnflag AS rf,
+                      CAST(year(l_shipdate) AS BIGINT) AS yr,
+                      CAST(l_quantity AS BIGINT) AS v
+               FROM lineitem),
+    cnt AS (SELECT rf, yr, v, COUNT(*) AS cc FROM s GROUP BY 1, 2, 3),
+    g AS (SELECT v, SUM(cc) AS gc FROM cnt GROUP BY v),
+    gcum AS (SELECT v, SUM(gc) OVER (ORDER BY v) AS b FROM g),
+    tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS n_g,
+                   CAST(COUNT(*) AS BIGINT) AS m FROM g),
+    cls AS (SELECT rf, yr, CAST(SUM(cc) AS BIGINT) AS n_c FROM cnt GROUP BY 1, 2),
+    grid AS (SELECT c.rf, c.yr, c.n_c, d.v, COALESCE(cnt.cc, 0) AS cc
+             FROM cls c CROSS JOIN (SELECT v FROM g) d
+                  LEFT JOIN cnt ON cnt.rf = c.rf AND cnt.yr = c.yr
+                              AND cnt.v = d.v),
+    cum AS (SELECT rf, yr, n_c, v,
+                   SUM(cc) OVER (PARTITION BY rf, yr ORDER BY v) AS a
+            FROM grid),
+    e AS (SELECT cum.rf, cum.yr, cum.n_c,
+                 CAST(SUM(ABS(a * tot.n_g - gcum.b * cum.n_c)) AS BIGINT)
+                   AS emd_num,
+                 CAST((tot.m - 1) * cum.n_c * tot.n_g AS BIGINT) AS emd_den
+          FROM cum JOIN gcum USING (v) CROSS JOIN tot
+          GROUP BY 1, 2, 3, emd_den)
+    SELECT rf AS l_returnflag, yr AS ship_year, n_c AS n_rows,
+           emd_num, emd_den,
+           CAST(CASE WHEN emd_num * {_TCLOSE_T_DEN} > emd_den * {_TCLOSE_T_NUM}
+                     THEN 1 ELSE 0 END AS BIGINT) AS violating
+    FROM e
+    ORDER BY l_returnflag, ship_year
+    """,
+    doc="t-closeness audit (Li et al. ICDE'07 — completes the "
+    "privacy-audit family beside k_anonymity_audit and "
+    "l_diversity_audit: a class can be k-large AND l-diverse yet "
+    "still leak when its sensitive-value DISTRIBUTION is skewed vs "
+    "the table's): per equivalence class (return flag x ship year), "
+    "the Earth Mover's Distance between the class's quantity "
+    "distribution and the global one, which for an ORDERED attribute "
+    "is the mean absolute prefix-sum gap (ICDE'07 §5.2). EXACT "
+    "integer form: with A_i/B_i the class/global cumulative counts, "
+    "EMD = sum_i |A_i*n_g - B_i*n_c| / ((m-1)*n_c*n_g) — emitted as "
+    "the exact (emd_num, emd_den) rational plus the t=0.01 verdict "
+    "via cross-multiplication, so every value is bit-identical "
+    "across engines. Shape: ONE corpus shuffle (the (class, value) "
+    "count); everything after is domain-bounded (classes x 50 "
+    "values) — the grid cross join, both cumulative windows, and "
+    "the final per-class sum never touch the fact table again.",
+)
+def t_closeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.operators.joins import broadcast
+
+    s = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    cnt = s.groupBy("rf", "yr", "v").agg(F.count("*").alias("cc"))
+    g = cnt.groupBy("v").agg(F.sum("cc").alias("gc"))
+    gcum = g.select(
+        "v", F.sum("gc").over(Window.orderBy("v")).alias("b")
+    )
+    tot = g.agg(
+        F.sum("gc").cast("bigint").alias("n_g"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    cls = cnt.groupBy("rf", "yr").agg(F.sum("cc").cast("bigint").alias("n_c"))
+    grid = (
+        cls.crossJoin(broadcast(g.select("v")))
+        .join(cnt, ["rf", "yr", "v"], "left")
+        .select("rf", "yr", "n_c", "v", F.coalesce("cc", F.lit(0)).alias("cc"))
+    )
+    cum = grid.select(
+        "rf", "yr", "n_c", "v",
+        F.sum("cc").over(Window.partitionBy("rf", "yr").orderBy("v")).alias("a"),
+    )
+    e = (
+        cum.join(broadcast(gcum), "v")
+        .crossJoin(broadcast(tot))
+        .groupBy("rf", "yr", "n_c", ((F.col("m") - 1)).alias("m1"))
+        .agg(
+            F.sum(
+                F.abs(F.col("a") * F.col("n_g") - F.col("b") * F.col("n_c"))
+            ).cast("bigint").alias("emd_num"),
+            F.first(F.col("n_g")).alias("n_g"),
+        )
+    )
+    return (
+        e.select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("yr").alias("ship_year"),
+            F.col("n_c").alias("n_rows"),
+            "emd_num",
+            (F.col("m1") * F.col("n_c") * F.col("n_g"))
+            .cast("bigint")
+            .alias("emd_den"),
+        )
+        .withColumn(
+            "violating",
+            F.when(
+                F.col("emd_num") * _TCLOSE_T_DEN
+                > F.col("emd_den") * _TCLOSE_T_NUM,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .orderBy("l_returnflag", "ship_year")
+    )
+
+
 _EWMA_LAGS = 16  # alpha = 1/2, weights 2^(15-j) for lag j
 
 
