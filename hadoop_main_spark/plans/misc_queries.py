@@ -2457,7 +2457,108 @@ _WARC_META_ORACLE = f"""
 def warc_ingest_meta(spark: SparkSession, sf: str) -> DataFrame:
     from hadoop_main_spark.sources.warc import warc_records
 
-    return warc_records(_warc_media(spark, sf))
+    # explicit projection: warc_records also surfaces the revisit
+    # headers (warc_profile/refers_to_uri/payload_digest, all '' for
+    # this fixture) — warc_revisit_dedup gates those
+    return warc_records(_warc_media(spark, sf)).select(
+        "media_id", "rec_idx", "warc_type", "target_uri",
+        "content_length", "http_status", "http_content_type",
+        "body_bytes", "body_md5",
+    )
+
+
+@query(
+    "warc_revisit_dedup",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'response' ELSE 'revisit' END
+             AS warc_type,
+           CASE WHEN doc_id % 3 = 0 THEN ''
+                ELSE 'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'
+           END AS warc_profile,
+           CASE WHEN doc_id % 3 = 0 THEN ''
+                ELSE 'http://example.org/doc/' || CAST(doc_id AS VARCHAR)
+           END AS refers_to_uri,
+           'md5:' || md5(CASE WHEN doc_id % 3 = 0
+                              THEN 'v2 ' || COALESCE(text, '')
+                              ELSE COALESCE(text, '') END) AS payload_digest,
+           CASE WHEN doc_id % 3 = 0
+                THEN md5('v2 ' || COALESCE(text, ''))
+                ELSE md5('') END AS body_md5,
+           CAST(CASE WHEN doc_id % 3 = 0
+                     THEN octet_length(encode('v2 ' || COALESCE(text, '')))
+                     ELSE 0 END AS BIGINT) AS body_bytes
+    FROM documents
+    ORDER BY media_id
+    """,
+    doc="WARC ``revisit`` records (ISO 28500 §6.7 — verdict-r9 #7, "
+    "the one record class parse_warc didn't yet surface, and Common "
+    "Crawl's actual storage-dedup mechanism) COMPOSED with the "
+    "versioned sink: crawl 1's per-URI payload digests commit as a "
+    "versioned snapshot (sources/versioned.py write_version), then "
+    "the recrawl — every 3rd doc changed, the rest identical — "
+    "writes through sources/warc.py:revisit_warc_media, which joins "
+    "the prior snapshot's digests uri-keyed and emits a full "
+    "``response`` record for changed payloads but a tiny ``revisit`` "
+    "record (empty block, WARC-Profile identical-payload-digest, "
+    "WARC-Refers-To-Target-URI, WARC-Payload-Digest) for unchanged "
+    "ones. The records parse back through warc_records and must "
+    "match the closed-form oracle: record type, profile, refers-to, "
+    "digest, and body md5/bytes all derived from the doc-id change "
+    "rule. LOCAL-MODE CONTRACT: tempfile.mkdtemp() snapshot dir.",
+)
+def warc_revisit_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    import pandas as pd
+
+    from hadoop_main_spark.sources.versioned import read_version, write_version
+    from hadoop_main_spark.sources.warc import revisit_warc_media, warc_records
+
+    docs = t(spark, sf, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(changed: bool):
+        def run(batches):
+            import hashlib
+
+            for b in batches:
+                ids, uris, payloads, digests = [], [], [], []
+                for i, text in zip(b["doc_id"].astype("int64"), b["text"]):
+                    i = int(i)
+                    body = text if text is not None else ""
+                    if changed and i % 3 == 0:
+                        body = "v2 " + body
+                    pbytes = body.encode("utf-8")
+                    ids.append(i)
+                    uris.append(f"http://example.org/doc/{i}")
+                    payloads.append(pbytes)
+                    digests.append(hashlib.md5(pbytes).hexdigest())
+                yield pd.DataFrame(
+                    {"media_id": ids, "uri": uris, "payload": payloads,
+                     "digest": digests}
+                )
+
+        return run
+
+    schema = "media_id long, uri string, payload binary, digest string"
+    crawl1 = docs.mapInPandas(gen(changed=False), schema)
+    snap = tempfile.mkdtemp(prefix="warcsnap_")
+    write_version(crawl1.select("uri", "digest"), snap)
+    crawl2 = docs.mapInPandas(gen(changed=True), schema)
+    warcs = revisit_warc_media(
+        crawl2.select("media_id", "uri", "payload"),
+        read_version(spark, snap),
+    )
+    return (
+        warc_records(warcs)
+        .select(
+            "media_id", "warc_type", "warc_profile", "refers_to_uri",
+            "payload_digest", "body_md5", "body_bytes",
+        )
+        .orderBy("media_id")
+    )
 
 
 @query(

@@ -169,6 +169,11 @@ def parse_warc(p: bytes) -> list[dict]:
             "is_http": headers.get("content-type", "").startswith(
                 "application/http"
             ),
+            # revisit-record surface (ISO 28500 §6.7): the dedup
+            # record class Common Crawl uses for unchanged recrawls
+            "warc_profile": headers.get("warc-profile", ""),
+            "refers_to_uri": headers.get("warc-refers-to-target-uri", ""),
+            "payload_digest": headers.get("warc-payload-digest", ""),
         }
         if rec["is_http"]:
             rec["http_status"], rec["http_content_type"], rec["body"] = _parse_http(
@@ -180,9 +185,15 @@ def parse_warc(p: bytes) -> list[dict]:
     return recs
 
 
+# ISO 28500 §6.7.2 / WARC 1.0: the revisit profile for a payload whose
+# digest matches an earlier capture — Common Crawl's storage-dedup form
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
 def _record_bytes(
     warc_type: str, block: bytes, target_uri: str = "",
     content_type: str = "", rec_id: str = "<urn:uuid:0>",
+    profile: str = "", refers_to_uri: str = "", payload_digest: str = "",
 ) -> bytes:
     head = [
         b"WARC/1.0",
@@ -192,6 +203,12 @@ def _record_bytes(
     ]
     if target_uri:
         head.append(f"WARC-Target-URI: {target_uri}".encode())
+    if profile:
+        head.append(f"WARC-Profile: {profile}".encode())
+    if refers_to_uri:
+        head.append(f"WARC-Refers-To-Target-URI: {refers_to_uri}".encode())
+    if payload_digest:
+        head.append(f"WARC-Payload-Digest: {payload_digest}".encode())
     if content_type:
         head.append(f"Content-Type: {content_type}".encode())
     head.append(f"Content-Length: {len(block)}".encode())
@@ -251,7 +268,8 @@ def warc_records(media: DataFrame) -> DataFrame:
     schema = (
         "media_id long, rec_idx long, warc_type string, target_uri string, "
         "content_length long, http_status long, http_content_type string, "
-        "body_bytes long, body_md5 string"
+        "body_bytes long, body_md5 string, warc_profile string, "
+        "refers_to_uri string, payload_digest string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,6 +286,8 @@ def warc_records(media: DataFrame) -> DataFrame:
                             "target_uri": "", "content_length": 0,
                             "http_status": 0, "http_content_type": "",
                             "body_bytes": 0, "body_md5": "",
+                            "warc_profile": "", "refers_to_uri": "",
+                            "payload_digest": "",
                         }
                     )
                     continue
@@ -285,6 +305,9 @@ def warc_records(media: DataFrame) -> DataFrame:
                             "http_content_type": r["http_content_type"],
                             "body_bytes": len(body),
                             "body_md5": hashlib.md5(body).hexdigest(),
+                            "warc_profile": r["warc_profile"],
+                            "refers_to_uri": r["refers_to_uri"],
+                            "payload_digest": r["payload_digest"],
                         }
                     )
             yield pd.DataFrame(
@@ -292,8 +315,79 @@ def warc_records(media: DataFrame) -> DataFrame:
                 columns=[
                     "media_id", "rec_idx", "warc_type", "target_uri",
                     "content_length", "http_status", "http_content_type",
-                    "body_bytes", "body_md5",
+                    "body_bytes", "body_md5", "warc_profile",
+                    "refers_to_uri", "payload_digest",
                 ],
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def revisit_warc_media(
+    crawl: DataFrame,
+    prior_digests: DataFrame,
+    id_col: str = "media_id",
+    uri_col: str = "uri",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """RECRAWL writer with storage dedup (ISO 28500 §6.7 — the
+    ``revisit`` record class, Common Crawl's actual dedup mechanism):
+    each fetched page's payload digest is compared to the PRIOR
+    snapshot's digest for the same URI (``prior_digests``: (uri,
+    digest) — typically a versioned-sink snapshot, sources/
+    versioned.py); an unchanged payload writes a tiny ``revisit``
+    record (empty block, WARC-Profile identical-payload-digest,
+    WARC-Refers-To-Target-URI, WARC-Payload-Digest) instead of
+    re-storing the body, a new/changed payload writes the full
+    ``response`` record. Output: (id_col, payload) one-record WARC
+    bytes per row — parse back with :func:`warc_records`.
+
+    Shape: ONE uri-keyed join (co-partitioned; at 100 TB both sides
+    partition on uri exactly like the snapshot diff that precedes a
+    recrawl), then a stateless Arrow-batched writer kernel. Digests
+    are md5 hex of the raw payload bytes on BOTH sides, so the
+    decision is engine-exact."""
+    import hashlib
+
+    joined = crawl.select(
+        id_col, uri_col, payload_col
+    ).join(
+        prior_digests.select(
+            uri_col, prior_digests["digest"].alias("__prior")
+        ),
+        uri_col,
+        "left",
+    )
+
+    schema = f"{id_col} long, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for mid, uri, payload, prior in zip(
+                b[id_col], b[uri_col], b[payload_col], b["__prior"]
+            ):
+                pbytes = bytes(payload) if payload is not None else b""
+                digest = hashlib.md5(pbytes).hexdigest()
+                if prior is not None and prior == digest:
+                    rec = dict(
+                        warc_type="revisit",
+                        block=b"",
+                        target_uri=str(uri),
+                        profile=REVISIT_PROFILE,
+                        refers_to_uri=str(uri),
+                        payload_digest=f"md5:{digest}",
+                    )
+                else:
+                    rec = dict(
+                        warc_type="response",
+                        block=http_response(pbytes),
+                        target_uri=str(uri),
+                        content_type="application/http; msgtype=response",
+                        payload_digest=f"md5:{digest}",
+                    )
+                ids.append(mid)
+                payloads.append(build_warc([rec]))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return joined.mapInPandas(run, schema)
