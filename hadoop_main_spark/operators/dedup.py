@@ -1181,3 +1181,127 @@ def line_dedup_rebuild(
             ),
         ).alias("cleaned_text"),
     )
+
+
+def edit_distance_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 40,
+    max_dist: int = 2,
+    q: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """EXACT edit-distance similarity self-join (Gravano et al.
+    VLDB'01 — the q-gram candidate filter; the string-metric sibling
+    of :func:`prefix_jaccard_pairs`): pairs of documents whose
+    ``prefix_len``-char text prefixes are within Levenshtein distance
+    ``max_dist``. Candidate generation never goes all-pairs: ``d``
+    edits destroy at most ``q*d`` of a string's q-grams, so two
+    strings within distance d MUST share a q-gram among the lower-id
+    side's first ``q*d + 1`` grams, at a position offset of at most d
+    on the other side (the positional prefix filter) — one gram-keyed
+    equi-join over ~q*d+1 rows per doc, then the exact
+    ``levenshtein`` verify (integer, engine-identical on ASCII text;
+    DuckDB's levenshtein is byte-based, so the oracle contract is
+    ASCII corpora — the Spark operator itself is char-correct
+    generally).
+
+    Skew guard (the LSH band-bucket discipline): a prefix gram
+    occurring in more than ``max_bucket`` docs is dropped from
+    candidate generation — a gram that frequent is non-selective and
+    would quadratically explode one reducer; like semantic_dedup's
+    max_cluster this trades recall ON THE HOT TEMPLATE ONLY and is
+    replayed identically by the oracle.
+
+    Short-string edge (completeness, pinned by the brute-force
+    pytest): the gram-survival theorem needs at least q*d + 1 grams —
+    d edits can destroy EVERY gram of a shorter string — so strings
+    under q*(d+1) chars can't rely on the filter, and their only
+    possible partners (length within d) are at most q*(d+1)+d-1
+    chars; all strings up to that bound pair DIRECTLY in a separate
+    short bucket (tiny by construction: sub-9-char prefixes).
+
+    Output: (id_a, id_b, edit_dist) with id_a < id_b, exact integer
+    distances.
+    """
+    s = docs.select(
+        F.col(id_col).alias("__id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__s"),
+    ).filter(F.length("__s") >= q)
+    plen = q * max_dist + 1
+    grams = s.select(
+        "__id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(__s) - {q} + 1), "
+                f"p -> struct(p AS pos, substring(__s, p, {q}) AS g))"
+            )
+        ).alias("__x", "__kv"),
+    ).select("__id", F.col("__kv.pos").alias("pos"), F.col("__kv.g").alias("g"))
+    # positional windows: lower-id side restricted to the first
+    # q*d+1 grams, other side to those positions +- d
+    ga = grams.filter(F.col("pos") <= plen)
+    gb = grams.filter(F.col("pos") <= plen + max_dist)
+    # skew guard on the join key (computed over the WIDER side so both
+    # sides see the same verdict)
+    hot = (
+        gb.groupBy("g")
+        .agg(F.countDistinct("__id").alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("g")
+    )
+    ga = ga.join(hot, "g", "left_anti")
+    gb = gb.join(hot, "g", "left_anti")
+    cand = (
+        ga.alias("a")
+        .join(gb.alias("b"), "g")
+        .filter(
+            (F.col("a.__id") < F.col("b.__id"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= max_dist)
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+    )
+    # short-string bucket: strings with < q*(d+1) chars may share NO
+    # gram with a true partner; they and their only possible partners
+    # (length within d, <= short_max chars) pair via a LENGTH-BAND
+    # equi-join (a-side keyed on its own length, b-side exploded to
+    # length-d..length+d — a true pair matches on exactly one band),
+    # capped at max_bucket strings per band like the hot-gram guard
+    short_max = q * (max_dist + 1) + max_dist - 1
+    sh = s.filter(F.length("__s") <= short_max).select(
+        "__id", "__s", F.length("__s").alias("__len")
+    )
+    bw = Window.partitionBy("__len").orderBy("__id")
+    sh = sh.withColumn("__r", F.row_number().over(bw)).filter(
+        F.col("__r") <= max_bucket
+    )
+    sha = sh.select(F.col("__id").alias("id_a"), F.col("__len").alias("band"))
+    shb = sh.select(
+        F.col("__id").alias("id_b"),
+        F.explode(
+            F.sequence(
+                F.col("__len") - max_dist, F.col("__len") + max_dist
+            )
+        ).alias("band"),
+    )
+    cand_short = (
+        sha.join(shb, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cand.unionByName(cand_short).distinct()
+    sa = s.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = s.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__sa", "__sb").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

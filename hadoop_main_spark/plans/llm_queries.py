@@ -3092,6 +3092,58 @@ def jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "edit_distance_join",
+    oracle="""
+    WITH s AS (SELECT doc_id AS id, substring(text, 1, 40) AS s
+               FROM documents WHERE length(substring(text, 1, 40)) >= 3),
+    grams AS (SELECT id, p.p AS pos, substring(s, p.p, 3) AS g
+              FROM s, LATERAL (SELECT unnest(generate_series(1, length(s) - 2)) AS p) p),
+    ga0 AS (SELECT * FROM grams WHERE pos <= 7),
+    gb0 AS (SELECT * FROM grams WHERE pos <= 9),
+    hot AS (SELECT g FROM (
+              SELECT g, COUNT(DISTINCT id) AS n FROM gb0 GROUP BY g)
+            WHERE n > 1000),
+    ga AS (SELECT * FROM ga0 ANTI JOIN hot USING (g)),
+    gb AS (SELECT * FROM gb0 ANTI JOIN hot USING (g)),
+    sh AS (SELECT id, length(s) AS len FROM (
+             SELECT id, s, ROW_NUMBER() OVER (
+               PARTITION BY length(s) ORDER BY id) AS r
+             FROM s WHERE length(s) <= 10)
+           WHERE r <= 1000),
+    cand AS (SELECT DISTINCT id_a, id_b FROM (
+             SELECT a.id AS id_a, b.id AS id_b
+             FROM ga a JOIN gb b ON a.g = b.g AND a.id < b.id
+                  AND abs(a.pos - b.pos) <= 2
+             UNION ALL
+             SELECT a.id, b.id
+             FROM sh a JOIN sh b
+               ON b.len BETWEEN a.len - 2 AND a.len + 2 AND a.id < b.id))
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS edit_dist
+    FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+    WHERE levenshtein(sa.s, sb.s) <= 2
+    ORDER BY id_a, id_b
+    """,
+    doc="EXACT edit-distance similarity join (Gravano et al. VLDB'01 "
+    "q-gram filtering — the string-METRIC member of the similarity-"
+    "join family beside the set-similarity jaccard_prefix_join and "
+    "the fuzzy_key_pairs blocking join): document pairs whose 40-char "
+    "prefixes are within Levenshtein distance 2, candidates from ONE "
+    "trigram-keyed equi-join restricted to the positional prefix "
+    "window (d edits destroy at most q*d grams, so a true pair "
+    "shares one of the lower-id side's first q*d+1 grams at offset "
+    "<= d — never all-pairs), hot grams (>1000 docs) dropped under "
+    "the LSH-bucket skew discipline, then the exact integer "
+    "levenshtein verify. Engine-exact on the ASCII corpus (DuckDB's "
+    "levenshtein is byte-based; the Spark operator is char-correct "
+    "generally).",
+)
+def edit_distance_join(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return D.edit_distance_join(d, "doc_id", "text").orderBy("id_a", "id_b")
+
+
 #: DSIR bucket count and integer ratio scale — shared by the Spark
 #: build and the oracle text
 _DSIR_BUCKETS = 4096

@@ -2530,3 +2530,55 @@ def test_rotate_vectors_exact_model_and_validation(spark):
             ),
             Rq,
         ).collect()
+
+
+def test_edit_distance_join_no_false_negatives(spark):
+    """The q-gram positional prefix filter must be COMPLETE below the
+    skew cap: every pair within Levenshtein distance d must survive
+    candidate generation (the oracle replays the same filter, so only
+    a brute-force check proves completeness). Crafted corpus: exact
+    copies, 1-char substitution/insert/delete at various positions,
+    distance-3 pairs (excluded), and short strings."""
+    import itertools
+
+    from hadoop_main_spark.operators.dedup import edit_distance_join
+
+    base = "the quick brown fox jumps over the lazy dog xy"
+    docs = [
+        (0, base),
+        (1, base),                          # exact copy -> d=0
+        (2, "The quick brown fox jumps over the lazy dog xy"),  # sub @0
+        (3, "the quick brown fox jumps over the lazy cat xy"),  # sub @40ish
+        (4, "athe quick brown fox jumps over the lazy dog x"),  # insert @0
+        (5, "he quick brown fox jumps over the lazy dog xyz"),  # delete @0
+        (6, "the QUICK brown fox jumps over the lazy dog xy"),  # d=5 (excl)
+        (7, "completely different text that matches nothing"),
+        (8, "abc"),
+        (9, "abd"),                          # short, d=1
+        (10, "the quick brown fox jumps oXer the lazy dZg xy"),  # d=2 mid
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in edit_distance_join(df, prefix_len=60, max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        d = lev(ta[:60], tb[:60])
+        if d <= 2 and len(ta[:60]) >= 3 and len(tb[:60]) >= 3:
+            want[(ia, ib)] = d
+    assert got == want, (got, want)
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert got[(8, 9)] == 1 and got[(0, 10)] == 2
+    assert (0, 6) not in got

@@ -110,6 +110,13 @@ DEFAULT_EXTRAS = [
     "graph_shortest_paths",
     "l_diversity_audit",
     "ewma_user_value",
+    # round 10 (stream_{pq_codes,residual_codes,media_features}
+    # roundtrips excluded: the stream executes inside build(), same
+    # as the other stream roundtrips)
+    "opq_pq_topk",
+    "knn_graph_layered",
+    "t_closeness_audit",
+    "warc_revisit_dedup",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
