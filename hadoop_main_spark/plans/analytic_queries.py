@@ -2327,6 +2327,77 @@ def l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "autocorr_user_value",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             lag(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events),
+    p AS (SELECT user_id, x, y FROM e WHERE y IS NOT NULL),
+    s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM p GROUP BY user_id)
+    SELECT user_id, n_pairs,
+           CAST(n_pairs * sxy - sx * sy AS BIGINT) AS acf_num,
+           CAST(n_pairs * sxx - sx * sx AS BIGINT) AS var_x,
+           CAST(n_pairs * syy - sy * sy AS BIGINT) AS var_y
+    FROM s WHERE n_pairs >= 2
+    ORDER BY user_id
+    """,
+    doc="Lag-1 autocorrelation of each user's event-value series, "
+    "EXACT (extends the time-series family — EWMA/TWAP/OHLC — with "
+    "the serial-dependence diagnostic every forecasting pipeline "
+    "starts from): Pearson r between consecutive cent-scaled values "
+    "emitted as the exact integer moments (acf_num, var_x, var_y) "
+    "with r = acf_num / sqrt(var_x * var_y) left to the caller — no "
+    "square root touches the engine, so every value is bit-identical "
+    "across engines and partitionings. ONE user-keyed window (the "
+    "lag) + one aggregate over the same key — the window's shuffle "
+    "is reused by the groupBy. Overflow bound: n * sum(x*y) <= "
+    "n^2 * max_cents^2 — int64-safe past 10^4 events/user at the "
+    "observed value range.",
+)
+def autocorr_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf, "events").select(
+        "user_id", cents.alias("x"), F.lag(cents).over(uw).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return (
+        s.filter(F.col("n_pairs") >= 2)
+        .select(
+            "user_id",
+            "n_pairs",
+            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("bigint")
+            .alias("acf_num"),
+            (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("bigint")
+            .alias("var_x"),
+            (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("bigint")
+            .alias("var_y"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _TCLOSE_T_NUM, _TCLOSE_T_DEN = 1, 100  # t = 0.01
 
 

@@ -645,6 +645,47 @@ def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "eval_holdout_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+               ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)", 'holdout')},
+                        doc_id) AS rk
+      FROM documents)
+    SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY lang, source, rk
+    """,
+    doc="Deterministic STRATIFIED EVAL HOLDOUT (the eval-set "
+    "construction step beside train_split/leakage_safe_split): per "
+    "(lang, source) stratum, exactly the 5 documents with the lowest "
+    "salted doc-id hash (ties to the lower id) — a fixed-size "
+    "per-stratum sample that is REPRODUCIBLE across runs, engines, "
+    "and corpus growth within a stratum's existing members (a doc's "
+    "hash never changes, so re-running on an append-only corpus can "
+    "only swap members when new docs hash lower — the property that "
+    "keeps eval sets stable across ingest waves). ONE stratum-keyed "
+    "window; no collect, no sort of the corpus.",
+)
+def eval_holdout_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.functions.hashing import hash64
+
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        hash64(F.col("doc_id").cast("string"), "holdout"), "doc_id"
+    )
+    return (
+        d.select("lang", "source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "source", "rk")
+    )
+
+
+@query(
     "dedup_clusters",
     oracle=_MINHASH_PREFIX.replace("WITH", "WITH RECURSIVE", 1) + _CC_SUFFIX,
     doc="Duplicate-cluster resolution: MinHash-LSH pairs -> connected "

@@ -117,6 +117,9 @@ DEFAULT_EXTRAS = [
     "knn_graph_layered",
     "t_closeness_audit",
     "warc_revisit_dedup",
+    "edit_distance_join",
+    "autocorr_user_value",
+    "eval_holdout_sample",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
