@@ -2468,6 +2468,65 @@ def warc_ingest_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pdf_text_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+    m AS (SELECT doc_id, t,
+                 greatest(CAST(ceil(length(t) / 256.0) AS BIGINT), 1) AS np,
+                 CAST(length(t)
+                      + (length(t) - length(replace(t, '(', '')))
+                      + (length(t) - length(replace(t, ')', '')))
+                      + (length(t) - length(replace(t, '\\', ''))) AS BIGINT)
+                   AS esc_len
+          FROM d)
+    SELECT doc_id AS media_id,
+           CAST(2 + 2 * np AS BIGINT) AS n_objects,
+           np AS n_pages,
+           np AS n_streams,
+           CAST(0 AS BIGINT) AS n_opaque_streams,
+           CAST(31 * np + esc_len AS BIGINT) AS stream_bytes,
+           t AS text
+    FROM m
+    ORDER BY media_id
+    """,
+    doc="PDF container walk + text extraction (ISO 32000-1 — the "
+    "DOCUMENT-container tier beside the WARC web tier and the "
+    "media containers; training corpora are full of PDFs and this is "
+    "their first pipeline stage): each doc's text is written as a "
+    "REAL multi-page PDF (one page + one uncompressed content stream "
+    "per 256 chars, literal-string escaping, classic xref with true "
+    "byte offsets), then sources/pdf.py:parse_pdf walks it back — "
+    "header/%%EOF/startxref verification, xref rows validated and "
+    "every in-use object visited AT ITS RECORDED OFFSET, stream "
+    "/Length framing, BT..ET Tj literal extraction with \\-escape "
+    "decoding — and the closed-form oracle pins object/page/stream "
+    "counts, total stream bytes (31 overhead per page + escaped text "
+    "length), and the EXACT text roundtrip. FlateDecode streams "
+    "inflate; other filters are counted as opaque (the honest codec "
+    "boundary, cf. multimodal).",
+)
+def pdf_text_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from hadoop_main_spark.sources.pdf import pdf_encode, pdf_meta
+
+    docs = t(spark, sf, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches):
+        for b in batches:
+            ids, payloads = [], []
+            for i, text in zip(b["doc_id"].astype("int64"), b["text"]):
+                ids.append(int(i))
+                payloads.append(pdf_encode(text if text is not None else ""))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return pdf_meta(media).orderBy("media_id")
+
+
+@query(
     "warc_revisit_dedup",
     oracle="""
     SELECT doc_id AS media_id,

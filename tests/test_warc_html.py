@@ -283,3 +283,73 @@ def test_parse_robots_delays_adversarial_values():
     assert select_crawl_delay(rows, "other") is None
     # every surviving delay fits int64 milliseconds
     assert all(0 <= ms <= 365 * 24 * 3600 * 1000 for _, ms in rows)
+
+
+def test_pdf_roundtrip_and_adversarial():
+    """sources/pdf.py: multi-page encode -> parse roundtrip (text,
+    page/object/stream counts), literal-string escapes (required
+    chars + octal), FlateDecode inflation, opaque-filter counting,
+    and the strict not-PDF-must-raise contract."""
+    import zlib
+
+    import pytest
+
+    from hadoop_main_spark.sources.pdf import parse_pdf, pdf_encode
+
+    for text in ("hello world", "a" * 600, "", "with (parens) \\ bs", "x" * 256):
+        r = parse_pdf(pdf_encode(text))
+        exp_pages = max(1, (len(text) + 255) // 256)
+        assert r["text"] == text
+        assert r["n_pages"] == exp_pages == r["n_streams"]
+        assert r["n_objects"] == 2 + 2 * exp_pages
+        assert r["n_opaque_streams"] == 0
+
+    def mini(objbody):
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        bodies = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            objbody,
+        ]
+        for num, body in enumerate(bodies, 1):
+            offs.append(len(out))
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        x = len(out)
+        out += b"xref\n0 %d\n" % (len(offs) + 1) + b"0000000000 65535 f \n"
+        for o in offs:
+            out += b"%010d 00000 n \n" % o
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (
+            len(offs) + 1, x,
+        )
+        return bytes(out)
+
+    comp = zlib.compress(b"BT /F1 12 Tf (zipped text) Tj ET")
+    r = parse_pdf(
+        mini(b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(comp)
+             + comp + b"\nendstream")
+    )
+    assert r["text"] == "zipped text" and r["n_opaque_streams"] == 0
+    r = parse_pdf(
+        mini(b"<< /Filter /DCTDecode /Length 4 >>\nstream\n\xff\xd8\xff\xd9\nendstream")
+    )
+    assert r["n_opaque_streams"] == 1 and r["text"] == ""
+    r = parse_pdf(mini(b"<< /Length 26 >>\nstream\nBT (\\101\\102 \\(x\\)) Tj ET\nendstream"))
+    assert r["text"] == "AB (x)"
+    good = pdf_encode("x")
+    for bad in (
+        b"",
+        b"%PDF-1.4\nno eof",
+        good[:-6],                             # truncated %%EOF
+        good.replace(b"xref", b"XREF", 1),     # startxref -> not a table
+        good.replace(b"00000 n ", b"00000 q ", 1),   # bad xref row kind
+        good.replace(b"/Length", b"/Lengxx", 1),     # stream missing /Length
+    ):
+        with pytest.raises(ValueError):
+            parse_pdf(bad)
+    # a LYING xref offset must raise, not silently skip the object
+    off = good.find(b"3 0 obj")
+    lying = good.replace(b"%010d 00000 n " % off, b"%010d 00000 n " % (off + 2), 1)
+    with pytest.raises(ValueError):
+        parse_pdf(lying)

@@ -120,6 +120,7 @@ DEFAULT_EXTRAS = [
     "edit_distance_join",
     "autocorr_user_value",
     "eval_holdout_sample",
+    "pdf_text_extract",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
