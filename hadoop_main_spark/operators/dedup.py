@@ -1305,3 +1305,74 @@ def edit_distance_join(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def hamming_band_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 6,
+    bands: int = 8,
+    bits: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Generic banded-LSH Hamming pair finder over fixed-width integer
+    hashes (generalizes :func:`simhash_pairs`' 32-bit/4-band form —
+    also serves 64-bit perceptual hashes like multimodal.image_dhash):
+    a pair within Hamming distance < ``bands`` of each other MUST
+    agree on at least one of the ``bands`` equal-width bit bands
+    (pigeonhole), so candidates come from one band-keyed equi-join —
+    never all-pairs — and verify by exact bit_count XOR. Requires
+    ``max_hamming < bands`` for the no-false-negatives guarantee
+    (asserted). Band buckets larger than ``max_bucket`` are dropped
+    (the LSH skew discipline: a bucket that hot means the hash has
+    collapsed on that region — for MASS-duplicate corpora emit
+    canonical groups instead of pairs, e.g. groupBy(hash) min-id, the
+    image_dhash_dedup shape).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming <=
+    max_hamming, exact integers."""
+    if bits % bands != 0:
+        raise ValueError(f"bits {bits} not divisible by bands {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} >= bands {bands}: the pigeonhole "
+            "guarantee needs more bands than allowed differing bits"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(hash_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    all_bands = hashes.select(
+        F.col(id_col), F.col(hash_col).alias("__h"),
+        F.explode(F.array(*band_structs)).alias("__bb"),
+    ).select(id_col, "__h", "__bb.band", "__bb.band_val")
+    bucket_n = F.count(F.lit(1)).over(
+        Window.partitionBy("band", "band_val")
+    )
+    all_bands = all_bands.withColumn("__bn", bucket_n).filter(
+        F.col("__bn") <= max_bucket
+    ).drop("__bn")
+    a, b = all_bands.alias("__hb_a"), all_bands.alias("__hb_b")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col(f"__hb_a.{id_col}") < F.col(f"__hb_b.{id_col}"))
+        .select(
+            F.col(f"__hb_a.{id_col}").alias("id_a"),
+            F.col(f"__hb_b.{id_col}").alias("id_b"),
+            F.col("__hb_a.__h").alias("__ha"),
+            F.col("__hb_b.__h").alias("__hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

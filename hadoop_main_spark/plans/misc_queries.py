@@ -2468,6 +2468,115 @@ def warc_ingest_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "image_dhash_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id AS id, n_chars AS k0,
+                      n_chars % 12 + 4 AS h, n_chars % 16 + 4 AS w
+               FROM documents),
+    cells AS (SELECT id, k0, h, w, r.r AS r, c.c AS c
+              FROM d, unnest(generate_series(0, 7)) r(r),
+                   unnest(generate_series(0, 8)) c(c)),
+    spans AS (SELECT id, k0, r, c,
+                     least((r * h) // 8, h - 1) AS r0,
+                     greatest(least(greatest(((r + 1) * h) // 8,
+                                             (r * h) // 8 + 1), h),
+                              least((r * h) // 8, h - 1) + 1) AS r1,
+                     least((c * w) // 9, w - 1) AS c0,
+                     greatest(least(greatest(((c + 1) * w) // 9,
+                                             (c * w) // 9 + 1), w),
+                              least((c * w) // 9, w - 1) + 1) AS c1
+              FROM cells),
+    px AS (SELECT id, r, c,
+                  CAST(SUM((k0 * 31 + rr.i * 7 + cc.j * 5) % 256) AS BIGINT) AS s,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM spans, unnest(generate_series(r0, r1 - 1)) rr(i),
+                unnest(generate_series(c0, c1 - 1)) cc(j)
+           GROUP BY id, r, c),
+    bits AS (SELECT a.id, a.r, a.c,
+                    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+             FROM px a JOIN px b ON b.id = a.id AND b.r = a.r
+                                AND b.c = a.c + 1
+             WHERE a.c < 8 AND NOT (a.r = 7 AND a.c = 7)),
+    hsh AS (SELECT id,
+                   CAST(SUM(bit * (CAST(1 AS BIGINT) << (r * 8 + c))) AS BIGINT)
+                     AS dh
+            FROM bits GROUP BY id),
+    canon AS (SELECT dh, MIN(id) AS canonical_id,
+                     CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM hsh GROUP BY dh)
+    SELECT h.id AS media_id, h.dh AS dhash, c.canonical_id, c.cluster_size,
+           CAST(CASE WHEN h.id <> c.canonical_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_duplicate
+    FROM hsh h JOIN canon c ON c.dh = h.dh
+    ORDER BY media_id
+    """,
+    doc="Perceptual IMAGE dedup (dHash — the image sibling of text "
+    "SimHash, completing the multimodal dedup story): per-doc gray "
+    "PNGs (2-D gradient pixels (n_chars*31 + r*7 + c*5) %% 256, "
+    "mixed scanline filters) decode through the REAL PNG path, hash "
+    "via multimodal.image_dhash — exact integer box-average 8x9 "
+    "grid, adjacent-cell comparisons by CROSS-MULTIPLIED sums, a "
+    "63-bit sign-safe hash — then resolve into CANONICAL CLUSTERS "
+    "(groupBy(dhash) min-id, the exact_dedup shape): this corpus is "
+    "MASS-duplicated by construction (175 distinct images across "
+    "5000 docs at sf0.1), so per-doc cluster rows are the honest "
+    "linear-output product where a pair list would be "
+    "output-quadratic (~4.3M pairs). Near-dup PAIR retrieval for "
+    "normal corpora is dedup.hamming_band_pairs (banded pigeonhole "
+    "candidates + exact bit_count XOR verify, bucket-capped), pinned "
+    "by its own brute-force pytest. The oracle replays pixels, grid, "
+    "hash, and clustering in closed form.",
+)
+def image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from hadoop_main_spark.operators.multimodal import image_dhash
+
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids, payloads = [], []
+            for i, k in zip(b["doc_id"].astype("int64"), b["n_chars"].astype("int64")):
+                i, k = int(i), int(k)
+                h, w = k % 12 + 4, k % 16 + 4
+                px = (
+                    (k * 31 + np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 5)
+                    % 256
+                ).astype(np.uint8)
+                ids.append(i)
+                payloads.append(MM._png_encode(px, row_filter="mixed"))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    hashes = image_dhash(media, "png").filter(F.col("ok")).select(
+        "media_id", "dhash"
+    )
+    canon = hashes.groupBy("dhash").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count("*").cast("bigint").alias("cluster_size"),
+    )
+    return (
+        hashes.join(canon, "dhash")
+        .select(
+            "media_id",
+            "dhash",
+            "canonical_id",
+            "cluster_size",
+            F.when(F.col("media_id") != F.col("canonical_id"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_duplicate"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "pdf_text_extract",
     oracle="""
     WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),

@@ -2582,3 +2582,58 @@ def test_edit_distance_join_no_false_negatives(spark):
     assert (0, 1) in got and got[(0, 1)] == 0
     assert got[(8, 9)] == 1 and got[(0, 10)] == 2
     assert (0, 6) not in got
+
+
+def test_hamming_band_pairs_vs_bruteforce(spark):
+    """The banded pigeonhole candidate filter must be COMPLETE for
+    hamming < bands and the bucket cap must drop ONLY hot buckets:
+    brute-force verification on crafted 64-bit hashes spanning exact
+    dups, each band's boundary, just-over-threshold pairs, and the
+    63-bit sign-safe range."""
+    import itertools
+
+    import pytest
+
+    from hadoop_main_spark.operators.dedup import hamming_band_pairs
+
+    base = 0x123456789ABCDEF
+    rows = [
+        (0, base),
+        (1, base),                      # hamming 0
+        (2, base ^ 0b11),               # hamming 2 (band 0)
+        (3, base ^ (1 << 8) ^ (1 << 16) ^ (1 << 24)),  # 3, three bands
+        (4, base ^ ((1 << 6) - 1)),     # hamming 6 (band 0 heavy)
+        (5, base ^ 0x7F),               # hamming 7 -> excluded at max 6
+        (6, 0),
+        (7, (1 << 63) - 1),             # all 63 low bits set
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_band_pairs(df, "id", "h", max_hamming=6).collect()
+    }
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 6:
+            want[(ia, ib)] = d
+    assert got == want, (got, want)
+    assert got[(0, 1)] == 0 and (0, 5) not in got
+    # guards
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_band_pairs(df, "id", "h", max_hamming=8, bands=8)
+    with pytest.raises(ValueError, match="divisible"):
+        hamming_band_pairs(df, "id", "h", bands=7)
+    # bucket cap: 5 identical hashes with max_bucket=4 -> every band
+    # bucket is hot -> no pairs from that cluster, others unaffected
+    many = spark.createDataFrame(
+        [(i, 42) for i in range(5)] + [(10, base), (11, base)],
+        "id long, h long",
+    )
+    capped = {
+        (r.id_a, r.id_b)
+        for r in hamming_band_pairs(
+            many, "id", "h", max_hamming=6, max_bucket=4
+        ).collect()
+    }
+    assert capped == {(10, 11)}
