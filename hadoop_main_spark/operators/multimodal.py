@@ -3824,94 +3824,3 @@ def image_exif_meta(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", *_EXIF_COLS])
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
-
-
-def image_dhash(media: DataFrame, decoder: str = "png") -> DataFrame:
-    """Perceptual DIFFERENCE HASH (dHash — the classic perceptual
-    image fingerprint: krawetz.net/hackerfactor 2013; the image-dedup
-    sibling of text SimHash): decode, collapse to gray by channel
-    mean, box-average down to an 8x9 grid with EXACT integer floor
-    boundaries (the _image_band_features discipline), and emit bit
-    (r, c) = 1 iff cell (r, c)'s mean exceeds cell (r, c+1)'s —
-    compared by CROSS-MULTIPLIED integer sums (sum1 * cnt2 >
-    sum2 * cnt1), so the 64-bit hash is bit-identical across engines
-    with no float division anywhere. Near-duplicate images (rescaled,
-    re-encoded, slightly edited) collide or land within a small
-    Hamming distance; pair them with dedup.hamming_band_pairs.
-
-    The hash is 63 BITS (the final (7,7) comparison is dropped) so the
-    sign bit stays 0 and the value is portable across Spark/DuckDB/
-    Arrow signed BIGINTs without two's-complement gymnastics.
-
-    Output: (media_id, ok boolean, dhash bigint) — bad payloads take
-    (ok=false, dhash=0), the multimodal bad-record policy."""
-    import numpy as np
-    import pandas as pd
-
-    if decoder == "png":
-        dec = _png_decode
-    elif decoder == "bmp":
-        dec = _bmp_decode
-    elif decoder == "ppm":
-        dec = _ppm_decode
-    else:
-        raise NotImplementedError(
-            f"image_dhash: decoder '{decoder}' not available here"
-        )
-
-    def run(batches):
-        for b in batches:
-            ids, oks, hashes = [], [], []
-            for mid, payload in zip(b["media_id"], b["payload"]):
-                pbytes = bytes(payload) if payload is not None else b""
-                try:
-                    arr = dec(pbytes)
-                except ValueError:
-                    ids.append(mid)
-                    oks.append(False)
-                    hashes.append(0)
-                    continue
-                a = arr.astype(np.int64)
-                if a.ndim == 3:
-                    if a.shape[2] in (2, 4):  # drop alpha
-                        a = a[:, :, : a.shape[2] - 1]
-                    a = a.sum(axis=2)  # channel SUM (mean x ch: exact)
-                h_px, w_px = a.shape
-                hv = 0
-
-                def span(i: int, n: int, g: int) -> tuple[int, int]:
-                    # the png band-index discipline: lo..hi-1 inclusive,
-                    # never empty, never past the image
-                    lo, hi = i * n // g, max((i + 1) * n // g, i * n // g + 1)
-                    a0 = min(lo, n - 1)
-                    return a0, max(min(hi, n), a0 + 1)
-
-                sums = np.zeros((8, 9), dtype=np.int64)
-                cnts = np.zeros((8, 9), dtype=np.int64)
-                for r in range(8):
-                    r0, r1 = span(r, h_px, 8)
-                    for c in range(9):
-                        c0, c1 = span(c, w_px, 9)
-                        cell = a[r0:r1, c0:c1]
-                        sums[r, c] = int(cell.sum())
-                        cnts[r, c] = cell.size
-                # 63-bit hash: the (7,7) comparison is dropped so the
-                # top (sign) bit stays 0 — the value rides BIGINT
-                # positive in Spark, DuckDB and Arrow alike
-                for r in range(8):
-                    for c in range(8):
-                        if r == 7 and c == 7:
-                            continue
-                        if sums[r, c] * cnts[r, c + 1] > sums[r, c + 1] * cnts[r, c]:
-                            hv |= 1 << (r * 8 + c)
-                ids.append(mid)
-                oks.append(True)
-                hashes.append(hv)
-            yield pd.DataFrame(
-                {"media_id": ids, "ok": oks, "dhash": hashes},
-                columns=["media_id", "ok", "dhash"],
-            )
-
-    return media.select("media_id", "payload").mapInPandas(
-        run, "media_id long, ok boolean, dhash long"
-    )

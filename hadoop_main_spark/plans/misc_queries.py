@@ -2468,117 +2468,84 @@ def warc_ingest_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "image_dhash_dedup",
+    "dhash_near_groups",
     oracle="""
-    WITH d AS (SELECT doc_id AS id, n_chars AS k0,
-                      n_chars % 12 + 4 AS h, n_chars % 16 + 4 AS w
-               FROM documents),
-    cells AS (SELECT id, k0, h, w, r.r AS r, c.c AS c
-              FROM d, unnest(generate_series(0, 7)) r(r),
-                   unnest(generate_series(0, 8)) c(c)),
-    spans AS (SELECT id, k0, r, c,
-                     least((r * h) // 8, h - 1) AS r0,
-                     greatest(least(greatest(((r + 1) * h) // 8,
-                                             (r * h) // 8 + 1), h),
-                              least((r * h) // 8, h - 1) + 1) AS r1,
-                     least((c * w) // 9, w - 1) AS c0,
-                     greatest(least(greatest(((c + 1) * w) // 9,
-                                             (c * w) // 9 + 1), w),
-                              least((c * w) // 9, w - 1) + 1) AS c1
-              FROM cells),
-    px AS (SELECT id, r, c,
-                  CAST(SUM((k0 * 31 + rr.i * 7 + cc.j * 5) % 256) AS BIGINT) AS s,
-                  CAST(COUNT(*) AS BIGINT) AS n
-           FROM spans, unnest(generate_series(r0, r1 - 1)) rr(i),
-                unnest(generate_series(c0, c1 - 1)) cc(j)
-           GROUP BY id, r, c),
-    bits AS (SELECT a.id, a.r, a.c,
-                    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
-             FROM px a JOIN px b ON b.id = a.id AND b.r = a.r
-                                AND b.c = a.c + 1
-             WHERE a.c < 8 AND NOT (a.r = 7 AND a.c = 7)),
-    hsh AS (SELECT id,
-                   CAST(SUM(bit * (CAST(1 AS BIGINT) << (r * 8 + c))) AS BIGINT)
-                     AS dh
-            FROM bits GROUP BY id),
-    canon AS (SELECT dh, MIN(id) AS canonical_id,
-                     CAST(COUNT(*) AS BIGINT) AS cluster_size
-              FROM hsh GROUP BY dh)
-    SELECT h.id AS media_id, h.dh AS dhash, c.canonical_id, c.cluster_size,
-           CAST(CASE WHEN h.id <> c.canonical_id THEN 1 ELSE 0 END AS BIGINT)
-             AS is_duplicate
-    FROM hsh h JOIN canon c ON c.dh = h.dh
-    ORDER BY media_id
+    WITH b AS (SELECT doc_id, doc_id % 40 AS cls FROM documents),
+    g AS (SELECT doc_id, cls, r.r, c.c FROM b,
+          unnest(generate_series(0, 6)) AS r(r),
+          unnest(generate_series(0, 7)) AS c(c)),
+    bits AS (SELECT doc_id,
+             CASE WHEN (cls*17 + 6*r + 10*c + 10) % 200
+                       > (cls*17 + 6*r + 10*c) % 200
+                  THEN (CAST(1 AS BIGINT) << (r*8 + c)) ELSE 0 END AS bv
+             FROM g),
+    dh AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS dhash FROM bits
+           GROUP BY doc_id),
+    grp AS (SELECT dhash, MIN(doc_id) AS gid FROM dh GROUP BY dhash),
+    bands AS (SELECT gid, dhash, bb.b AS band,
+                     (dhash >> (bb.b * 8)) & 255 AS band_val
+              FROM grp, unnest(generate_series(0, 6)) bb(b)),
+    cand AS (SELECT DISTINCT a.gid AS id_a, b.gid AS id_b,
+                    a.dhash AS ha, b.dhash AS hb
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_val = b.band_val
+                  AND a.gid < b.gid)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    ORDER BY id_a, id_b
     """,
-    doc="Perceptual IMAGE dedup (dHash — the image sibling of text "
-    "SimHash, completing the multimodal dedup story): per-doc gray "
-    "PNGs (2-D gradient pixels (n_chars*31 + r*7 + c*5) %% 256, "
-    "mixed scanline filters) decode through the REAL PNG path, hash "
-    "via multimodal.image_dhash — exact integer box-average 8x9 "
-    "grid, adjacent-cell comparisons by CROSS-MULTIPLIED sums, a "
-    "63-bit sign-safe hash — then resolve into CANONICAL CLUSTERS "
-    "(groupBy(dhash) min-id, the exact_dedup shape): this corpus is "
-    "MASS-duplicated by construction (175 distinct images across "
-    "5000 docs at sf0.1), so per-doc cluster rows are the honest "
-    "linear-output product where a pair list would be "
-    "output-quadratic (~4.3M pairs). Near-dup PAIR retrieval for "
-    "normal corpora is dedup.hamming_band_pairs (banded pigeonhole "
-    "candidates + exact bit_count XOR verify, bucket-capped), pinned "
-    "by its own brute-force pytest. The oracle replays pixels, grid, "
-    "hash, and clustering in closed form.",
+    doc="NEAR-duplicate image GROUP pairing (extends "
+    "image_dhash_dup_groups, which resolves EXACT-dHash clusters: "
+    "this asks which clusters are perceptually NEAR each other — the "
+    "cluster-merge signal an image-dedup pipeline feeds back): the "
+    "same brightness-shifted class PNGs decode and hash through the "
+    "REAL 56-bit dHash path, collapse to one canonical row per "
+    "distinct hash (mass-dup corpora must pair GROUPS, not docs — a "
+    "doc-pair list is output-quadratic here), then "
+    "dedup.hamming_band_pairs finds group pairs within Hamming 6: "
+    "7 x 8-bit bands, pigeonhole (6 < 7) guarantees a shared band, "
+    "so candidates are one band-keyed equi-join — never all-pairs — "
+    "with the exact bit_count XOR verify. The oracle replays the "
+    "closed-form hash, the grouping, the banding, and the verify.",
 )
-def image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+def dhash_near_groups(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
-    from hadoop_main_spark.operators.multimodal import image_dhash
+    from hadoop_main_spark.operators.dedup import hamming_band_pairs
 
-    docs = t(spark, sf, "documents").select("doc_id", "n_chars").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _codec_ids(spark, sf)
 
     def gen(batches):
         import numpy as np
 
         for b in batches:
-            ids, payloads = [], []
-            for i, k in zip(b["doc_id"].astype("int64"), b["n_chars"].astype("int64")):
-                i, k = int(i), int(k)
-                h, w = k % 12 + 4, k % 16 + 4
-                px = (
-                    (k * 31 + np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 5)
-                    % 256
-                ).astype(np.uint8)
-                ids.append(i)
-                payloads.append(MM._png_encode(px, row_filter="mixed"))
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls, shift = i % 40, (i % 7) * 4
+                r = np.arange(14)[:, None]
+                c = np.arange(18)[None, :]
+                arr = ((cls * 17 + r * 3 + c * 5) % 200 + shift).astype(np.uint8)
+                payloads.append(MM._png_encode(arr, row_filter="mixed"))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
-    hashes = image_dhash(media, "png").filter(F.col("ok")).select(
-        "media_id", "dhash"
+    grp = (
+        MM.image_dhash(media, decoder="png")
+        .filter(F.col("dhash") >= 0)
+        .groupBy("dhash")
+        .agg(F.min("media_id").alias("gid"))
     )
-    canon = hashes.groupBy("dhash").agg(
-        F.min("media_id").alias("canonical_id"),
-        F.count("*").cast("bigint").alias("cluster_size"),
-    )
-    return (
-        hashes.join(canon, "dhash")
-        .select(
-            "media_id",
-            "dhash",
-            "canonical_id",
-            "cluster_size",
-            F.when(F.col("media_id") != F.col("canonical_id"), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("is_duplicate"),
-        )
-        .orderBy("media_id")
-    )
+    return hamming_band_pairs(
+        grp, "gid", "dhash", max_hamming=6, bands=7, bits=56
+    ).orderBy("id_a", "id_b")
 
 
-@query(
-    "pdf_text_extract",
-    oracle="""
+# Shared verbatim by pdf_text_extract (batch) and stream_pdf_roundtrip
+# (the streaming ingest must reproduce the batch walk exactly).
+_PDF_META_ORACLE = """
     WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
     m AS (SELECT doc_id, t,
                  greatest(CAST(ceil(length(t) / 256.0) AS BIGINT), 1) AS np,
@@ -2597,7 +2564,12 @@ def image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
            t AS text
     FROM m
     ORDER BY media_id
-    """,
+    """
+
+
+@query(
+    "pdf_text_extract",
+    oracle=_PDF_META_ORACLE,
     doc="PDF container walk + text extraction (ISO 32000-1 — the "
     "DOCUMENT-container tier beside the WARC web tier and the "
     "media containers; training corpora are full of PDFs and this is "
@@ -2633,6 +2605,70 @@ def pdf_text_extract(spark: SparkSession, sf: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return pdf_meta(media).orderBy("media_id")
+
+
+@query(
+    "stream_pdf_roundtrip",
+    oracle=_PDF_META_ORACLE,
+    doc="Streaming PDF ingest ON the driver gate (the document-"
+    "container twin of stream_warc_roundtrip): the per-doc multi-page "
+    "PDFs replay as two mtime-ordered parity waves through "
+    "streaming/windows.py:pdf_meta_stream — the SAME xref-verified "
+    "walk + BT..ET literal extraction as the batch operator, "
+    "exactly-once file sink — and the accumulated sink must equal "
+    "pdf_text_extract's closed-form oracle VERBATIM: a record lost "
+    "at a batch boundary, a replayed file double-write, or any "
+    "stream-vs-batch walker divergence moves a row. BUILD-COST NOTE: "
+    "executes the streaming job at plan-build time. LOCAL-MODE "
+    "CONTRACT: tempfile.mkdtemp().",
+)
+def stream_pdf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from hadoop_main_spark.sources.pdf import pdf_encode
+    from hadoop_main_spark.streaming.windows import pdf_meta_stream
+
+    docs = t(spark, sf, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches):
+        for b in batches:
+            ids, payloads = [], []
+            for i, text in zip(b["doc_id"].astype("int64"), b["text"]):
+                ids.append(int(i))
+                payloads.append(pdf_encode(text if text is not None else ""))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    base = tempfile.mkdtemp(prefix="streampdf_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    for w in (0, 1):
+        part_dir = f"{base}/part{w}"
+        media.filter(F.pmod(F.col("media_id"), F.lit(2)) == w).coalesce(
+            1
+        ).write.parquet(part_dir)
+        (pf,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/w{w}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + w * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pdf_meta_stream(stream, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select(
+        "media_id", "n_objects", "n_pages", "n_streams",
+        "n_opaque_streams", "stream_bytes", "text",
+    ).orderBy("media_id")
 
 
 @query(

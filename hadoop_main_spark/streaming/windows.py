@@ -232,6 +232,27 @@ def media_features_stream(
     )
 
 
+def pdf_meta_stream(
+    media_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming PDF ingest: the stateless container walk + text
+    extraction (sources/pdf.py:pdf_meta — xref-verified object visit,
+    BT..ET literal decode) runs unchanged inside Structured Streaming
+    with the exactly-once parquet file sink, exactly like
+    media_features_stream wraps extract_features. Per-batch output ==
+    the batch operator on that batch's rows, so an interrupted
+    document-ingest run resumes from the commit log."""
+    from hadoop_main_spark.sources.pdf import pdf_meta
+
+    return write_stream_parquet(
+        pdf_meta(media_stream), path, checkpoint,
+        trigger_available_now=trigger_available_now,
+    )
+
+
 def _jpath(spark, p: str):
     return spark._jvm.org.apache.hadoop.fs.Path(p)
 

@@ -121,7 +121,7 @@ DEFAULT_EXTRAS = [
     "autocorr_user_value",
     "eval_holdout_sample",
     "pdf_text_extract",
-    "image_dhash_dedup",
+    "dhash_near_groups",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
