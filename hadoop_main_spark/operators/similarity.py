@@ -2588,6 +2588,13 @@ def nndescent_knn_graph(
     )
     w = Window.partitionBy("id").orderBy("d2", "nbr")
     out = None
+    # persist the per-iteration neighbor list: iteration i+1 references
+    # it THREE ways (forward, reverse, and both sides of the
+    # neighbor-of-neighbor self-join), so without this the whole prior
+    # DAG replays ~4x per iteration (bench r10: 7.2s -> 2.4s warm at
+    # sf0.1); the (id, nbr) lists are n*k rows — index-build state, the
+    # same footprint the persisted graph index stores anyway
+    nbr = nbr.persist()
     for _ in range(iterations):
         rev = nbr.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
         nn2 = (
@@ -2609,7 +2616,7 @@ def nndescent_knn_graph(
         out = scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
-        nbr = out.select("id", "nbr")
+        nbr = out.select("id", "nbr").persist()
     return out.select(
         "id",
         F.col("rank").cast("bigint").alias("rank"),

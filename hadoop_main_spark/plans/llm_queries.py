@@ -3178,7 +3178,11 @@ def jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
     "the LSH-bucket skew discipline, then the exact integer "
     "levenshtein verify. Engine-exact on the ASCII corpus (DuckDB's "
     "levenshtein is byte-based; the Spark operator is char-correct "
-    "generally).",
+    "generally). COST NOTE (~7s at sf0.1): the 6-shuffle chain "
+    "(grams, hot-gram window, band join, distinct, two verify joins) "
+    "is stage-latency-bound on fixture-sized data — the 10x gate "
+    "pins 1.8x growth, i.e. the plan is linear and compute-bound at "
+    "real scale.",
 )
 def edit_distance_join(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
@@ -4080,7 +4084,12 @@ def stream_residual_codes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     "pool, which is the entire point of a graph index at 100 TB. The "
     "oracle replays BOTH trajectories (the graph build and every "
     "search hop) as one CTE chain; RECALL.md pins recall per hop "
-    "count (the routing curve).",
+    "count (the routing curve). COST NOTE (~7.6s at sf0.1): the "
+    "inline NN-Descent build (persisted, r10) plus three sequential "
+    "hop windows are the cold-query fixture contract — the "
+    "production path is knn_graph_indexed's persisted index at "
+    "~1.1s, and the 10x gate pins ~1x growth (stage latency, not "
+    "data, dominates here).",
 )
 def knn_graph_search(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select("vec_id", "embedding")
