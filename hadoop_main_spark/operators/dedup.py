@@ -1379,3 +1379,46 @@ def hamming_band_pairs(
     return cand.select(
         "id_a", "id_b", hamming.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components_incremental(
+    prev_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """INCREMENTAL connected components — the cluster-maintenance pass
+    a recrawl/ingest wave triggers (new near-dup pairs arrive against
+    an ALREADY-RESOLVED corpus; re-clustering 100 TB from scratch per
+    wave is the thing to avoid): the previous labeling collapses each
+    existing component into a STAR (one (id, component) edge per
+    member — diameter 1 by construction), the new pairs graft onto the
+    stars, and min-label propagation re-runs over star + new edges
+    only. Convergence is O(log d_new) pointer-jump rounds where d_new
+    is the diameter of the NEW-edge graph between component hubs —
+    independent of how deep the original clusters were, which is the
+    entire payoff: a wave of w pairs costs rounds over ~(|prev ids| +
+    w) star edges, never a rebuild of the pair set.
+
+    Output: (id, component) for every previously-labeled id and every
+    id in ``new_pairs`` — component = min reachable id, IDENTICAL to
+    a from-scratch connected_components over (all old pairs + new
+    pairs) because a star preserves exactly its component's
+    connectivity (pinned by pytest and by the registry oracle, which
+    replays the one-shot clustering)."""
+    star = prev_labels.select(
+        F.col("id").alias(id_a), F.col("component").alias(id_b)
+    ).filter(F.col(id_a) != F.col(id_b))
+    # singleton components (id == component) carry no star edge; keep
+    # them reachable by unioning their self row back after resolution
+    merged = connected_components(
+        star.unionByName(new_pairs.select(id_a, id_b)), id_a, id_b, max_iter
+    )
+    prev_ids = prev_labels.select("id")
+    all_ids = prev_ids.unionByName(
+        new_pairs.select(F.col(id_a).alias("id"))
+    ).unionByName(new_pairs.select(F.col(id_b).alias("id"))).distinct()
+    return all_ids.join(merged, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

@@ -645,6 +645,41 @@ def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "cc_incremental_resolution",
+    oracle=_MINHASH_PREFIX.replace("WITH", "WITH RECURSIVE", 1) + _CC_SUFFIX,
+    doc="INCREMENTAL duplicate-cluster maintenance (the recrawl path: "
+    "an ingest wave adds near-dup pairs against an already-resolved "
+    "corpus — re-clustering from scratch per wave is what a 100 TB "
+    "pipeline must avoid): the MinHash-LSH pairs split into an OLD "
+    "half (both ids below the median) resolved by the standard "
+    "connected_components pass, and a NEW wave grafted on via "
+    "dedup.connected_components_incremental — prior components "
+    "collapse to diameter-1 STARS, so the re-run converges in "
+    "O(log d_new) rounds regardless of original cluster depth, over "
+    "star + wave edges only. The result must equal dedup_clusters' "
+    "ONE-SHOT oracle verbatim (star edges preserve connectivity "
+    "exactly): any label the incremental path fails to merge, or any "
+    "singleton it loses, moves a row.",
+)
+def cc_incremental_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", min_est_jaccard=0.5).persist()
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5, 100000)")).first()[0]
+    old = pairs.filter((F.col("id_a") < mid) & (F.col("id_b") < mid))
+    new = pairs.filter((F.col("id_a") >= mid) | (F.col("id_b") >= mid))
+    labels0 = D.connected_components(old)
+    comp = D.connected_components_incremental(labels0, new).withColumnRenamed(
+        "id", "doc_id"
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
+@query(
     "eval_holdout_sample",
     oracle=f"""
     WITH ranked AS (

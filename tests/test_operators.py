@@ -2637,3 +2637,42 @@ def test_hamming_band_pairs_vs_bruteforce(spark):
         ).collect()
     }
     assert capped == {(10, 11)}
+
+
+def test_connected_components_incremental_equals_fresh(spark):
+    """Incremental CC (prior components collapsed to stars + new
+    edges) must equal from-scratch CC over the union, across the merge
+    scenarios that matter: a new edge MERGING two prior components, a
+    brand-new id joining an old cluster, a wholly new pair, untouched
+    old clusters, and prior singletons staying resolvable."""
+    from hadoop_main_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)],
+        "id_a long, id_b long",
+    )
+    labels0 = connected_components(old_pairs)
+    # add a prior SINGLETON (id 99, its own component) to the label set
+    labels0 = labels0.unionByName(
+        spark.createDataFrame([(99, 99)], "id long, component long")
+    )
+    new_pairs = spark.createDataFrame(
+        [(3, 10),      # merges {1,2,3} with {10,11}
+         (11, 50),     # brand-new id joins the merged cluster
+         (60, 61),     # wholly new pair
+         (99, 20)],    # prior singleton joins {20,21}
+        "id_a long, id_b long",
+    )
+    inc = {
+        (r.id, r.component)
+        for r in connected_components_incremental(labels0, new_pairs).collect()
+    }
+    fresh = connected_components(old_pairs.unionByName(new_pairs))
+    want = {(r.id, r.component) for r in fresh.collect()}
+    want.add((99, 20))  # singleton resolved into {20,21}'s component
+    # untouched cluster {30,31} must survive verbatim
+    assert (30, 30) in inc and (31, 30) in inc
+    assert inc == want, (sorted(inc), sorted(want))

@@ -122,6 +122,7 @@ DEFAULT_EXTRAS = [
     "eval_holdout_sample",
     "pdf_text_extract",
     "dhash_near_groups",
+    "cc_incremental_resolution",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
