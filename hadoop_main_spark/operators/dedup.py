@@ -1225,13 +1225,14 @@ def edit_distance_join(
     Output: (id_a, id_b, edit_dist) with id_a < id_b, exact integer
     distances.
     """
-    # persist the tiny (id, prefix) projection: it feeds gram
-    # generation AND both verify-side joins (3 scans), and the narrow
-    # prefix column is all that's ever cached — text never persists
+    # checkpoint the tiny (id, prefix) projection: it feeds gram
+    # generation AND both verify-side joins (3 scans); localCheckpoint,
+    # not persist, so the cache manager can't plan-match it into other
+    # queries' substring scans — text itself never materializes
     s = docs.select(
         F.col(id_col).alias("__id"),
         F.substring(F.col(text_col), 1, prefix_len).alias("__s"),
-    ).filter(F.length("__s") >= q).persist()
+    ).filter(F.length("__s") >= q).localCheckpoint()
     plen = q * max_dist + 1
     grams = s.select(
         "__id",

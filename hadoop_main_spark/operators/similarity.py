@@ -2588,13 +2588,15 @@ def nndescent_knn_graph(
     )
     w = Window.partitionBy("id").orderBy("d2", "nbr")
     out = None
-    # persist the per-iteration neighbor list: iteration i+1 references
-    # it THREE ways (forward, reverse, and both sides of the
+    # checkpoint the per-iteration neighbor list: iteration i+1
+    # references it THREE ways (forward, reverse, and both sides of the
     # neighbor-of-neighbor self-join), so without this the whole prior
-    # DAG replays ~4x per iteration (bench r10: 7.2s -> 2.4s warm at
-    # sf0.1); the (id, nbr) lists are n*k rows — index-build state, the
-    # same footprint the persisted graph index stores anyway
-    nbr = nbr.persist()
+    # DAG replays ~4x per iteration (bench r10: 7.2s -> ~4s warm at
+    # sf0.1). localCheckpoint, NOT persist: a persisted subplan is
+    # plan-matched by the cache manager into OTHER queries computing
+    # the same subtree (the round-2 cache-hygiene advice) — the
+    # connected_components discipline
+    nbr = nbr.localCheckpoint()
     for _ in range(iterations):
         rev = nbr.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
         nn2 = (
@@ -2616,7 +2618,7 @@ def nndescent_knn_graph(
         out = scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
-        nbr = out.select("id", "nbr").persist()
+        nbr = out.select("id", "nbr").localCheckpoint()
     return out.select(
         "id",
         F.col("rank").cast("bigint").alias("rank"),
@@ -2665,12 +2667,14 @@ def hierarchical_entry_pool(
     sampled = vectors.filter(
         hash64(F.col(id_col).cast("string"), salt) % sample_mod == 0
     )
-    # persist: every layer-1 hop joins the edge table; without this
-    # the iterative NN-Descent lineage replays per hop (production
-    # persists layer graphs like any other index — build once)
+    # checkpoint: every layer-1 hop joins the edge table; without
+    # this the iterative NN-Descent lineage replays per hop
+    # (production persists layer graphs like any other index).
+    # localCheckpoint, not persist — cache-manager plan-matching
+    # would leak this subplan into other graph queries
     g1 = nndescent_knn_graph(
         sampled, l1_k, l1_iters, id_col, vec_col, qscale
-    ).persist()
+    ).localCheckpoint()
     res1 = knn_graph_search(
         g1, sampled, queries, entries, l1_beam, l1_hops, l1_entries,
         id_col, vec_col, query_id, qscale,

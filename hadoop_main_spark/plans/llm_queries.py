@@ -663,7 +663,13 @@ def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
 )
 def cc_incremental_resolution(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
-    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", min_est_jaccard=0.5).persist()
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", min_est_jaccard=0.5
+    ).localCheckpoint()  # NOT persist(): the cache manager plan-matches
+    # a persisted subplan into EVERY later query computing the same
+    # pairs (dedup_minhash_lsh grew an InMemoryTableScan — the round-2
+    # cache-hygiene advice); localCheckpoint pins iteration state
+    # without registering in the cache manager
     mid = d.agg(F.expr("percentile_approx(doc_id, 0.5, 100000)")).first()[0]
     old = pairs.filter((F.col("id_a") < mid) & (F.col("id_b") < mid))
     new = pairs.filter((F.col("id_a") >= mid) | (F.col("id_b") >= mid))
@@ -3550,8 +3556,9 @@ def opq_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.transform(
             "qvec", lambda v: v.cast("double") / F.lit(10000.0)
         ).alias("embedding"),
-    ).persist()  # the codebook TRAINING loop scans rot per iteration;
-    # without this each scan replays the rotation lineage
+    ).localCheckpoint()  # the codebook TRAINING loop scans rot per
+    # iteration; without this each scan replays the rotation lineage
+    # (localCheckpoint, not persist — cache-manager hygiene)
     cb, _ = SIM.pq_trained_codebook_all(rot, k=16, m=4, max_iter=3)
     enc = SIM.pq_encode(rot, cb)
     qs = [
@@ -4128,11 +4135,13 @@ def stream_residual_codes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 )
 def knn_graph_search(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select("vec_id", "embedding")
-    # persist the inline build: every search hop joins the edge table,
-    # and without this the iterative NN-Descent lineage replays per
-    # hop (r9 verdict #6 — was the sweep's most expensive query; the
-    # production path is knn_graph_indexed's persisted index)
-    g = SIM.nndescent_knn_graph(e, k=10, iterations=2).persist()
+    # checkpoint the inline build: every search hop joins the edge
+    # table, and without this the iterative NN-Descent lineage replays
+    # per hop (r9 verdict #6 — was the sweep's most expensive query;
+    # the production path is knn_graph_indexed's persisted index).
+    # localCheckpoint, not persist — cache-manager plan-matching would
+    # leak the build into knn_graph_nndescent's measured plan
+    g = SIM.nndescent_knn_graph(e, k=10, iterations=2).localCheckpoint()
     qs = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
