@@ -2359,9 +2359,13 @@ def l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
     "square root touches the engine, so every value is bit-identical "
     "across engines and partitionings. ONE user-keyed window (the "
     "lag) + one aggregate over the same key — the window's shuffle "
-    "is reused by the groupBy. Overflow bound: n * sum(x*y) <= "
-    "n^2 * max_cents^2 — int64-safe past 10^4 events/user at the "
-    "observed value range.",
+    "is reused by the groupBy. Overflow bound: |n*sxy - sx*sy| <= "
+    "2 * n^2 * max_cents^2 — ENFORCED, not just documented: past the "
+    "bound DuckDB's HUGEINT promotion makes the BIGINT cast raise "
+    "while non-ANSI Spark would silently wrap int64, so the Spark "
+    "build carries a per-user raise_error guard (double-precision "
+    "check with 2x headroom under int64 max) that turns a would-be "
+    "wrong answer into a loud failure, matching the oracle's mode.",
 )
 def autocorr_user_value(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2378,12 +2382,32 @@ def autocorr_user_value(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.max(F.greatest(F.abs(F.col("x")), F.abs(F.col("y"))))
+        .cast("bigint")
+        .alias("__mx"),
     )
+    # every moment product is bounded by 2 * n^2 * mx^2; check it in
+    # doubles (exactness doesn't matter for a GUARD) against int64
+    # max with 2x headroom so a would-be silent int64 wrap raises
+    # instead — the same loud-failure mode as the DuckDB oracle
+    nd = F.col("n_pairs").cast("double")
+    mxd = F.col("__mx").cast("double")
+    n_pairs_guarded = F.when(
+        2.0 * nd * nd * mxd * mxd > 4.0e18,
+        F.raise_error(
+            F.concat(
+                F.lit("autocorr_user_value: int64 overflow risk for"
+                      " user_id "),
+                F.col("user_id").cast("string"),
+                F.lit(" — rescale values or shard the series"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("n_pairs"))
     return (
         s.filter(F.col("n_pairs") >= 2)
         .select(
             "user_id",
-            "n_pairs",
+            n_pairs_guarded.alias("n_pairs"),
             (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
             .cast("bigint")
             .alias("acf_num"),

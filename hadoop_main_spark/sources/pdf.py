@@ -36,6 +36,10 @@ from pyspark.sql import DataFrame
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TYPE_RE = re.compile(rb"/Type\s*/(\w+)")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# an indirect /Length ("/Length 8 0 R") must be REJECTED loudly, not
+# misread as the literal 8 — resolving it needs a second xref pass we
+# deliberately don't do (same honest-boundary discipline as /XRef)
+_LENGTH_REF_RE = re.compile(rb"/Length\s+\d+\s+\d+\s+R\b")
 _FILTER_RE = re.compile(rb"/Filter\s*/(\w+)")
 # literal strings shown by Tj / ' / " and the arrays TJ shows; PDF
 # literal strings are ( ... ) with \-escapes
@@ -132,12 +136,19 @@ def parse_pdf(p: bytes) -> dict:
         if end < 0:
             raise ValueError("pdf: object missing endobj")
         body = p[m.end():end]
-        tm = _TYPE_RE.search(body)
+        smark = body.find(b"stream")
+        # /Type and /Length live in the object's DICTIONARY, which ends
+        # where the stream keyword starts — searching the raw stream
+        # payload would let content bytes like "/Type /Page" inflate
+        # n_pages or a payload "/Length 3" mis-frame the stream
+        ddict = body[:smark] if smark >= 0 else body
+        tm = _TYPE_RE.search(ddict)
         if tm and tm.group(1) == b"Page":
             n_pages += 1
-        smark = body.find(b"stream")
         if smark >= 0:
-            lm = _LENGTH_RE.search(body)
+            if _LENGTH_REF_RE.search(ddict):
+                raise ValueError("pdf: indirect /Length reference unsupported")
+            lm = _LENGTH_RE.search(ddict)
             if not lm:
                 raise ValueError("pdf: stream missing /Length")
             ln = int(lm.group(1))

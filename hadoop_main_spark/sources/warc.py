@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _CRLF = b"\r\n"
 
@@ -346,17 +347,39 @@ def revisit_warc_media(
     partition on uri exactly like the snapshot diff that precedes a
     recrawl), then a stateless Arrow-batched writer kernel. Digests
     are md5 hex of the raw payload bytes on BOTH sides, so the
-    decision is engine-exact."""
+    decision is engine-exact.
+
+    Precondition (ENFORCED, the merge_into discipline): prior_digests
+    has at most one row per uri — a duplicated snapshot would fan the
+    left join out and emit duplicate one-record WARCs per media_id.
+    The count window rides the snapshot's join-key shuffle (no extra
+    exchange) and feeds ``raise_error`` so a bad snapshot fails the
+    recrawl loudly instead of silently double-writing."""
     import hashlib
 
-    joined = crawl.select(
-        id_col, uri_col, payload_col
-    ).join(
-        prior_digests.select(
-            uri_col, prior_digests["digest"].alias("__prior")
-        ),
+    from pyspark.sql import Window
+
+    n_dup = F.count(F.lit(1)).over(Window.partitionBy(uri_col))
+    prior = prior_digests.select(
         uri_col,
-        "left",
+        F.when(
+            n_dup > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "revisit_warc_media: prior_digests has multiple"
+                        " rows for uri "
+                    ),
+                    F.col(uri_col).cast("string"),
+                    F.lit(" — snapshot must be unique per uri"),
+                )
+            ),
+        )
+        .otherwise(prior_digests["digest"])
+        .alias("__prior"),
+    )
+    joined = crawl.select(id_col, uri_col, payload_col).join(
+        prior, uri_col, "left"
     )
 
     schema = f"{id_col} long, payload binary"

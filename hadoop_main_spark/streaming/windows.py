@@ -951,10 +951,14 @@ def graph_insert_edges(
     else:
         # deterministic id-ordered split; the single-task window sort
         # is bounded by the wave itself and far cheaper than the
-        # unbounded driver collect it prevents
+        # unbounded driver collect it prevents.  localCheckpoint the
+        # ranked wave ONCE so each chunk is a filter over materialized
+        # rows — without it every chunk would re-run the full-wave
+        # window sort (W chunks → W re-sorts, the quadratic cost the
+        # chunking exists to avoid).
         ranked = new.withColumn(
             "__rn", F.row_number().over(Window.orderBy(id_col))
-        )
+        ).localCheckpoint(eager=True)
         chunks = [
             ranked.filter(
                 (F.col("__rn") > c * max_wave)
@@ -962,7 +966,7 @@ def graph_insert_edges(
             ).drop("__rn")
             for c in range(_math.ceil(n_wave / max_wave))
         ]
-    out = None
+    parts = []
     for chunk in chunks:
         qs = chunk.select(F.col(id_col).alias("__qid"), vec_col)
         res = knn_graph_search(
@@ -977,9 +981,16 @@ def graph_insert_edges(
             F.col("neighbor_id").alias("id"), "rank",
             F.col("__qid").alias("nbr_id"), "d2",
         )
-        part = fwd.unionByName(rev)
-        out = part if out is None else out.unionByName(part)
-    return out
+        parts.append(fwd.unionByName(rev))
+    # balanced pairwise reduce: a 1000-chunk backfill builds an
+    # O(log W)-deep union tree instead of a W-deep left spine
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts)
+            else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
 
 
 def knn_graph_stream_parquet(
