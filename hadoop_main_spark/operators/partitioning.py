@@ -209,3 +209,106 @@ def zorder_key_sql(exprs: Sequence[str], bits: int = 10) -> str:
             # shifts into a single overflowing expression
             terms.append(f"(((({e}) >> {i}) & 1) << {i * nd + d})")
     return " + ".join(terms)
+
+
+# --- reference partition FUNCTIONS, engine-exact (driver-gate r11) ---
+#
+# The repartition helpers above give the partitioner CONTRACT (equal
+# keys co-located) via Spark's internal Murmur3, which no external
+# oracle can replay.  These helpers compute the reference's OWN
+# partition functions — Java int32 hash semantics — as plain bigint
+# arithmetic, with a generated-SQL twin per helper (the
+# zorder_key/zorder_key_sql discipline), so a DuckDB oracle verifies
+# the exact partition id the reference would assign.
+
+_I32 = 2_147_483_648          # 2^31
+_U32 = 4_294_967_296          # 2^32
+# 31^e mod 2^32 for e = 0..15 — per-position weights of Java's
+# iterated h = 31*h + b, which is LINEAR mod 2^32, so the per-step
+# int32 wrap collapses to one weighted sum (no deep CASE nesting in
+# either engine)
+_POW31 = [pow(31, e, _U32) for e in range(16)]
+
+
+def java_long_hash_partition(key: Column, n: int) -> Column:
+    """Partition id the reference assigns a LongWritable key:
+    ``(key.hashCode() & Integer.MAX_VALUE) % n`` with
+    ``LongWritable.hashCode() = (int)(v ^ (v >>> 32))``
+    (MRC/mapreduce/lib/partition/HashPartitioner.java:31;
+    IO/LongWritable.java:99).  Exact for non-negative bigint keys."""
+    h = key.bitwiseXOR(F.shiftrightunsigned(key, 32))
+    return F.pmod(F.pmod(F.pmod(h, F.lit(_U32)), F.lit(_I32)), F.lit(n))
+
+
+def java_long_hash_partition_sql(key: str, n: int) -> str:
+    """DuckDB SQL computing exactly :func:`java_long_hash_partition`."""
+    return (
+        f"(((xor({key}, ({key}) >> 32)) % {_U32}) % {_I32}) % {n}"
+    )
+
+
+def java_string_hash31(col: Column, init: int, max_len: int) -> Column:
+    """Java's iterated byte hash ``h = 31*h + b`` over a string's
+    ASCII bytes with int32 wrap, masked to non-negative
+    (``& Integer.MAX_VALUE``) — the hash inside
+    KeyFieldBasedPartitioner (init 0, MRC/mapreduce/lib/partition/
+    KeyFieldBasedPartitioner.java:126) and BinaryPartitioner via
+    WritableComparator.hashBytes (init 1, IO/WritableComparator.java:187).
+    Linear form: h = (init*31^len + sum_i b_i*31^(len-i)) mod 2^32,
+    then mod 2^31.  Strings longer than ``max_len`` raise (keeps the
+    term sum inside int64); ASCII-only input is the caller's contract.
+    """
+    # force bigint elements: for small max_len every 31^e fits int32,
+    # Spark infers array<int>, and the ascii*weight product overflows
+    # INT32 under ANSI instead of computing in int64
+    pows = F.lit(_POW31[: max_len + 1]).cast("array<bigint>")
+    ln = F.length(col)
+    guarded_ln = F.when(
+        ln > max_len,
+        F.raise_error(
+            F.concat(
+                F.lit(f"java_string_hash31: key longer than {max_len}: "),
+                col,
+            )
+        ).cast("int"),
+    ).otherwise(ln)
+    # element_at is 1-based: weight for position i is 31^(len-i)
+    terms = [
+        F.when(
+            guarded_ln >= i,
+            F.pmod(
+                F.ascii(F.substring(col, i, 1)).cast("bigint")
+                * F.element_at(pows, guarded_ln - F.lit(i) + 1),
+                F.lit(_U32),
+            ),
+        ).otherwise(F.lit(0))
+        for i in range(1, max_len + 1)
+    ]
+    total = F.lit(init) * F.element_at(pows, guarded_ln + 1)
+    for t in terms:
+        total = total + t
+    return F.pmod(F.pmod(total, F.lit(_U32)), F.lit(_I32))
+
+
+def java_string_hash31_sql(col: str, init: int, max_len: int) -> str:
+    """DuckDB SQL computing exactly :func:`java_string_hash31`
+    (same linear-mod-2^32 form; the per-position weight is a CASE over
+    len-i because SQL has no array literal indexing by expression that
+    both engines share)."""
+
+    def p31(e: str) -> str:
+        branches = " ".join(
+            # ::BIGINT on every branch: small weights would type the
+            # CASE as INT32 and the ord*weight product would overflow
+            f"WHEN {v} THEN {_POW31[v]}::BIGINT" for v in range(max_len + 1)
+        )
+        return f"(CASE ({e}) {branches} END)"
+
+    terms = [
+        f"(CASE WHEN length({col}) >= {i} THEN "
+        f"(ord(substr({col}, {i}, 1))::BIGINT * {p31(f'length({col}) - {i}')})"
+        f" % {_U32} ELSE 0 END)"
+        for i in range(1, max_len + 1)
+    ]
+    total = f"{init} * {p31(f'length({col})')} + " + " + ".join(terms)
+    return f"((({total}) % {_U32}) % {_I32})"

@@ -74,3 +74,4 @@ from hadoop_main_spark.plans import llm_queries  # noqa: E402,F401
 from hadoop_main_spark.plans import misc_queries  # noqa: E402,F401
 from hadoop_main_spark.plans import extended_queries  # noqa: E402,F401
 from hadoop_main_spark.plans import analytic_queries  # noqa: E402,F401
+from hadoop_main_spark.plans import gate_queries  # noqa: E402,F401
