@@ -1197,22 +1197,33 @@ def edit_distance_join(
     of :func:`prefix_jaccard_pairs`): pairs of documents whose
     ``prefix_len``-char text prefixes are within Levenshtein distance
     ``max_dist``. Candidate generation never goes all-pairs: ``d``
-    edits destroy at most ``q*d`` of a string's q-grams, so two
-    strings within distance d MUST share a q-gram among the lower-id
-    side's first ``q*d + 1`` grams, at a position offset of at most d
-    on the other side (the positional prefix filter) — one gram-keyed
-    equi-join over ~q*d+1 rows per doc, then the exact
-    ``levenshtein`` verify (integer, engine-identical on ASCII text;
-    DuckDB's levenshtein is byte-based, so the oracle contract is
-    ASCII corpora — the Spark operator itself is char-correct
-    generally).
+    edits destroy at most ``q*d`` of a string's q-grams, so ANY fixed
+    ``q*d + 1``-subset of the lower-id side's grams contains at least
+    one gram that survives into the other string — at a position
+    offset of at most d (edits shift positions by at most 1 each).
+    The subset is chosen by GLOBAL RARITY (ascending document
+    frequency, ties by gram text then position — the
+    frequency-ordered prefix filter of Chaudhuri et al. ICDE'06,
+    composed with Gravano's positional window): on templated corpora
+    the first-position grams are exactly the shared boilerplate, and
+    a positional prefix pairs every template instance against every
+    other (r11 fixture profile: 2.8M candidates for 256 true pairs);
+    the rarest grams are the document-SPECIFIC ones, so candidate
+    buckets stay near the true-pair set. One gram-keyed equi-join of
+    ~q*d+1 selected rows per doc against the full gram table, then
+    the exact ``levenshtein`` verify (integer, engine-identical on
+    ASCII text; DuckDB's levenshtein is byte-based, so the oracle
+    contract is ASCII corpora — the Spark operator itself is
+    char-correct generally).
 
-    Skew guard (the LSH band-bucket discipline): a prefix gram
-    occurring in more than ``max_bucket`` docs is dropped from
-    candidate generation — a gram that frequent is non-selective and
-    would quadratically explode one reducer; like semantic_dedup's
-    max_cluster this trades recall ON THE HOT TEMPLATE ONLY and is
-    replayed identically by the oracle.
+    Skew guard (the LSH band-bucket discipline): a gram occurring in
+    more than ``max_bucket`` docs is dropped from BOTH sides before
+    selection — a gram that frequent is non-selective and would
+    quadratically explode one reducer; like semantic_dedup's
+    max_cluster this trades recall ONLY on docs whose every gram is
+    hot (the pure-template case) and is replayed identically by the
+    oracle.  The document-frequency table is broadcast: its size is
+    bounded by the q-gram DOMAIN (|charset|^q), not the corpus.
 
     Short-string edge (completeness, pinned by the brute-force
     pytest): the gram-survival theorem needs at least q*d + 1 grams —
@@ -1243,23 +1254,36 @@ def edit_distance_join(
             )
         ).alias("__x", "__kv"),
     ).select("__id", F.col("__kv.pos").alias("pos"), F.col("__kv.g").alias("g"))
-    # positional windows: lower-id side restricted to the first
-    # q*d+1 grams, other side to those positions +- d
-    ga = grams.filter(F.col("pos") <= plen)
-    gb = grams.filter(F.col("pos") <= plen + max_dist)
-    # skew guard on the join key (computed over the WIDER side so both
-    # sides see the same verdict)
-    hot = (
-        gb.groupBy("g")
-        .agg(F.countDistinct("__id").alias("__n"))
-        .filter(F.col("__n") > max_bucket)
-        .select("g")
+    # global document frequency per gram: drives BOTH the hot-gram
+    # skew guard and the rarity ordering of the prefix selection.
+    # Domain-bounded (at most |charset|^q distinct grams), so the
+    # broadcast survives any corpus scale — and the partial aggregate
+    # under it satisfies the plan lint's reducer rule.
+    from hadoop_main_spark.operators.joins import broadcast
+
+    df_tab = broadcast(
+        grams.groupBy("g")
+        .agg(F.countDistinct("__id").alias("__df"))
+        .filter(F.col("__df") <= max_bucket)
     )
-    ga = ga.join(hot, "g", "left_anti")
-    gb = gb.join(hot, "g", "left_anti")
+    kept = grams.join(df_tab, "g")
+    # rarity-ordered prefix: each doc's q*d+1 rarest surviving grams
+    # (ascending df, ties by gram text then position — deterministic
+    # and engine-replayable); the id-keyed window rides the gram
+    # table's existing distribution
+    sel = (
+        kept.withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy("__df", "g", "pos")
+            ),
+        )
+        .filter(F.col("__r") <= plen)
+        .select("__id", "pos", "g")
+    )
     cand = (
-        ga.alias("a")
-        .join(gb.alias("b"), "g")
+        sel.alias("a")
+        .join(kept.alias("b"), "g")
         .filter(
             (F.col("a.__id") < F.col("b.__id"))
             & (F.abs(F.col("a.pos") - F.col("b.pos")) <= max_dist)
