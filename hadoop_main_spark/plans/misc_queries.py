@@ -8,6 +8,8 @@ driver records a rows-only check (generator queries).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2712,9 +2714,53 @@ def stream_pdf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     "rule. LOCAL-MODE CONTRACT: tempfile.mkdtemp() snapshot dir.",
 )
 def warc_revisit_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
+    return (
+        _recrawl_records(spark, sf)
+        .select(
+            "media_id", "warc_type", "warc_profile", "refers_to_uri",
+            "payload_digest", "body_md5", "body_bytes",
+        )
+        .orderBy("media_id")
+    )
 
-    import pandas as pd
+
+def _recrawl_crawl(docs: DataFrame, changed: bool) -> DataFrame:
+    """Deterministic crawl frame over (doc_id, text): per doc a uri,
+    the payload bytes, and the payload's md5 — the recrawl (``changed``)
+    bumps every 3rd doc to a 'v2 ' body, the change rule every
+    recrawl-family oracle replays closed-form."""
+
+    def run(batches):
+        import hashlib
+
+        for b in batches:
+            ids, uris, payloads, digests = [], [], [], []
+            for i, text in zip(b["doc_id"].astype("int64"), b["text"]):
+                i = int(i)
+                body = text if text is not None else ""
+                if changed and i % 3 == 0:
+                    body = "v2 " + body
+                pbytes = body.encode("utf-8")
+                ids.append(i)
+                uris.append(f"http://example.org/doc/{i}")
+                payloads.append(pbytes)
+                digests.append(hashlib.md5(pbytes).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "uri": uris, "payload": payloads,
+                 "digest": digests}
+            )
+
+    schema = "media_id long, uri string, payload binary, digest string"
+    return docs.mapInPandas(run, schema)
+
+
+def _recrawl_records(spark: SparkSession, sf: str) -> DataFrame:
+    """The snapshot->recrawl->revisit-write->parse chain shared by
+    warc_revisit_dedup and recrawl_maintenance: crawl 1's digests
+    commit as a versioned snapshot, the recrawl writes through
+    revisit_warc_media against that snapshot, and the one-record
+    WARCs parse back through warc_records."""
+    import tempfile
 
     from hadoop_main_spark.sources.versioned import read_version, write_version
     from hadoop_main_spark.sources.warc import revisit_warc_media, warc_records
@@ -2722,47 +2768,15 @@ def warc_revisit_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
     )
-
-    def gen(changed: bool):
-        def run(batches):
-            import hashlib
-
-            for b in batches:
-                ids, uris, payloads, digests = [], [], [], []
-                for i, text in zip(b["doc_id"].astype("int64"), b["text"]):
-                    i = int(i)
-                    body = text if text is not None else ""
-                    if changed and i % 3 == 0:
-                        body = "v2 " + body
-                    pbytes = body.encode("utf-8")
-                    ids.append(i)
-                    uris.append(f"http://example.org/doc/{i}")
-                    payloads.append(pbytes)
-                    digests.append(hashlib.md5(pbytes).hexdigest())
-                yield pd.DataFrame(
-                    {"media_id": ids, "uri": uris, "payload": payloads,
-                     "digest": digests}
-                )
-
-        return run
-
-    schema = "media_id long, uri string, payload binary, digest string"
-    crawl1 = docs.mapInPandas(gen(changed=False), schema)
+    crawl1 = _recrawl_crawl(docs, changed=False)
     snap = tempfile.mkdtemp(prefix="warcsnap_")
     write_version(crawl1.select("uri", "digest"), snap)
-    crawl2 = docs.mapInPandas(gen(changed=True), schema)
+    crawl2 = _recrawl_crawl(docs, changed=True)
     warcs = revisit_warc_media(
         crawl2.select("media_id", "uri", "payload"),
         read_version(spark, snap),
     )
-    return (
-        warc_records(warcs)
-        .select(
-            "media_id", "warc_type", "warc_profile", "refers_to_uri",
-            "payload_digest", "body_md5", "body_bytes",
-        )
-        .orderBy("media_id")
-    )
+    return warc_records(warcs)
 
 
 @query(
@@ -3233,4 +3247,104 @@ def stream_media_features_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "media_id", F.col("band").cast("long").alias("band"), "gray_mean"
         )
+    )
+
+
+def _recrawl_oracle() -> str:
+    """One-shot-equality oracle for recrawl_maintenance: the full
+    MinHash->LSH->verify->recursive-CTE clustering replayed from
+    scratch, left-joined to every document with the closed-form
+    doc_id %% 3 change rule for the record class.  Built lazily to
+    keep the llm_queries import at call time (misc_queries loads
+    after it, but module-body import cycles stay impossible)."""
+    from hadoop_main_spark.plans.llm_queries import _CC_MID, _MINHASH_PREFIX
+
+    return (
+        _MINHASH_PREFIX.replace("WITH", "WITH RECURSIVE", 1)
+        + _CC_MID
+        + """
+ , sizes AS (SELECT doc_id AS cid, canonical_id,
+             COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+             FROM comp)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 3 = 0 THEN 'response' ELSE 'revisit' END
+         AS warc_type,
+       COALESCE(s.canonical_id, d.doc_id) AS canonical_id,
+       CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM documents d LEFT JOIN sizes s ON s.cid = d.doc_id
+ORDER BY doc_id
+"""
+    )
+
+
+@query(
+    "recrawl_maintenance",
+    oracle=lambda sf_dir: _recrawl_oracle(),
+    doc="RECRAWL CAPSTONE (verdict r10 next-round #5 — the operational "
+    "loop a 100 TB crawl actually runs, composing the now-complete "
+    "pieces end to end): crawl 1's per-URI digests commit as a "
+    "versioned snapshot (sources/versioned.py), the recrawl (every "
+    "3rd doc changed) writes storage-deduped WARCs through "
+    "revisit_warc_media (ISO 28500 §6.7), the records parse back "
+    "through warc_records, and THE PARSED RECORD CLASS ITSELF defines "
+    "the ingest wave: docs that came back as full ``response`` "
+    "records are the changed set, their near-dup pairs graft onto "
+    "the unchanged corpus's prior clustering via "
+    "connected_components_incremental (star collapse, O(log d_new) "
+    "re-convergence). Output per document: the record class it was "
+    "stored as, its cluster canonical id, and the cluster size — "
+    "which must equal the ONE-SHOT clustering of the whole corpus "
+    "verbatim (the incremental path may not lose a merge or a "
+    "singleton), with the record class matching the closed-form "
+    "change rule. A wrong revisit decision corrupts the wave and "
+    "moves cluster rows — the composition, not just the pieces, is "
+    "what's verified. LOCAL-MODE CONTRACT: tempfile.mkdtemp() "
+    "snapshot dir.",
+)
+def recrawl_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators import dedup as D
+
+    rec = _recrawl_records(spark, sf).select(
+        F.col("media_id").alias("doc_id"), "warc_type"
+    )
+    docs = t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", min_est_jaccard=0.5
+    ).localCheckpoint()  # pin iteration input without cache-manager
+    # registration (the cc_incremental_resolution discipline)
+    # the wave comes OUT OF THE PARSED WARC: a doc stored as a full
+    # response record changed content and re-enters clustering
+    ch = rec.filter(F.col("warc_type") == "response").select("doc_id")
+    ca = ch.select(F.col("doc_id").alias("id_a"), F.lit(True).alias("__ca"))
+    cb = ch.select(F.col("doc_id").alias("id_b"), F.lit(True).alias("__cb"))
+    marked = pairs.join(ca, "id_a", "left").join(cb, "id_b", "left")
+    old = marked.filter(
+        F.col("__ca").isNull() & F.col("__cb").isNull()
+    ).select("id_a", "id_b")
+    wave = marked.filter(
+        F.col("__ca").isNotNull() | F.col("__cb").isNotNull()
+    ).select("id_a", "id_b")
+    labels0 = D.connected_components(old)
+    comp = D.connected_components_incremental(labels0, wave).withColumnRenamed(
+        "id", "doc_id"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    labeled = comp.join(sizes, "component")
+    return (
+        docs.select("doc_id")
+        .join(rec, "doc_id")
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "warc_type",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+        )
+        .orderBy("doc_id")
     )

@@ -123,6 +123,16 @@ DEFAULT_EXTRAS = [
     "pdf_text_extract",
     "dhash_near_groups",
     "cc_incremental_resolution",
+    # round 11
+    "nline_split_agg",
+    "combine_pack_agg",
+    "multiple_outputs_agg",
+    "hash_partition_hist",
+    "keyfield_partition_hist",
+    "binary_partition_hist",
+    "mapfile_point_lookup",
+    "counters_agg",
+    "recrawl_maintenance",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
