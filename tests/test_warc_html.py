@@ -353,3 +353,44 @@ def test_pdf_roundtrip_and_adversarial():
     lying = good.replace(b"%010d 00000 n " % off, b"%010d 00000 n " % (off + 2), 1)
     with pytest.raises(ValueError):
         parse_pdf(lying)
+
+
+def test_pdf15_xref_stream_roundtrip_and_adversarial():
+    """sources/pdf.py PDF 1.5 form: ObjStm + xref-stream encode ->
+    parse roundtrip (text, page/object/stream counts with structure
+    streams included), cross-form text equality, and the strict
+    raise contract for /Prev chains, bad ObjStm headers, and
+    mismatched xref-stream object numbers."""
+    import pytest
+
+    from hadoop_main_spark.sources.pdf import (
+        parse_pdf,
+        pdf15_encode,
+        pdf_encode,
+    )
+
+    for text in ("hello", "a" * 600, "", "with (parens) \\ bs", "y" * 256):
+        r = parse_pdf(pdf15_encode(text))
+        np = max(1, (len(text) + 255) // 256)
+        assert r["text"] == text == parse_pdf(pdf_encode(text))["text"]
+        assert r["n_pages"] == np
+        assert r["n_objects"] == 2 * np + 4
+        assert r["n_streams"] == np + 2  # contents + ObjStm + XRef
+        assert r["n_opaque_streams"] == 0
+    good = pdf15_encode("x")
+    with pytest.raises(ValueError, match="Prev"):
+        parse_pdf(good.replace(b"/Type /XRef", b"/Type /XRef /Prev 9", 1))
+    # corrupt the RAW xref-stream row for object 1 (type-2, W=[1 4 2]:
+    # its ObjStm index is the row's last 2 bytes): pointing it at
+    # index 1 must trip the ObjStm-header objnum verification
+    rows_at = good.find(b"stream\n", good.find(b"/Type /XRef")) + 7
+    row1_idx = rows_at + 7 + 5  # skip obj0's row, then type+field2
+    bad = good[:row1_idx] + (1).to_bytes(2, "big") + good[row1_idx + 2:]
+    with pytest.raises(ValueError, match="ObjStm header says"):
+        parse_pdf(bad)
+    # ... and an out-of-range index must raise too
+    bad = good[:row1_idx] + (99).to_bytes(2, "big") + good[row1_idx + 2:]
+    with pytest.raises(ValueError, match="ObjStm index"):
+        parse_pdf(bad)
+    with pytest.raises(ValueError):
+        parse_pdf(good.replace(b"/W [1 4 2]", b"/Q [1 4 2]", 1))

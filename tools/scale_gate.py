@@ -133,6 +133,7 @@ DEFAULT_EXTRAS = [
     "mapfile_point_lookup",
     "counters_agg",
     "recrawl_maintenance",
+    "pdf15_text_extract",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
