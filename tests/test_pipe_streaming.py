@@ -1543,3 +1543,115 @@ def test_graph_insert_wave_chunking_equals_single_wave(spark, tmp_path):
         W.graph_insert_edges(edges, nodes, wave, max_wave=0)
     with pytest.raises(ValueError, match="non-empty"):
         W.graph_insert_edges(edges, nodes, wave.filter(F.lit(False)))
+
+
+def test_knn_graph_stream_layered_maintains_both_layers(spark, tmp_path):
+    """Two-layer streaming ingest (knn_graph_stream_layered): every
+    wave's layer-0 edges equal the sequential batch insert; the
+    hash-sampled membership subset ALSO lands layer-1 edges equal to
+    the sequential insert against the grown layer-1 graph; the
+    accumulated layer-1 node set equals the membership rule applied
+    to the full ingested corpus (stream and fresh build select the
+    same layer-1 nodes by construction)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.operators import similarity as SIM
+
+    def mkvecs(lo, n):
+        return (
+            spark.range(lo, lo + n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(16)),
+                    lambda i: (
+                        F.pmod(F.col("id") * 37 + i * 11, F.lit(100)) / 25.0
+                        + F.pmod(F.col("id") * 53 + i * 7, F.lit(89)) / 250.0
+                        - 2.0
+                    ),
+                ).alias("embedding"),
+            )
+        )
+
+    member = F.pmod(hash64(F.col("vec_id").cast("string"), "l1"), F.lit(4)) == 0
+    base = mkvecs(0, 120)
+    l0, l1 = str(tmp_path / "l0"), str(tmp_path / "l1")
+    SIM.build_knn_graph_index(base, l0, k=5, iterations=2)
+    SIM.build_knn_graph_index(base.filter(member), l1, k=4, iterations=2)
+
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    batches = [mkvecs(1000, 20), mkvecs(1020, 20)]
+    for bi, bdf in enumerate(batches):
+        part = str(tmp_path / f"part{bi}")
+        bdf.coalesce(1).write.parquet(part)
+        (pf,) = glob.glob(f"{part}/part-*.parquet")
+        dst = f"{src}/b{bi}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + bi * 60,) * 2)
+
+    inc, ck = str(tmp_path / "inc"), str(tmp_path / "lck")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = W.knn_graph_stream_layered(
+        stream, l0, l1, inc, ck, k0=5, k1=4, beam=12, hops=3, entries=4
+    )
+    assert q.awaitTermination(600)
+
+    # sequential batch reference per layer
+    layers = {
+        "l0": [spark.read.parquet(f"{l0}/graph"),
+               spark.read.parquet(f"{l0}/nodes"), 5, lambda d: d],
+        "l1": [spark.read.parquet(f"{l1}/graph"),
+               spark.read.parquet(f"{l1}/nodes"), 4,
+               lambda d: d.filter(member)],
+    }
+    for bi, bdf in enumerate(batches):
+        for sub, st in layers.items():
+            edges, nodes, kk, pick = st
+            wave = pick(bdf)
+            qs = wave.select(F.col("vec_id").alias("__qid"), "embedding")
+            res = SIM.knn_graph_search(
+                edges, nodes, qs, kk, 12, 3, 4, "vec_id", "embedding", "__qid"
+            )
+            want = set()
+            for r in res.collect():
+                want.add((int(r["__qid"]), int(r.rank),
+                          int(r.neighbor_id), int(r.d2)))
+                want.add((int(r.neighbor_id), int(r.rank),
+                          int(r["__qid"]), int(r.d2)))
+            got = {
+                (int(r.id), int(r.rank), int(r.nbr_id), int(r.d2))
+                for r in spark.read.parquet(
+                    f"{inc}/{sub}/edges/batch={bi}"
+                ).collect()
+            }
+            assert got == want, f"{sub} batch {bi}"
+            fwd = res.select(
+                F.col("__qid").alias("id"), "rank",
+                F.col("neighbor_id").alias("nbr_id"), "d2",
+            )
+            rev = res.select(
+                F.col("neighbor_id").alias("id"), "rank",
+                F.col("__qid").alias("nbr_id"), "d2",
+            )
+            st[0] = edges.unionByName(fwd.unionByName(rev))
+            st[1] = nodes.unionByName(wave)
+
+    # accumulated layer-1 node set == membership rule over the corpus
+    (_, _), (e1, n1) = W.read_knn_graph_layered_inc(spark, l0, l1, inc)
+    got_ids = {int(r.vec_id) for r in n1.select("vec_id").collect()}
+    all_vecs = base.unionByName(batches[0]).unionByName(batches[1])
+    want_ids = {
+        int(r.vec_id)
+        for r in all_vecs.filter(member).select("vec_id").collect()
+    }
+    assert got_ids == want_ids and got_ids  # non-empty membership

@@ -434,6 +434,125 @@ def measure_nndescent(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def measure_layered_stream(spark, sf_dir: str) -> dict[str, float]:
+    """Layered-index maintenance under ingest (verdict r10 next-round
+    #7): base two-layer index over the first 60%% of the corpus, the
+    remaining 40%% replayed as FIVE mtime-ordered waves through
+    streaming/windows.py:knn_graph_stream_layered (every wave inserts
+    into layer 0; its hash-sampled members also insert into layer 1),
+    then routed search (layer-1 beam -> entry pool -> layer-0 hops=2,
+    the knn_graph_layered parameters) over the ACCUMULATED index vs
+    the same search over a FRESH full two-layer build. Bar: streamed
+    recall within 0.02 of fresh-build (asserted hard here, pinned to
+    ledger tolerance in RECALL.md)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.operators import similarity as SIM
+    from hadoop_main_spark.streaming.windows import (
+        knn_graph_stream_layered,
+        read_knn_graph_layered_inc,
+    )
+    from hadoop_main_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = e.orderBy("vec_id").collect()
+    ids = np.array([int(r.vec_id) for r in rows])
+    Xq = np.floor(
+        np.array([[float(x) for x in r.embedding] for r in rows]) * 10000 + 0.5
+    ).astype(np.int64)
+    truth = {}
+    qids = ids[:N_QUERIES]
+    for i, vid in enumerate(ids):
+        if vid not in qids:
+            continue
+        d = ((Xq - Xq[i]) ** 2).sum(axis=1)
+        order = [j for j in np.lexsort((ids, d)) if ids[j] != vid][:K]
+        truth[int(vid)] = set(int(ids[j]) for j in order)
+    qs = e.filter(F.col("vec_id") < int(qids[-1]) + 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    member = F.pmod(hash64(F.col("vec_id").cast("string"), "l1"), F.lit(4)) == 0
+    cut = int(ids[int(len(ids) * 0.6)])
+    root = tempfile.mkdtemp(prefix="layerstream_")
+
+    def routed_recall(e0, n0, e1, n1) -> float:
+        pool = SIM.knn_graph_search(
+            e1, n1, qs, k=K, beam=20, hops=3, entries=2
+        ).select("query_id", F.col("neighbor_id").alias("node"))
+        res = SIM.knn_graph_search(
+            e0, n0, qs, k=K, beam=32, hops=2, entry_pool=pool
+        ).collect()
+        got: dict[int, set] = {}
+        for r in res:
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        return _recall(got, truth)
+
+    # base two-layer index over the first 60%
+    base = e.filter(F.col("vec_id") < cut)
+    SIM.build_knn_graph_index(base, f"{root}/l0", k=K, iterations=2)
+    SIM.build_knn_graph_index(
+        base.filter(member), f"{root}/l1", k=8, iterations=2
+    )
+    # the remaining 40% as five mtime-ordered single-file waves
+    rest = e.filter(F.col("vec_id") >= cut)
+    src = f"{root}/src"
+    os.makedirs(src)
+    span = (int(ids[-1]) + 1 - cut + 4) // 5
+    for w in range(5):
+        part = f"{root}/part{w}"
+        rest.filter(
+            (F.col("vec_id") >= cut + w * span)
+            & (F.col("vec_id") < cut + (w + 1) * span)
+        ).coalesce(1).write.parquet(part)
+        (pf,) = glob.glob(f"{part}/part-*.parquet")
+        dst = f"{src}/w{w}.parquet"
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + w * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = knn_graph_stream_layered(
+        stream, f"{root}/l0", f"{root}/l1", f"{root}/inc", f"{root}/ckpt",
+        k0=K, k1=8, beam=20, hops=3, entries=4,
+    )
+    q.awaitTermination()
+    (e0, n0), (e1, n1) = read_knn_graph_layered_inc(
+        spark, f"{root}/l0", f"{root}/l1", f"{root}/inc"
+    )
+    r_stream = routed_recall(e0, n0, e1, n1)
+    # fresh full two-layer build, same parameters and search
+    SIM.build_knn_graph_index(e, f"{root}/f0", k=K, iterations=2)
+    SIM.build_knn_graph_index(
+        e.filter(member), f"{root}/f1", k=8, iterations=2
+    )
+    r_fresh = routed_recall(
+        spark.read.parquet(f"{root}/f0/graph"),
+        spark.read.parquet(f"{root}/f0/nodes"),
+        spark.read.parquet(f"{root}/f1/graph"),
+        spark.read.parquet(f"{root}/f1/nodes"),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    if r_stream < r_fresh - 0.02:
+        raise SystemExit(
+            f"layered stream recall {r_stream} drifted more than 0.02 "
+            f"below fresh build {r_fresh}"
+        )
+    return {
+        "graph_layered_stream_5waves": r_stream,
+        "graph_layered_fresh_full": r_fresh,
+    }
+
+
 def render(sf_dir: str, vals: dict[str, float]) -> str:
     lines = [
         "# RECALL — ANN retrieval-quality ledger",
@@ -510,6 +629,7 @@ def main() -> int:
     vals.update(measure_clustered(spark))
     vals.update(measure_opq(spark))
     vals.update(measure_nndescent(spark, sf_dir))
+    vals.update(measure_layered_stream(spark, sf_dir))
     spark.stop()
     print(json.dumps(vals, sort_keys=True))
     pinned = load_pinned()
