@@ -1447,3 +1447,104 @@ def connected_components_incremental(
     return all_ids.join(merged, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+# --- content-defined chunking (CDC) dedup -----------------------------------
+
+CDC_WINDOW = 16          # rolling-hash window (chars/codepoints)
+CDC_BASE = 257           # polynomial base
+CDC_MOD = 2_147_483_647  # 2^31 - 1 (prime): term <= 2^21 * 2^31 = 2^52,
+#                          16-term sum <= 2^56 — int64-safe without
+#                          per-term reduction
+CDC_DIVISOR = 64         # cut when H % divisor == 0 (~64-char chunks)
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING — the storage-level dedup mechanism
+    (LBFS, Muthitacharoen et al. SOSP'01; FastCDC refines it): cut
+    each document at positions the CONTENT chooses (a polynomial
+    rolling hash of the trailing ``window`` codepoints hits
+    0 mod ``divisor``), so a shared region chunks identically in
+    every document REGARDLESS OF ITS BYTE OFFSET — the shift
+    resistance fixed-size blocks lack, and the complement of the
+    similarity-dedup family: exact_substr finds shared SPANS by
+    content, CDC makes shared content STORABLE once.
+
+    Pure content-defined form: every hash hit is a boundary (LBFS's
+    min/max chunk clamps introduce a sequential dependence between
+    cuts that would make the boundary set non-local; without them a
+    boundary depends ONLY on its trailing window, which is the
+    property the oracle replays position-independently).
+
+    Hash: H(i) = sum_j cp[i+j] * B^(w-1-j) mod M over Unicode
+    CODEPOINTS (engine-portable: numpy uint32 view of UTF-32 here,
+    ``ord(substr(...))`` in the DuckDB twin), a cut AFTER the
+    window's last char; end-of-document always closes the final
+    chunk. Arrow-batched kernel — one vectorized pass per document,
+    the text never shuffles; only (id, chunk index, md5, length)
+    rows leave the executor.
+
+    Returns (id_col, chunk_idx, chunk_md5, chunk_len).
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array(
+        [pow(CDC_BASE, window - 1 - j, CDC_MOD) for j in range(window)],
+        dtype=np.int64,
+    )
+
+    schema = f"{id_col} long, chunk_idx long, chunk_md5 string, chunk_len long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, digests, lens = [], [], [], []
+            for did, text in zip(b[id_col], b[text_col]):
+                t = text if text is not None else ""
+                n = len(t)
+                if n == 0:
+                    continue
+                cuts = [n]
+                if n >= window:
+                    cp = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    # H for every window start via the weighted sliding
+                    # sum: one correlate pass, all int64
+                    h = np.zeros(n - window + 1, dtype=np.int64)
+                    for j in range(window):
+                        h += cp[j : j + n - window + 1] * pows[j]
+                    h %= CDC_MOD
+                    # cut AFTER the window's last char: start i (0-based)
+                    # cuts at position i + window (1-based end-exclusive)
+                    hits = np.nonzero(h % divisor == 0)[0] + window
+                    cuts = sorted(set(hits.tolist()) | {n})
+                prev = 0
+                for ci, cut in enumerate(cuts):
+                    chunk = t[prev:cut]
+                    ids.append(int(did))
+                    idxs.append(ci)
+                    digests.append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+                    lens.append(len(chunk))
+                    prev = cut
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_md5": pd.Series(digests, dtype="object"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

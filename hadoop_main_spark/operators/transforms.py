@@ -171,3 +171,57 @@ def field_selection(
         field_select_expr(col, key_spec, sep).alias(key),
         field_select_expr(col, value_spec, sep).alias(value),
     )
+
+
+def weighted_systematic_sample(
+    df,
+    weight_col: str,
+    k: int,
+    order_col: str = "doc_id",
+):
+    """EXACT-integer probability-proportional-to-size SYSTEMATIC
+    sample (Madow '49 — the classic PPS design): rows ordered by
+    ``order_col`` accumulate integer weights; row i is selected iff
+    the cumulative weight crosses one of the k equally spaced
+    thresholds, i.e. floor(cw_i * k / total) > floor(cw_{i-1} * k /
+    total), and ``n_picks`` = the number of thresholds it crosses —
+    a row holding more than total/k weight is drawn with
+    MULTIPLICITY (the textbook PPS-systematic behavior), and
+    sum(n_picks) == k exactly. Inclusion probability is proportional
+    to weight — the data-mixing primitive quota-based corpus
+    subsampling needs, and unlike Efraimidis-Spirakis key sampling
+    it is EXACT INTEGER arithmetic end to end, so an external engine
+    replays it bit-identically (float keys differ in the last ulp
+    across engines and flip selections).
+
+    Scale shape: the cumulative weight comes from the two-phase
+    grouped_prefix_sum (range-bucketed, driver-held split points —
+    never an unpartitioned window over the corpus); the total rides
+    a broadcast one-row cross join. Overflow bound: cw * k must fit
+    int64 — ANSI mode raises loudly past it (weights in chars: safe
+    to ~10^17 total corpus chars at k=100).
+
+    Returns the selected rows with ``pick`` (the highest threshold
+    index the row crossed, 1-based) and ``n_picks`` (its draw
+    multiplicity).
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_main_spark.operators.sorting import grouped_prefix_sum
+
+    if k < 1:
+        raise ValueError("weighted_systematic_sample needs k >= 1")
+    d = df.withColumn("__g", F.lit(0))
+    c = grouped_prefix_sum(
+        d, ["__g"], [order_col], weight_col, out_col="__cw", exclusive=False
+    ).drop("__g")
+    tot = df.agg(F.sum(weight_col).cast("bigint").alias("__tot"))
+    c = c.crossJoin(F.broadcast(tot))
+    hi = F.floor(F.col("__cw") * k / F.col("__tot"))
+    lo = F.floor((F.col("__cw") - F.col(weight_col)) * k / F.col("__tot"))
+    return (
+        c.filter(hi > lo)
+        .withColumn("pick", hi.cast("bigint"))
+        .withColumn("n_picks", (hi - lo).cast("bigint"))
+        .drop("__cw", "__tot")
+    )

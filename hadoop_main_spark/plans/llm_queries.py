@@ -6138,3 +6138,145 @@ def redirect_frontier(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn(
         "fetch", F.col("resolved") & (F.col("url_id") == F.min("url_id").over(w))
     )
+
+
+def _cdc_oracle() -> str:
+    """DuckDB twin of dedup.cdc_chunks + the per-lang dedup stats:
+    the 16-term polynomial window hash unrolled with precomputed
+    B^e mod M weights (every ord cast to BIGINT — INT32 products
+    overflow), cuts where H %% divisor == 0 plus end-of-document,
+    chunks by LAG over the cut positions, then per-(lang, digest)
+    counts."""
+    from hadoop_main_spark.operators.dedup import (
+        CDC_BASE,
+        CDC_DIVISOR,
+        CDC_MOD,
+        CDC_WINDOW,
+    )
+
+    terms = " + ".join(
+        f"ord(substr(t, i + {j}, 1))::BIGINT * "
+        f"{pow(CDC_BASE, CDC_WINDOW - 1 - j, CDC_MOD)}"
+        for j in range(CDC_WINDOW)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, lang, COALESCE(text, '') AS t
+               FROM documents WHERE length(COALESCE(text, '')) > 0),
+    pos AS (SELECT doc_id, t, g.i AS i
+            FROM d, LATERAL (SELECT unnest(generate_series(
+                 1, length(t) - {CDC_WINDOW - 1})) AS i) g
+            WHERE length(t) >= {CDC_WINDOW}),
+    h AS (SELECT doc_id, i + {CDC_WINDOW - 1} AS cut,
+                 ({terms}) % {CDC_MOD} AS hh
+          FROM pos),
+    cuts AS (SELECT doc_id, cut FROM h WHERE hh % {CDC_DIVISOR} = 0
+             UNION SELECT doc_id, length(t) FROM d),
+    seg AS (SELECT doc_id, cut AS e,
+                   COALESCE(LAG(cut) OVER (PARTITION BY doc_id
+                                           ORDER BY cut), 0) AS s
+            FROM cuts),
+    ck AS (SELECT d.lang, md5(substr(d.t, s + 1, e - s)) AS dg,
+                  CAST(e - s AS BIGINT) AS ln
+           FROM seg JOIN d USING (doc_id)),
+    per AS (SELECT lang, dg, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   MIN(ln) AS ln
+            FROM ck GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+           CAST(SUM(cnt * ln) AS BIGINT) AS chars_total,
+           CAST(SUM((cnt - 1) * ln) AS BIGINT) AS chars_dedup
+    FROM per GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=lambda sf_dir: _cdc_oracle(),
+    doc="CONTENT-DEFINED CHUNKING dedup (LBFS, Muthitacharoen et al. "
+    "SOSP'01 — the STORAGE-level dedup mechanism, a new modality "
+    "beside the similarity family: exact_substr finds shared spans, "
+    "CDC makes shared content storable ONCE): every document is cut "
+    "where a 16-codepoint polynomial rolling hash hits 0 mod 64, so "
+    "a shared region chunks identically in every document REGARDLESS "
+    "OF OFFSET (the shift resistance fixed-size blocks lack); chunk "
+    "md5s then dedup corpus-wide. Per language: chunk count, unique "
+    "chunks, total chars, and the chars a chunk store would save — "
+    "the mass-duplicated corpus makes the signal real. Arrow-batched "
+    "kernel (one vectorized pass per doc, text never shuffles; only "
+    "~60-byte digest rows do); the oracle replays the hash "
+    "position-independently with unrolled B^e mod M weights, both "
+    "trajectories exact.",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    ch = D.cdc_chunks(
+        d.select("doc_id", "text").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    per = (
+        ch.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "chunk_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min("chunk_len").cast("bigint").alias("ln"),
+        )
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count("*").cast("bigint").alias("n_unique_chunks"),
+            F.sum(F.col("cnt") * F.col("ln")).cast("bigint").alias("chars_total"),
+            F.sum((F.col("cnt") - 1) * F.col("ln"))
+            .cast("bigint")
+            .alias("chars_dedup"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "weighted_doc_sample",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, CAST(n_chars + 1 AS BIGINT) AS wt
+               FROM documents),
+    c AS (SELECT doc_id, lang, wt,
+                 SUM(wt) OVER (ORDER BY doc_id) AS cw
+          FROM w),
+    t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w)
+    SELECT doc_id, lang,
+           CAST((cw * 37) // tot AS BIGINT) AS pick,
+           CAST((cw * 37) // tot - ((cw - wt) * 37) // tot AS BIGINT)
+             AS n_picks
+    FROM c, t
+    WHERE (cw * 37) // tot > ((cw - wt) * 37) // tot
+    ORDER BY doc_id
+    """,
+    doc="EXACT-integer PPS SYSTEMATIC sample (Madow '49 — the "
+    "data-mixing primitive beside domain_mix_weights and "
+    "train_split: draw k=37 documents with inclusion probability "
+    "proportional to size, here n_chars+1): rows in doc-id order "
+    "accumulate integer weights and a row is selected iff its "
+    "cumulative weight crosses one of the 37 equally spaced "
+    "thresholds (n_picks = thresholds crossed: a row above total/k weight draws with multiplicity, sum(n_picks) == k exactly) — floor crossing in pure int64, so unlike float-key "
+    "weighted reservoir sampling (Efraimidis-Spirakis) the draw "
+    "replays bit-identically on any engine. The prefix sum is the "
+    "two-phase range-bucketed grouped_prefix_sum (driver-held split "
+    "points, never an unpartitioned window over the corpus); the "
+    "total rides a broadcast one-row cross join. Exactly 37 rows.",
+)
+def weighted_doc_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.transforms import (
+        weighted_systematic_sample,
+    )
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") + 1).cast("bigint").alias("wt")
+    )
+    return (
+        weighted_systematic_sample(d, "wt", k=37, order_col="doc_id")
+        .select("doc_id", "lang", "pick", "n_picks")
+        .orderBy("doc_id")
+    )

@@ -79,3 +79,74 @@ def test_java_string_hash31_rejects_long_keys(spark):
     df = spark.createDataFrame([("x" * 13,)], "s string")
     with pytest.raises(Exception, match="longer than 12"):
         df.select(java_string_hash31(F.col("s"), 0, 12)).collect()
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """The CDC property fixed-size blocks lack: a shared region chunks
+    IDENTICALLY regardless of its offset in the containing document —
+    inserting a prefix before the region must leave the region's
+    interior chunk digests unchanged (only the boundary-straddling
+    chunks may differ). Also pins: chunk concatenation rebuilds the
+    text, and empty docs produce no chunks."""
+    from hadoop_main_spark.operators.dedup import cdc_chunks
+
+    shared = "".join(
+        f"word{i % 97} content token {i * 7 % 53} " for i in range(200)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, "PREFIX-" * 11 + shared),
+            (3, ""),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(int(r.doc_id), []).append(r)
+    assert 3 not in by_doc                       # empty -> no chunks
+    assert len(by_doc[4]) == 1                   # sub-window -> one chunk
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    d2 = sorted(by_doc[2], key=lambda r: r.chunk_idx)
+    # lengths rebuild the text exactly
+    assert sum(r.chunk_len for r in d1) == len(shared)
+    assert sum(r.chunk_len for r in d2) == len("PREFIX-" * 11 + shared)
+    # interior digests of the shared region survive the offset shift:
+    # all but the first chunk of doc 1 must appear in doc 2
+    s1 = [r.chunk_md5 for r in d1][1:]
+    s2 = set(r.chunk_md5 for r in d2)
+    assert len(s1) >= 3, "fixture must produce several chunks"
+    assert all(h in s2 for h in s1)
+
+
+def test_weighted_systematic_sample_exact_k_and_pps(spark):
+    """Exactly k rows, pick indices 1..k, and the PPS property: a row
+    holding more than 1/k of the total weight is ALWAYS selected."""
+    from hadoop_main_spark.operators.transforms import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(i, 1 if i != 50 else 500) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    got = weighted_systematic_sample(df, "wt", k=7, order_col="doc_id")
+    out = sorted(
+        (int(r.doc_id), int(r.pick), int(r.n_picks)) for r in got.collect()
+    )
+    assert sum(n for _, _, n in out) == 7       # draws total exactly k
+    picked = {d for d, _, _ in out}
+    assert 50 in picked                          # the heavy row always drawn
+    heavy = next(n for d, _, n in out if d == 50)
+    assert heavy >= 5                            # ...with multiplicity
+    # uniform-weight case: no multiplicities, exactly k distinct rows
+    uni = spark.createDataFrame(
+        [(i, 3) for i in range(100)], "doc_id long, wt long"
+    )
+    got_u = weighted_systematic_sample(uni, "wt", k=7, order_col="doc_id")
+    u = [(int(r.doc_id), int(r.n_picks)) for r in got_u.collect()]
+    assert len(u) == 7 and all(n == 1 for _, n in u)
+    import pytest
+
+    with pytest.raises(ValueError):
+        weighted_systematic_sample(df, "wt", k=0)

@@ -134,6 +134,8 @@ DEFAULT_EXTRAS = [
     "counters_agg",
     "recrawl_maintenance",
     "pdf15_text_extract",
+    "cdc_chunk_dedup",
+    "weighted_doc_sample",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
