@@ -6280,3 +6280,56 @@ def weighted_doc_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang", "pick", "n_picks")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "stream_cdc_roundtrip",
+    oracle=lambda sf_dir: _cdc_oracle(),
+    doc="Streaming CDC ingest ON the driver gate (the chunk-store "
+    "twin of stream_warc/pdf_roundtrip, and the streaming half of "
+    "cdc_chunk_dedup): documents replay as two mtime-ordered parity "
+    "waves through streaming/windows.py:cdc_chunks_stream_parquet — "
+    "the SAME rolling-hash boundary kernel as the batch operator, "
+    "exactly-once file sink — and the ACCUMULATED chunk table's "
+    "per-language dedup stats must equal the batch closed-form "
+    "oracle VERBATIM: a chunk lost at a batch boundary, a replayed "
+    "double-write, or any stream-vs-batch boundary divergence moves "
+    "a count. BUILD-COST NOTE: executes the streaming job at "
+    "plan-build time. LOCAL-MODE CONTRACT: tempfile.mkdtemp().",
+)
+def stream_cdc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.streaming.windows import cdc_chunks_stream_parquet
+
+    d = t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="streamcdc_")
+    src = _write_parity_waves(d.select("doc_id", "text"), root, "doc_id")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = cdc_chunks_stream_parquet(stream, f"{root}/out", f"{root}/ckpt")
+    q.awaitTermination()
+    ch = spark.read.parquet(f"{root}/out")
+    per = (
+        ch.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "chunk_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min("chunk_len").cast("bigint").alias("ln"),
+        )
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count("*").cast("bigint").alias("n_unique_chunks"),
+            F.sum(F.col("cnt") * F.col("ln")).cast("bigint").alias("chars_total"),
+            F.sum((F.col("cnt") - 1) * F.col("ln"))
+            .cast("bigint")
+            .alias("chars_dedup"),
+        )
+        .orderBy("lang")
+    )

@@ -1208,3 +1208,28 @@ def warc_records_stream_parquet(
         warc_records(warc_stream), path, checkpoint,
         trigger_available_now=trigger_available_now,
     )
+
+
+def cdc_chunks_stream_parquet(
+    doc_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming content-defined chunking: arriving documents cut into
+    content-addressed chunks AS THEY LAND — dedup.cdc_chunks is a
+    stateless Arrow-batched pass (every boundary depends only on its
+    trailing window, the property the pure content-defined form keeps
+    by design), so the SAME kernel runs unchanged inside Structured
+    Streaming with the exactly-once parquet sink. This is the ingest
+    half of a chunk store: per-batch output equals the batch operator
+    on that batch's rows, so an interrupted ingest resumes from the
+    commit log and the accumulated chunk table dedups corpus-wide."""
+    from hadoop_main_spark.operators.dedup import cdc_chunks
+
+    return write_stream_parquet(
+        cdc_chunks(doc_stream, id_col, text_col), path, checkpoint,
+        trigger_available_now=trigger_available_now,
+    )
