@@ -1575,3 +1575,46 @@ def skew_audit(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("skew_factor"),
         "near_hot_keys",
     )
+
+
+@query(
+    "salted_user_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="SALTED two-phase aggregation ON the driver gate (the skew "
+    "REMEDY beside the skew_audit diagnostic and the r11 SKEW scale "
+    "tier — AQE splits skewed JOINS but a hot groupBy key still "
+    "lands on one reducer; salting splits each key into 16 sub-keys, "
+    "partially aggregates, then combines, both phases map-side-"
+    "combinable): per-user event counts and exact cent sums through "
+    "partitioning.salted_agg must equal the oracle's PLAIN GROUP BY "
+    "— the salt may only route rows, never change an aggregate "
+    "(decomposability is the contract the descriptor compiler "
+    "enforces). Integer cents keep both phases order-independent "
+    "and engine-exact.",
+)
+def salted_user_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.partitioning import salted_agg
+
+    e = t(spark, sf, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    out = salted_agg(
+        e,
+        ["user_id"],
+        {"n_events": ("count", "user_id"), "sum_cents": ("sum", "cents")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    ).orderBy("user_id")

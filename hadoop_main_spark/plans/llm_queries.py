@@ -6192,6 +6192,7 @@ def _cdc_oracle() -> str:
 
 @query(
     "cdc_chunk_dedup",
+    bench=True,
     oracle=lambda sf_dir: _cdc_oracle(),
     doc="CONTENT-DEFINED CHUNKING dedup (LBFS, Muthitacharoen et al. "
     "SOSP'01 — the STORAGE-level dedup mechanism, a new modality "

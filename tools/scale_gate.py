@@ -136,6 +136,9 @@ DEFAULT_EXTRAS = [
     "pdf15_text_extract",
     "cdc_chunk_dedup",
     "weighted_doc_sample",
+    "salted_user_agg",
+    # stream_cdc_roundtrip excluded: the stream executes inside
+    # build(), same as the other stream roundtrips
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
