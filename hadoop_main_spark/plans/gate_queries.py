@@ -200,7 +200,7 @@ def multiple_outputs_agg(spark: SparkSession, sf: str) -> DataFrame:
     WITH k AS (SELECT o_orderkey * 2654435761 AS key FROM orders)
     SELECT {java_long_hash_partition_sql('key', _N_REDUCERS)} AS pid,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(key) AS BIGINT) AS sum_keys
+           CAST(SUM(key % 1000003) AS BIGINT) AS sum_keys_mod
     FROM k GROUP BY pid ORDER BY pid
     """,
     doc="HashPartitioner ON the driver gate (MRC/mapreduce/lib/"
@@ -209,9 +209,12 @@ def multiple_outputs_agg(spark: SparkSession, sf: str) -> DataFrame:
     "full 64-bit range via a Knuth multiplier so the (int)(v ^ v>>>32) "
     "fold is actually exercised) is assigned the EXACT partition id "
     "the reference's Java int32 arithmetic produces, and the "
-    "per-partition histogram (count + key sum) must match the oracle "
-    "replaying the same arithmetic. groupBy(pid) rides the one "
-    "shuffle a real partitioner would cause — equal pids co-locate.",
+    "per-partition histogram (count + a mod-prime key checksum: a "
+    "RAW key sum overflows int64 already at the 10x tier since keys "
+    "span the full 64-bit range by construction) must match the "
+    "oracle replaying the same arithmetic. groupBy(pid) rides the "
+    "one shuffle a real partitioner would cause — equal pids "
+    "co-locate.",
 )
 def hash_partition_hist(spark: SparkSession, sf: str) -> DataFrame:
     key = (F.col("o_orderkey") * F.lit(2654435761)).alias("key")
@@ -223,7 +226,7 @@ def hash_partition_hist(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("pid")
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
-            F.sum("key").cast("bigint").alias("sum_keys"),
+            F.sum(F.col("key") % 1000003).cast("bigint").alias("sum_keys_mod"),
         )
         .orderBy("pid")
     )
