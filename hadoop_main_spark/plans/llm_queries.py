@@ -6339,3 +6339,132 @@ def stream_cdc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _cdc_delta_oracle() -> str:
+    """DuckDB twin of cdc_delta_transfer: the CDC chunking replayed
+    TWICE — crawl 1 on the raw text, crawl 2 with every 3rd doc
+    prefixed 'v2 ' — then crawl 2's chunks anti-joined against crawl
+    1's distinct digest store."""
+    from hadoop_main_spark.operators.dedup import (
+        CDC_BASE,
+        CDC_DIVISOR,
+        CDC_MOD,
+        CDC_WINDOW,
+    )
+
+    terms = " + ".join(
+        f"ord(substr(t, i + {j}, 1))::BIGINT * "
+        f"{pow(CDC_BASE, CDC_WINDOW - 1 - j, CDC_MOD)}"
+        for j in range(CDC_WINDOW)
+    )
+
+    def chain(n: str, src: str) -> str:
+        return f"""
+    pos{n} AS (SELECT doc_id, t, g.i AS i
+            FROM {src}, LATERAL (SELECT unnest(generate_series(
+                 1, length(t) - {CDC_WINDOW - 1})) AS i) g
+            WHERE length(t) >= {CDC_WINDOW}),
+    h{n} AS (SELECT doc_id, i + {CDC_WINDOW - 1} AS cut,
+                 ({terms}) % {CDC_MOD} AS hh
+          FROM pos{n}),
+    cuts{n} AS (SELECT doc_id, cut FROM h{n} WHERE hh % {CDC_DIVISOR} = 0
+             UNION SELECT doc_id, length(t) FROM {src}),
+    seg{n} AS (SELECT doc_id, cut AS e,
+                   COALESCE(LAG(cut) OVER (PARTITION BY doc_id
+                                           ORDER BY cut), 0) AS s
+            FROM cuts{n}),
+    ck{n} AS (SELECT d.doc_id, d.lang, md5(substr(d.t, s + 1, e - s)) AS dg,
+                  CAST(e - s AS BIGINT) AS ln
+           FROM seg{n} JOIN {src} d USING (doc_id))"""
+
+    return f"""
+    WITH d1 AS (SELECT doc_id, lang, COALESCE(text, '') AS t
+               FROM documents WHERE length(COALESCE(text, '')) > 0),
+    d2 AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'v2 ' || COALESCE(text, '')
+                       ELSE COALESCE(text, '') END AS t
+           FROM documents
+           WHERE length(CASE WHEN doc_id % 3 = 0
+                             THEN 'v2 ' || COALESCE(text, '')
+                             ELSE COALESCE(text, '') END) > 0),
+    {chain('1', 'd1')},
+    {chain('2', 'd2')},
+    store AS (SELECT DISTINCT dg FROM ck1),
+    per AS (SELECT lang, dg, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(ln) AS ln,
+                   CAST(dg NOT IN (SELECT dg FROM store) AS BIGINT) AS is_new
+            FROM ck2 GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           CAST(SUM(is_new) AS BIGINT) AS n_new_chunks,
+           CAST(SUM(cnt * ln) AS BIGINT) AS chars_total,
+           CAST(SUM(is_new * ln) AS BIGINT) AS chars_uploaded
+    FROM per GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "cdc_delta_transfer",
+    oracle=lambda sf_dir: _cdc_delta_oracle(),
+    doc="INCREMENTAL TRANSFER over a content-addressed chunk store "
+    "(the rsync/casync mechanism — CDC's operational payoff, "
+    "composing cdc_chunks with the versioned snapshot sink the way "
+    "recrawl_maintenance composes revisit records with incremental "
+    "clustering): crawl 1's distinct chunk digests commit as a "
+    "versioned store snapshot; the recrawl (every 3rd doc changed "
+    "with a 'v2 ' prefix) re-chunks and uploads ONLY digests absent "
+    "from the store. Because CDC boundaries are shift-resistant, a "
+    "changed document re-uploads just the chunks its edit actually "
+    "touched — per language the output pins total chars vs uploaded "
+    "chars (the delta-transfer win, typically a few chunks per "
+    "changed doc), and the oracle replays BOTH chunkings plus the "
+    "store anti-join closed-form. LOCAL-MODE CONTRACT: "
+    "tempfile.mkdtemp() snapshot dir.",
+)
+def cdc_delta_transfer(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.sources.versioned import read_version, write_version
+
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf, "documents")
+    c1 = D.cdc_chunks(
+        d.select("doc_id", "text").repartition(par)
+    )
+    snap = tempfile.mkdtemp(prefix="cdcstore_")
+    write_version(
+        c1.select(F.col("chunk_md5").alias("dg")).distinct(), snap
+    )
+    t2 = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(F.lit("v2 "), F.coalesce(F.col("text"), F.lit(""))),
+    ).otherwise(F.col("text"))
+    c2 = D.cdc_chunks(
+        d.select("doc_id", t2.alias("text")).repartition(par)
+    )
+    store = read_version(spark, snap).select(
+        F.col("dg").alias("chunk_md5"), F.lit(True).alias("__in_store")
+    )
+    per = (
+        c2.join(d.select("doc_id", "lang"), "doc_id")
+        .join(store, "chunk_md5", "left")
+        .groupBy("lang", "chunk_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min("chunk_len").cast("bigint").alias("ln"),
+            F.max(F.col("__in_store").isNull().cast("bigint")).alias("is_new"),
+        )
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.sum("is_new").cast("bigint").alias("n_new_chunks"),
+            F.sum(F.col("cnt") * F.col("ln")).cast("bigint").alias("chars_total"),
+            F.sum(F.col("is_new") * F.col("ln"))
+            .cast("bigint")
+            .alias("chars_uploaded"),
+        )
+        .orderBy("lang")
+    )

@@ -137,6 +137,7 @@ DEFAULT_EXTRAS = [
     "cdc_chunk_dedup",
     "weighted_doc_sample",
     "salted_user_agg",
+    "cdc_delta_transfer",
     # stream_cdc_roundtrip excluded: the stream executes inside
     # build(), same as the other stream roundtrips
 ]
