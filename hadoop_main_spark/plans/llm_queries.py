@@ -899,6 +899,109 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dfw AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+                   CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+            FROM tf),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+                   CAST(SUM(tf) AS BIGINT) AS total_tokens FROM tf),
+    terms AS (SELECT term, df FROM (SELECT DISTINCT term, df FROM dfw)
+              ORDER BY df DESC, term LIMIT 3),
+    scored AS (
+      SELECT d.doc_id,
+             ((2 * (t.n_docs - q.df) + 1) * 100000) // (2 * q.df + 1) AS idf,
+             d.tf,
+             2500 + (7500 * d.dl * t.n_docs) // t.total_tokens AS norm
+      FROM dfw d JOIN terms q USING (term) CROSS JOIN tot t),
+    per_term AS (
+      SELECT doc_id,
+             (idf * tf * 22000) // (tf * 10000 + (12 * norm) // 10) AS s
+      FROM scored),
+    agg AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+            FROM per_term GROUP BY doc_id)
+    SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 retrieval ranking (Robertson & Zaragoza 2009, k1=1.2 "
+    "b=0.75) in EXACT fixed-point integer arithmetic — the retrieval "
+    "scorer beside tfidf_top_terms' extraction scorer: the length "
+    "norm lives at scale 1e4 (2500 + 7500*dl*N div total), the idf is "
+    "the RSJ ratio (N-df+0.5)/(df+0.5) cross-multiplied to scale 1e5 "
+    "WITHOUT the log (rank-order-preserving for single terms and "
+    "documented as this engine's scoring contract — libm log is not "
+    "engine-portable, the tfidf/pagerank_int discipline), and every "
+    "step is positive-operand integer division (Spark div == DuckDB "
+    "//). Query = the 3 highest-df terms (deterministic tie-break), "
+    "top-20 docs by (score DESC, doc_id). ONE token explosion: df "
+    "and dl are BOTH windows over the aggregated tf table (the "
+    "tfidf_top_terms shape), the query-term table is LIMIT 3, and "
+    "only one-row totals broadcast; top-20 is TakeOrdered, never an "
+    "unpartitioned window.",
+)
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    n_docs = d.agg(F.count("*").cast("bigint").alias("__n_docs"))
+    tf = (
+        d.select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df and dl as windows over the aggregated (doc, term, tf) table —
+    # one corpus explosion, no self-joins (the tfidf_top_terms shape)
+    dfw = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("bigint")
+    ).withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+    totals = tf.agg(F.sum("tf").cast("bigint").alias("__total_tokens")).crossJoin(
+        F.broadcast(n_docs)
+    )
+    terms = (
+        dfw.select("term", "df")
+        .distinct()
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(3)
+        .select("term", F.col("df").alias("qdf"))
+    )
+    scored = (
+        dfw.join(F.broadcast(terms), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr("((2 * (__n_docs - qdf) + 1) * 100000) div (2 * qdf + 1)").alias(
+                "idf"
+            ),
+            "tf",
+            F.expr("2500 + (7500 * dl * __n_docs) div __total_tokens").alias("norm"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf * tf * 22000) div (tf * 10000 + (12 * norm) div 10)"
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").cast("bigint").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 
