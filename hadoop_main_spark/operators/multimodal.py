@@ -2654,6 +2654,62 @@ def image_dhash(
     )
 
 
+def audio_energy_fingerprint(
+    media: DataFrame, chunk_samples: int = 8, bits: int = 56
+) -> DataFrame:
+    """Per-clip acoustic fingerprint over REAL decoded PCM, Arrow-
+    batched: (media_id, afp BIGINT) — the audio analog of
+    :func:`image_dhash`. The scheme is the sign-of-difference core of
+    the published audio-fingerprint family (Haitsma & Kalker, CBMI
+    2002) collapsed to the time axis: the first
+    ``(bits+1) * chunk_samples`` frames split into ``bits + 1``
+    windows, each window's energy is the EXACT int64 sum of squared
+    samples across all channels, and bit b = [E_{b+1} > E_b] — a
+    spectral sub-band version needs an FFT library this environment
+    does not have, so the time-domain energy profile is the honest
+    no-library analog (documented boundary, same as the codec stubs).
+    ``bits`` defaults to 56 so the packed value stays positive in a
+    signed BIGINT on every engine (bit-63 shiftleft sign is NOT
+    portable — the bq_rerank packing lesson). Undecodable or
+    too-short clips fingerprint to -1, outside the 56-bit range (the
+    image_dhash bad-record sentinel: one bad row must not kill a
+    100 TB pass). Downstream, equal afp = duplicate-candidate group
+    and dedup.hamming_band_pairs finds near groups; at scale only
+    (media_id, afp) shuffles — PCM stays at the scan."""
+    if bits > 62:
+        raise ValueError(f"bits {bits} > 62: packed BIGINT must stay positive")
+    need = (bits + 1) * chunk_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def _h(p) -> int:
+            try:
+                _, _, pcm = _wav_decode(bytes(p) if p is not None else b"")
+                if pcm.shape[0] < need:
+                    return -1
+                x = pcm[:need].astype(np.int64)
+                e = (x * x).sum(axis=1).reshape(bits + 1, chunk_samples).sum(axis=1)
+                up = e[1:] > e[:-1]
+                return int(
+                    np.sum(np.left_shift(up.astype(np.int64), np.arange(bits)))
+                )
+            except ValueError:
+                return -1
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "afp": b["payload"].map(_h).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, afp long"
+    )
+
+
 # --- compressed-audio CONTAINER walks (metadata only, no PCM decode) ----------
 # mp3/opus/vorbis PCM decode is honestly environment-blocked (no codec
 # libraries — the extract_features NotImplementedError stubs stay), but

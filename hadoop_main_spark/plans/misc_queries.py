@@ -2545,6 +2545,107 @@ def dhash_near_groups(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _afp_bit_sql() -> str:
+    """The closed-form fingerprint bit for the audio fixture: hash64
+    base bit per (group, bit position), one deterministic flip for
+    3/4 of the docs — the SQL twin of the generator in
+    audio_fingerprint_dedup (same hash64 salt, same flip rule)."""
+    from hadoop_main_spark.functions.hashing import hash64_sql
+
+    base = hash64_sql("CAST(g AS VARCHAR) || '_' || CAST(b AS VARCHAR)", "afp")
+    return f"""CASE WHEN doc_id % 4 <> 0 AND b = (doc_id * 7) % 16
+                THEN 1 - ({base} % 2) ELSE ({base} % 2) END"""
+
+
+@query(
+    "audio_fingerprint_dedup",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, doc_id % 25 AS g FROM documents),
+    gb AS (SELECT doc_id, g, b.b AS b FROM p,
+           unnest(generate_series(0, 55)) b(b)),
+    bits AS (SELECT doc_id, b, {_afp_bit_sql()} AS bit FROM gb),
+    fp AS (SELECT doc_id,
+             CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << b)) AS BIGINT)
+               AS afp
+           FROM bits GROUP BY doc_id),
+    grp AS (SELECT afp, MIN(doc_id) AS gid FROM fp GROUP BY afp),
+    bands AS (SELECT gid, afp, bb.b AS band, (afp >> (bb.b * 8)) & 255 AS band_val
+              FROM grp, unnest(generate_series(0, 6)) bb(b)),
+    cand AS (SELECT DISTINCT a.gid AS id_a, b.gid AS id_b,
+                    a.afp AS ha, b.afp AS hb
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_val = b.band_val
+                  AND a.gid < b.gid)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    ORDER BY id_a, id_b
+    """,
+    doc="NEAR-duplicate AUDIO detection end to end — the modality the "
+    "dedup family lacked beside text (MinHash/SimHash/spans) and "
+    "images (dHash): per-doc mono WAVs whose 57 chunk amplitudes walk "
+    "a hash64-derived bit sequence (25 base recordings, 3/4 of docs "
+    "re-'mastered' with one deterministic energy flip) are container-"
+    "encoded, then multimodal.audio_energy_fingerprint REALLY decodes "
+    "the RIFF/PCM16 payload and emits the 56-bit energy-delta "
+    "fingerprint (Haitsma & Kalker's sign-of-difference core, "
+    "time-domain — the honest no-FFT-library analog), distinct "
+    "fingerprints collapse to canonical GROUPS (mass-dup corpora pair "
+    "groups, not docs — the dhash_near_groups discipline), and "
+    "dedup.hamming_band_pairs finds group pairs within Hamming 6 via "
+    "7x8-bit pigeonhole bands. Group count is bounded by the base x "
+    "flip-position product (~325), NOT the corpus, so output and "
+    "band buckets stay constant as docs scale; PCM never shuffles. "
+    "The oracle replays bits, packing, grouping, banding and the "
+    "bit_count verify in closed form from the shared hash64 salt.",
+)
+def audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.dedup import hamming_band_pairs
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        import numpy as np
+
+        from hadoop_main_spark.functions.hashing import hash64_py
+
+        base = {
+            g: np.array(
+                [hash64_py(f"{g}_{b}", "afp") % 2 for b in range(56)],
+                dtype=np.int64,
+            )
+            for g in range(25)
+        }
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                bits = base[i % 25].copy()
+                if i % 4 != 0:
+                    bits[(i * 7) % 16] ^= 1
+                # chunk-constant amplitudes realizing the bit sequence:
+                # a_0 = 200, each bit steps +-1, so E_{c+1} > E_c iff
+                # bit_c = 1 (values stay in [144, 256] — positive, and
+                # squares are exact in int64)
+                amps = np.concatenate(
+                    [np.array([200], dtype=np.int64), 200 + np.cumsum(2 * bits - 1)]
+                )
+                samples = np.repeat(amps, 8).astype("<i2")
+                payloads.append(MM._wav_encode(8000, samples[:, None]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    grp = (
+        MM.audio_energy_fingerprint(media)
+        .filter(F.col("afp") >= 0)
+        .groupBy("afp")
+        .agg(F.min("media_id").alias("gid"))
+    )
+    return hamming_band_pairs(
+        grp, "gid", "afp", max_hamming=6, bands=7, bits=56
+    ).orderBy("id_a", "id_b")
+
+
 # Shared verbatim by pdf_text_extract (batch) and stream_pdf_roundtrip
 # (the streaming ingest must reproduce the batch walk exactly).
 _PDF_META_ORACLE = """

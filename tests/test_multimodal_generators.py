@@ -1538,3 +1538,41 @@ def test_id3v2_apic_walk_and_strictness():
     )
     with pytest.raises(ValueError, match="APIC"):
         MM._id3v2_apic(b"ID3" + bytes([4, 0, 0]) + btsize + bframe)
+
+
+def test_audio_energy_fingerprint_bits_and_sentinels(spark):
+    """audio_energy_fingerprint: (a) a constructed amplitude walk
+    yields exactly the intended 56 delta-sign bits; (b) per-frame
+    energy sums across ALL channels (stereo clip with the signal on
+    channel 1 only fingerprints like its mono twin); (c) short clips
+    and non-WAV payloads take the -1 bad-record sentinel."""
+    import numpy as np
+    import pandas as pd
+
+    bits = np.array([(b * 7 + 3) % 5 % 2 for b in range(56)], dtype=np.int64)
+    amps = np.concatenate(
+        [np.array([200], dtype=np.int64), 200 + np.cumsum(2 * bits - 1)]
+    )
+    mono = np.repeat(amps, 8).astype("<i2")[:, None]
+    stereo = np.concatenate([np.zeros_like(mono), mono], axis=1)
+    rows = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3, 4],
+            "payload": [
+                MM._wav_encode(8000, mono),
+                MM._wav_encode(8000, stereo),
+                MM._wav_encode(8000, mono[:100]),  # < 57 chunks
+                b"not a wav",
+            ],
+        }
+    )
+    out = {
+        r["media_id"]: r["afp"]
+        for r in MM.audio_energy_fingerprint(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    want = int(sum(int(bits[b]) << b for b in range(56)))
+    assert out[1] == want
+    assert out[2] == want  # channel-sum energy, not channel-0
+    assert out[3] == -1 and out[4] == -1
