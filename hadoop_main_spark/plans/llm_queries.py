@@ -2478,6 +2478,128 @@ def exact_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- generalized suffix array (prefix doubling) -------------------------------
+
+#: suffixes as strings with a below-every-token separator: chr(1) <
+#: every token character, so byte order on the joined string EQUALS
+#: token-wise order with shorter-prefix-first — the oracle's
+#: independent sort never sees the doubling algorithm
+_SUFFIX_CTE = f"""
+    toks AS MATERIALIZED (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    suf AS (SELECT doc_id, i.i - 1 AS pos,
+              array_to_string(list_slice(tk, i.i, len(tk)), chr(1)) AS s
+            FROM toks, unnest(generate_series(1, len(tk))) i(i)),
+    rk AS MATERIALIZED (
+      SELECT doc_id, pos, RANK() OVER (ORDER BY s) AS rank FROM suf)
+"""
+
+
+def _suffix_index(spark: SparkSession, sf: str) -> str:
+    from hadoop_main_spark.operators.suffix import build_suffix_index
+
+    idx = _index_dir(sf, "suffixarr", table="documents")
+    if not (
+        os.path.exists(f"{idx}/ranks/_SUCCESS")
+        and os.path.exists(f"{idx}/classes/_SUCCESS")
+    ):
+        build_suffix_index(t(spark, sf, "documents"), idx)
+    return idx
+
+
+@query(
+    "suffix_array_ranks",
+    oracle=f"""
+    WITH {_SUFFIX_CTE}
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(rank AS BIGINT) AS rank
+    FROM rk ORDER BY doc_id, pos
+    """,
+    doc="Distributed GENERALIZED SUFFIX ARRAY over the corpus tokens "
+    "(operators/suffix.py:suffix_ranks — Manber & Myers prefix "
+    "doubling with COMPETITION-rank refinement): every (doc_id, pos) "
+    "suffix gets the corpus-global RANK() of its token sequence — "
+    "one initial global_rank over the 16-token prefix string "
+    "(TotalOrder-style sampled split points, never an unpartitioned "
+    "window), then log2(maxlen/16) doubling rounds that are each ONE "
+    "(doc, pos+2^k) self-equi-join + ONE class-keyed prefix-sum "
+    "window (competition ranks make sub-class ranks class-local: "
+    "rank + smaller-members-in-class — no per-round global re-rank). "
+    "This is the index the published ExactSubstr dedup builds (Lee "
+    "et al. 2022 §4; dedup.py's window-hash chaining is the "
+    "probabilistic alternative, this is the exact-order substrate). "
+    "Identical cross-doc suffixes share a rank — the duplicated-"
+    "document signal. The rank table persists via build_suffix_index "
+    "(build-if-absent on the documents fingerprint, the "
+    "knn_graph_indexed discipline; one-time build ~13s at sf0.1 for "
+    "270k suffixes) and the query reads ONLY the index. The oracle "
+    "is an INDEPENDENT verification, not a replay: it sorts the "
+    "materialized suffix strings directly (chr(1) separator makes "
+    "byte order == token-wise order), so the doubling algebra is "
+    "checked against ground truth at every scale.",
+)
+def suffix_array_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    idx = _suffix_index(spark, sf)
+    return spark.read.parquet(f"{idx}/ranks").orderBy("doc_id", "pos")
+
+
+@query(
+    "suffix_array_repeats",
+    oracle=f"""
+    WITH {_SUFFIX_CTE},
+    reps AS MATERIALIZED (SELECT rank, doc_id, pos FROM (
+        SELECT rank, doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY rank ORDER BY doc_id, pos) AS rn
+        FROM rk) WHERE rn = 1),
+    adj AS (SELECT a.rank AS rank, a.doc_id AS doc_a, a.pos AS pos_a,
+                   LEAD(a.doc_id) OVER (ORDER BY a.rank) AS doc_b,
+                   LEAD(a.pos) OVER (ORDER BY a.rank) AS pos_b
+            FROM reps a),
+    sl AS (SELECT adj.rank, doc_a, pos_a, doc_b, pos_b,
+             list_slice(ta.tk, pos_a + 1, len(ta.tk)) AS sa,
+             list_slice(tb.tk, pos_b + 1, len(tb.tk)) AS sb
+           FROM adj JOIN toks ta ON ta.doc_id = adj.doc_a
+                    JOIN toks tb ON tb.doc_id = adj.doc_b
+           WHERE doc_b IS NOT NULL),
+    l AS (SELECT rank, doc_a, pos_a, doc_b, pos_b,
+            -- list_position / array_position agree across engines on
+            -- the not-found sentinel: both return 0
+            CASE WHEN list_position(list_transform(
+                   generate_series(1, least(len(sa), len(sb))),
+                   i -> sa[i] = sb[i]), false) = 0
+                 THEN least(len(sa), len(sb))
+                 ELSE list_position(list_transform(
+                   generate_series(1, least(len(sa), len(sb))),
+                   i -> sa[i] = sb[i]), false) - 1 END AS lcp
+          FROM sl)
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(lcp AS BIGINT) AS lcp,
+           doc_a, CAST(pos_a AS BIGINT) AS pos_a,
+           doc_b, CAST(pos_b AS BIGINT) AS pos_b
+    FROM l WHERE lcp >= 5 ORDER BY rank
+    """,
+    doc="Adjacent-class LCP repeats over the generalized suffix array "
+    "(operators/suffix.py:suffix_repeats_indexed): every maximal "
+    "repeated token run of length L >= 5 surfaces as suffix-array-"
+    "adjacent classes with LCP >= L — the exact-order repeat report "
+    "ExactSubstr-style dedup reads off the array. Competition ranks "
+    "make the successor class ``rank + class size``, so adjacency is "
+    "ONE equi-join (no window, no sort); each class is represented "
+    "by its minimum (doc_id, pos) suffix and the LCP compares just "
+    "the two bounded token slices in one codegen zip_with expression "
+    "over |classes|-1 rows — never a corpus-quadratic pass. Runs off "
+    "the SAME persisted rank table as suffix_array_ranks (build-if-"
+    "absent, one build serves both). Oracle recomputes ranks by "
+    "direct suffix-string sort, adjacency by LEAD, and the LCP by "
+    "first-mismatch position (list_position/array_position both "
+    "return 0 on not-found, the pinned cross-engine sentinel).",
+)
+def suffix_array_repeats(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.suffix import suffix_repeats_indexed
+
+    idx = _suffix_index(spark, sf)
+    return suffix_repeats_indexed(
+        spark, idx, t(spark, sf, "documents"), min_lcp=5
+    ).orderBy("rank")
+
+
 @query(
     "domain_mix_apply",
     oracle=f"""
@@ -4947,7 +5069,7 @@ def ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _index_dir(sf: str, kind: str) -> str:
+def _index_dir(sf: str, kind: str, table: str = "embeddings") -> str:
     """Deterministic per-sf-dir index location under the system temp
     dir, keyed on the SOURCE DATA FINGERPRINT (shared
     tables.data_fingerprint: relative-path + size + mtime of the
@@ -4968,7 +5090,7 @@ def _index_dir(sf: str, kind: str) -> str:
 
     from hadoop_main_spark.tables import data_fingerprint
 
-    src = os.path.join(os.path.abspath(sf), "embeddings.parquet")
+    src = os.path.join(os.path.abspath(sf), f"{table}.parquet")
     pathkey = hashlib.md5(src.encode()).hexdigest()[:8]
     fpkey = data_fingerprint(src) if os.path.exists(src) else "nodata"
     target = os.path.join(tempfile.gettempdir(), f"hms_{kind}_{pathkey}_{fpkey}")

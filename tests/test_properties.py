@@ -876,3 +876,84 @@ def test_merge_into_dict_model(spark, target, source):
         else:
             model[k] = v
     assert got == model
+
+
+def test_suffix_ranks_vs_bruteforce(spark):
+    """Prefix-doubling competition ranks == brute-force token-wise
+    suffix sort (RANK semantics: 1 + #strictly-smaller, ties shared),
+    on a corpus with duplicated docs (shared ranks), a shared-prefix
+    family, and a one-token doc; the max_tokens contract raises."""
+    import pandas as pd
+    import pytest
+
+    from hadoop_main_spark.operators.suffix import suffix_ranks
+
+    texts = {
+        1: "b a c a b",
+        2: "a b a",
+        3: "a b a",      # exact duplicate of 2: every suffix shares a rank
+        4: "c",
+        5: "a b a c a b c",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        (r.doc_id, r.pos): r.rank
+        for r in suffix_ranks(docs, max_tokens=16, init_prefix=2).collect()
+    }
+    sufs = []
+    for d, tx in texts.items():
+        tk = tx.split()
+        for p in range(len(tk)):
+            sufs.append(((d, p), tuple(tk[p:])))
+    ordered = sorted(s[1] for s in sufs)
+    want = {key: 1 + sum(1 for o in ordered if o < seq) for key, seq in sufs}
+    assert got == want
+    # duplicate docs share every rank
+    for p in range(3):
+        assert got[(2, p)] == got[(3, p)]
+    long_doc = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [" ".join("x" for _ in range(20))]})
+    )
+    with pytest.raises(ValueError, match="max_tokens"):
+        suffix_ranks(long_doc, max_tokens=16).collect()
+
+
+def test_suffix_repeats_indexed_lcp(spark, tmp_path):
+    """Adjacent-class LCP off the persisted index equals the direct
+    definition: planted 6-token repeat across two docs surfaces with
+    its full LCP; adjacency via rank + class size never skips or
+    duplicates a class."""
+    import pandas as pd
+
+    from hadoop_main_spark.operators.suffix import (
+        build_suffix_index,
+        suffix_repeats_indexed,
+    )
+
+    texts = {
+        1: "q w e r t y u i o p",
+        2: "z x q w e r t y k m",  # shares 'q w e r t y' (6 tokens) with 1
+        3: "n n n n n n n",        # internal repeats
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    idx = str(tmp_path / "sufidx")
+    build_suffix_index(docs, idx, max_tokens=16)
+    out = suffix_repeats_indexed(spark, idx, docs, min_lcp=6).collect()
+    # the planted 6-token cross-doc repeat is there
+    assert any(
+        r.lcp == 6 and {r.doc_a, r.doc_b} == {1, 2} for r in out
+    )
+    # brute-force check of EVERY reported pair's lcp
+    tk = {d: tx.split() for d, tx in texts.items()}
+    for r in out:
+        sa, sb = tk[r.doc_a][r.pos_a:], tk[r.doc_b][r.pos_b:]
+        lcp = 0
+        for x, y in zip(sa, sb):
+            if x != y:
+                break
+            lcp += 1
+        assert lcp == r.lcp and r.lcp >= 6
