@@ -577,7 +577,11 @@ def rhp_cosine_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    jumps: int = 1,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components by iterative min-label propagation, the step that turns
@@ -613,6 +617,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_id = _ckpt_rdd_id(labels)  # the current frontier's blocks
+    prev_sum = None
     for _ in range(max_iter):
         neigh = und.join(
             labels.select(F.col("id").alias("dst"), "component"), "dst"
@@ -623,24 +628,36 @@ def connected_components(
         # pointer jumping: component := component's component. Halves
         # the remaining chain depth each round, so convergence is
         # O(log diameter) instead of O(diameter) — deep chains stay in
-        # a handful of shuffles.
-        jump = prop.select(F.col("component").alias("id"), F.col("id").alias("src_id"))
-        new_labels = (
-            jump.join(prop.select(F.col("id"), F.col("component").alias("cc")), "id")
-            .select(F.col("src_id").alias("id"), F.col("cc").alias("component"))
-        ).localCheckpoint()
+        # a handful of shuffles. ``jumps`` > 1 chains extra jumps per
+        # round (same fixpoint, one more join each): on LONG thin
+        # chains — eps-graphs, not the shallow name graphs — the
+        # label-reach growth per round compounds, cutting round count
+        # (and its per-round count action) by ~jumps x.
+        cur = prop
+        for _ in range(jumps):
+            jump = cur.select(
+                F.col("component").alias("id"), F.col("id").alias("src_id")
+            )
+            cur = jump.join(
+                prop.select(F.col("id"), F.col("component").alias("cc")), "id"
+            ).select(F.col("src_id").alias("id"), F.col("cc").alias("component"))
+        new_labels = cur.localCheckpoint(eager=False)
         created = _ckpt_rdd_id(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # convergence via the MONOTONE label sum: labels only ever
+        # decrease (every step is a min), so an unchanged exact sum
+        # == fixpoint — one aggregate action on the frame we must
+        # materialize anyway, replacing the old per-round
+        # changed-rows JOIN + count (one fewer shuffle per round).
+        # DECIMAL(38,0) keeps the sum exact at any id magnitude.
+        lab_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("__s")
+        ).first()["__s"]
         _unpersist(prev_id)
         prev_id = created
         labels = new_labels
-        if changed == 0:
+        if lab_sum == prev_sum:
             break
+        prev_sum = lab_sum
     # `und` CAN be released here: the returned frame's lineage is
     # truncated at its own (eager) localCheckpoint, so no recompute
     # path reaches the edge set — holding it would pin an RDD copy of

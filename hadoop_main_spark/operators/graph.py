@@ -159,7 +159,12 @@ def bfs_distances(
     return dist
 
 
-def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 64) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int | None = None,
+    mean_frac: tuple[int, int] = (5, 8),
+    max_rounds: int = 64,
+) -> DataFrame:
     """The k-CORE of an undirected graph: the maximal subgraph where
     every node has degree >= k — the standard web/host-graph trimming
     pass (peel leaves and near-leaves before expensive link analysis;
@@ -180,29 +185,62 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 64) -> DataFrame:
     :func:`canonical_edges` contract). Returns (v, core_degree) for
     every node in the k-core, core_degree = its degree WITHIN the
     core (>= k by construction).
+
+    ``k=None`` derives the threshold from the graph's own mean
+    degree, k = (mean_frac[0] * (2|E| div |V|)) div mean_frac[1] —
+    a FIXED k either peels nothing or everything as the corpus
+    scales; the fraction keeps the cut discriminative at any sf.
+    The stats ride the FIRST round's degree table (one action, no
+    separate counting pass), and each round's convergence count is
+    the action that materializes its lazy checkpoint — one job per
+    round total.
     """
     from hadoop_main_spark.operators.checkpoints import ckpt_rdd_id, unpersist_rdd
 
-    cur = edges.select("a", "b").localCheckpoint()
-    prev_rid = ckpt_rdd_id(cur)
-    prev_n = cur.count()
-    for _ in range(max_rounds):
-        deg = (
-            cur.select(F.col("a").alias("v"))
-            .unionByName(cur.select(F.col("b").alias("v")))
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
             .groupBy("v")
             .agg(F.count("*").alias("dg"))
         )
+
+    cur = edges.select("a", "b").localCheckpoint(eager=False)
+    prev_rid = ckpt_rdd_id(cur)
+    prev_n = None
+    for _ in range(max_rounds):
+        deg = degrees(cur)
+        if prev_n is None:
+            # one action: |E| (= sum(dg)/2) and |V| off the degree
+            # table that round 0 consumes anyway — lazily checkpointed
+            # so the stats pass and round 0's keep-filter share ONE
+            # materialization (released after the round)
+            deg = deg.localCheckpoint(eager=False)
+            deg_rid = ckpt_rdd_id(deg)
+            s = deg.agg(
+                F.sum("dg").alias("__s"), F.count("*").alias("__c")
+            ).first()
+            if not s["__c"]:
+                return degrees(cur).select(
+                    "v", F.col("dg").cast("bigint").alias("core_degree")
+                )
+            prev_n = int(s["__s"]) // 2
+            if k is None:
+                k = (mean_frac[0] * ((2 * prev_n) // int(s["__c"]))) // mean_frac[1]
+        else:
+            deg_rid = None
         keep = deg.filter(F.col("dg") >= k).select("v")
         nxt = (
             cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         created = ckpt_rdd_id(nxt)
-        n = nxt.count()
+        n = nxt.count()  # materializes the lazy checkpoint
         unpersist_rdd(edges, prev_rid)
+        if deg_rid is not None:
+            unpersist_rdd(edges, deg_rid)
         prev_rid = created
         cur = nxt
         if n == prev_n:
@@ -210,9 +248,4 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 64) -> DataFrame:
         prev_n = n
     else:
         raise ValueError(f"k-core peel did not converge in {max_rounds} rounds")
-    return (
-        cur.select(F.col("a").alias("v"))
-        .unionByName(cur.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").cast("bigint").alias("core_degree"))
-    )
+    return degrees(cur).select("v", F.col("dg").cast("bigint").alias("core_degree"))

@@ -1988,15 +1988,9 @@ def kcore_parts(spark: SparkSession, sf: str) -> DataFrame:
     edges = supersede_checkpoint(
         "kcore_parts.edges", edges.localCheckpoint(eager=False)
     )
-    n_edges = edges.count()
-    n_nodes = (
-        edges.select(F.col("a").alias("v"))
-        .union(edges.select(F.col("b").alias("v")))
-        .distinct()
-        .count()
-    )
-    k = (5 * ((2 * n_edges) // n_nodes)) // 8
-    core = kcore(edges, k=k)
+    # k = (5 * mean_degree) div 8 derives INSIDE kcore off round 0's
+    # degree table — no separate edge/node counting pass
+    core = kcore(edges, mean_frac=(5, 8))
     return core.select(F.col("v").alias("part"), "core_degree")
 
 

@@ -1941,9 +1941,13 @@ _DBSCAN_SHIFT = 16384  # makes grid coords positive so div == //
       FROM dp a JOIN nk b ON b.kx = a.cx AND b.ky = a.cy
       WHERE (a.gx - b.gx) * (a.gx - b.gx)
             + (a.gy - b.gy) * (a.gy - b.gy) <= {_DBSCAN_EPS * _DBSCAN_EPS}),
+    mass AS MATERIALIZED (
+      SELECT rep_a AS rep, SUM(w_b) AS m FROM cand GROUP BY rep_a),
+    mp AS (SELECT greatest({_DBSCAN_MINPTS},
+             (SELECT SUM(m) FROM mass) // (SELECT COUNT(*) FROM mass) + 1)
+             AS minpts),
     core AS MATERIALIZED (
-      SELECT rep_a AS rep FROM cand GROUP BY rep_a
-      HAVING SUM(w_b) >= {_DBSCAN_MINPTS}),
+      SELECT rep FROM mass CROSS JOIN mp WHERE m >= minpts),
     ce AS (SELECT c.rep_a AS a, c.rep_b AS b FROM cand c
            JOIN core ka ON ka.rep = c.rep_a JOIN core kb ON kb.rep = c.rep_b
            WHERE c.rep_a <> c.rep_b),
@@ -1972,12 +1976,18 @@ _DBSCAN_SHIFT = 16384  # makes grid coords positive so div == //
     doc="DBSCAN density clustering (Ester et al., KDD'96) over the "
     "embedding 2-D projection on the exact 1e-4 integer grid — the "
     "density-based clustering family beside k-means (centroid) and "
-    "SemDeDup (similarity-threshold): eps = 0.02, minPts = 4, "
-    "core / border / noise roles, clusters = connected components of "
-    "the core-core eps-graph, border points joining their MINIMUM "
-    "core neighbor's cluster (the published algorithm leaves border "
-    "assignment scan-order-dependent; the min rule makes it "
-    "deterministic and engine-portable — documented contract). The "
+    "SemDeDup (similarity-threshold): eps = 0.02, minPts ADAPTIVE = "
+    "max(4, mean eps-neighborhood mass + 1) as a one-row broadcast "
+    "(cores are above-average-density points — on a single dense "
+    "blob a fixed minPts makes everything core and one giant "
+    "eps-CHAIN whose CC depth dominates; the adaptive cut keeps "
+    "core components shallow at every density, and is exact integer "
+    "division on both engines), core / border / noise roles, "
+    "clusters = connected components of the core-core eps-graph, "
+    "border points joining their MINIMUM core neighbor's cluster "
+    "(the published algorithm leaves border assignment "
+    "scan-order-dependent; the min rule makes it deterministic and "
+    "engine-portable — documented contract). The "
     "100 TB shape is WEIGHTED DBSCAN on DISTINCT grid points: exact "
     "duplicates collapse to one weighted point FIRST (result-"
     "IDENTICAL: a copy's eps-neighborhood mass equals the sum of "
@@ -2051,10 +2061,19 @@ def dbscan_embedding_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("rep").alias("rep_a"), "rep_b", "w_b")
         .localCheckpoint()
     )
+    mass = cand.groupBy("rep_a").agg(F.sum("w_b").alias("m"))
+    # density-ADAPTIVE core threshold: max(minPts, mean neighborhood
+    # mass + 1) as a one-row broadcast — cores are above-average-
+    # density points, so low-density bridge chains become border/
+    # noise and core components stay SHALLOW (a fixed minPts on a
+    # single dense blob yields one giant eps-chain whose CC depth,
+    # not data volume, dominated the fixture)
+    stats = mass.agg(
+        F.expr(f"greatest({minpts}, (sum(m) div count(*)) + 1)").alias("__minpts")
+    )
     core = (
-        cand.groupBy("rep_a")
-        .agg(F.sum("w_b").alias("m"))
-        .filter(F.col("m") >= minpts)
+        mass.crossJoin(F.broadcast(stats))
+        .filter(F.col("m") >= F.col("__minpts"))
         .select(F.col("rep_a").alias("rep"))
         .localCheckpoint()
     )
