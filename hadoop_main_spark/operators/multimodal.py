@@ -2654,6 +2654,58 @@ def image_dhash(
     )
 
 
+def video_luma_fingerprint(media: DataFrame, bits: int = 56) -> DataFrame:
+    """Per-clip TEMPORAL video fingerprint over REAL decoded Y4M
+    frames, Arrow-batched: (media_id, vfp BIGINT) — the video member
+    of the near-dup modality matrix (text spans / image dHash / audio
+    energy deltas / this). The scheme is the temporal-difference core
+    of published video-copy-detection signatures (TIRI / ordinal
+    temporal measures): frame b's bit = [luma_sum(frame b+1) >
+    luma_sum(frame b)] over the first ``bits + 1`` frames, with the
+    per-frame luma sum an EXACT int64 over the full Y plane — so
+    re-encodes that preserve brightness ordering (the temporal
+    shape) collapse to the same fingerprint. 56 bits keeps the
+    packed BIGINT positive on every engine (the bq_rerank lesson);
+    undecodable or too-short clips fingerprint to -1 (the
+    image_dhash bad-record sentinel). Downstream, equal vfp =
+    duplicate-candidate group and dedup.hamming_band_pairs finds
+    near groups; only (media_id, vfp) ever shuffles — frames stay at
+    the scan."""
+    if bits > 62:
+        raise ValueError(f"bits {bits} > 62: packed BIGINT must stay positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def _h(p) -> int:
+            try:
+                _, _, _, _, frames = _y4m_decode(bytes(p) if p is not None else b"")
+                if len(frames) < bits + 1:
+                    return -1
+                sums = np.array(
+                    [f[0].astype(np.int64).sum() for f in frames[: bits + 1]],
+                    dtype=np.int64,
+                )
+                up = sums[1:] > sums[:-1]
+                return int(
+                    np.sum(np.left_shift(up.astype(np.int64), np.arange(bits)))
+                )
+            except ValueError:
+                return -1
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "vfp": b["payload"].map(_h).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, vfp long"
+    )
+
+
 def audio_energy_fingerprint(
     media: DataFrame, chunk_samples: int = 8, bits: int = 56
 ) -> DataFrame:

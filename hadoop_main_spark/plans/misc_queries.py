@@ -2646,6 +2646,108 @@ def audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _vfp_bit_sql() -> str:
+    """The closed-form fingerprint bit for the video fixture: hash64
+    base bit per (group, bit position), one deterministic flip for
+    2/3 of the docs — the SQL twin of the generator in
+    video_fingerprint_dedup (same hash64 salt, same flip rule)."""
+    from hadoop_main_spark.functions.hashing import hash64_sql
+
+    base = hash64_sql("CAST(g AS VARCHAR) || '_' || CAST(b AS VARCHAR)", "vfp")
+    return f"""CASE WHEN doc_id % 3 <> 0 AND b = (doc_id * 11) % 16
+                THEN 1 - ({base} % 2) ELSE ({base} % 2) END"""
+
+
+@query(
+    "video_fingerprint_dedup",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, doc_id % 20 AS g FROM documents),
+    gb AS (SELECT doc_id, g, b.b AS b FROM p,
+           unnest(generate_series(0, 55)) b(b)),
+    bits AS (SELECT doc_id, b, {_vfp_bit_sql()} AS bit FROM gb),
+    fp AS (SELECT doc_id,
+             CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << b)) AS BIGINT)
+               AS vfp
+           FROM bits GROUP BY doc_id),
+    grp AS (SELECT vfp, MIN(doc_id) AS gid FROM fp GROUP BY vfp),
+    bands AS (SELECT gid, vfp, bb.b AS band, (vfp >> (bb.b * 8)) & 255 AS band_val
+              FROM grp, unnest(generate_series(0, 6)) bb(b)),
+    cand AS (SELECT DISTINCT a.gid AS id_a, b.gid AS id_b,
+                    a.vfp AS ha, b.vfp AS hb
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_val = b.band_val
+                  AND a.gid < b.gid)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    ORDER BY id_a, id_b
+    """,
+    doc="NEAR-duplicate VIDEO detection end to end — completes the "
+    "near-dup modality MATRIX (text spans / image dHash / audio "
+    "energy deltas / video temporal shape): per-doc Cmono Y4M clips "
+    "whose 57 constant-luma frames walk a hash64-derived bit "
+    "sequence (20 base clips, 2/3 of docs re-graded with one "
+    "deterministic brightness flip) container-encode, then "
+    "multimodal.video_luma_fingerprint REALLY decodes each Y4M "
+    "stream and emits the 56-bit temporal-difference fingerprint "
+    "(the TIRI/ordinal-signature core: bit = does the next frame's "
+    "exact int64 luma sum rise — re-encodes preserving brightness "
+    "ORDER collapse together), distinct fingerprints collapse to "
+    "canonical GROUPS, and dedup.hamming_band_pairs pairs groups "
+    "within Hamming 6 via 7x8-bit pigeonhole bands. Group count is "
+    "bounded by the fixture design (~100) at any corpus scale; "
+    "frames never shuffle. The oracle replays bits, packing, "
+    "grouping, banding and the bit_count verify in closed form from "
+    "the shared hash64 salt.",
+)
+def video_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.dedup import hamming_band_pairs
+
+    docs = _codec_ids(spark, sf)
+
+    def gen(batches):
+        import numpy as np
+
+        from hadoop_main_spark.functions.hashing import hash64_py
+
+        base = {
+            g: np.array(
+                [hash64_py(f"{g}_{b}", "vfp") % 2 for b in range(56)],
+                dtype=np.int64,
+            )
+            for g in range(20)
+        }
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                bits = base[i % 20].copy()
+                if i % 3 != 0:
+                    bits[(i * 11) % 16] ^= 1
+                # constant-luma 8x8 frames realizing the bit sequence:
+                # L_0 = 120, each bit steps +-1 (range [64, 176] fits
+                # uint8), so sum(Y_{f+1}) > sum(Y_f) iff bit_f = 1
+                lum = np.concatenate(
+                    [np.array([120], dtype=np.int64), 120 + np.cumsum(2 * bits - 1)]
+                ).astype(np.uint8)
+                frames = [
+                    (np.full((8, 8), v, dtype=np.uint8), None, None) for v in lum
+                ]
+                payloads.append(MM._y4m_encode(frames, colorspace="Cmono"))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    grp = (
+        MM.video_luma_fingerprint(media)
+        .filter(F.col("vfp") >= 0)
+        .groupBy("vfp")
+        .agg(F.min("media_id").alias("gid"))
+    )
+    return hamming_band_pairs(
+        grp, "gid", "vfp", max_hamming=6, bands=7, bits=56
+    ).orderBy("id_a", "id_b")
+
+
 # Shared verbatim by pdf_text_extract (batch) and stream_pdf_roundtrip
 # (the streaming ingest must reproduce the batch walk exactly).
 _PDF_META_ORACLE = """

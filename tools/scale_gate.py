@@ -140,6 +140,14 @@ DEFAULT_EXTRAS = [
     "cdc_delta_transfer",
     # stream_cdc_roundtrip excluded: the stream executes inside
     # build(), same as the other stream roundtrips
+    # round 11 third block
+    "bm25_topk",
+    "kcore_parts",
+    "audio_fingerprint_dedup",
+    "dbscan_embedding_clusters",
+    "suffix_array_ranks",
+    "suffix_array_repeats",
+    "video_fingerprint_dedup",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
