@@ -2562,6 +2562,7 @@ def suffix_array_ranks(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "suffix_array_repeats",
+    bench=True,
     oracle=f"""
     WITH {_SUFFIX_CTE},
     reps AS MATERIALIZED (SELECT rank, doc_id, pos FROM (

@@ -1576,3 +1576,43 @@ def test_audio_energy_fingerprint_bits_and_sentinels(spark):
     assert out[1] == want
     assert out[2] == want  # channel-sum energy, not channel-0
     assert out[3] == -1 and out[4] == -1
+
+
+def test_video_luma_fingerprint_bits_and_sentinels(spark):
+    """video_luma_fingerprint: a constructed constant-luma frame walk
+    yields exactly the intended 56 temporal bits; short clips and
+    non-Y4M payloads take the -1 bad-record sentinel; a brightness-
+    order-preserving re-encode (every luma +10) collapses to the
+    SAME fingerprint (the temporal-shape invariance the signature
+    exists for)."""
+    import numpy as np
+    import pandas as pd
+
+    bits = np.array([(b * 5 + 1) % 7 % 2 for b in range(56)], dtype=np.int64)
+    lum = np.concatenate(
+        [np.array([120], dtype=np.int64), 120 + np.cumsum(2 * bits - 1)]
+    )
+    def clip(vals):
+        return MM._y4m_encode(
+            [(np.full((8, 8), int(v), dtype=np.uint8), None, None) for v in vals],
+            colorspace="Cmono",
+        )
+    rows = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3, 4],
+            "payload": [
+                clip(lum),
+                clip(lum + 10),       # re-graded: same temporal order
+                clip(lum[:20]),       # < 57 frames
+                b"not a y4m",
+            ],
+        }
+    )
+    out = {
+        r["media_id"]: r["vfp"]
+        for r in MM.video_luma_fingerprint(spark.createDataFrame(rows)).collect()
+    }
+    want = int(sum(int(bits[b]) << b for b in range(56)))
+    assert out[1] == want
+    assert out[2] == want
+    assert out[3] == -1 and out[4] == -1
