@@ -2148,6 +2148,75 @@ def ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "seasonal_anomaly_hours",
+    oracle="""
+    WITH c AS (SELECT hour(ts) AS hour_of_day,
+                      CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+               FROM events),
+    s AS (SELECT hour_of_day, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(SUM(c * c) AS BIGINT) AS q
+          FROM c GROUP BY hour_of_day),
+    f AS (SELECT c.hour_of_day, s.n, s.s,
+            CASE WHEN CAST(c.c AS HUGEINT) * s.n - s.s IS NOT NULL
+                  AND (CAST(c.c AS HUGEINT) * s.n - s.s)
+                      * (CAST(c.c AS HUGEINT) * s.n - s.s)
+                      > 9 * (CAST(s.n AS HUGEINT) * s.q
+                             - CAST(s.s AS HUGEINT) * s.s)
+                 THEN 1 ELSE 0 END AS a
+          FROM c JOIN s USING (hour_of_day))
+    SELECT hour_of_day, MAX(n) AS n_events,
+           CAST(SUM(a) AS BIGINT) AS n_anomalies,
+           CAST(MAX(s) AS DOUBLE) / 100.0 / MAX(n) AS mean_value
+    FROM f GROUP BY hour_of_day ORDER BY hour_of_day
+    """,
+    doc="Seasonal-baseline anomaly audit (the time-series curation "
+    "pass beside EWMA/OHLC/autocorr): per hour-of-day baseline over "
+    "all events — exact cent-scaled integer moments (n, sum, sum of "
+    "squares) — and every event tested against its hour's 3-sigma "
+    "band by CROSS-MULTIPLICATION: (c*n - s)^2 > 9*(n*q - s^2), no "
+    "sqrt, no float until the reporting boundary, so both engines "
+    "agree bit-exactly. The wide terms compute in DECIMAL(38,0) / "
+    "HUGEINT (at 100x corpus the squared deviation passes int64 — "
+    "the autocorr_user_value overflow lesson, applied up front "
+    "rather than guarded after). Scale shape: the 24-row baseline "
+    "aggregates map-side and BROADCASTS back over a second fully "
+    "parallel scan — never a 24-partition window over the fact "
+    "table (bounded-cardinality partitions are the skew, not the "
+    "fix).",
+)
+def seasonal_anomaly_hours(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select(
+        F.hour("ts").alias("hour_of_day"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("c"),
+    )
+    stats = e.groupBy("hour_of_day").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    dev = "CAST(c AS DECIMAL(38,0)) * n - s"
+    anom = F.expr(
+        f"CASE WHEN ({dev}) * ({dev}) > "
+        "9 * (CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s) "
+        "THEN 1 ELSE 0 END"
+    )
+    return (
+        e.join(F.broadcast(stats), "hour_of_day")
+        .withColumn("a", anom)
+        .groupBy("hour_of_day")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum("a").cast("bigint").alias("n_anomalies"),
+            (
+                F.max("s").cast("double") / F.lit(100.0) / F.max("n")
+            ).alias("mean_value"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
 from hadoop_main_spark.functions.hashing import hash64_sql  # noqa: E402
 
 _NEG_K = 3  # negative draws per positive

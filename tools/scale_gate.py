@@ -148,6 +148,8 @@ DEFAULT_EXTRAS = [
     "suffix_array_ranks",
     "suffix_array_repeats",
     "video_fingerprint_dedup",
+    # round 11 fourth block
+    "seasonal_anomaly_hours",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
