@@ -6895,3 +6895,233 @@ def cdc_delta_transfer(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_HITS_SCALE = 10**6
+_HITS_BOUND = (2**63 - 1) // _HITS_SCALE
+
+
+@query(
+    "hits_top20",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    bg AS (SELECT unnest(list_transform(
+             generate_series(1, greatest(len(tk) - 1, 0)),
+             i -> [tk[i], tk[i+1]])) AS pr
+           FROM toks),
+    e AS (SELECT DISTINCT pr[1] AS src, pr[2] AS dst FROM bg WHERE pr[1] <> pr[2]),
+    nodes AS (SELECT DISTINCT unnest(tk) AS v FROM toks),
+    a1r AS (SELECT dst AS v, SUM(CAST({_HITS_SCALE} AS BIGINT)) AS ar
+            FROM e GROUP BY dst),
+    a1m AS (SELECT MAX(ar) AS m FROM a1r),
+    a1 AS (SELECT nodes.v,
+                  CASE WHEN coalesce(m, 0) <= 0 THEN 0
+                       ELSE (coalesce(ar, 0) * {_HITS_SCALE}) // m END AS a
+           FROM nodes LEFT JOIN a1r USING (v) CROSS JOIN a1m),
+    h1r AS (SELECT e.src AS v, SUM(a1.a) AS hr
+            FROM e JOIN a1 ON a1.v = e.dst GROUP BY e.src),
+    h1m AS (SELECT MAX(hr) AS m FROM h1r),
+    h1 AS (SELECT nodes.v,
+                  CASE WHEN coalesce(m, 0) <= 0 THEN 0
+                       ELSE (coalesce(hr, 0) * {_HITS_SCALE}) // m END AS h
+           FROM nodes LEFT JOIN h1r USING (v) CROSS JOIN h1m),
+    a2r AS (SELECT e.dst AS v, SUM(h1.h) AS ar
+            FROM e JOIN h1 ON h1.v = e.src GROUP BY e.dst),
+    a2m AS (SELECT MAX(ar) AS m FROM a2r),
+    a2 AS (SELECT nodes.v,
+                  CASE WHEN coalesce(m, 0) <= 0 THEN 0
+                       ELSE (coalesce(ar, 0) * {_HITS_SCALE}) // m END AS a
+           FROM nodes LEFT JOIN a2r USING (v) CROSS JOIN a2m),
+    h2r AS (SELECT e.src AS v, SUM(a2.a) AS hr
+            FROM e JOIN a2 ON a2.v = e.dst GROUP BY e.src),
+    h2m AS (SELECT MAX(hr) AS m FROM h2r),
+    h2 AS (SELECT nodes.v,
+                  CASE WHEN coalesce(m, 0) <= 0 THEN 0
+                       ELSE (coalesce(hr, 0) * {_HITS_SCALE}) // m END AS h
+           FROM nodes LEFT JOIN h2r USING (v) CROSS JOIN h2m)
+    SELECT a2.v AS token, CAST(a2.a AS BIGINT) AS auth,
+           CAST(h2.h AS BIGINT) AS hub
+    FROM a2 JOIN h2 ON a2.v = h2.v
+    ORDER BY auth DESC, token LIMIT 20
+    """,
+    doc="HITS hubs/authorities (Kleinberg JACM'99, 2 iterations) over "
+    "the directed token-adjacency graph — the link-analysis scorer "
+    "beside pagerank_top20, completing the classic pair. Kleinberg's "
+    "L2 normalization needs a sqrt, so this uses the L-INFINITY norm "
+    "(max rescaled to exactly 1e6 per half-step; any p-norm preserves "
+    "the fixpoint direction) and every intermediate stays a BIGINT "
+    "both engines compute bit-identically (operators/graph.py:"
+    "hits_int). The rescale multiply is overflow-GUARDED with "
+    "raise_error — non-ANSI Spark would wrap silently to a wrong "
+    "answer; a float HITS would drift by ulps per iteration. Each "
+    "half-iteration = one edge-keyed join + one partial-agg shuffle; "
+    "the L-inf max rides as a one-row broadcast.",
+)
+def hits_top20(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+    from hadoop_main_spark.operators.graph import hits_int
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    bg = d.select(F.explode(D.word_shingles("text", 2)).alias("bigram")).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("src"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("dst"),
+    )
+    # lazy-checkpointed like pagerank_top20's tables: the 4 half-step
+    # joins consume edges/nodes from many branches with differing
+    # pushdowns; both tables are vocabulary-bounded
+    edges = supersede_checkpoint(
+        "hits_top20.edges",
+        bg.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False),
+    )
+    nodes = supersede_checkpoint(
+        "hits_top20.nodes",
+        d.select(F.explode(tokenize("text")).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False),
+    )
+    scored = hits_int(edges, nodes, iterations=2, scale=_HITS_SCALE)
+    return (
+        scored.select(
+            F.col("v").alias("token"),
+            F.col("auth").cast("bigint").alias("auth"),
+            F.col("hub").cast("bigint").alias("hub"),
+        )
+        .orderBy(F.desc("auth"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "phrase_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    tri AS (SELECT unnest(list_transform(
+              generate_series(1, greatest(len(tk) - 2, 0)),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ph
+            FROM toks),
+    top AS (SELECT ph, COUNT(*) AS c FROM tri GROUP BY ph
+            ORDER BY c DESC, ph LIMIT 1),
+    m AS (SELECT t.doc_id, top.ph,
+                 list_filter(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> tk[i] = split_part(top.ph, ' ', 1)
+                        AND tk[i+1] = split_part(top.ph, ' ', 2)
+                        AND tk[i+2] = split_part(top.ph, ' ', 3)) AS hits
+          FROM toks t CROSS JOIN top)
+    SELECT ph AS phrase, doc_id,
+           CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(hits[1] - 1 AS BIGINT) AS first_pos
+    FROM m WHERE len(hits) > 0 ORDER BY doc_id
+    """,
+    doc="Exact PHRASE QUERY over the positional inverted index — the "
+    "retrieval capability the inverted_index build exists to serve: "
+    "the corpus's most frequent word trigram (count desc, lexical "
+    "tie-break — a one-row broadcast) is matched by POSITIONAL "
+    "POSTING INTERSECTION, the search-engine algorithm: each posting "
+    "for phrase term j at position p votes for start p-j, and a "
+    "start with all 3 DISTINCT slots present is a match (offset "
+    "alignment instead of a 3-way self-join — one shuffle, and "
+    "duplicate terms inside the phrase are handled by the distinct "
+    "count). The ORACLE matches by a direct per-document token-array "
+    "scan — an INDEPENDENT algorithm, not a replay (the suffix-array "
+    "verification discipline), so a postings off-by-one cannot "
+    "self-confirm. Scale: postings are filtered to the 3 phrase "
+    "terms by a broadcast semi-ish join BEFORE any shuffle; the "
+    "(doc, start) agg touches only surviving postings.",
+)
+def phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    tri = d.select(F.explode(D.word_shingles("text", 3)).alias("ph"))
+    top = (
+        tri.groupBy("ph")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("ph"))
+        .limit(1)
+    )
+    slots = top.select(
+        "ph",
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.split_part(F.col("ph"), F.lit(" "), F.lit(j + 1)).alias(
+                            "term"
+                        ),
+                        F.lit(j).alias("slot"),
+                    )
+                    for j in range(3)
+                )
+            )
+        ).alias("__s"),
+    ).select("ph", F.col("__s.term").alias("term"), F.col("__s.slot").alias("slot"))
+    pos = d.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "term")
+    )
+    cand = (
+        pos.join(F.broadcast(slots), "term")
+        .select("ph", "doc_id", (F.col("pos") - F.col("slot")).alias("start"), "slot")
+        .filter(F.col("start") >= 0)
+    )
+    m = (
+        cand.groupBy("ph", "doc_id", "start")
+        .agg(F.count_distinct("slot").alias("__ns"))
+        .filter(F.col("__ns") == 3)
+    )
+    return (
+        m.groupBy("ph", "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.min("start").cast("bigint").alias("first_pos"),
+        )
+        .select(F.col("ph").alias("phrase"), "doc_id", "n_matches", "first_pos")
+        .orderBy("doc_id")
+    )
+
+
+_SNM_NORM = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+
+
+@query(
+    "sorted_neighborhood_dedup",
+    oracle=f"""
+    WITH k AS (SELECT doc_id,
+                      substr({_SNM_NORM}, 1, 12) AS kk,
+                      substr({_SNM_NORM}, 1, 64) AS pp
+               FROM documents),
+    r AS (SELECT doc_id, pp,
+                 row_number() OVER (ORDER BY kk, doc_id) AS rk
+          FROM k)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pp, b.pp) AS BIGINT) AS dist,
+           levenshtein(a.pp, b.pp) <= 16 AS is_dup
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+    ORDER BY id_a, id_b
+    """,
+    doc="Sorted-neighborhood dedup (Hernandez & Stolfo SIGMOD'95 — "
+    "the classic record-linkage BLOCKING modality beside the LSH "
+    "families: deterministic, exactly w=3 candidate rows per "
+    "document, a hot blocking key degrades pair quality never row "
+    "count). Blocking key = first 12 chars of the lowercased "
+    "alphanumeric squash; global order via sorting.global_rank (the "
+    "TotalOrderPartitioner machinery — sampled split points + "
+    "bucket-local row_number, never a single-task window); neighbors "
+    "within w by an exact-rank EQUI-join (rank+offset explode), not "
+    "a range join; verify = bounded-prefix Levenshtein over 64 "
+    "normalized chars (O(64^2) per pair, constant). The oracle "
+    "replays the order with row_number and pairs via a rank RANGE "
+    "join — a different join algorithm over the same contract.",
+)
+def sorted_neighborhood_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    pairs = D.snm_candidate_pairs(d, window=3, key_len=12, probe_len=64)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("dist").cast("bigint").alias("dist"),
+        (F.col("dist") <= 16).alias("is_dup"),
+    ).orderBy("id_a", "id_b")

@@ -150,6 +150,9 @@ DEFAULT_EXTRAS = [
     "video_fingerprint_dedup",
     # round 11 fourth block
     "seasonal_anomaly_hours",
+    "hits_top20",
+    "phrase_search",
+    "sorted_neighborhood_dedup",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
