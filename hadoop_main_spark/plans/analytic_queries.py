@@ -2777,3 +2777,157 @@ def ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rd") == 1)
         .select("user_id", F.expr("num div den").cast("bigint").alias("ewma_cents"))
     )
+
+
+@query(
+    "cusum_changepoints",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts,
+                      CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+               FROM events),
+    u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS tot
+          FROM c GROUP BY user_id),
+    p AS (SELECT user_id, ts,
+                 CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS BIGINT) AS k
+          FROM c),
+    s AS (SELECT p.user_id, k, ts,
+                 abs(CAST(u.n AS HUGEINT) * pk - CAST(k AS HUGEINT) * u.tot)
+                   AS sabs
+          FROM p JOIN u USING (user_id)),
+    r AS (SELECT user_id, k, ts, sabs,
+                 row_number() OVER (PARTITION BY user_id
+                      ORDER BY sabs DESC, k) AS rn
+          FROM s)
+    SELECT r.user_id, u.n AS n_events, r.k AS cp_k, r.ts AS cp_ts,
+           CAST(r.sabs AS BIGINT) AS cusum_max
+    FROM r JOIN u USING (user_id) WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="CUSUM changepoint detection (Page 1954 — the level-shift "
+    "pass beside the 3-sigma seasonal audit in the time-series "
+    "curation family): per user, the cumulative-sum statistic "
+    "S_k = n*P_k - k*T (the classic P_k - k*mean SCALED BY n so it "
+    "stays an exact integer — no division, both engines agree "
+    "bit-exactly) over the (ts, event_id)-deterministic event "
+    "order; the changepoint is argmax |S_k| with smallest-k "
+    "tie-break. Wide products compute in DECIMAL(38,0)/HUGEINT and "
+    "the reporting cast back to BIGINT is overflow-GUARDED with "
+    "raise_error (the autocorr lesson — non-ANSI Spark wraps "
+    "silently). Scale: ONE user-keyed shuffle shared by the prefix "
+    "window, the rank window and the per-user aggregate (same "
+    "partition key); user cardinality grows with the corpus so no "
+    "bounded-cardinality window skew.",
+)
+def cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        "user_id",
+        "ts",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pk"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+        F.count("*")
+        .over(Window.partitionBy("user_id"))
+        .cast("bigint")
+        .alias("n"),
+        F.sum("c").over(Window.partitionBy("user_id")).alias("tot"),
+    )
+    s = p.select(
+        "user_id",
+        "k",
+        "ts",
+        "n",
+        F.abs(
+            F.expr("CAST(n AS DECIMAL(38,0)) * pk")
+            - F.expr("CAST(k AS DECIMAL(38,0)) * tot")
+        ).alias("sabs"),
+    )
+    rw = Window.partitionBy("user_id").orderBy(F.desc("sabs"), F.asc("k"))
+    return (
+        s.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("k").alias("cp_k"),
+            F.col("ts").alias("cp_ts"),
+            F.when(
+                F.col("sabs") > F.lit(9223372036854775807).cast("decimal(38,0)"),
+                F.raise_error(
+                    "cusum_changepoints: |S_k| exceeds int64 at the "
+                    "reporting boundary"
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("sabs").cast("bigint"))
+            .alias("cusum_max"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "equi_depth_histogram",
+    oracle="""
+    WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS pc,
+                      l_orderkey, l_linenumber
+               FROM lineitem),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    r AS (SELECT pc, row_number() OVER
+             (ORDER BY pc, l_orderkey, l_linenumber) AS rk
+          FROM c)
+    SELECT ((rk - 1) * 16) // n AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(pc) AS min_cents, MAX(pc) AS max_cents,
+           CAST(SUM(pc) AS BIGINT) AS sum_cents
+    FROM r CROSS JOIN n GROUP BY 1 ORDER BY bucket
+    """,
+    doc="GLOBAL equi-depth (equi-height) histogram, 16 buckets over "
+    "lineitem price — the statistics-construction primitive a "
+    "cost-based optimizer builds over every large column, and the "
+    "GLOBAL form of ntile that an unpartitioned Window.orderBy "
+    "cannot provide at scale (one task sorts the world). The exact "
+    "global rank comes from sorting.global_rank's "
+    "TotalOrderPartitioner machinery (sampled split points, "
+    "bucket-local row_number, per-bucket offsets from a one-row-per-"
+    "bucket broadcast), the depth bucket is ((rank-1)*16) div n with "
+    "the corpus total as a one-row broadcast, and the tie-break "
+    "(price, orderkey, linenumber) makes the rank — hence every "
+    "bucket boundary — deterministic under any partitioning. All "
+    "money stays exact cents; bucket populations differ by at most "
+    "1 by construction.",
+)
+def equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.sorting import global_rank
+
+    li = t(spark, sf, "lineitem").select(
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("pc"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_rank(li, "pc", "l_orderkey", "l_linenumber", rank_col="rk")
+    ntot = li.agg(F.count("*").cast("bigint").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(ntot))
+        .select("pc", F.expr("((rk - 1) * 16) div __n").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("pc").alias("min_cents"),
+            F.max("pc").alias("max_cents"),
+            F.sum("pc").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -153,6 +153,8 @@ DEFAULT_EXTRAS = [
     "hits_top20",
     "phrase_search",
     "sorted_neighborhood_dedup",
+    "cusum_changepoints",
+    "equi_depth_histogram",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
