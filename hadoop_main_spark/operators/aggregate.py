@@ -554,3 +554,58 @@ def keyed_snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(*keys, status.alias("status"))
+
+
+def merge_partial_aggs(
+    target: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    add_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance for distributive
+    aggregates — the combine step :func:`merge_into` (replace
+    semantics) deliberately does not provide: a stored per-key
+    aggregate view absorbs a new wave's partial aggregates WITHOUT
+    rescanning the base corpus (Delta Lake's ``MERGE ... WHEN MATCHED
+    THEN UPDATE SET n = t.n + s.n`` pattern; the view-maintenance
+    analog of cc_incremental_resolution's cluster maintenance).
+
+    ``add_cols`` combine by addition (COUNT/SUM partials),
+    ``min_cols`` by least, ``max_cols`` by greatest — exactly the
+    mergeable-summary algebra, so maintained state equals the
+    from-scratch aggregate VERBATIM for any wave split (associative +
+    commutative; the one-shot-equality oracle checks precisely this).
+    AVG rides as (sum, count); non-distributive aggregates (exact
+    median, distinct count) need the sketch family instead.
+
+    Shape: each side projects to keys+partials at the scan, then ONE
+    co-partitioned full-outer join on the view key — identical
+    physical shape to merge_into, so at 100 TB the maintenance cost
+    is proportional to |delta keys| + |view|, never |base corpus|.
+    """
+    keys = list(key_cols)
+    vals = [*add_cols, *min_cols, *max_cols]
+    tt = target.select(
+        *keys, *[F.col(c).alias(f"__t_{c}") for c in vals]
+    )
+    dd = delta.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in vals]
+    )
+    j = tt.join(dd, keys, "full_outer")
+    out = [*keys]
+    for c in add_cols:
+        out.append(
+            (
+                F.coalesce(F.col(f"__t_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+        )
+    for c in min_cols:
+        # F.least skips nulls (returns the non-null side), which is
+        # exactly the partial-combine semantics for an outer join
+        out.append(F.least(F.col(f"__t_{c}"), F.col(f"__d_{c}")).alias(c))
+    for c in max_cols:
+        out.append(F.greatest(F.col(f"__t_{c}"), F.col(f"__d_{c}")).alias(c))
+    return j.select(*out)

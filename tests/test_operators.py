@@ -2676,3 +2676,51 @@ def test_connected_components_incremental_equals_fresh(spark):
     # untouched cluster {30,31} must survive verbatim
     assert (30, 30) in inc and (31, 30) in inc
     assert inc == want, (sorted(inc), sorted(want))
+
+
+def test_merge_partial_aggs_wave_split_invariance(spark):
+    """Folding ANY wave split through merge_partial_aggs must equal
+    the one-shot aggregate verbatim (the mergeable-summary algebra) —
+    including keys present in only one wave."""
+    from hadoop_main_spark.operators.aggregate import merge_partial_aggs
+
+    rows = [
+        (1, "a", 10, 100),
+        (1, "a", 11, 50),
+        (1, "b", 12, 7),
+        (2, "a", 13, -3),
+        (3, "c", 14, 0),
+        (3, "c", 15, 9),
+        (4, "d", 16, 42),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, c long"
+    )
+
+    def view(part):
+        from pyspark.sql import functions as F
+
+        return part.groupBy("user_id", "event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+        )
+
+    want = {tuple(r) for r in view(df).collect()}
+    from pyspark.sql import functions as F
+
+    # three uneven waves: mod-3 split (wave 2 misses several keys)
+    acc = None
+    for k in range(3):
+        wave = view(df.filter(F.pmod("event_id", F.lit(3)) == k))
+        acc = (
+            wave
+            if acc is None
+            else merge_partial_aggs(
+                acc, wave, ("user_id", "event_type"),
+                add_cols=("n", "s"), min_cols=("lo",), max_cols=("hi",),
+            )
+        )
+    got = {tuple(r) for r in acc.collect()}
+    assert got == want, (sorted(got), sorted(want))

@@ -155,6 +155,7 @@ DEFAULT_EXTRAS = [
     "sorted_neighborhood_dedup",
     "cusum_changepoints",
     "equi_depth_histogram",
+    "incremental_agg_maintenance",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
