@@ -7125,3 +7125,56 @@ def sorted_neighborhood_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dist").cast("bigint").alias("dist"),
         (F.col("dist") <= 16).alias("is_dup"),
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "stream_agg_view_roundtrip",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    doc="Streaming incremental VIEW MAINTENANCE on the driver gate "
+    "(the materialized-view twin of the WARC/PDF/CDC stream "
+    "roundtrips, and the streaming half of "
+    "incremental_agg_maintenance): events replay as two "
+    "mtime-ordered parity waves through streaming/windows.py:"
+    "agg_view_stream_parquet — foreachBatch runs the IDENTICAL "
+    "merge_partial_aggs combine as the batch maintainer, with the "
+    "(ckpt_id, last_batch) high-water replay guard because an "
+    "additive merge is not idempotent — and the MAINTAINED view "
+    "must equal the from-scratch GROUP BY over all events VERBATIM "
+    "(one-shot equality): a double-applied wave, a lost view key at "
+    "a batch boundary, or a combine-algebra error moves a count. "
+    "BUILD-COST NOTE: executes the streaming job at plan-build "
+    "time. LOCAL-MODE CONTRACT: tempfile.mkdtemp().",
+)
+def stream_agg_view_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_main_spark.streaming.windows import (
+        agg_view_stream_parquet,
+        read_agg_view,
+    )
+
+    e = t(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="streamaggview_")
+    src = _write_parity_waves(e, root, "event_id")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = agg_view_stream_parquet(stream, f"{root}/out", f"{root}/ckpt")
+    q.awaitTermination()
+    return read_agg_view(spark, f"{root}/out").orderBy("user_id", "event_type")

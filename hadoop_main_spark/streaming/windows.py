@@ -1233,3 +1233,96 @@ def cdc_chunks_stream_parquet(
         cdc_chunks(doc_stream, id_col, text_col), path, checkpoint,
         trigger_available_now=trigger_available_now,
     )
+
+
+def agg_view_stream_parquet(
+    event_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming incremental MATERIALIZED-VIEW maintenance — the
+    stream form of the batch maintainer, running the IDENTICAL
+    combine (:func:`~hadoop_main_spark.operators.aggregate.
+    merge_partial_aggs`) inside foreachBatch: each micro-batch of
+    raw events aggregates to its partial per-(user_id, event_type)
+    view — n_events, sum_cents, min/max event_id — and is absorbed
+    into the stored view by ONE co-partitioned full-outer join; the
+    base corpus is never rescanned (Delta's streaming
+    'foreachBatch + MERGE' view-maintenance pattern).
+
+    Replay safety: an additive merge is NOT idempotent (unlike the
+    keyed upsert and the HLL max-merge), so the sink carries the
+    (ckpt_id, last_batch) high-water guard — the
+    span_counts_stream_parquet discipline: a re-delivered batch
+    under the SAME checkpoint lineage sees max(last_batch) >=
+    batch_id and skips; ckpt_id scoping protects a NEW lineage whose
+    batch ids restart at 0. Crash mid-swap is restorable via
+    _recover_replaced_dir. State = one row per live view key; at
+    scale keep the sink on a transactional format.
+    """
+    from hadoop_main_spark.operators.aggregate import merge_partial_aggs
+
+    spark = event_stream.sparkSession
+
+    def view(part: DataFrame) -> DataFrame:
+        return part.groupBy("user_id", "event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        _recover_replaced_dir(spark, path)
+        wave = view(
+            batch.select(
+                "user_id",
+                "event_type",
+                "event_id",
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                ).alias("c"),
+            )
+        )
+        if _hadoop_path_exists(spark, path):
+            existing = spark.read.parquet(path)
+            applied = (
+                existing.filter(F.col("ckpt_id") == checkpoint)
+                .agg(F.max("last_batch"))
+                .collect()[0][0]
+            )
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: already folded in, sums would double
+            merged = merge_partial_aggs(
+                existing.drop("last_batch", "ckpt_id"),
+                wave,
+                ("user_id", "event_type"),
+                add_cols=("n_events", "sum_cents"),
+                min_cols=("min_event_id",),
+                max_cols=("max_event_id",),
+            )
+        else:
+            merged = wave
+        _replace_dir_safely(
+            spark,
+            merged.withColumn("last_batch", F.lit(batch_id)).withColumn(
+                "ckpt_id", F.lit(checkpoint)
+            ),
+            path,
+            batch_id,
+        )
+
+    w = (
+        event_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_agg_view(spark: SparkSession, path: str) -> DataFrame:
+    """Read the maintained view, dropping replay bookkeeping."""
+    return spark.read.parquet(path).drop("last_batch", "ckpt_id")
