@@ -1618,3 +1618,63 @@ def salted_user_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     ).orderBy("user_id")
+
+
+@query(
+    "key_skew_audit",
+    oracle="""
+    WITH g AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS grp
+               FROM lineitem GROUP BY l_orderkey),
+    hist AS (SELECT grp AS group_size,
+                    CAST(COUNT(*) AS BIGINT) AS n_keys
+             FROM g GROUP BY grp),
+    s AS (SELECT CAST(SUM(grp) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys_tot,
+                 MAX(grp) AS max_grp
+          FROM g)
+    SELECT h.group_size, h.n_keys,
+           CAST(h.group_size * h.n_keys AS BIGINT) AS n_rows_at_size,
+           CAST((s.max_grp * 1000 * s.n_keys_tot) // s.n_rows AS BIGINT)
+             AS skew_permille
+    FROM hist h CROSS JOIN s
+    ORDER BY group_size
+    """,
+    doc="KEY-SKEW AUDIT — the detection half of the skew toolkit "
+    "whose remedy half is salted_user_agg, and the diagnostic a "
+    "100 TB join plans with BEFORE shuffling (the reference's own "
+    "record run shipped 2.6x reduce skew, EX/terasort/package.html:"
+    "109): the group-size DISTRIBUTION of the join key (size -> "
+    "n_keys — bounded output: distinct sizes, not distinct keys) "
+    "plus a skew factor = max/mean group size as exact integer "
+    "permille ((max * 1000 * n_keys) div n_rows — no division "
+    "drift; 1000 = perfectly uniform). Two partial-agg shuffles, "
+    "the second over the already-aggregated key table; the corpus "
+    "totals ride a one-row broadcast. A skew_permille in the "
+    "thousands is the signal to route the key through salting or "
+    "AQE skew-split.",
+)
+def key_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.count("*").cast("bigint").alias("grp"))
+    hist = g.groupBy(F.col("grp").alias("group_size")).agg(
+        F.count("*").cast("bigint").alias("n_keys")
+    )
+    s = g.agg(
+        F.sum("grp").cast("bigint").alias("__n_rows"),
+        F.count("*").cast("bigint").alias("__n_keys_tot"),
+        F.max("grp").alias("__max_grp"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(s))
+        .select(
+            "group_size",
+            "n_keys",
+            (F.col("group_size") * F.col("n_keys"))
+            .cast("bigint")
+            .alias("n_rows_at_size"),
+            F.expr("(__max_grp * 1000 * __n_keys_tot) div __n_rows")
+            .cast("bigint")
+            .alias("skew_permille"),
+        )
+        .orderBy("group_size")
+    )

@@ -156,6 +156,8 @@ DEFAULT_EXTRAS = [
     "cusum_changepoints",
     "equi_depth_histogram",
     "incremental_agg_maintenance",
+    "key_skew_audit",
+    "table_profile",
     # stream_agg_view_roundtrip excluded: the stream executes inside
     # build(), same as the other stream roundtrips
 ]
