@@ -7178,3 +7178,220 @@ def stream_agg_view_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     q = agg_view_stream_parquet(stream, f"{root}/out", f"{root}/ckpt")
     q.awaitTermination()
     return read_agg_view(spark, f"{root}/out").orderBy("user_id", "event_type")
+
+
+_SSJ_B = 8  # pigeonhole buckets: 7-subset bands complete while |a|+|b| < 78
+# all (B-1)-subsets of buckets: a Jaccard>=19/20 pair differs in <= 1
+# token ((|a|+|b|)/39 < 2 under the size guard), hence agrees on >= 7
+# buckets, hence matches SOME 7-subset band
+import itertools as _it  # noqa: E402
+
+_SSJ_COMBOS = tuple(_it.combinations(range(_SSJ_B), _SSJ_B - 1))
+
+
+@query(
+    "set_similarity_join",
+    oracle=f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tk
+                  FROM documents),
+    fp AS (SELECT doc_id,
+                  {hash64_sql("list_aggregate(list_sort(list(tk)), 'string_agg', ' ')")}
+                    AS f
+           FROM toks GROUP BY doc_id),
+    grp AS (SELECT f, MIN(doc_id) AS rep,
+                   CAST(COUNT(*) AS BIGINT) AS grp_size
+            FROM fp GROUP BY f),
+    gt AS (SELECT g.rep, t.tk FROM grp g JOIN toks t ON t.doc_id = g.rep),
+    sz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS n FROM gt GROUP BY rep),
+    bp AS (SELECT rep, {hash64_sql("tk")} % {{B}} AS bi, tk FROM gt),
+    sp AS (SELECT rep, bi,
+                  {hash64_sql("list_aggregate(list_sort(list(tk)), 'string_agg', ' ')")}
+                    AS sig
+           FROM bp GROUP BY rep, bi),
+    sigs AS (SELECT sz.rep, b.bi, coalesce(sp.sig, -1) AS sig
+             FROM sz CROSS JOIN (SELECT unnest(generate_series(0, {{Bm1}}))
+                                 AS bi) b
+             LEFT JOIN sp ON sp.rep = sz.rep AND sp.bi = b.bi),
+    ordv AS (SELECT rep, list(sig ORDER BY bi) AS sv FROM sigs GROUP BY rep),
+    bands AS (
+      {{BANDS}}),
+    cand AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb
+             FROM bands a JOIN bands b
+               ON a.cid = b.cid AND a.h = b.h AND a.rep < b.rep),
+    inter AS (SELECT c.ra, c.rb, CAST(COUNT(*) AS BIGINT) AS i
+              FROM cand c
+              JOIN gt ta ON ta.rep = c.ra
+              JOIN gt tb ON tb.rep = c.rb AND tb.tk = ta.tk
+              GROUP BY c.ra, c.rb)
+    SELECT i.ra AS rep_a, i.rb AS rep_b, i.i AS inter_size,
+           sa.n + sb.n - i.i AS union_size,
+           ga.grp_size AS size_a, gb.grp_size AS size_b
+    FROM inter i
+    JOIN sz sa ON sa.rep = i.ra JOIN sz sb ON sb.rep = i.rb
+    JOIN grp ga ON ga.rep = i.ra JOIN grp gb ON gb.rep = i.rb
+    WHERE 39 * i.i >= 19 * (sa.n + sb.n)
+    ORDER BY rep_a, rep_b
+    """.replace("{B}", str(_SSJ_B)).replace("{Bm1}", str(_SSJ_B - 1)).replace(
+        "{BANDS}",
+        '''SELECT rep, 0 AS cid, CAST(concat('0x', substr(md5(concat_ws('_', CAST(sv[1] AS VARCHAR), CAST(sv[2] AS VARCHAR), CAST(sv[3] AS VARCHAR), CAST(sv[4] AS VARCHAR), CAST(sv[5] AS VARCHAR), CAST(sv[6] AS VARCHAR), CAST(sv[7] AS VARCHAR))), 1, 15)) AS BIGINT) AS h FROM ordv
+      UNION ALL
+      SELECT rep, 1 AS cid, CAST(concat('0x', substr(md5(concat_ws('_', CAST(sv[1] AS VARCHAR), CAST(sv[2] AS VARCHAR), CAST(sv[3] AS VARCHAR), CAST(sv[4] AS VARCHAR), CAST(sv[5] AS VARCHAR), CAST(sv[6] AS VARCHAR), CAST(sv[8] AS VARCHAR))), 1, 15)) AS BIGINT) AS h FROM ordv
+      UNION ALL
+      SELECT rep, 2 AS cid, CAST(concat('0x', substr(md5(concat_ws('_', CAST(sv[1] AS VARCHAR), CAST(sv[2] AS VARCHAR), CAST(sv[3] AS VARCHAR), CAST(sv[4] AS VARCHAR), CAST(sv[5] AS VARCHAR), CAST(sv[7] AS VARCHAR), CAST(sv[8] AS VARCHAR))), 1, 15)) AS BIGINT) AS h FROM ordv
+      UNION ALL
+      SELECT rep, 3 AS cid, CAST(concat('0x', substr(md5(concat_ws('_', CAST(sv[1] AS VARCHAR), CAST(sv[2] AS VARCHAR), CAST(sv[3] AS VARCHAR), CAST(sv[4] AS VARCHAR), CAST(sv[6] AS VARCHAR), CAST(sv[7] AS VARCHAR), CAST(sv[8] AS VARCHAR))), 1, 15)) AS BIGINT) AS h FROM ordv
+      UNION ALL
+      SELECT rep, 4 AS cid, CAST(concat('0x', substr(md5(concat_ws('_', CAST(sv[1] AS VARCHAR), CAST(sv[2] AS VARCHAR), CAST(sv[3] AS VARCHAR), CAST(sv[5] AS VARCHAR), CAST(sv[6] AS VARCHAR), CAST(sv[7] AS VARCHAR), CAST(sv[8] AS VARCHAR))), 1, 15)) AS BIGINT) AS h FROM ordv
+      UNION ALL
+      SELECT rep, 5 AS cid, CAST(concat('0x', substr(md5(concat_ws('_', CAST(sv[1] AS VARCHAR), CAST(sv[2] AS VARCHAR), CAST(sv[4] AS VARCHAR), CAST(sv[5] AS VARCHAR), CAST(sv[6] AS VARCHAR), CAST(sv[7] AS VARCHAR), CAST(sv[8] AS VARCHAR))), 1, 15)) AS BIGINT) AS h FROM ordv
+      UNION ALL
+      SELECT rep, 6 AS cid, CAST(concat('0x', substr(md5(concat_ws('_', CAST(sv[1] AS VARCHAR), CAST(sv[3] AS VARCHAR), CAST(sv[4] AS VARCHAR), CAST(sv[5] AS VARCHAR), CAST(sv[6] AS VARCHAR), CAST(sv[7] AS VARCHAR), CAST(sv[8] AS VARCHAR))), 1, 15)) AS BIGINT) AS h FROM ordv
+      UNION ALL
+      SELECT rep, 7 AS cid, CAST(concat('0x', substr(md5(concat_ws('_', CAST(sv[2] AS VARCHAR), CAST(sv[3] AS VARCHAR), CAST(sv[4] AS VARCHAR), CAST(sv[5] AS VARCHAR), CAST(sv[6] AS VARCHAR), CAST(sv[7] AS VARCHAR), CAST(sv[8] AS VARCHAR))), 1, 15)) AS BIGINT) AS h FROM ordv''',
+    ),
+    doc="EXACT set-similarity join at Jaccard >= 19/20 via PIGEONHOLE "
+    "bucket-subset BANDS (the set-domain member of the "
+    "hamming_band_pairs family — zero false negatives AND zero "
+    "false positives, unlike dedup_minhash_lsh): token SETS dedup "
+    "to canonical GROUPS first (identical-set corpora stay "
+    "output-linear — the dhash discipline), the TOKEN VOCABULARY "
+    "partitions into 8 deterministic hash buckets, each group "
+    "carries one sub-signature per bucket (empty bucket = sentinel "
+    "-1, so empty==empty counts as agreement), and candidates come "
+    "from equi-joining the C(8,7)=8 SEVEN-bucket band signatures: "
+    "Jaccard >= 19/20 bounds the symmetric difference to "
+    "(|a|+|b|)/39 <= 1 token under the size guard, corrupting at "
+    "most ONE bucket, so a similar pair agrees on >= 7 buckets and "
+    "matches SOME 7-subset band — complete while |a|+|b| < 78, "
+    "ENFORCED by a raise_error size guard (loud, never silently "
+    "incomplete). Band enumeration matters on this adversarially "
+    "self-similar corpus (~100-word vocabulary): classic PPJoin "
+    "rarity prefixes emit 6.7M candidates and single-bucket "
+    "banding 7.0M, while 7-of-8 bands enumerate only the "
+    "near-identical clusters. Verification is exact integer "
+    "cross-multiplication (39*|inter| >= 19*(|a|+|b|)) over an "
+    "equi-join of candidate token lists — never a float ratio.",
+)
+def set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+    from hadoop_main_spark.operators.transforms import tokenize
+
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokenize("text")).alias("tk")
+    ).distinct()
+    fp = toks.groupBy("doc_id").agg(
+        hash64(F.array_join(F.array_sort(F.collect_list("tk")), " ")).alias("f")
+    )
+    grp = fp.groupBy("f").agg(
+        F.min("doc_id").alias("rep"),
+        F.count("*").cast("bigint").alias("grp_size"),
+    )
+    # group-representative token table: feeds sizes, signatures and
+    # BOTH verification branches with different pushdowns — checkpoint
+    # once (the pagerank/pmi discipline); vocabulary x distinct-set
+    # bounded
+    gt = supersede_checkpoint(
+        "set_similarity_join.gt",
+        grp.select("rep")
+        .join(toks.withColumnRenamed("doc_id", "rep"), "rep")
+        .localCheckpoint(eager=False),
+    )
+    # completeness guard: the 7-subset bands tolerate ONE corrupted
+    # bucket, i.e. (|a|+|b|)/39 <= 1; any set over 38 tokens could
+    # silently miss pairs — raise instead
+    bound = 38
+    sz = gt.groupBy("rep").agg(
+        F.when(
+            F.count("*") > bound,
+            F.raise_error(
+                f"set_similarity_join: a token set exceeds {bound} "
+                "tokens — widen _SSJ_COMBOS to keep the pigeonhole "
+                "guarantee"
+            ).cast("bigint"),
+        )
+        .otherwise(F.count("*"))
+        .cast("bigint")
+        .alias("n")
+    )
+    sp = (
+        gt.select("rep", F.pmod(hash64("tk"), F.lit(_SSJ_B)).alias("bi"), "tk")
+        .groupBy("rep", "bi")
+        .agg(
+            hash64(
+                F.array_join(F.array_sort(F.collect_list("tk")), " ")
+            ).alias("sig")
+        )
+    )
+    sigs = (
+        sz.select("rep")
+        .select(
+            "rep",
+            F.explode(F.array(*(F.lit(i) for i in range(_SSJ_B)))).alias("bi"),
+        )
+        .join(sp, ["rep", "bi"], "left")
+        .select("rep", "bi", F.coalesce("sig", F.lit(-1)).alias("sig"))
+    )
+    # band enumeration instead of pair-agreement counting: a pair
+    # agreeing on >= 7 buckets appears in SOME 7-subset band, so the
+    # equi-join only ever materializes near-identical clusters — the
+    # ~7M pairs agreeing on just one hot bucket never exist
+    ordered = sigs.groupBy("rep").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bi", "sig"))),
+            lambda x: x["sig"],
+        ).alias("sv")
+    )
+    bands = ordered.select(
+        "rep",
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(ci).alias("cid"),
+                        hash64(
+                            F.concat_ws(
+                                "_",
+                                *(F.col("sv")[i].cast("string") for i in combo),
+                            )
+                        ).alias("h"),
+                    )
+                    for ci, combo in enumerate(_SSJ_COMBOS)
+                )
+            )
+        ).alias("b"),
+    ).select("rep", F.col("b.cid").alias("cid"), F.col("b.h").alias("h"))
+    cand = (
+        bands.select(F.col("rep").alias("ra"), "cid", "h")
+        .join(bands.select(F.col("rep").alias("rb"), "cid", "h"), ["cid", "h"])
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        .distinct()
+    )
+    inter = (
+        cand.join(gt.select(F.col("rep").alias("ra"), "tk"), "ra")
+        .join(gt.select(F.col("rep").alias("rb"), "tk"), ["rb", "tk"])
+        .groupBy("ra", "rb")
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    sa = sz.select(F.col("rep").alias("ra"), F.col("n").alias("na"))
+    sb = sz.select(F.col("rep").alias("rb"), F.col("n").alias("nb"))
+    ga = grp.select(F.col("rep").alias("ra"), F.col("grp_size").alias("size_a"))
+    gb = grp.select(F.col("rep").alias("rb"), F.col("grp_size").alias("size_b"))
+    return (
+        inter.join(sa, "ra")
+        .join(sb, "rb")
+        .join(ga, "ra")
+        .join(gb, "rb")
+        .filter(39 * F.col("i") >= 19 * (F.col("na") + F.col("nb")))
+        .select(
+            F.col("ra").alias("rep_a"),
+            F.col("rb").alias("rep_b"),
+            F.col("i").alias("inter_size"),
+            (F.col("na") + F.col("nb") - F.col("i")).alias("union_size"),
+            "size_a",
+            "size_b",
+        )
+        .orderBy("rep_a", "rep_b")
+    )

@@ -957,3 +957,41 @@ def test_suffix_repeats_indexed_lcp(spark, tmp_path):
                 break
             lcp += 1
         assert lcp == r.lcp and r.lcp >= 6
+
+
+def test_set_similarity_join_completeness_vs_brute_force(spark):
+    """The pigeonhole band filter must be COMPLETE: every distinct-set
+    pair with Jaccard >= 19/20 (exact integer cross-multiplication)
+    found by an all-pairs brute force over sf0.001 must appear in the
+    query result — and nothing else (the relational oracle replays
+    the same filter, so only an independent brute force proves no
+    false negatives)."""
+    from itertools import combinations
+
+    import duckdb
+
+    from hadoop_main_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),"
+        f" t -> t <> '') FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    sets = {did: frozenset(tks) for did, tks in rows if tks}
+    # canonical group representative per distinct set (min doc_id)
+    rep_of: dict[frozenset, int] = {}
+    for did in sorted(sets):
+        rep_of.setdefault(sets[did], did)
+    reps = {rep: s for s, rep in rep_of.items()}
+    want = set()
+    for ra, rb in combinations(sorted(reps), 2):
+        a, b = reps[ra], reps[rb]
+        i = len(a & b)
+        if 39 * i >= 19 * (len(a) + len(b)):
+            want.add((ra, rb, i, len(a) + len(b) - i))
+    got = {
+        (r.rep_a, r.rep_b, r.inter_size, r.union_size)
+        for r in REGISTRY["set_similarity_join"].build(spark, sf).collect()
+    }
+    assert got == want, (len(got), len(want), sorted(want - got)[:5])

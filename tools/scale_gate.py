@@ -158,6 +158,7 @@ DEFAULT_EXTRAS = [
     "incremental_agg_maintenance",
     "key_skew_audit",
     "table_profile",
+    "set_similarity_join",
     # stream_agg_view_roundtrip excluded: the stream executes inside
     # build(), same as the other stream roundtrips
 ]
