@@ -7395,3 +7395,67 @@ def set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rep_a", "rep_b")
     )
+
+
+@query(
+    "heavy_hitters_sketch",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    bg AS (SELECT unnest(list_transform(
+             generate_series(1, greatest(len(tk) - 1, 0)),
+             i -> tk[i] || ' ' || tk[i+1])) AS bigram
+           FROM toks)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY bigram HAVING COUNT(*) >= 40
+    ORDER BY bigram
+    """,
+    doc="Sketch-accelerated EXACT heavy hitters at absolute support "
+    ">= 40 (the collocation min-count discipline pmi_topk uses): a "
+    "count-min sketch (4x4096, mergeable integer counters — "
+    "functions/sketches.py, widened so expected per-bucket load "
+    "keeps estimates near-exact) BROADCASTS back over the bigram "
+    "stream and every occurrence probes it MAP-SIDE via 4 broadcast "
+    "hash joins + least() — rows whose upper-bound estimate is "
+    "under the support never reach the exact aggregation, so the "
+    "key-space shuffle at 100 TB carries only candidate "
+    "occurrences (the long tail of sub-support keys — the bulk of "
+    "a real corpus — dies map-side). Count-min never "
+    "under-estimates, so the prefilter provably drops NO true "
+    "heavy hitter; the exact count re-check drops "
+    "collision-inflated false positives. The ORACLE is the plain "
+    "exact GROUP BY/HAVING — fully INDEPENDENT of the sketch path "
+    "(the phrase_search discipline), so any sketch-induced error "
+    "surfaces as a mismatch.",
+)
+def heavy_hitters_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.functions.hashing import hash64
+    from hadoop_main_spark.functions.sketches import CM_DEPTH, count_min_table
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+
+    support = 40
+    width = 4096
+    d = t(spark, sf, "documents")
+    bg = d.select(F.explode(D.word_shingles("text", 2)).alias("bigram"))
+    # the sketch build and the probe pass both scan the bigram
+    # explode; the sketch itself is <= depth*width rows
+    sk = supersede_checkpoint(
+        "heavy_hitters_sketch.cm",
+        count_min_table(bg, "bigram", width=width).localCheckpoint(eager=False),
+    )
+    probed = bg
+    ests = []
+    for j in range(CM_DEPTH):
+        skj = sk.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"__b{j}"), F.col("cnt").alias(f"__c{j}")
+        )
+        probed = probed.withColumn(
+            f"__b{j}", hash64("bigram", salt=f"cm{j}") % width
+        ).join(F.broadcast(skj), f"__b{j}", "left")
+        ests.append(F.coalesce(F.col(f"__c{j}"), F.lit(0)))
+    survivors = probed.filter(F.least(*ests) >= support).select("bigram")
+    return (
+        survivors.groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= support)
+        .orderBy("bigram")
+    )

@@ -159,6 +159,7 @@ DEFAULT_EXTRAS = [
     "key_skew_audit",
     "table_profile",
     "set_similarity_join",
+    "heavy_hitters_sketch",
     # stream_agg_view_roundtrip excluded: the stream executes inside
     # build(), same as the other stream roundtrips
 ]
