@@ -219,24 +219,39 @@ def suffix_repeats_indexed(
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b"))
-    sliced = (
-        adj.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("sa", F.expr("slice(tk_a, pos_a + 1, size(tk_a))"))
-        .withColumn("sb", F.expr("slice(tk_b, pos_b + 1, size(tk_b))"))
-    )
-    # first mismatch via null-safe zip equality: zip_with pads the
-    # shorter slice with null, null <=> token = false, so the padded
-    # position IS the mismatch and lcp = min length falls out;
-    # array_position's not-found sentinel is 0 (equal arrays — cannot
-    # occur for distinct rank classes) and maps to min-length anyway
+    sliced = adj.join(ta, "doc_a").join(tb, "doc_b")
+    # first mismatch via null-safe zip equality over NULL-SENTINEL
+    # slices: append one null token to each slice, then zip_with pads
+    # the shorter side with nulls and null <=> token = false, so the
+    # first false position - 1 IS the lcp in every case — a genuine
+    # mismatch gives it directly, and a prefix-of-the-other pair
+    # mismatches at its own sentinel (lcp = min length). Equal slices
+    # (the only not-found case) cannot occur across distinct rank
+    # classes. ONE zip pass per pair — the previous CASE form
+    # re-evaluated zip_with + array_position per branch (optimization
+    # r11: 4 evaluations/pair once the filter was pushed into the
+    # join condition; ~0.75 s of the 2.1 s bench time).
     lcp = F.expr(
-        "CASE WHEN array_position(zip_with(sa, sb, (x, y) -> x <=> y), false) = 0 "
-        "THEN least(size(sa), size(sb)) "
-        "ELSE array_position(zip_with(sa, sb, (x, y) -> x <=> y), false) - 1 END"
+        "array_position(zip_with("
+        "concat(slice(tk_a, pos_a + 1, size(tk_a)), array(CAST(NULL AS STRING))), "
+        "concat(slice(tk_b, pos_b + 1, size(tk_b)), array(CAST(NULL AS STRING))), "
+        "(x, y) -> x <=> y), false) - 1"
     )
-    return (
-        sliced.withColumn("lcp", lcp.cast("bigint"))
-        .filter(F.col("lcp") >= min_lcp)
-        .select("rank", "lcp", "doc_a", "pos_a", "doc_b", "pos_b")
+    res = sliced.select(
+        "rank",
+        lcp.cast("bigint").alias("lcp"),
+        "doc_a",
+        "pos_a",
+        "doc_b",
+        "pos_b",
     )
+    # materialize ONCE per action (lazy local checkpoint, ~6 ints/row):
+    # keeps the min_lcp filter OUT of the join condition — Catalyst
+    # pushed it there, re-evaluating the zip per probe — and lets the
+    # caller's orderBy sample the materialized rows instead of
+    # re-executing the whole join tree for range-boundary sampling
+    # (optimization r11: the sampling pass doubled the bench time).
+    # Lazy, so a fresh build pays the full compute inside the timed
+    # action; nothing persists across bench runs.
+    res = res.localCheckpoint(eager=False)
+    return res.filter(F.col("lcp") >= min_lcp)
