@@ -2756,6 +2756,16 @@ def knn_graph_search(
     w = Window.partitionBy(query_id).orderBy("d2", "node")
     scored = None
     for _ in range(hops):
+        # each hop references `pool` TWICE (the neighbor expansion and
+        # the union), so without a barrier the logical plan DOUBLES
+        # per hop — ~2^hops copies of the entry subtree, and a nested
+        # hierarchical search (entry_pool = another search) multiplies
+        # them (optimization r11: the layered query spent ~4 s in
+        # replanning + re-executing duplicated hop subtrees). A LAZY
+        # localCheckpoint materializes each hop's beam (queries x
+        # beam rows) once per action and keeps the plan linear in
+        # hops — the connected-components iteration discipline.
+        pool = pool.localCheckpoint(eager=False)
         nbrs = pool.join(edges, pool["node"] == edges["id"]).select(
             query_id, F.col("nbr").alias("node")
         )
