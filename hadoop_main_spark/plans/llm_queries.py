@@ -573,6 +573,14 @@ def _perturbed_corpus(e: DataFrame) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _perturbed_corpus(t(spark, sf, "embeddings"))
+    # rhp_cosine_pairs reads its input THREE times (signature pass +
+    # both sides of the exact-cosine verify); the perturbation's
+    # per-component hash64 noise is expensive enough (128k interpreted
+    # md5 evaluations at sf0.1) that re-deriving it per consumer
+    # tripled the query (optimization r11: 3.6 s -> 1.9 s). Lazy, so
+    # every action still computes the corpus fresh — the barrier only
+    # shares it WITHIN the action.
+    corpus = corpus.localCheckpoint(eager=False)
     return D.rhp_cosine_pairs(corpus, "vec_id", "v", dim=64, min_cosine=0.95)
 
 
@@ -1613,6 +1621,9 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(D.word_shingles("text", 5))).alias("g"),
     ).select("doc_id", hash64("g").alias("gh"))
+    # one shingle+md5 pass shared by the bench (broadcast build) and
+    # train (probe) consumers — same barrier as decontaminate_bloom
+    g5 = g5.localCheckpoint(eager=False)
     bench_grams = g5.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
     train_grams = g5.filter(F.col("doc_id") % 97 != 0)
     hits = (
@@ -2761,6 +2772,14 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(D.word_shingles("text", 5))).alias("g"),
     ).select("doc_id", hash64("g").alias("gh"))
+    # materialize the hashed-gram table ONCE per action (lazy local
+    # checkpoint, 2 ints/row): the shingle-explode+md5 subtree feeds
+    # FOUR consumers (sketch build, probe, exact-verify join, doc
+    # join) and the final plan otherwise re-evaluates it per consumer
+    # (optimization r11: 13 Generate nodes in the executed plan,
+    # 4.4 s -> 2.2 s at sf0.1). One materialization ~= one shuffle of
+    # the same rows — the standard price of sharing an intermediate.
+    g5 = g5.localCheckpoint(eager=False)
     bench = g5.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
     train = g5.filter(F.col("doc_id") % 97 != 0)
     bits = bloom_bits(bench, "gh")
