@@ -1101,9 +1101,18 @@ def shipmode_priority_counts(spark: SparkSession, sf: str) -> DataFrame:
 def waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     li = _li_shipping(spark, sf)
     late = F.col("receipt_us") > F.col("commit_us")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    # two-level hash aggregation instead of two DISTINCT expressions
+    # in one agg: multi-distinct plans as Expand (2x the fact rows) +
+    # a sort-based aggregate (the table_profile lesson). Grouping by
+    # (order, supplier) first gives the same counts — suppliers per
+    # order, suppliers with ANY late line — in two hash aggregates
+    # that share one exchange (optimization r11: 1.69 s -> ~1.1 s).
+    per_supp = li.filter(F.col("l_suppkey").isNotNull()).groupBy(
+        "l_orderkey", "l_suppkey"
+    ).agg(F.max(late).alias("__any_late"))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("__any_late"), 1)).alias("n_late"),
     )
     forders = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
