@@ -3486,7 +3486,12 @@ def bigram_lm_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").over(w1win).alias("n1f"),
         F.count("*").over(w2win).alias("n1b"),
     )
-    tot = bg.agg(F.count("*").alias("ttypes"))
+    # the trivially-true c12 > 0 guard stops column pruning from
+    # collapsing this branch's aggregate to functions=[] (which made
+    # its exchange canonically different from scored's and re-ran the
+    # corpus explode — the bigram_surprise guard, applied here too;
+    # optimization r11: 2 corpus explodes -> 1, ReusedExchange fires)
+    tot = bg.where(F.col("c12") > 0).agg(F.count("*").alias("ttypes"))
     dd = F.lit(0.75)
     p = (F.col("c12").cast("double") - dd) / F.col("c1").cast("double") + (
         (dd * F.col("n1f").cast("double")) / F.col("c1").cast("double")
