@@ -162,6 +162,23 @@ DEFAULT_EXTRAS = [
     "heavy_hitters_sketch",
     # stream_agg_view_roundtrip excluded: the stream executes inside
     # build(), same as the other stream roundtrips
+    # round 11 optimization pass: track the queries whose plans were
+    # restructured (shared-intermediate barriers, vectorized verify,
+    # two-level distinct, exchange-reuse guard) so a regression in the
+    # restructured shape shows up as a ratio break here.
+    # dedup_embedding_cosine is deliberately NOT gated: the 10x
+    # identical-copy corpus is the RHP-LSH collision worst case —
+    # every duplicate cluster's band buckets grow ~copies^2 candidate
+    # pairs BY CONSTRUCTION (measured 57.7x at 10x while the verify
+    # kernel itself scales linearly in candidates), and the
+    # minhash-style band-bucket cap that would bound it changes the
+    # declared pair set — an oracle-visible semantic change deferred
+    # to a build round.
+    "decontaminate",
+    "decontaminate_bloom",
+    "bigram_lm_topk",
+    "waiting_suppliers",
+    "lang_id",
 ]
 
 #: the --copies 100 tier runs ONLY these (the 5 heaviest headline
