@@ -4,7 +4,12 @@ JSON line with per-query wall seconds.
 
 Each query is forced with a count()-style action (no driver
 collect of the full result; sorts are capped with a write-less
-foreach-noop via ``df.write.format("noop")``).
+foreach-noop via ``df.write.format("noop")``). Timed region =
+``build()`` + the action (r12): plan construction is cheap for most
+queries, but iterative operators (suffix arrays, connected
+components, OPQ/NN-descent training, streaming windows) materialize
+real compute inside build() via eager localCheckpoint(), which the
+pre-r12 action-only timer missed.
 
 Noise protocol (verdict r6 #1): min-of-3 per query, then any query
 whose 3-fastest-run spread exceeds 50% of its min is re-run up to 3
@@ -33,9 +38,27 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 BEST_LEDGER = os.path.join(_REPO, "BENCH_best.json")
 
 
+#: timing methodology (optimization r12, verdict-r11 #1): the timer
+#: covers build() + the noop action — iterative operators run real
+#: compute inside build() via EAGER localCheckpoint() (suffix
+#: prefix-doubling, CC rounds, OPQ/NN-descent training, streaming
+#: windows), so the old post-build t0 structurally under-reported
+#: them (the bench-flagged suffix_array_repeats ran its suffix-array
+#: construction untimed). SPARK_GRAFT_TIME_BUILD=0 restores the
+#: legacy action-only timing for cross-round comparison runs; the
+#: "timing" output field and the BENCH_best.json ledger key reflect
+#: whichever is active, so the two histories never mix.
+TIME_BUILD = os.environ.get("SPARK_GRAFT_TIME_BUILD", "1") != "0"
+
+
 def run_once(spark, name: str, sf_dir: str) -> float:
-    df = REGISTRY[name].build(spark, sf_dir)
+    if not TIME_BUILD:  # legacy pre-r12 timing (action only)
+        df = REGISTRY[name].build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
     t0 = time.perf_counter()
+    df = REGISTRY[name].build(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
@@ -149,7 +172,11 @@ def main() -> None:
         if is_noisy:
             noisy.append(name)
     total = round(sum(times.values()), 3)
-    best_entry = update_best_ledger(f"sf{sf}", times, total, noisy)
+    # ledger key versioned by timing methodology: build()+action times
+    # are not comparable to the pre-r12 action-only minima, so they
+    # accumulate under a separate key (old history stays untouched)
+    sf_key = f"sf{sf}+build" if TIME_BUILD else f"sf{sf}"
+    best_entry = update_best_ledger(sf_key, times, total, noisy)
     # MRBench analog (JT/mapred/MRBench.java:201): tiny-job latency —
     # the scheduling+execution floor for a 1-row map/reduce round trip
     t0 = time.perf_counter()
@@ -182,6 +209,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "timing": "build+action" if TIME_BUILD else "action",
                 "queries": times,
                 "spread": spread,
                 "noisy": noisy,
