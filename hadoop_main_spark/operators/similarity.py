@@ -2642,6 +2642,7 @@ def hierarchical_entry_pool(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     qscale: int = PQ_QSCALE,
+    ckpt_tag: str = "hierarchical_entry_pool",
 ) -> DataFrame:
     """HIERARCHICAL entry layer for graph search — the actual HNSW
     upper-layer idea (Malkov & Yashunin TPAMI'18 §4.2) in
@@ -2677,7 +2678,7 @@ def hierarchical_entry_pool(
     ).localCheckpoint()
     res1 = knn_graph_search(
         g1, sampled, queries, entries, l1_beam, l1_hops, l1_entries,
-        id_col, vec_col, query_id, qscale,
+        id_col, vec_col, query_id, qscale, ckpt_tag=f"{ckpt_tag}.l1",
     )
     return res1.select(query_id, F.col("neighbor_id").alias("node"))
 
@@ -2695,6 +2696,7 @@ def knn_graph_search(
     query_id: str = "query_id",
     qscale: int = PQ_QSCALE,
     entry_pool: DataFrame | None = None,
+    ckpt_tag: str = "knn_graph_search",
 ) -> DataFrame:
     """Greedy BEAM SEARCH over a prebuilt k-NN graph — the query side
     of the graph-ANN paradigm (HNSW's layer-0 search, Malkov &
@@ -2754,8 +2756,10 @@ def knn_graph_search(
         "CAST(0 AS BIGINT), (s, x) -> s + x)"
     )
     w = Window.partitionBy(query_id).orderBy("d2", "node")
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+
     scored = None
-    for _ in range(hops):
+    for h in range(hops):
         # each hop references `pool` TWICE (the neighbor expansion and
         # the union), so without a barrier the logical plan DOUBLES
         # per hop — ~2^hops copies of the entry subtree, and a nested
@@ -2765,7 +2769,17 @@ def knn_graph_search(
         # localCheckpoint materializes each hop's beam (queries x
         # beam rows) once per action and keeps the plan linear in
         # hops — the connected-components iteration discipline.
-        pool = pool.localCheckpoint(eager=False)
+        # supersede_checkpoint (advice r11 #1): hop blocks stay
+        # pinned after the action (lazy checkpoints cannot release
+        # mid-action — later hops read them); the NEXT build under
+        # the same (ckpt_tag, hop) releases them, bounding the pin
+        # to one live generation per search site. Callers that can
+        # nest searches in ONE plan (layered, hierarchical routing)
+        # pass distinct tags so an inner search's not-yet-materialized
+        # checkpoints are never forgotten by an outer registration.
+        pool = supersede_checkpoint(
+            f"{ckpt_tag}.hop{h}", pool.localCheckpoint(eager=False)
+        )
         nbrs = pool.join(edges, pool["node"] == edges["id"]).select(
             query_id, F.col("nbr").alias("node")
         )
@@ -2819,6 +2833,7 @@ def knn_graph_search_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    ckpt_tag: str = "knn_graph_search_indexed",
 ) -> DataFrame:
     """Beam-search a materialized k-NN graph (see
     :func:`build_knn_graph_index`): the graph build is off the query
@@ -2827,7 +2842,8 @@ def knn_graph_search_indexed(
     g = spark.read.parquet(f"{path}/graph")
     nodes = spark.read.parquet(f"{path}/nodes")
     return knn_graph_search(
-        g, nodes, queries, k, beam, hops, entries, id_col, vec_col, query_id
+        g, nodes, queries, k, beam, hops, entries, id_col, vec_col, query_id,
+        ckpt_tag=ckpt_tag,
     )
 
 

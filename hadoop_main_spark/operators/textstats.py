@@ -61,6 +61,21 @@ def stopword_score(text: Column | str, words: tuple[str, ...]) -> Column:
 #: (review-r4b: '我有他的书' is ONE whitespace token).
 CHAR_PROFILE_LANGS: frozenset[str] = frozenset({"zh"})
 
+# lang_id's compiled-regex token scoring uses (?i), which is
+# ASCII-only case folding in Java regex — equivalent to the lowercase
+# token equality it replaced ONLY while every token-profile word is
+# ASCII (advice r11 #3: a future accented profile word, e.g. French
+# 'été', would silently miss uppercase forms). Assert at import so
+# adding such a word fails loudly instead of mis-scoring.
+for _lang, _words in LANG_PROFILES.items():
+    if _lang not in CHAR_PROFILE_LANGS and not all(w.isascii() for w in _words):
+        raise AssertionError(
+            f"LANG_PROFILES[{_lang!r}] has non-ASCII words; lang_id's "
+            "(?i) regex folds ASCII only — switch to (?iu) or revert "
+            "to lowercase token equality for this profile"
+        )
+del _lang, _words
+
 
 def char_profile_score(text: Column | str, chars: tuple[str, ...]) -> Column:
     """Total occurrence count of the profile characters in the raw

@@ -967,11 +967,16 @@ def graph_insert_edges(
             for c in range(_math.ceil(n_wave / max_wave))
         ]
     parts = []
-    for chunk in chunks:
+    for ci, chunk in enumerate(chunks):
         qs = chunk.select(F.col(id_col).alias("__qid"), vec_col)
+        # per-chunk ckpt tag: every chunk's search lives in the ONE
+        # unioned wave plan, so a shared tag would forget all but the
+        # last chunk's hop checkpoints (advice r11 #1); per-chunk tags
+        # let the NEXT wave release this wave's blocks chunk-for-chunk
         res = knn_graph_search(
             edges, nodes, qs, k, beam, hops, entries,
             id_col, vec_col, query_id="__qid",
+            ckpt_tag=f"stream_graph_ingest.c{ci}",
         )
         fwd = res.select(
             F.col("__qid").alias("id"), "rank",
