@@ -109,6 +109,45 @@ def shingles_sql(text_expr: str, n: int = 3) -> str:
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+def distinct_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, g) DISTINCT word n-grams per document, with one NULL-gram
+    row for gram-less documents (explode_outer) — the shareable
+    tokenize+shingle pass (optimization r12, verdict-r11 #4):
+    MinHash signatures are invariant under de-duplication of the
+    shingle multiset (min over distinct == min over multiset, and the
+    NULL row reproduces explode_outer's empty-doc sentinel exactly),
+    and the exact prefix join consumes distinct grams by definition
+    (filter the NULL rows). lsh_quality_eval runs BOTH over one
+    lazily-checkpointed copy of this table instead of tokenizing the
+    corpus twice."""
+    from hadoop_main_spark.operators.partitioning import fan_out
+
+    return fan_out(df.select(id_col, text_col), [id_col]).select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(word_shingles(text_col, n))).alias("g"),
+    )
+
+
+def minhash_signature_from_grams(grams: DataFrame, id_col: str) -> DataFrame:
+    """MinHash signature columns mh0..mh{J-1} from a pre-built
+    per-document gram table (see :func:`distinct_grams`): identical
+    output to :func:`minhash_signature` — the base hash is computed
+    per DISTINCT gram instead of per occurrence (min unaffected), and
+    a NULL gram row hashes to NULL so a gram-less document still
+    lands on the empty signature via the coalesce."""
+    h = (hash64("g") % MINHASH_P).alias("h")
+    sh = grams.select(id_col, h)
+    aggs = [
+        F.coalesce(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P), F.lit(MINHASH_P - 1)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(PERM)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -521,6 +560,7 @@ def rhp_cosine_pairs(
     min_cosine: float = 0.95,
     bits: int = RHP_BITS,
     band_bits: int = RHP_BAND_BITS,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH
     (SimHash for vectors): sign-of-dot signatures, banded candidate
@@ -530,31 +570,109 @@ def rhp_cosine_pairs(
     bits are bit-identical to the oracle's list_reduce fold. Candidate
     generation is an equi-join on (band, band_val) — corpus is never
     all-pairs joined. Output: (id_a, id_b, cosine), id_a < id_b.
+
+    Input contract (FAIL-FAST, advice r11 #2): every vector must be a
+    non-null, all-elements-non-null array of exactly ``dim`` values —
+    the verify kernel raises ValueError on ragged/null embeddings
+    rather than silently dropping the pair (the pre-r11 expression
+    form yielded NULL cosine, filtered out). A malformed corpus is a
+    pipeline bug upstream; surfacing it beats hiding it.
+
+    ``max_band_bucket`` (optimization r12, verdict-r11 #2) is the
+    minhash_lsh_pairs skew guard transplanted: a (band, band_val)
+    bucket larger than the cap emits NO candidates — on a corpus with
+    c identical copies of one vector, every copy group collides in
+    every band by construction and candidate pairs grow ~c² (the r11
+    10x identical-copy tier measured 57.7x); the cap bounds bucket
+    work at the documented recall cost (a pair survives only through
+    some under-cap band). None (the default, and the declared
+    dedup_embedding_cosine semantics) leaves candidates exact.
+    NOTE: a cap only makes sense with a band space ≫ corpus size —
+    the 16-bit/4-band default has 16 values per band, so buckets are
+    ~n/16 REGARDLESS of duplicates and a fixed cap would empty the
+    output as n grows; the capped production variant
+    (dedup_embedding_cosine_capped) pairs the cap with 64-bit/16-bit
+    bands, where only true near-dups (and ~n²/2^16-band-rare random
+    collisions) share a bucket.
     """
     from hadoop_main_spark.operators.partitioning import fan_out
-    from hadoop_main_spark.operators.similarity import cosine
 
     W = rhp_weights(dim, bits)
     wide = fan_out(df.select(F.col(id_col), F.col(vec_col)), [id_col])
-    sig_cols = []
-    for j in range(bits):
-        wl = F.array(*[F.lit(w) for w in W[j]])
-        prods = F.zip_with(F.col(vec_col), wl, lambda x, w: x.cast("double") * w)
-        dot = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
-        sig_cols.append(F.when(dot >= 0, 1).otherwise(0).alias(f"__b{j}"))
-    sig = wide.select(F.col(id_col), *sig_cols)
     n_bands = bits // band_bits
-    band_structs = []
-    for b in range(n_bands):
-        val = sum(
-            F.col(f"__b{b * band_bits + r}") * F.lit(1 << r) for r in range(band_bits)
-        )
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), val.alias("band_val"))
-        )
+    id_type = dict(df.dtypes)[id_col]
+    sig_schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"__bv{b} int" for b in range(n_bands)]
+    )
+
+    def _signatures(batches):
+        # sign-of-dot signatures vectorized ACROSS rows with the
+        # accumulation loop SEQUENTIAL over dimensions — each (row,
+        # hyperplane) dot has exactly the fdot fold's float-op order
+        # (((0+p0)+p1)+...), so every bit is identical to the
+        # expression form it replaced and the oracle's list_reduce
+        # (the _verify kernel's discipline). The expression form ran
+        # ``bits`` interpreted zip_with+aggregate folds per row — HOF
+        # lambdas never enter codegen — which priced the 64-bit capped
+        # variant at 4x the 16-bit one (optimization r12; measured
+        # 4.8 s vs 2.8 s at sf0.1 before this kernel). Band values are
+        # exact integer packs; NaN dots sign to 0 exactly like the
+        # SQL ``dot >= 0`` (numpy NaN>=0 is False too).
+        import numpy as np
+        import pyarrow as pa
+
+        Wm = np.array(W, dtype=np.float64).T  # (dim, bits), ±1.0
+        names = [id_col] + [f"__bv{b}" for b in range(n_bands)]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(id_col)
+            vecs = batch.column(vec_col)
+            off = vecs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            widths = np.diff(off)
+            if (
+                vecs.null_count
+                or vecs.flatten().null_count
+                or not (widths == dim).all()
+            ):
+                raise ValueError(
+                    "rhp_cosine_pairs: ragged or null embedding in the "
+                    "signature kernel — the corpus contract is fixed "
+                    f"{dim}-dim non-null vectors"
+                )
+            V = vecs.values.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )[off[0] : off[-1]].reshape(n, dim)
+            acc = np.zeros((n, bits))
+            for d in range(dim):
+                acc += V[:, d][:, None] * Wm[d][None, :]
+            bitm = (acc >= 0).astype(np.int32)
+            arrays = [ids]
+            for b in range(n_bands):
+                bv = np.zeros(n, dtype=np.int32)
+                for r in range(band_bits):
+                    bv |= bitm[:, b * band_bits + r] << r
+                arrays.append(pa.array(bv))
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    sig = wide.mapInArrow(_signatures, sig_schema)
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), F.col(f"__bv{b}").alias("band_val"))
+        for b in range(n_bands)
+    ]
     allb = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("__bb")
     ).select(id_col, "__bb.band", "__bb.band_val")
+    if max_band_bucket is not None:
+        if max_band_bucket < 1:
+            raise ValueError("max_band_bucket must be >= 1")
+        # bucket-size guard BEFORE the self-join (the window rides the
+        # same (band, band_val) shuffle the join needs — no extra
+        # exchange), exactly the minhash_lsh_pairs discipline
+        allb = allb.withColumn(
+            "__bn", F.count("*").over(Window.partitionBy("band", "band_val"))
+        ).filter(F.col("__bn") <= max_band_bucket).drop("__bn")
     left = allb.select("band", "band_val", F.col(id_col).alias("id_a"))
     right = allb.select("band", "band_val", F.col(id_col).alias("id_b"))
     cand = (
@@ -602,11 +720,15 @@ def rhp_cosine_pairs(
             b_off = b_list.offsets.to_numpy(zero_copy_only=False)
             widths_a = np.diff(a_off)
             widths_b = np.diff(b_off)
+            # element-null check via flatten(): .values would inspect
+            # the ENTIRE child buffer, so a sliced batch with nulls
+            # only in unreferenced slots would raise spuriously
+            # (advice r11 #2); flatten() restricts to referenced slots
             if (
                 a_list.null_count
                 or b_list.null_count
-                or a_list.values.null_count
-                or b_list.values.null_count
+                or a_list.flatten().null_count
+                or b_list.flatten().null_count
                 or not (widths_a == dim).all()
                 or not (widths_b == dim).all()
             ):
@@ -1055,6 +1177,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     t_num: int = 3,
     t_den: int = 5,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-threshold Jaccard similarity join via prefix filtering —
     the AllPairs/PPJoin family (Bayardo et al., WWW'07 "Scaling Up
@@ -1092,16 +1215,26 @@ def prefix_jaccard_pairs(
     # Materializing a corpus-sized frame is acceptable HERE because
     # the exact join is the moderate-scale / verification tool by
     # contract (LSH is the 100 TB candidate path); pass a distinct
-    # tag per concurrently-live corpus.
-    grams = supersede_checkpoint(
-        "prefix_jaccard.grams",
-        fan_out(df.select(id_col, text_col), [id_col])
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g"),
+    # tag per concurrently-live corpus. A caller that already built
+    # the distinct-gram table (see :func:`distinct_grams`; e.g.
+    # lsh_quality_eval shares it with the MinHash side) passes it via
+    # ``grams`` — the caller then owns the checkpoint lifecycle; NULL
+    # gram rows (gram-less docs) are filtered here, reproducing the
+    # non-outer explode this path builds for itself.
+    if grams is None:
+        grams = supersede_checkpoint(
+            "prefix_jaccard.grams",
+            fan_out(df.select(id_col, text_col), [id_col])
+            .select(
+                F.col(id_col).alias("__id"),
+                F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g"),
+            )
+            .localCheckpoint(eager=False),
         )
-        .localCheckpoint(eager=False),
-    )
+    else:
+        grams = grams.filter(F.col("g").isNotNull()).select(
+            F.col(id_col).alias("__id"), "g"
+        )
     freq = grams.groupBy("g").agg(F.count("*").alias("__df"))
     w_doc = Window.partitionBy("__id")
     w_ord = w_doc.orderBy(F.asc("__df"), F.asc("g"))

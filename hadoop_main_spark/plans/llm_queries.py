@@ -500,7 +500,19 @@ _PERT_CORPUS_CTE = f"""corpus AS (
 
 def _perturbed_corpus(e: DataFrame) -> DataFrame:
     """Spark builder of :data:`_PERT_CORPUS_CTE`: embeddings as
-    (vec_id, v double[]) plus one perturbed copy per vector."""
+    (vec_id, v double[]) plus one perturbed copy per vector.
+
+    Kept as the indexed-transform EXPRESSION form deliberately
+    (optimization r12, verdict-r11 #5 — measured, rejected): a
+    bit-exact mapInArrow perturbation kernel (vectorized Python md5
+    noise) was built and property-tested, but the r11 shared-corpus
+    barrier already de-duplicated the interpreted-hash cost across
+    consumers, so the kernel only traded interpretation for an extra
+    JVM->Python->JVM boundary — semantic_dedup regressed 1.18 -> 1.32 s
+    and dedup_embedding_cosine was a wash (isolated min-of-N A/B at
+    sf0.1). The interpreted HOF stays because it is the cheaper of
+    the two evils at every consumer count >= 1 WITH the barrier in
+    place."""
     from hadoop_main_spark.functions.hashing import hash64
 
     orig = e.select(
@@ -582,6 +594,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     # shares it WITHIN the action.
     corpus = corpus.localCheckpoint(eager=False)
     return D.rhp_cosine_pairs(corpus, "vec_id", "v", dim=64, min_cosine=0.95)
+
+
+#: capped-variant LSH parameters (dedup_embedding_cosine_capped):
+#: 64 bits in 4 bands of 16 — the band space (2^16 values) is ≫ any
+#: bounded bucket cap, so the cap prunes only genuine collision
+#: pile-ups; shared by the Spark build and the oracle text below.
+_RHPC_BITS = 64
+_RHPC_BAND_BITS = 16
+_RHPC_CAP = 1000
+
+
+@query(
+    "dedup_embedding_cosine_capped",
+    oracle=f"""
+    WITH wts AS (
+      SELECT j, list(CASE WHEN {_RHP_W_HASH} % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wl
+      FROM range(0, {_RHPC_BITS}) t(j) CROSS JOIN range(0, 64) u(d)
+      GROUP BY j
+    ),
+    {_PERT_CORPUS_CTE},
+    bits AS (
+      SELECT c.vec_id, w.j,
+             CASE WHEN {_FOLD_DOT.format(a="c.v", b="w.wl")} >= 0 THEN 1 ELSE 0 END AS bit
+      FROM corpus c CROSS JOIN wts w
+    ),
+    bands AS (
+      SELECT vec_id, j // {_RHPC_BAND_BITS} AS band,
+             SUM(bit * (1 << (j % {_RHPC_BAND_BITS}))) AS band_val
+      FROM bits GROUP BY vec_id, j // {_RHPC_BAND_BITS}
+    ),
+    sized AS (
+      SELECT vec_id, band, band_val,
+             COUNT(*) OVER (PARTITION BY band, band_val) AS bn
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sized a JOIN sized b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+      WHERE a.bn <= {_RHPC_CAP} AND b.bn <= {_RHPC_CAP}
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             ({_FOLD_DOT.format(a="va.v", b="vb.v")}
+              / (sqrt({_FOLD_DOT.format(a="va.v", b="va.v")})
+                 * sqrt({_FOLD_DOT.format(a="vb.v", b="vb.v")}))) AS cosine
+      FROM cand JOIN corpus va ON va.vec_id = id_a JOIN corpus vb ON vb.vec_id = id_b)
+    WHERE cosine >= 0.95
+    """,
+    doc="PRODUCTION-shaped RHP-LSH cosine dedup (optimization r12, "
+    "verdict-r11 #2 — the declared decision on the band-bucket cap): "
+    "same planted-duplicate corpus and exact-cosine >= 0.95 verify as "
+    "dedup_embedding_cosine, but 64 signature bits in 4 bands of 16 "
+    "(band space 2^16 ≫ corpus, so only true near-dups and rare "
+    "random collisions share a bucket) PLUS the minhash-style "
+    "max-band-bucket skew guard at 1000 — on a duplicate-heavy "
+    "corpus the un-capped 4-bit-band form grows candidates ~copies² "
+    "(the r11 10x identical-copy tier measured 57.7x); here bucket "
+    "work is bounded by construction. The exact 16-bit form remains "
+    "the declared recall-oriented tool; this is the shape a 100 TB "
+    "run ships.",
+)
+def dedup_embedding_cosine_capped(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _perturbed_corpus(t(spark, sf, "embeddings"))
+    corpus = corpus.localCheckpoint(eager=False)  # shared by sig + verify
+    return D.rhp_cosine_pairs(
+        corpus,
+        "vec_id",
+        "v",
+        dim=64,
+        min_cosine=0.95,
+        bits=_RHPC_BITS,
+        band_bits=_RHPC_BAND_BITS,
+        max_band_bucket=_RHPC_CAP,
+    )
 
 
 _CC_SUFFIX = f"""
@@ -4682,13 +4769,19 @@ def knn_graph_layered(spark: SparkSession, sf: str) -> DataFrame:
     qs = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # distinct ckpt tags per search SITE: both searches live in ONE
+    # plan (the outer's entry_pool is the inner's result), so a shared
+    # tag would let the outer registration forget the inner's
+    # not-yet-materialized hop checkpoints (advice r11 #1)
     pool = SIM.knn_graph_search_indexed(
-        spark, f"{idx}/l1", qs, k=10, beam=20, hops=3, entries=2
+        spark, f"{idx}/l1", qs, k=10, beam=20, hops=3, entries=2,
+        ckpt_tag="knn_graph_layered.l1",
     ).select("query_id", F.col("neighbor_id").alias("node"))
     g0 = spark.read.parquet(f"{idx}/l0/graph")
     n0 = spark.read.parquet(f"{idx}/l0/nodes")
     return SIM.knn_graph_search(
-        g0, n0, qs, k=10, beam=32, hops=2, entry_pool=pool
+        g0, n0, qs, k=10, beam=32, hops=2, entry_pool=pool,
+        ckpt_tag="knn_graph_layered.l0",
     )
 
 
@@ -5360,13 +5453,28 @@ def entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
     "full-outer join on the pair key.",
 )
 def lsh_quality_eval(spark: SparkSession, sf: str) -> DataFrame:
+    from hadoop_main_spark.operators.checkpoints import supersede_checkpoint
+
     d = t(spark, sf, "documents")
-    est = D.minhash_lsh_pairs(d, "doc_id", "text", min_est_jaccard=0.5).select(
-        "id_a", "id_b", F.lit(True).alias("in_est")
+    # ONE tokenize+shingle pass for both estimators (optimization
+    # r12, verdict-r11 #4): the LSH side's MinHash is invariant under
+    # shingle de-duplication (min over distinct == min over multiset)
+    # and the exact side consumes distinct grams by definition, so
+    # both read the same lazily-checkpointed distinct-gram table
+    # instead of re-tokenizing the corpus per side. Lazy: the pass
+    # still runs fresh inside every timed action.
+    grams = supersede_checkpoint(
+        "lsh_quality.grams",
+        D.distinct_grams(d, "doc_id", "text", n=3).localCheckpoint(eager=False),
     )
-    exact = D.prefix_jaccard_pairs(d, "doc_id", "text", n=3, t_num=1, t_den=2).select(
-        "id_a", "id_b", F.lit(True).alias("in_exact")
-    )
+    est = D.lsh_pairs_from_signatures(
+        D.minhash_signature_from_grams(grams, "doc_id"),
+        "doc_id",
+        min_est_jaccard=0.5,
+    ).select("id_a", "id_b", F.lit(True).alias("in_est"))
+    exact = D.prefix_jaccard_pairs(
+        d, "doc_id", "text", n=3, t_num=1, t_den=2, grams=grams
+    ).select("id_a", "id_b", F.lit(True).alias("in_exact"))
     j = exact.join(est, ["id_a", "id_b"], "full_outer").select(
         F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
         F.coalesce("in_est", F.lit(False)).alias("in_est"),
