@@ -3565,6 +3565,13 @@ def recrawl_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     rec = _recrawl_records(spark, sf).select(
         F.col("media_id").alias("doc_id"), "warc_type"
     )
+    # rec feeds TWO consumers (the changed-set filter defining the
+    # ingest wave, and the final record-class join) — without a
+    # barrier the whole snapshot->recrawl->revisit-write->parse chain
+    # (three Python kernel stages) executes once PER consumer
+    # (optimization r12, verdict-r11 #3; the decontaminate pattern).
+    # Lazy: the chain still runs fresh inside every timed action.
+    rec = rec.localCheckpoint(eager=False)
     docs = t(spark, sf, "documents")
     pairs = D.minhash_lsh_pairs(
         docs, "doc_id", "text", min_est_jaccard=0.5
