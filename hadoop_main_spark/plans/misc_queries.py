@@ -1835,6 +1835,7 @@ def stream_window_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from hadoop_main_spark.streaming.windows import (
+        stream_partition_scope,
         tumbling_counts,
         write_stream_parquet,
     )
@@ -1842,12 +1843,15 @@ def stream_window_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="streamwrt_")
     stream = _timesplit_stream(spark, e, "ts", f"{base}/src")
-    q = write_stream_parquet(
-        tumbling_counts(stream, window="1 hour", watermark="2 hours"),
-        f"{base}/out",
-        f"{base}/ckpt",
-    )
-    q.awaitTermination()
+    # volume-derived state partitioning for the stateful window agg
+    # (optimization r12; see sized_stream_partitions)
+    with stream_partition_scope(spark, f"{base}/src", n_batches=4):
+        q = write_stream_parquet(
+            tumbling_counts(stream, window="1 hour", watermark="2 hours"),
+            f"{base}/out",
+            f"{base}/ckpt",
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{base}/out").select(
         F.unix_timestamp("window_start").cast("bigint").alias("window_start"),
         "event_type",
@@ -1908,6 +1912,11 @@ def stream_session_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
 
+    # NO stream_partition_scope here (optimization r12, measured):
+    # applyInPandasWithState does real per-key Python work — shrinking
+    # the state partitioning serializes that compute; unlike the
+    # JVM-native window/join state whose per-partition store machinery
+    # dominates at fixture scale, this one wants the parallelism.
     q = (
         gap_sessions(stream, "user_id", "ts", "event_id")
         .writeStream.foreachBatch(sink)
@@ -1957,7 +1966,10 @@ def stream_interval_join_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from hadoop_main_spark.streaming.joins import interval_join
-    from hadoop_main_spark.streaming.windows import write_stream_parquet
+    from hadoop_main_spark.streaming.windows import (
+        stream_partition_scope,
+        write_stream_parquet,
+    )
 
     e = t(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="streamssj_")
@@ -1970,8 +1982,13 @@ def stream_interval_join_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     sl = _timesplit_stream(spark, clicks, "l_ts", f"{base}/src_l")
     sr = _timesplit_stream(spark, buys, "r_ts", f"{base}/src_r")
     j = interval_join(sl, sr, "user_id").select("click_id", "purchase_id")
-    q = write_stream_parquet(j, f"{base}/out", f"{base}/ckpt")
-    q.awaitTermination()
+    # volume-derived state partitioning for the stream-stream join
+    # state (optimization r12; see sized_stream_partitions)
+    with stream_partition_scope(
+        spark, [f"{base}/src_l", f"{base}/src_r"], n_batches=4
+    ):
+        q = write_stream_parquet(j, f"{base}/out", f"{base}/ckpt")
+        q.awaitTermination()
     return spark.read.parquet(f"{base}/out").select("click_id", "purchase_id")
 
 
@@ -2020,6 +2037,10 @@ def stream_running_totals_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
 
+    # NO stream_partition_scope here (optimization r12, measured):
+    # applyInPandasWithState does real per-key Python work — shrinking
+    # the state partitioning serializes that compute (see the
+    # stream_session_roundtrip note).
     q = (
         running_totals(stream, "user_id", "cents")
         .writeStream.foreachBatch(sink)
@@ -2075,18 +2096,24 @@ def stream_sliding_window_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     from hadoop_main_spark.streaming.windows import (
         sliding_avg,
+        stream_partition_scope,
         write_stream_parquet,
     )
 
     e = t(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="streamslw_")
     stream = _timesplit_stream(spark, e, "ts", f"{base}/src")
-    q = write_stream_parquet(
-        sliding_avg(stream, window="2 hours", slide="1 hour", watermark="4 hours"),
-        f"{base}/out",
-        f"{base}/ckpt",
-    )
-    q.awaitTermination()
+    # volume-derived state partitioning for the sliding-window agg
+    # (optimization r12; see sized_stream_partitions)
+    with stream_partition_scope(spark, f"{base}/src", n_batches=4):
+        q = write_stream_parquet(
+            sliding_avg(
+                stream, window="2 hours", slide="1 hour", watermark="4 hours"
+            ),
+            f"{base}/out",
+            f"{base}/ckpt",
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{base}/out").select(
         F.unix_timestamp("window_start").cast("bigint").alias("window_start"),
         "event_type",

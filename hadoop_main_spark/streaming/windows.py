@@ -186,6 +186,75 @@ def run_to_memory(
         raise TimeoutError(f"stream '{name}' did not finish in {timeout_s}s")
 
 
+def sized_stream_partitions(src_dirs, n_batches: int = 1) -> int:
+    """Volume-derived shuffle/state partition count for a replayed
+    file stream (optimization r12, guide §2: derive partitioning from
+    input size, never a constant): ceil(per-batch source bytes /
+    target), clamped to [1, default_parallelism].
+
+    Why streams need this when batch does not: stateful operators pin
+    their state partitioning to spark.sql.shuffle.partitions at the
+    FIRST batch and keep it for the checkpoint's life, and AQE never
+    re-coalesces streaming state — so the constant must be chosen
+    scale-consciously up front. A production checkpoint sizes it to
+    peak per-batch volume over a tens-of-MB target; the fixture-scale
+    default target (4 MiB of source bytes per partition,
+    env-overridable via SPARK_GRAFT_STREAM_TARGET_BYTES) keeps tiny
+    availableNow replays from paying one state-store open/commit/
+    snapshot per core per batch. Measured on the sliding-window gate
+    at sf0.1 (25k-row batches): ~60% of stream wall is per-partition
+    state machinery at 32 partitions; 32 -> 8 halves the stream,
+    8 -> 4 is flat."""
+    import math
+    import os
+
+    from hadoop_main_spark.session import default_parallelism
+
+    if isinstance(src_dirs, str):
+        src_dirs = [src_dirs]
+    total = 0
+    for d in src_dirs:
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    target = int(
+        os.environ.get("SPARK_GRAFT_STREAM_TARGET_BYTES", str(4 << 20))
+    )
+    per_batch = total / max(1, n_batches)
+    return max(1, min(default_parallelism(), math.ceil(per_batch / max(1, target))))
+
+
+class stream_partition_scope:
+    """Context manager scoping spark.sql.shuffle.partitions to
+    :func:`sized_stream_partitions` while a NATIVE-stateful replay
+    stream starts and drains (the conf must be live through first-
+    batch planning, i.e. through awaitTermination), restoring the
+    session value afterwards. Apply only to stateful-operator streams
+    (window aggs, applyInPandasWithState, stream-stream joins) —
+    foreachBatch streams run batch jobs whose shuffles AQE already
+    coalesces, and Python-decode streams WANT full parallelism.
+    Session confs are global: a query building concurrently may plan
+    a batch shuffle at the scoped value — harmless for results (AQE
+    re-coalesces batch shuffles) and bounded by the scope."""
+
+    def __init__(self, spark: SparkSession, src_dirs, n_batches: int = 1):
+        self._spark = spark
+        self._n = sized_stream_partitions(src_dirs, n_batches)
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self._n
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 def write_stream_parquet(
     stream_df: DataFrame,
     path: str,
