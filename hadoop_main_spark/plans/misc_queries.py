@@ -3005,6 +3005,14 @@ def warc_revisit_dedup(spark: SparkSession, sf: str) -> DataFrame:
             "media_id", "warc_type", "warc_profile", "refers_to_uri",
             "payload_digest", "body_md5", "body_bytes",
         )
+        # LAZY checkpoint before the deterministic sort (the
+        # edit_distance_join / suffix pattern, optimization r12):
+        # orderBy's range-sampling pass otherwise re-executes the
+        # whole crawl->revisit-write->parse chain (three Python
+        # kernel stages) a second time — measured 3.0 s -> chain-only
+        # 1.2 s at sf0.1. Eager would move the cost out of the timed
+        # action and cheat the bench.
+        .localCheckpoint(eager=False)
         .orderBy("media_id")
     )
 
@@ -3638,5 +3646,9 @@ def recrawl_maintenance(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint")
             .alias("cluster_size"),
         )
+        # LAZY checkpoint before the sort: the range-sampling pass
+        # otherwise re-executes the record-class + cluster joins
+        # (optimization r12, the warc_revisit_dedup note)
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
