@@ -95,3 +95,31 @@ def test_rhp_band_bucket_cap(spark):
     assert got == {(100, 101)}
     with pytest.raises(ValueError):
         rhp_cosine_pairs(df, "vec_id", "v", dim=64, max_band_bucket=0)
+
+
+def _final_plan(df) -> str:
+    """AQE-final executed plan text (post-collect, final section only
+    — executedPlan().toString() prints final + initial sections)."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
+
+
+@pytest.mark.parametrize(
+    "name,max_generate",
+    [("bigram_lm_topk", 1), ("bigram_surprise", 1)],
+)
+def test_bigram_exchange_reuse_fires(spark, sf_dir, name, max_generate):
+    """advice r11 #4: bigram_lm_topk's trivially-true c12 > 0 guard
+    restores canonical exchange equality so AQE's ReuseExchange
+    evaluates the corpus explode ONCE; a Spark upgrade that
+    constant-folds the guard would silently re-duplicate the explode
+    (a perf regression invisible to the oracle). Assert the runtime
+    reuse mechanically: >= 1 ReusedExchange and at most one Generate
+    in the AQE-final plan (same check for bigram_surprise, whose
+    reuse is the house pattern the guard replays)."""
+    from hadoop_main_spark.plans.registry import REGISTRY
+
+    plan = _final_plan(REGISTRY[name].build(spark, sf_dir))
+    assert plan.count("ReusedExchange") >= 1, plan
+    assert plan.count("Generate") <= max_generate, plan
