@@ -2642,7 +2642,7 @@ def hierarchical_entry_pool(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     qscale: int = PQ_QSCALE,
-    ckpt_tag: str = "hierarchical_entry_pool",
+    ckpt_tag: str | None = None,
 ) -> DataFrame:
     """HIERARCHICAL entry layer for graph search — the actual HNSW
     upper-layer idea (Malkov & Yashunin TPAMI'18 §4.2) in
@@ -2678,7 +2678,8 @@ def hierarchical_entry_pool(
     ).localCheckpoint()
     res1 = knn_graph_search(
         g1, sampled, queries, entries, l1_beam, l1_hops, l1_entries,
-        id_col, vec_col, query_id, qscale, ckpt_tag=f"{ckpt_tag}.l1",
+        id_col, vec_col, query_id, qscale,
+        ckpt_tag=None if ckpt_tag is None else f"{ckpt_tag}.l1",
     )
     return res1.select(query_id, F.col("neighbor_id").alias("node"))
 
@@ -2696,7 +2697,7 @@ def knn_graph_search(
     query_id: str = "query_id",
     qscale: int = PQ_QSCALE,
     entry_pool: DataFrame | None = None,
-    ckpt_tag: str = "knn_graph_search",
+    ckpt_tag: str | None = None,
 ) -> DataFrame:
     """Greedy BEAM SEARCH over a prebuilt k-NN graph — the query side
     of the graph-ANN paradigm (HNSW's layer-0 search, Malkov &
@@ -2769,17 +2770,23 @@ def knn_graph_search(
         # localCheckpoint materializes each hop's beam (queries x
         # beam rows) once per action and keeps the plan linear in
         # hops — the connected-components iteration discipline.
-        # supersede_checkpoint (advice r11 #1): hop blocks stay
-        # pinned after the action (lazy checkpoints cannot release
-        # mid-action — later hops read them); the NEXT build under
-        # the same (ckpt_tag, hop) releases them, bounding the pin
-        # to one live generation per search site. Callers that can
-        # nest searches in ONE plan (layered, hierarchical routing)
-        # pass distinct tags so an inner search's not-yet-materialized
-        # checkpoints are never forgotten by an outer registration.
-        pool = supersede_checkpoint(
-            f"{ckpt_tag}.hop{h}", pool.localCheckpoint(eager=False)
-        )
+        # ckpt_tag (advice r11 #1): hop blocks stay pinned after the
+        # action (lazy checkpoints cannot release mid-action — later
+        # hops read them). A caller that REBUILDS fresh before every
+        # execution (the registry query builders: bench/oracle/driver
+        # all build-then-execute-once) passes a stable per-site tag,
+        # and the next build under the same (tag, hop) releases the
+        # previous generation's blocks via supersede_checkpoint.
+        # The DEFAULT is None — NO release — because a caller may
+        # legitimately keep a search's OUTPUT in the lineage of the
+        # next search's INPUT (the HNSW insert pattern: edges :=
+        # edges ∪ search results); a stable tag there unpersists
+        # checkpoints a later plan still reads
+        # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — caught by
+        # test_knn_graph_stream_insert_equals_sequential_batch).
+        pool = pool.localCheckpoint(eager=False)
+        if ckpt_tag is not None:
+            pool = supersede_checkpoint(f"{ckpt_tag}.hop{h}", pool)
         nbrs = pool.join(edges, pool["node"] == edges["id"]).select(
             query_id, F.col("nbr").alias("node")
         )
@@ -2833,7 +2840,7 @@ def knn_graph_search_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
-    ckpt_tag: str = "knn_graph_search_indexed",
+    ckpt_tag: str | None = None,
 ) -> DataFrame:
     """Beam-search a materialized k-NN graph (see
     :func:`build_knn_graph_index`): the graph build is off the query

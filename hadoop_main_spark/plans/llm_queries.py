@@ -4693,7 +4693,13 @@ def knn_graph_search(spark: SparkSession, sf: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.knn_graph_search(g, e, qs, k=10, beam=20, hops=3, entries=4)
+    # stable ckpt tag: registry builders are rebuilt fresh before
+    # every execution, so the next build may release this build's hop
+    # checkpoints (the supersede contract)
+    return SIM.knn_graph_search(
+        g, e, qs, k=10, beam=20, hops=3, entries=4,
+        ckpt_tag="q:knn_graph_search",
+    )
 
 
 @query(
@@ -4720,7 +4726,8 @@ def knn_graph_indexed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.knn_graph_search_indexed(
-        spark, idx, qs, k=10, beam=20, hops=3, entries=4
+        spark, idx, qs, k=10, beam=20, hops=3, entries=4,
+        ckpt_tag="q:knn_graph_indexed",  # rebuilt fresh per execution
     )
 
 

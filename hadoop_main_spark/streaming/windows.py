@@ -1036,16 +1036,17 @@ def graph_insert_edges(
             for c in range(_math.ceil(n_wave / max_wave))
         ]
     parts = []
-    for ci, chunk in enumerate(chunks):
+    for chunk in chunks:
         qs = chunk.select(F.col(id_col).alias("__qid"), vec_col)
-        # per-chunk ckpt tag: every chunk's search lives in the ONE
-        # unioned wave plan, so a shared tag would forget all but the
-        # last chunk's hop checkpoints (advice r11 #1); per-chunk tags
-        # let the NEXT wave release this wave's blocks chunk-for-chunk
+        # NO ckpt_tag here (advice r11 #1, resolved the other way): a
+        # caller may hold several graph_insert_edges results at once
+        # or chain a wave's output into the next wave's graph, so a
+        # stable tag would unpersist hop checkpoints a live plan still
+        # reads. The hop blocks stay pinned for the session — the
+        # documented deliberate pinning window for this path.
         res = knn_graph_search(
             edges, nodes, qs, k, beam, hops, entries,
             id_col, vec_col, query_id="__qid",
-            ckpt_tag=f"stream_graph_ingest.c{ci}",
         )
         fwd = res.select(
             F.col("__qid").alias("id"), "rank",
